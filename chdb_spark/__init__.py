@@ -1,0 +1,24 @@
+"""chdb_spark — a PySpark-native analytics engine with chDB's capabilities.
+
+This package re-expresses the capability surface of chdb-io/chdb
+(an in-process OLAP engine powered by ClickHouse; see SURVEY.md) on top of
+Apache Spark: DataFrame / Spark SQL / Catalyst / Structured Streaming.
+
+Top-level API (mirrors the reference's ``chdb.query`` / ``Session`` surface,
+reference: chdb/__init__.py:145-217 and docs/session.rst):
+
+    import chdb_spark as cs
+    spark = cs.connect()                    # tuned SparkSession
+    cs.register_tables(spark, "/root/testdata/sf0.01")
+    df = cs.query(spark, "SELECT count(*) AS n FROM lineitem")
+
+Everything here is idiomatic Spark: queries are declared with the DataFrame /
+SQL API and Catalyst+Tungsten choose the physical plan. No dual-engine
+planner, no SQL segmentation (SURVEY.md §7.8).
+"""
+
+from chdb_spark.session import connect, get_spark, register_tables, query, sql
+from chdb_spark import functions as F
+
+__all__ = ["connect", "get_spark", "register_tables", "query", "sql", "F"]
+__version__ = "0.1.0"

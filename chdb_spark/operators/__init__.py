@@ -1,0 +1,24 @@
+"""chdb_spark.operators — composite operators beyond single expressions.
+
+Everything here is a DataFrame→DataFrame transform built from built-in ops
+(SURVEY.md §4.2: zero custom physical operators needed; composition first,
+Pandas UDF only where semantics demand). Modules register their headline
+queries into chdb_spark.queries via ``register_operator_queries()``.
+"""
+
+from __future__ import annotations
+
+_REGISTERED = False
+
+
+def register_operator_queries() -> None:
+    """Idempotently import operator modules that carry @defquery entries."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    _REGISTERED = True
+    from chdb_spark.operators import dedup  # noqa: F401
+    from chdb_spark.operators import similarity  # noqa: F401
+    from chdb_spark.operators import text  # noqa: F401
+    from chdb_spark.operators import events  # noqa: F401
+    from chdb_spark.operators import asof  # noqa: F401

@@ -1,0 +1,148 @@
+"""Session management — the Spark analogue of chDB's Session / connection.
+
+Reference semantics (SURVEY.md §3.3): a chDB ``Session(path)`` binds an
+in-process engine to a directory; ``chdb.query(sql, fmt)`` is a one-shot
+query (reference chdb/__init__.py:145-217). In Spark the SparkSession *is*
+the session; persistence comes from ``spark.sql.warehouse.dir`` and
+parquet/Delta tables.
+
+Scale posture: confs below are chosen for a real cluster, not just local[32]:
+AQE on (runtime shuffle-partition coalescing, skew-join splitting, join
+strategy switch), Arrow for every JVM<->Python crossing, and a shuffle
+partition count that AQE can shrink. On a 1000-executor cluster the same
+code runs unchanged; only ``master`` and memory sizing differ.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Confs that matter at 100 TB. Every one of these is also correct at sf0.001.
+DEFAULT_CONFS: dict[str, str] = {
+    # Adaptive execution: coalesce shuffle partitions, convert sort-merge to
+    # broadcast at runtime, split skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for toPandas / pandas_udf / mapInPandas (reference exchanges data
+    # zero-copy via Arrow buffers, chdb/__init__.py:107-118 — this is the
+    # Spark analogue).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Shuffle sizing: on a cluster this is set ~2-3x total cores; AQE
+    # coalesces down. Locally 32 keeps task overhead low.
+    "spark.sql.shuffle.partitions": "32",
+    # Read-side: 128 MiB splits keep scan partitions memory-safe at any SF.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: dims (region/nation/supplier/part at small SF)
+    # broadcast; AQE upgrades joins at runtime when sides turn out small.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # ANSI off → SQL-standard permissive arithmetic like the reference engine
+    # (overflow wraps, bad casts null) — matches DuckDB's non-strict reads.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) read as long nanos;
+    # read_table() restores TimestampType via integer division (µs).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "chdb_spark",
+    master: str | None = None,
+    confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no cluster master is configured; on a real deployment, leave it to
+    spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    merged = dict(DEFAULT_CONFS)
+    if confs:
+        merged.update(confs)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+#: Alias mirroring the reference's ``chdb.connect()`` naming.
+connect = get_spark
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TPCH_TABLES
+) -> dict[str, DataFrame]:
+    """Register every parquet table under ``sf_dir`` as a temp view.
+
+    Spark analogue of chDB's ``file()`` table function + session catalog
+    (reference datastore/table_functions.py:123 FileTableFunction).
+    Parquet scans get predicate pushdown + column pruning from Catalyst.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = read_table(spark, path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, restoring TIMESTAMP(NANOS) columns.
+
+    With ``nanosAsLong`` set, parquet nano-timestamps surface as long
+    nanoseconds-since-epoch; they are converted back to TimestampType with
+    *integer* division (``div 1000`` → µs) — float division would lose
+    precision above 2^53 ns. Pure Column math, stays in codegen.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    try:
+        arrow_schema = pq.read_schema(path)
+    except Exception:
+        return df
+    for fld in arrow_schema:
+        t = str(fld.type)
+        if t.startswith("timestamp[ns") and dict(df.dtypes).get(fld.name) == "bigint":
+            df = df.withColumn(fld.name, F.expr(f"timestamp_micros(`{fld.name}` div 1000)"))
+    return df
+
+
+def query(spark: SparkSession, sql_text: str) -> DataFrame:
+    """One-shot SQL — the analogue of ``chdb.query(sql)``
+    (reference chdb/__init__.py:145-217). Catalyst handles
+    parse→analyze→optimize→physical; the returned DataFrame is lazy,
+    exactly like the reference's lazy result objects.
+    """
+    return spark.sql(sql_text)
+
+
+#: ``chdb.sql`` is an alias of ``chdb.query`` (reference chdb/__init__.py:220).
+sql = query
