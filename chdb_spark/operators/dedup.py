@@ -1,1 +1,320 @@
-"""placeholder — filled in milestone 3."""
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference demos LSH/ANN patterns in SQL (examples/chDB_vector_search.ipynb)
+and ships hash primitives (function_definitions.py:3059-3101 cityHash64/
+sipHash64/xxHash64); these operators compose the same primitives into the
+dedup pipelines a training-data system needs.
+
+Scale design (the whole point — 100 TB posture):
+
+* Signatures (minhash / simhash) are computed **per row** with higher-order
+  array functions (`transform`/`aggregate` over the shingle array) — pure
+  JVM codegen, O(K x shingles) per doc, NO explode of the signature and no
+  Python. A 100 TB corpus computes signatures embarrassingly parallel.
+* The only shuffles are (a) the LSH **band-bucket** exchange — rows keyed by
+  (band_idx, band_hash), tiny payloads (doc_id + hash), and (b) the
+  candidate-pair verification join, which touches only colliding pairs,
+  never the full N^2.
+* Verification joins shingle arrays back by doc_id — at scale this is a
+  shuffle join on doc_id; candidates are a vanishing fraction of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def tokens(col) -> F.Column:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def shingles(col, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column — per-row JVM math."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # docs shorter than n tokens yield no shingles (oracle parity)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingle_col, k: int = 128) -> F.Column:
+    """K-permutation MinHash signature: sig[j] = min over shingles of
+    xxhash64(j || shingle). One array expression — no explode, no shuffle."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: F.array_min(
+            F.transform(shingle_col, lambda s: F.xxhash64(F.concat(j.cast("string"), s)))
+        ),
+    )
+
+
+def lsh_bands(sig_col, bands: int, rows: int) -> F.Column:
+    """Array of band-bucket hashes: hash of each r-row slice of the signature."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice(sig_col, b * rows + 1, rows), lambda x: x.cast("string")))),
+    )
+
+
+def simhash64(tokens_col) -> F.Column:
+    """64-bit SimHash: per-bit majority vote of token hashes.
+
+    bit_b = sign( sum over tokens of (hash(t)>>b & 1 ? +1 : -1) ); fingerprint
+    folds the 64 bits into one long. All per-row Column math.
+    """
+    hashes = F.transform(tokens_col, lambda t: F.xxhash64(t))
+
+    # b must be a Python int (shiftright's numBits is not a Column) — build
+    # the 64 vote expressions in a driver-side loop; each is a JVM-side fold.
+    # NB: the merge fn must be exactly 2-ary (pyspark inspects lambda arity),
+    # so bind b via a closure factory, not a default arg.
+    def _vote(b: int):
+        return lambda acc, x: acc + (
+            F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+        )
+
+    bit_votes = F.array(
+        *[F.aggregate(hashes, F.lit(0).cast("long"), _vote(b)) for b in range(64)]
+    )
+    return F.aggregate(
+        F.reverse(bit_votes),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+    )
+
+
+def hamming64(a, b) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def jaccard(a_shingles, b_shingles) -> F.Column:
+    inter = F.size(F.array_intersect(a_shingles, b_shingles))
+    union = F.size(F.array_union(a_shingles, b_shingles))
+    return inter.cast("double") / union.cast("double")
+
+
+def candidate_pairs_from_buckets(bucketed: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(bucket_key, doc_id) rows → distinct (doc_a < doc_b) candidate pairs.
+
+    Self-join on the bucket key — shuffle is keyed by bucket, each bucket is
+    small by construction (near-dups + rare collisions)."""
+    a = bucketed.select(*key_cols, F.col("doc_id").alias("doc_a"))
+    b = bucketed.select(*key_cols, F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, on=key_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator pipelines
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash+LSH, verified with exact Jaccard.
+
+    shingle → K-minhash → band → bucket-join → exact-verify ≥ threshold.
+    Output: (doc_a, doc_b, jaccard). Recall at threshold 0.8 with K=128/b=32
+    is ≳1-1e-7 per pair; the verification step makes precision exact.
+    """
+    rows = k // bands
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
+    banded = sig.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_hash")
+    )
+    cand = candidate_pairs_from_buckets(banded, ["band_idx", "band_hash"])
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash banding + Hamming + exact verification.
+
+    The 64-bit fingerprint is split into 8 8-bit bands; any pair within
+    Hamming distance 7 shares at least one exact band (pigeonhole), and the
+    planted near-dup class (J≥0.9) lands well inside that. Candidates are
+    filtered by full Hamming ≤ max_hamming, then exact-verified.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("toks"),
+        shingles(F.col(text_col)).alias("sh"),
+    )
+    fp = sh.select("doc_id", "sh", simhash64(F.col("toks")).alias("fp"))
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(*[F.shiftright(F.col("fp"), 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(8)])
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    b = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming64(F.col("fp_a"), F.col("fp_b")) <= max_hamming)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keep-first: hash-groupBy on content digest (md5), keep the
+    lowest ``order_col`` row per group. Shuffle keyed by digest — uniform."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(order_col)
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# headline queries (driver-facing, with DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+_BRUTE_FORCE_JACCARD = """
+    WITH sh AS (
+      SELECT doc_id, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)) >= {thr}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@defquery(
+    "dd1_exact_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, md5(text) AS h,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM corpus
+    )
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed
+    FROM ranked
+    """,
+    doc="exact dedup keep-first over a corpus with injected exact duplicates (hash-groupBy).",
+)
+def dd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    kept = exact_dedup(corpus)
+    return corpus.agg(F.count("*").alias("n_total")).crossJoin(
+        kept.agg(F.count("*").alias("n_kept"))
+    ).select(
+        "n_total", "n_kept", (F.col("n_total") - F.col("n_kept")).alias("n_removed")
+    )
+
+
+@defquery(
+    "dd2_minhash_lsh",
+    _BRUTE_FORCE_JACCARD.format(thr=0.8),
+    doc="MinHash(K=128)+LSH(32 bands) near-dup pairs, exact-verified ≥0.8. Oracle = brute-force Jaccard.",
+)
+def dd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@defquery(
+    "dd3_simhash",
+    _BRUTE_FORCE_JACCARD.format(thr=0.8),
+    doc="SimHash64 4-band candidates + Hamming≤8 + exact-verified ≥0.8. Oracle = brute-force Jaccard.",
+)
+def dd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return simhash_dedup(docs, max_hamming=8, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@defquery(
+    "dd4_ngram_jaccard_blocked",
+    """
+    WITH sh AS (
+      SELECT doc_id, lang, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="exact n-gram Jaccard within language blocks (blocked all-pairs; block join keyed by lang).",
+)
+def dd4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "lang", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,265 @@
-"""placeholder — filled in milestone 3."""
+"""Event analytics — windowFunnel, retention, sessionization, sequenceMatch.
+
+Reference surface: function_definitions.py:9721-9778 (retention,
+sequenceMatch, sequenceCount, windowFunnel) — ClickHouse's event-analytics
+aggregate family. Re-expressed as distributed join/window pipelines:
+
+* funnel levels via EXISTS-chains (stacked semi-join conditions keyed by
+  user) — never collects per-user arrays to the driver, shuffles once on
+  user_id; at 100 TB the per-user event streams stay distributed.
+* retention/sessionization via windows partitioned by user — the natural
+  Spark shape for per-entity ordered logic.
+
+Semantics note (documented divergence, like the reference's xfail ledger):
+``funnel_levels`` uses EXISTS semantics — level k is reached if SOME chain
+e1<e2<...<ek fits inside [e1.ts, e1.ts + window] — which matches
+ClickHouse windowFunnel's 'strict_increase'-free default for the common
+monotone cases and is exactly SQL-expressible for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chdb_spark.queries import defquery, table
+
+
+def funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    window_expr: str = "INTERVAL 12 HOURS",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user max funnel level for an ordered step list within a time window.
+
+    Returns (user_id, funnel_level). Implementation: progressive inner joins
+    keyed by user with range conditions; each stage keeps the earliest
+    qualifying chain per user (min aggregation) so data stays one-row-per-user
+    between stages — no combinatorial pair blowup.
+    """
+    w = F.expr(window_expr)
+    step0 = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("ts_0"))
+    )
+    # reached[k] : users whose best chain reaches step k. For correctness of
+    # EXISTS semantics we must consider all first-step anchors, not just the
+    # earliest — so stage k joins the full candidate chain frontier.
+    frontier = events.filter(F.col(type_col) == steps[0]).select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("anchor_ts"), F.col(ts_col).alias("prev_ts")
+    )
+    levels = step0.select(F.col(user_col).alias("u")).withColumn("funnel_level", F.lit(1))
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u2"), F.col(ts_col).alias("next_ts")
+        )
+        frontier = (
+            frontier.join(
+                nxt,
+                (F.col("u") == F.col("u2"))
+                & (F.col("next_ts") > F.col("prev_ts"))
+                & (F.col("next_ts") <= F.col("anchor_ts") + w),
+            )
+            # keep the earliest continuation per (user, anchor): greedy-min is
+            # optimal for fixed anchor — any later chain continuation is a
+            # superset constraint of the earliest one.
+            .groupBy("u", "anchor_ts")
+            .agg(F.min("next_ts").alias("prev_ts"))
+        )
+        reached = frontier.select("u").distinct().withColumn("_lvl", F.lit(k))
+        levels = (
+            levels.join(reached, "u", "left")
+            .withColumn("funnel_level", F.greatest("funnel_level", F.coalesce("_lvl", F.lit(1))))
+            .drop("_lvl")
+        )
+    return levels.withColumnRenamed("u", user_col)
+
+
+def retention_cohorts(
+    events: DataFrame, offsets: list[int], user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Classic day-N retention: cohort day = first activity day per user;
+    counts users active exactly ``offset`` days after their cohort day."""
+    days = events.select(F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")).distinct()
+    cohort = days.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    joined = days.join(cohort, "u").select(
+        "u", F.datediff(F.col("day"), F.col("cohort_day")).alias("offset")
+    )
+    offs = F.array(*[F.lit(o) for o in offsets])
+    return (
+        joined.filter(F.array_contains(offs, F.col("offset")))
+        .groupBy("offset")
+        .agg(F.count_distinct("u").alias("n_users"))
+        .orderBy("offset")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the pause since
+    the previous event exceeds ``gap``. Adds ``session_id`` (per-user ordinal).
+    Single shuffle on user_id; cumulative-sum window assigns ids."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_s = F.expr(f"INTERVAL {gap}")
+    is_new = (
+        F.when(F.col(ts_col) > F.lag(ts_col).over(w) + gap_s, 1)
+        .when(F.lag(ts_col).over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    cum = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(cum)
+    ).drop("_new")
+
+
+# ---------------------------------------------------------------------------
+# headline queries
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "e1_window_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+    l2 AS (
+      SELECT DISTINCT v.user_id
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    ),
+    l3 AS (
+      SELECT DISTINCT v.user_id
+      FROM events v
+      JOIN events c ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+      JOIN events p ON v.user_id = p.user_id AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 12 HOUR
+    )
+    SELECT funnel_level, count(*) AS n_users FROM (
+      SELECT u.user_id,
+             CASE WHEN l3.user_id IS NOT NULL THEN 3
+                  WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_level
+      FROM u LEFT JOIN l2 ON u.user_id = l2.user_id
+             LEFT JOIN l3 ON u.user_id = l3.user_id
+    ) GROUP BY funnel_level ORDER BY funnel_level
+    """,
+    doc="windowFunnel(view→click→purchase, 12h) level distribution (CH :9778 analogue).",
+)
+def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    lv = funnel_levels(ev, ["view", "click", "purchase"], "INTERVAL 12 HOURS")
+    return lv.groupBy("funnel_level").agg(F.count("*").alias("n_users")).orderBy("funnel_level")
+
+
+@defquery(
+    "e2_retention",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT date_diff('day', c.cohort_day, d.day) AS "offset",
+           count(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN cohort c ON d.user_id = c.user_id
+    WHERE date_diff('day', c.cohort_day, d.day) IN (0, 1, 7, 14)
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="day-N retention counts (CH retention :9721 analogue) for N ∈ {0,1,7,14}.",
+)
+def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return retention_cohorts(ev, [0, 1, 7, 14]).withColumnRenamed("offset", "offset")
+
+
+@defquery(
+    "e3_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           max(session_id)::BIGINT AS n_sessions,
+           count(*) AS n_events,
+           round(count(*)::DOUBLE / max(session_id), 4) AS events_per_session
+    FROM sess WHERE user_id <= 30
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="30-minute-gap sessionization via lag + running-sum windows.",
+)
+def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, "30 minutes")
+    return (
+        s.filter(F.col("user_id") <= 30)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.count("*").cast("double") / F.max("session_id"), 4).alias(
+                "events_per_session"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@defquery(
+    "e4_sequence_match",
+    """
+    WITH m1 AS (
+      SELECT DISTINCT a.user_id FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_type = 'signup' AND b.event_type = 'purchase'
+       AND b.ts > a.ts
+    ),
+    m2 AS (
+      SELECT DISTINCT a.user_id FROM events a
+      JOIN events b ON a.user_id = b.user_id AND a.event_type = 'error' AND b.event_type = 'purchase'
+       AND b.ts > a.ts
+    )
+    SELECT 'signup_then_purchase' AS pattern, count(*) AS n_users FROM m1
+    UNION ALL
+    SELECT 'error_then_purchase' AS pattern, count(*) AS n_users FROM m2
+    ORDER BY pattern
+    """,
+    doc="sequenceMatch('(?1).*(?2)') analogue — ordered-pair EXISTS per user (CH :9745).",
+)
+def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def matched(first: str, then: str) -> DataFrame:
+        a = ev.filter(F.col("event_type") == first).select(
+            F.col("user_id").alias("u"), F.col("ts").alias("ts_a")
+        )
+        b = ev.filter(F.col("event_type") == then).select(
+            F.col("user_id").alias("u2"), F.col("ts").alias("ts_b")
+        )
+        return (
+            a.join(b, (F.col("u") == F.col("u2")) & (F.col("ts_b") > F.col("ts_a")), "left_semi")
+            .select("u")
+            .distinct()
+        )
+
+    r1 = matched("signup", "purchase").agg(F.count("*").alias("n_users")).select(
+        F.lit("signup_then_purchase").alias("pattern"), "n_users"
+    )
+    r2 = matched("error", "purchase").agg(F.count("*").alias("n_users")).select(
+        F.lit("error_then_purchase").alias("pattern"), "n_users"
+    )
+    return r1.unionByName(r2).orderBy("pattern")

@@ -1,1 +1,242 @@
-"""placeholder — filled in milestone 3."""
+"""Text analysis operators — language-ID, quality scoring, token counting,
+document fingerprinting.
+
+The reference's string/hash function families (function_definitions.py:61-1051
+string, :3059-3101 hash) are the primitives; these operators compose them into
+the per-document scoring passes a training-data pipeline runs over a corpus.
+
+Everything is per-row Column math (split/filter/aggregate over token arrays)
+— embarrassingly parallel, zero shuffles until the final aggregation, so a
+100 TB corpus processes at scan speed.
+
+Cross-engine determinism: where an oracle needs the identical hash on both
+engines, the shared primitive is md5-prefix48 (first 12 hex chars of md5 as
+a 48-bit int) — md5 is bit-identical everywhere; xxhash64 stays in the
+Spark-only hot paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+#: per-language marker-word profiles for the n-gram/stopword heuristic.
+#: (The synthetic corpus shares one vocabulary, so marker hits mostly land in
+#: 'en' — the operator contract is determinism, not classifier quality.)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "los", "de", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
+
+
+def tokens(col) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def _hits(toks, words: tuple[str, ...]) -> F.Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(text_col) -> F.Column:
+    """Predicted language: argmax of marker-word hits, lexicographic
+    tie-break, 'und' when nothing matches."""
+    toks = tokens(text_col)
+    scores = [(lang, _hits(toks, words)) for lang, words in sorted(LANG_PROFILES.items())]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reverse order so the FIRST (lexicographically smallest) winner sticks
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword / character-class features + a quality score."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_chars = F.length(F.col(text_col))
+    avg_tok_len = (n_chars - (n_tokens - 1)).cast("double") / n_tokens
+    digit_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")).cast("double") / n_chars
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")).cast("double") / n_chars
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens
+    # heuristic score in [0,1]: long-enough docs with natural stopword share,
+    # few digits/punct (C4/Gopher-style rule scoring)
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(stop_ratio - 0.08) * 5)
+        - F.least(F.lit(0.5), digit_ratio * 5)
+        - F.least(F.lit(0.5), punct_ratio * 2)
+    )
+    return df.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(F.greatest(score, F.lit(0.0)), 4).alias("quality_score"),
+    )
+
+
+def md5_prefix48(col) -> F.Column:
+    """48-bit int from the first 12 hex chars of md5 — engine-portable hash."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def doc_fingerprint(text_col, window: int = 4) -> F.Column:
+    """Winnowing-style fingerprint: min over token-window hashes.
+
+    Each window of ``window`` consecutive tokens hashes via md5_prefix48;
+    the doc fingerprint is the minimum — shift-invariant, deterministic,
+    identical in any engine with md5."""
+    toks = tokens(text_col)
+    win_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: md5_prefix48(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    )
+    return F.when(F.size(toks) >= window, F.array_min(win_hashes)).otherwise(
+        md5_prefix48(text_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# headline queries
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "t1_language_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+        len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','de','y'], t)))  AS s_es,
+        len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+        len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','les','des','et','est'], t))) AS s_fr,
+        len(list_filter(string_split(trim(text), ' '), t -> list_contains(['的','是','了','在'], t))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="marker-word language-ID (argmax, lexicographic tie-break) per document.",
+)
+def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id(F.col("text")).alias("pred_lang")).orderBy(
+        "doc_id"
+    )
+
+
+@defquery(
+    "t2_quality_by_lang",
+    """
+    WITH feats AS (
+      SELECT lang,
+        len(string_split(trim(text), ' ')) AS n_tokens,
+        len(list_filter(string_split(trim(text), ' '),
+            t -> list_contains(['the','a','of','and','is','in','to'], t)))::DOUBLE
+          / len(string_split(trim(text), ' ')) AS stop_ratio,
+        length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) AS digit_ratio,
+        length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct_ratio
+      FROM documents
+    )
+    SELECT lang,
+      round(avg(greatest(1.0 - least(1.0, abs(stop_ratio - 0.08) * 5)
+                             - least(0.5, digit_ratio * 5)
+                             - least(0.5, punct_ratio * 2), 0.0)), 4) AS avg_quality,
+      round(avg(n_tokens), 2) AS avg_tokens,
+      count(*) AS n_docs
+    FROM feats
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Gopher/C4-style rule quality score, aggregated per language.",
+)
+def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = quality_features(table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@defquery(
+    "t3_token_counts",
+    """
+    SELECT source,
+      sum(len(string_split(trim(text), ' ')))::BIGINT AS ws_tokens,
+      sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT AS bpe_ish_tokens,
+      sum(length(text))::BIGINT AS total_chars
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    doc="corpus token accounting: whitespace + BPE-ish regex tokenization per source.",
+)
+def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_ish_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@defquery(
+    "t4_fingerprint",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4 THEN
+          list_min([('0x' || substr(md5(sub[1]||' '||sub[2]||' '||sub[3]||' '||sub[4]), 1, 12))::BIGINT
+                    for sub in [toks[i:i+3] for i in range(1, len(toks)-2)]])
+        ELSE ('0x' || substr(md5(text), 1, 12))::BIGINT END AS fingerprint
+      FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+    )
+    SELECT f1.doc_id AS doc_a, f2.doc_id AS doc_b, f1.fingerprint
+    FROM fp f1 JOIN fp f2 ON f1.fingerprint = f2.fingerprint AND f1.doc_id < f2.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    doc="winnowing fingerprint (min of 4-token window md5-prefix48) → collision pairs.",
+)
+def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text"), window=4).alias("fingerprint"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fingerprint") == F.col("fp_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", "fingerprint")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -59,6 +59,8 @@ DEFAULT_CONFS: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) columns (e.g. events.ts) read as long nanos;
     # read_table() restores TimestampType via integer division (µs).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
 }
 
 

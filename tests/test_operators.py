@@ -1,0 +1,143 @@
+"""Operator-level tests for pipelines whose headline queries have no SQL
+oracle (approximate ANN) plus semantics checks on the composable APIs
+(merge_asof tolerance, sessionization, funnel monotonicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import table
+from tests.conftest import SF_CORRECT
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (32 cells, nprobe 4 → ~12% of corpus scanned) must recover most
+    true top-5 neighbors. Measured ≈0.90 on the sf0.01 embeddings; bar 0.7
+    leaves slack for hash-order variation across Spark versions."""
+    from chdb_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ann_lsh_beats_random_candidates(spark):
+    """Sign-LSH multi-probe on unstructured embeddings: weak but must beat
+    the ~4% random-candidate baseline by a clear margin."""
+    from chdb_spark.operators.similarity import knn_ann_lsh, knn_bruteforce
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ann_lsh(emb, queries, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.08, f"LSH recall below random baseline: {recall:.2f}"
+
+
+def test_merge_asof_tolerance(spark):
+    """With a tolerance, matches older than the window null out."""
+    from chdb_spark.operators.asof import merge_asof_backward
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")], ["uid", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 7.0)], ["uid", "ts", "v"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = merge_asof_backward(left, right, on="ts", by=["uid"], right_values=["v"])
+    vals = {str(r.ts): r.asof_v for r in out.collect()}
+    assert vals["2024-01-01 10:00:00"] == 7.0
+    assert vals["2024-01-01 12:00:00"] == 7.0  # no tolerance → carried forever
+
+    out_tol = merge_asof_backward(
+        left, right, on="ts", by=["uid"], right_values=["v"], tolerance="1 hour"
+    )
+    vals_tol = {str(r.ts): r.asof_v for r in out_tol.collect()}
+    assert vals_tol["2024-01-01 10:00:00"] == 7.0  # 30 min back — inside
+    assert vals_tol["2024-01-01 12:00:00"] is None  # 2.5 h back — outside
+
+
+def test_sessionize_gap_boundaries(spark):
+    from chdb_spark.operators.events import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:29:00"),  # 29 min gap → same session
+            (1, "2024-01-01 11:00:01"),  # 31 min gap → new session
+            (2, "2024-01-01 10:00:00"),
+        ],
+        ["user_id", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, "30 minutes").collect()
+    sess = {(r.user_id, str(r.ts)): r.session_id for r in out}
+    assert sess[(1, "2024-01-01 10:00:00")] == 1
+    assert sess[(1, "2024-01-01 10:29:00")] == 1
+    assert sess[(1, "2024-01-01 11:00:01")] == 2
+    assert sess[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_funnel_levels_requires_order_within_window(spark):
+    from chdb_spark.operators.events import funnel_levels
+
+    rows = [
+        # u1: full ordered chain inside 1h → level 3
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:10:00"),
+        (1, "purchase", "2024-01-01 10:20:00"),
+        # u2: purchase BEFORE click → level 2
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 10:05:00"),
+        (2, "click", "2024-01-01 10:10:00"),
+        # u3: chain exists but purchase outside the 1h window → level 2
+        (3, "view", "2024-01-01 10:00:00"),
+        (3, "click", "2024-01-01 10:10:00"),
+        (3, "purchase", "2024-01-01 11:30:00"),
+        # u4: view only → level 1
+        (4, "view", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    lv = {
+        r.user_id: r.funnel_level
+        for r in funnel_levels(df, ["view", "click", "purchase"], "INTERVAL 1 HOURS").collect()
+    }
+    assert lv == {1: 3, 2: 2, 3: 2, 4: 1}
+
+
+def test_minhash_pipeline_finds_planted_dups_and_nothing_else(spark):
+    """LSH candidates after verification == brute-force ground truth (the
+    dataset has a clean gap: planted pairs ≥0.9, background ≤0.07)."""
+    from chdb_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = table(spark, SF_CORRECT, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.8).collect()
+    assert len(pairs) == 25
+    assert all(r.jaccard >= 0.9 for r in pairs)
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    from chdb_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], ["doc_id", "text"]
+    )
+    kept = {r.doc_id for r in exact_dedup(df).collect()}
+    assert kept == {1, 2}
