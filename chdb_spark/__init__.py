@@ -17,8 +17,16 @@ SQL API and Catalyst+Tungsten choose the physical plan. No dual-engine
 planner, no SQL segmentation (SURVEY.md §7.8).
 """
 
-from chdb_spark.session import connect, get_spark, register_tables, query, sql
+from chdb_spark.session import connect, get_spark, read_table, register_tables, query, sql
 from chdb_spark import functions as F
 
-__all__ = ["connect", "get_spark", "register_tables", "query", "sql", "F"]
+__all__ = [
+    "connect",
+    "get_spark",
+    "read_table",
+    "register_tables",
+    "query",
+    "sql",
+    "F",
+]
 __version__ = "0.1.0"

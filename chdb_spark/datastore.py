@@ -1,0 +1,495 @@
+"""DataStore — the lazy pandas-style fluent API over Spark DataFrames.
+
+The reference's main user surface is ``DataStore`` (datastore/core.py, 9115
+LoC): a lazy pandas-compatible frame that records ops and compiles them to
+SQL segments at trigger time (AGENTS.md:14-38). On Spark the host engine is
+already lazy and whole-plan-optimizing, so this layer is a THIN adapter:
+every method maps 1:1 onto DataFrame/Column operations and Catalyst replaces
+the reference's QueryPlanner/SQLBuilder machinery entirely (SURVEY.md §7.8).
+
+API parity map (reference file:line → here):
+  select/filter/where        core.py:6231,6293,6470
+  assign / ds['c']=expr      core.py:7129,6827
+  drop/rename/add_prefix/suffix  lazy_ops.py:522,543,593,614
+  fillna/dropna/astype/replace   lazy_ops.py:635,663,720; pandas_compat.py:1239
+  sort_values/orderby        core.py:7387,7475
+  head/tail/limit/offset     core.py:3961,3992,7501,7510
+  distinct/drop_duplicates   core.py:7518; sql_executor.py:900-911
+  groupby → agg/size/nunique…    groupby.py:48-971
+  join/merge                 core.py:6670; pandas_api.py:1099
+  merge_asof                 pandas_api.py:1176 → operators.asof
+  union/concat               core.py:6773; pandas_api.py:1036
+  isin/between/query         pandas_compat.py:744,837
+  when/case builder          core.py:6539; case_when.py:41
+  explode/melt/value_counts  pandas_compat.py:1616,1553,1039
+  sample                     core.py:4054
+  describe                   pandas_compat (describe)
+  sql passthrough            core.py:6622
+  explain                    core.py:707
+
+Row-order note: like SQL (and unlike pandas), ops do not promise a stable
+row order until an explicit sort — the reference burns significant
+machinery on order emulation (connection.py:461-860); we follow SURVEY §1.4
+and keep the core order-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class DataStore:
+    """Lazy fluent frame. Immutable: every method returns a new DataStore."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- interop ------------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def dtypes(self) -> list[tuple[str, str]]:
+        return self._df.dtypes
+
+    def to_df(self):
+        """Trigger: materialize to pandas (reference natural trigger to_df)."""
+        return self._df.toPandas()
+
+    to_pandas = to_df
+
+    def collect(self):
+        return self._df.collect()
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def __len__(self) -> int:
+        return self._df.count()
+
+    def __repr__(self) -> str:  # trigger: repr shows a sample like the reference
+        rows = self._df.limit(10).collect()
+        head = ", ".join(self.columns)
+        body = "\n".join(str(tuple(r)) for r in rows)
+        return f"DataStore[{head}]\n{body}"
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode)
+
+    # -- column access ------------------------------------------------------
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return F.col(key)
+        if isinstance(key, list):
+            return DataStore(self._df.select(*key))
+        if isinstance(key, Column):  # boolean mask: ds[ds['a'] > 5]
+            return DataStore(self._df.filter(key))
+        if isinstance(key, slice):  # ds[10:50] → offset/limit
+            start = key.start or 0
+            stop = key.stop
+            out = self._df.offset(start) if start else self._df
+            if stop is not None:
+                out = out.limit(stop - start)
+            return DataStore(out)
+        raise TypeError(f"unsupported key type: {type(key)}")
+
+    def __getattr__(self, name: str):
+        # ds.colname → Column (pandas-style attribute access)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in self._df.columns:
+            return F.col(name)
+        raise AttributeError(name)
+
+    # -- projections / filters ----------------------------------------------
+
+    def select(self, *cols) -> "DataStore":
+        return DataStore(self._df.select(*cols))
+
+    def filter(self, cond) -> "DataStore":
+        if isinstance(cond, str):
+            return DataStore(self._df.filter(cond))
+        return DataStore(self._df.filter(cond))
+
+    where = filter
+
+    def query(self, expr: str) -> "DataStore":
+        """pandas query-string filter (reference pandas_compat.py:837) —
+        translated token-wise: and/or/not → AND/OR/NOT, == stays."""
+        sql_expr = (
+            expr.replace(" and ", " AND ").replace(" or ", " OR ").replace("not ", "NOT ")
+        )
+        return DataStore(self._df.filter(sql_expr))
+
+    def assign(self, **kwargs) -> "DataStore":
+        out = self._df
+        for name, val in kwargs.items():
+            col = val(out) if callable(val) else (val if isinstance(val, Column) else F.lit(val))
+            out = out.withColumn(name, col)
+        return DataStore(out)
+
+    def with_column(self, name: str, col) -> "DataStore":
+        return DataStore(self._df.withColumn(name, col if isinstance(col, Column) else F.lit(col)))
+
+    def drop(self, *cols) -> "DataStore":
+        return DataStore(self._df.drop(*cols))
+
+    def rename(self, mapping: dict[str, str]) -> "DataStore":
+        return DataStore(self._df.withColumnsRenamed(mapping))
+
+    def add_prefix(self, prefix: str) -> "DataStore":
+        return DataStore(self._df.toDF(*[f"{prefix}{c}" for c in self._df.columns]))
+
+    def add_suffix(self, suffix: str) -> "DataStore":
+        return DataStore(self._df.toDF(*[f"{c}{suffix}" for c in self._df.columns]))
+
+    # -- null handling / casting --------------------------------------------
+
+    def fillna(self, value, subset=None) -> "DataStore":
+        return DataStore(self._df.na.fill(value, subset=subset))
+
+    def dropna(self, subset=None, how: str = "any") -> "DataStore":
+        return DataStore(self._df.na.drop(how=how, subset=subset))
+
+    def replace(self, to_replace, value, subset=None) -> "DataStore":
+        return DataStore(self._df.na.replace(to_replace, value, subset=subset))
+
+    def astype(self, mapping: dict[str, str]) -> "DataStore":
+        out = self._df
+        for c, t in mapping.items():
+            out = out.withColumn(c, F.col(c).cast(t))
+        return DataStore(out)
+
+    def mask(self, cond, other=None) -> "DataStore":
+        """pandas mask: replace values WHERE cond (reference lazy_ops.py:2197)."""
+        out = self._df
+        for c in out.columns:
+            out = out.withColumn(c, F.when(cond, F.lit(other)).otherwise(F.col(c)))
+        return DataStore(out)
+
+    def where_values(self, cond, other=None) -> "DataStore":
+        """pandas where: keep values where cond, else other (lazy_ops.py:1884)."""
+        out = self._df
+        for c in out.columns:
+            out = out.withColumn(c, F.when(cond, F.col(c)).otherwise(F.lit(other)))
+        return DataStore(out)
+
+    # -- ordering / limits ---------------------------------------------------
+
+    def sort_values(self, by, ascending=True) -> "DataStore":
+        cols = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(cols) if isinstance(ascending, bool) else list(ascending)
+        order = [F.col(c).asc() if a else F.col(c).desc() for c, a in zip(cols, asc)]
+        return DataStore(self._df.orderBy(*order))
+
+    orderby = sort_values
+    sort = sort_values
+
+    def head(self, n: int = 5) -> "DataStore":
+        return DataStore(self._df.limit(n))
+
+    def limit(self, n: int) -> "DataStore":
+        return DataStore(self._df.limit(n))
+
+    def offset(self, n: int) -> "DataStore":
+        return DataStore(self._df.offset(n))
+
+    def tail(self, n: int = 5):
+        return self._df.tail(n)  # action, like the reference's count-then-offset
+
+    def nlargest(self, n: int, col: str) -> "DataStore":
+        return DataStore(self._df.orderBy(F.desc(col)).limit(n))
+
+    def nsmallest(self, n: int, col: str) -> "DataStore":
+        return DataStore(self._df.orderBy(F.asc(col)).limit(n))
+
+    # -- dedup / sampling ----------------------------------------------------
+
+    def distinct(self) -> "DataStore":
+        return DataStore(self._df.distinct())
+
+    def drop_duplicates(self, subset=None, keep: str = "first", order_by=None) -> "DataStore":
+        """subset+keep via row_number window (the reference compiles this to
+        ClickHouse LIMIT 1 BY, sql_executor.py:900-911)."""
+        if subset is None:
+            return DataStore(self._df.distinct())
+        from pyspark.sql.window import Window
+
+        order_cols = order_by or [c for c in self._df.columns if c not in subset]
+        order = [F.col(c).asc() if keep == "first" else F.col(c).desc() for c in order_cols]
+        w = Window.partitionBy(*subset).orderBy(*order) if order else Window.partitionBy(*subset)
+        return DataStore(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def sample(self, frac: float, seed: int | None = None) -> "DataStore":
+        return DataStore(self._df.sample(fraction=frac, seed=seed))
+
+    # -- reshaping -----------------------------------------------------------
+
+    def explode(self, column: str) -> "DataStore":
+        others = [c for c in self._df.columns if c != column]
+        return DataStore(self._df.select(*others, F.explode(column).alias(column)))
+
+    def melt(self, id_vars, value_vars, var_name="variable", value_name="value") -> "DataStore":
+        return DataStore(
+            self._df.melt(
+                ids=id_vars, values=value_vars, variableColumnName=var_name, valueColumnName=value_name
+            )
+        )
+
+    def pivot_table(self, index, columns: str, values: str, aggfunc: str = "sum") -> "DataStore":
+        idx = [index] if isinstance(index, str) else list(index)
+        agg = getattr(F, aggfunc)
+        return DataStore(self._df.groupBy(*idx).pivot(columns).agg(agg(values)))
+
+    def value_counts(self, col: str) -> "DataStore":
+        return DataStore(
+            self._df.groupBy(col).agg(F.count("*").alias("count")).orderBy(F.desc("count"), col)
+        )
+
+    def describe(self, *cols) -> "DataStore":
+        return DataStore(self._df.describe(*cols))
+
+    # -- joins / set ops -----------------------------------------------------
+
+    def join(self, other: "DataStore", on=None, how: str = "inner") -> "DataStore":
+        return DataStore(self._df.join(other._df, on=on, how=how))
+
+    def merge(
+        self,
+        right: "DataStore",
+        on=None,
+        left_on=None,
+        right_on=None,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> "DataStore":
+        """pandas merge incl. suffix semantics (reference pandas_api.py:1099)."""
+        l, r = self._df, right._df
+        if on is not None:
+            keys = [on] if isinstance(on, str) else list(on)
+            overlap = (set(l.columns) & set(r.columns)) - set(keys)
+            for c in overlap:
+                l = l.withColumnRenamed(c, c + suffixes[0])
+                r = r.withColumnRenamed(c, c + suffixes[1])
+            return DataStore(l.join(r, on=keys, how=how))
+        lk = [left_on] if isinstance(left_on, str) else list(left_on)
+        rk = [right_on] if isinstance(right_on, str) else list(right_on)
+        overlap = (set(l.columns) & set(r.columns)) - (set(lk) & set(rk))
+        for c in overlap:
+            l = l.withColumnRenamed(c, c + suffixes[0])
+            r = r.withColumnRenamed(c, c + suffixes[1])
+        lk2 = [k + suffixes[0] if k in overlap else k for k in lk]
+        rk2 = [k + suffixes[1] if k in overlap else k for k in rk]
+        cond = None
+        for a, b in zip(lk2, rk2):
+            c = l[a] == r[b]
+            cond = c if cond is None else (cond & c)
+        return DataStore(l.join(r, on=cond, how=how))
+
+    def merge_asof(self, right: "DataStore", on: str, by, tolerance: str | None = None,
+                   right_values: list[str] | None = None) -> "DataStore":
+        from chdb_spark.operators.asof import merge_asof_backward
+
+        by_cols = [by] if isinstance(by, str) else list(by)
+        rvals = right_values or [
+            c for c in right._df.columns if c not in by_cols and c != on
+        ]
+        return DataStore(
+            merge_asof_backward(self._df, right._df, on=on, by=by_cols, right_values=rvals)
+        )
+
+    def union(self, other: "DataStore", all: bool = True) -> "DataStore":
+        out = self._df.unionByName(other._df)
+        return DataStore(out if all else out.distinct())
+
+    def concat(self, other: "DataStore") -> "DataStore":
+        return DataStore(self._df.unionByName(other._df, allowMissingColumns=True))
+
+    def intersect(self, other: "DataStore") -> "DataStore":
+        return DataStore(self._df.intersect(other._df))
+
+    def except_(self, other: "DataStore") -> "DataStore":
+        return DataStore(self._df.exceptAll(other._df))
+
+    # -- grouping ------------------------------------------------------------
+
+    def groupby(self, *cols) -> "GroupBy":
+        flat = []
+        for c in cols:
+            flat.extend(c) if isinstance(c, list) else flat.append(c)
+        return GroupBy(self._df, flat)
+
+    # -- case builder (reference core.py:6539) -------------------------------
+
+    def when(self, cond, value) -> "CaseWhen":
+        return CaseWhen(self).when(cond, value)
+
+    # -- SQL passthrough ------------------------------------------------------
+
+    def sql(self, query: str, view_name: str = "__ds__") -> "DataStore":
+        """Raw SQL over this frame (reference core.py:6622): the frame is
+        registered as ``__ds__``."""
+        self._df.createOrReplaceTempView(view_name)
+        return DataStore(self._df.sparkSession.sql(query))
+
+
+class GroupBy:
+    """LazyGroupBy facade (reference datastore/groupby.py:48-971)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def _g(self):
+        return self._df.groupBy(*self._keys)
+
+    def agg(self, spec=None, **named) -> DataStore:
+        """dict spec {'col': 'sum'|['sum','max']} or named kwargs
+        new_name=('col','fn') — mirroring pandas named aggregation."""
+        exprs: list[Column] = []
+        if isinstance(spec, dict):
+            for col, fns in spec.items():
+                for fn in [fns] if isinstance(fns, str) else fns:
+                    exprs.append(_agg_expr(fn, col).alias(f"{col}_{fn}"))
+        elif isinstance(spec, (list, tuple)):
+            for fn in spec:
+                for col in self._df.columns:
+                    if col not in self._keys:
+                        exprs.append(_agg_expr(fn, col).alias(f"{col}_{fn}"))
+        for name, (col, fn) in named.items():
+            exprs.append(_agg_expr(fn, col).alias(name))
+        return DataStore(self._g().agg(*exprs))
+
+    def _simple(self, fn: str) -> DataStore:
+        numeric = [
+            c
+            for c, t in self._df.dtypes
+            if c not in self._keys
+            and t in ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+        ]
+        cols = numeric or [c for c in self._df.columns if c not in self._keys]
+        return DataStore(self._g().agg(*[_agg_expr(fn, c).alias(c) for c in cols]))
+
+    def sum(self):
+        return self._simple("sum")
+
+    def mean(self):
+        return self._simple("mean")
+
+    def min(self):
+        return self._simple("min")
+
+    def max(self):
+        return self._simple("max")
+
+    def count(self):
+        return DataStore(self._g().agg(F.count("*").alias("count")))
+
+    def size(self):
+        return DataStore(self._g().agg(F.count("*").alias("size")))
+
+    def std(self):
+        return self._simple("std")
+
+    def var(self):
+        return self._simple("var")
+
+    def first(self):
+        return self._simple("first")
+
+    def last(self):
+        return self._simple("last")
+
+    def nunique(self):
+        cols = [c for c in self._df.columns if c not in self._keys]
+        return DataStore(self._g().agg(*[F.count_distinct(c).alias(c) for c in cols]))
+
+    def having(self, cond) -> DataStore:
+        raise NotImplementedError("call .agg(...) first, then .filter(cond) — Catalyst emits HAVING")
+
+    def transform(self, fn: str, col: str) -> DataStore:
+        """group-wise transform via window (reference groupby.py:804):
+        result has the same row count, with the group aggregate attached."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self._keys)
+        return DataStore(self._df.withColumn(f"{col}_{fn}", _agg_expr(fn, col).over(w)))
+
+    def apply_in_pandas(self, fn: Callable, schema) -> DataStore:
+        """Arbitrary group-wise apply → applyInPandas (reference
+        groupby.py:900 LazyApply; Arrow-batched, distributed per group)."""
+        return DataStore(self._g().applyInPandas(fn, schema))
+
+
+_AGG_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "nunique": F.count_distinct,
+    "median": F.median,
+    "collect_list": F.collect_list,
+    "collect_set": F.collect_set,
+}
+
+
+def _agg_expr(fn: str, col: str) -> Column:
+    if fn not in _AGG_FNS:
+        raise ValueError(f"unknown agg fn: {fn} (have {sorted(_AGG_FNS)})")
+    return _AGG_FNS[fn](col)
+
+
+class CaseWhen:
+    """Chained case builder (reference case_when.py:41,325)."""
+
+    def __init__(self, ds: DataStore):
+        self._ds = ds
+        self._expr: Column | None = None
+
+    def when(self, cond, value) -> "CaseWhen":
+        v = value if isinstance(value, Column) else F.lit(value)
+        self._expr = F.when(cond, v) if self._expr is None else self._expr.when(cond, v)
+        return self
+
+    def else_(self, value) -> Column:
+        v = value if isinstance(value, Column) else F.lit(value)
+        return self._expr.otherwise(v)
+
+
+# -- factories (reference entry points) --------------------------------------
+
+
+def from_file(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataStore:
+    """reference core.py:2101 from_file — URI-dispatched."""
+    from chdb_spark.sources import read_auto
+
+    return DataStore(read_auto(spark, path, fmt=fmt, **options))
+
+
+def from_df(spark: SparkSession, pdf) -> DataStore:
+    """reference core.py:2702 from_df (Python() table function analogue)."""
+    return DataStore(spark.createDataFrame(pdf))
+
+
+def from_spark(df: DataFrame) -> DataStore:
+    return DataStore(df)

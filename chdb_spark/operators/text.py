@@ -97,6 +97,35 @@ def md5_prefix48(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
+def doc_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 4
+) -> DataFrame:
+    """(id, text) → (doc_id, fingerprint) via the scalable path.
+
+    The per-row Column form (doc_fingerprint) evaluates its higher-order
+    lambda interpreted; here token windows come from posexplode + lead()
+    so the md5 hashing runs inside whole-stage codegen. One shuffle keyed
+    by doc_id (window + final min-agg share the partitioning)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, window)]
+        ).alias("gram"),
+        F.lead("tok", window - 1).over(w).alias("_full"),
+    ).filter(F.col("_full").isNotNull())
+    mins = grams.groupBy("doc_id").agg(F.min(md5_prefix48(F.col("gram"))).alias("_fp"))
+    base = docs.select(F.col(id_col).alias("doc_id"), md5_prefix48(F.col(text_col)).alias("_short"))
+    return base.join(mins, "doc_id", "left").select(
+        "doc_id", F.coalesce("_fp", "_short").alias("fingerprint")
+    )
+
+
 def doc_fingerprint(text_col, window: int = 4) -> F.Column:
     """Winnowing-style fingerprint: min over token-window hashes.
 
@@ -232,7 +261,7 @@ def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", doc_fingerprint(F.col("text"), window=4).alias("fingerprint"))
+    fp = doc_fingerprints(docs, window=4)
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"))
     return (

@@ -61,6 +61,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.showConsoleProgress": "false",
     "spark.ui.enabled": "false",
+    # wide generated expressions (64-col simhash fold, unrolled vector dots)
+    # need more analyzer fixpoint iterations than the default 100
+    "spark.sql.analyzer.maxIterations": "1000",
+    # local[32] runs executors inside the driver JVM — the 1g default heap
+    # is undersized for 32 concurrent tasks + wide codegen'd plans.
+    # Ignored (set by the cluster manager) on a real deployment.
+    "spark.driver.memory": "8g",
 }
 
 

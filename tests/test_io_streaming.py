@@ -1,0 +1,166 @@
+"""Sources / sinks / streaming / multimodal surface tests (SURVEY §2.1-2.2,
+§2.9): URI-dispatched reads, write round-trips, chunked result streaming,
+incremental MV folding, event-time windows, and the mapInPandas multimodal
+plumbing with stubbed codecs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_read_auto_parquet_and_format_inference(spark):
+    from chdb_spark.sources import read_auto
+
+    df = read_auto(spark, os.path.join(SF_SMOKE, "orders.parquet"))
+    assert df.count() > 0
+    assert "o_orderkey" in df.columns
+
+
+def test_csv_json_orc_roundtrip(spark, tmp_path):
+    from chdb_spark.sinks import write_auto
+    from chdb_spark.sources import read_auto
+
+    src = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], ["id", "s", "v"])
+    for fmt in ["csv", "json", "orc", "parquet"]:
+        path = str(tmp_path / f"rt_{fmt}")
+        write_auto(src, path, fmt)
+        back = read_auto(spark, path, fmt=fmt)
+        assert back.count() == 2, fmt
+        got = {tuple(r) for r in back.select("id", "s").collect()}
+        assert got == {(1, "a"), (2, "b")}, fmt
+
+
+def test_numbers_and_generate_random(spark):
+    from chdb_spark.sources import generate_random, numbers
+
+    n = numbers(spark, 100)
+    assert n.columns == ["number"]
+    assert n.agg(F.sum("number")).first()[0] == 4950
+
+    g = generate_random(spark, {"x": "double", "y": "int", "s": "string"}, 50, seed=7)
+    assert g.count() == 50
+    assert set(g.columns) == {"x", "y", "s"}
+    # deterministic per seed
+    g2 = generate_random(spark, {"x": "double", "y": "int", "s": "string"}, 50, seed=7)
+    assert g.collect() == g2.collect()
+
+
+def test_from_pandas_and_arrow(spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    from chdb_spark.sources import from_arrow, from_pandas
+
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    assert from_pandas(spark, pdf).count() == 3
+    assert from_arrow(spark, pa.Table.from_pandas(pdf)).count() == 3
+
+
+def test_create_table_view_and_mv(spark, tmp_path):
+    from chdb_spark.sinks import create_materialized_view, create_view
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+    create_view(spark, "tv_x", df)
+    assert spark.sql("SELECT sum(v) FROM tv_x").first()[0] == 30.0
+
+    mv = create_materialized_view(spark, "mv_x", df.groupBy().agg(F.sum("v").alias("s")),
+                                  str(tmp_path / "mv_x"))
+    assert spark.sql("SELECT s FROM mv_x").first()[0] == 30.0
+    assert mv.count() == 1
+
+
+def test_stream_result_chunks(spark):
+    from chdb_spark.streaming import stream_result
+
+    df = spark.range(1000).withColumnRenamed("id", "n")
+    chunks = list(stream_result(df, max_rows_per_chunk=300))
+    assert sum(len(c) for c in chunks) == 1000
+    assert max(len(c) for c in chunks) <= 300
+    # early termination: taking one chunk must not materialize everything
+    it = stream_result(spark.range(10_000_000).withColumnRenamed("id", "n"), 100)
+    first = next(it)
+    assert len(first) == 100
+
+
+def test_windowed_counts_batch(spark):
+    from chdb_spark.queries import table
+    from chdb_spark.streaming import windowed_counts
+
+    ev = table(spark, SF_SMOKE, "events")
+    out = windowed_counts(ev, window="1 day", keys=["event_type"])
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    assert {"win_start", "win_end", "event_type", "n_events", "sum_value"} == set(out.columns)
+
+
+def test_session_windows_batch(spark):
+    from chdb_spark.streaming import session_windows
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 12:00:00"),
+        ],
+        ["user_id", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_windows(df, gap="30 minutes").orderBy("sess_start").collect()
+    assert len(out) == 2
+    assert out[0].n_events == 2 and out[1].n_events == 1
+
+
+def test_materialized_view_stream_incremental(spark, tmp_path):
+    from chdb_spark.streaming import materialized_view_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.mode("append").parquet(src)
+
+    agg = lambda df: df.groupBy().agg(F.count("*").alias("n"))  # noqa: E731
+    materialized_view_stream(spark, src, agg, out, ckpt)
+    n1 = spark.read.parquet(out).agg(F.sum("n")).first()[0]
+    assert n1 == 10
+
+    # new files land → second invocation folds ONLY the delta
+    spark.range(5).selectExpr("id + 100 AS id", "id AS v").write.mode("append").parquet(src)
+    materialized_view_stream(spark, src, agg, out, ckpt)
+    n2 = spark.read.parquet(out).agg(F.sum("n")).first()[0]
+    assert n2 == 15
+
+
+def test_multimodal_image_decode_plumbing(spark):
+    from chdb_spark.multimodal import MEDIA_SCHEMA, decode_images
+
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes-1", "image/png", {"src": "cam0"}),
+        (2, "image", b"\x89PNG-fake-bytes-22", "image/png", {"src": "cam1"}),
+        (3, "audio", b"RIFF-fake", "audio/wav", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = decode_images(media).orderBy("media_id").collect()
+    assert [r.media_id for r in feats] == [1, 2]  # audio row filtered out
+    assert all(r.width >= 64 and r.height >= 64 for r in feats)
+    assert feats[0].n_bytes == len(b"\x89PNG-fake-bytes-1")
+
+
+def test_multimodal_video_and_audio_plumbing(spark):
+    from chdb_spark.multimodal import MEDIA_SCHEMA, audio_features, sample_video_frames
+
+    rows = [
+        (1, "video", b"", "video/mp4", {"duration_s": "5"}),
+        (2, "audio", b"\x00" * 64000, "audio/wav", {}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_n_seconds=1.0).collect()
+    assert len(frames) == 5
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == list(range(5))
+
+    audio = audio_features(media).collect()
+    assert len(audio) == 1
+    assert audio[0].est_duration_s == pytest.approx(2.0)
