@@ -24,3 +24,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import asof  # noqa: F401
     from chdb_spark import queries_ext  # noqa: F401
     from chdb_spark import queries_tpch2  # noqa: F401
+    from chdb_spark import queries_clickbench  # noqa: F401

@@ -1,0 +1,320 @@
+"""ClickBench-analogue suite — the reference's second canonical benchmark
+harness (reference benchmark/clickbench.py:14-60: 43 aggregation/scan query
+shapes over a hits table: COUNT, uniq, multi-agg GROUP BY + ORDER BY +
+LIMIT 10, LIKE scans, per-minute histograms), adapted to the driver's
+`events` stream table (event_id, ts, user_id, event_type, value, props).
+
+Scale posture (100 TB lens): every query is a single scan → partial+final
+hash aggregate; no joins, no collect. The heavy shapes (group by user_id,
+group by (user_id, event_type)) shuffle once on the grouping key; top-k is
+TakeOrderedAndProject (no global sort). LIKE/JSON predicates evaluate
+JVM-side in whole-stage codegen; the parquet reader receives pushed
+filters + pruned columns (`ts`-only scans read one column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+# --- cb1: Q0 `SELECT count(*)` — the 247×-COUNT headline path -------------
+
+
+@defquery(
+    "cb1_count_star",
+    "SELECT count(*) AS n FROM events",
+    doc="bare COUNT(*): parquet row-group metadata count, zero data columns read.",
+)
+def cb1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).agg(F.count("*").alias("n"))
+
+
+# --- cb2: Q1 filtered count -----------------------------------------------
+
+
+@defquery(
+    "cb2_filtered_count",
+    "SELECT count(*) AS n FROM events WHERE event_type = 'click'",
+    doc="COUNT with pushed equality predicate (one dictionary-encoded column).",
+)
+def cb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- cb3: Q2 sum/count/avg in one pass ------------------------------------
+
+
+@defquery(
+    "cb3_simple_aggs",
+    """
+    SELECT round(sum(value), 2) AS sum_value,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           round(avg(user_id), 4) AS avg_user
+    FROM events
+    """,
+    doc="Q2/Q3 shape: multiple global aggregates, one scan, no shuffle of rows.",
+)
+def cb3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.avg("user_id"), 4).alias("avg_user"),
+    )
+
+
+# --- cb4: Q4/Q5 exact distinct counts -------------------------------------
+
+
+@defquery(
+    "cb4_uniq_users",
+    """
+    SELECT count(DISTINCT user_id) AS uniq_users,
+           count(DISTINCT event_type) AS uniq_types
+    FROM events
+    """,
+    doc="uniqExact → COUNT(DISTINCT): Catalyst expand + two-phase agg.",
+)
+def cb4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).agg(
+        F.count_distinct("user_id").alias("uniq_users"),
+        F.count_distinct("event_type").alias("uniq_types"),
+    )
+
+
+# --- cb5: Q6 min/max over the time column ---------------------------------
+
+
+@defquery(
+    "cb5_minmax_ts",
+    "SELECT min(ts) AS first_ts, max(ts) AS last_ts FROM events",
+    doc="MIN/MAX over ts: answered from parquet column statistics per row group.",
+)
+def cb5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+
+
+# --- cb6: Q7 low-cardinality breakdown ------------------------------------
+
+
+@defquery(
+    "cb6_type_breakdown",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+    doc="AdvEngineID-shape: tiny-cardinality groupBy; map-side combine kills the shuffle.",
+)
+def cb6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+# --- cb7: Q8 top-10 keys by distinct users --------------------------------
+
+
+@defquery(
+    "cb7_top_keys_by_users",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           count(DISTINCT user_id) AS u
+    FROM events GROUP BY k ORDER BY u DESC, k LIMIT 10
+    """,
+    doc="RegionID-uniq-shape: JSON key extraction → distinct-agg → top-10 (TakeOrdered).",
+)
+def cb7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(k.alias("k"))
+        .agg(F.count_distinct("user_id").alias("u"))
+        .orderBy(F.desc("u"), "k")
+        .limit(10)
+    )
+
+
+# --- cb8: Q9 multi-agg by key ---------------------------------------------
+
+
+@defquery(
+    "cb8_multi_agg_by_key",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           round(sum(value), 2) AS sum_value,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           count(DISTINCT user_id) AS u
+    FROM events GROUP BY k_mod ORDER BY k_mod
+    """,
+    doc="Q9 shape: sum+count+avg+uniq per key in a single grouped pass.",
+)
+def cb8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _ev(spark, sf_dir)
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count_distinct("user_id").alias("u"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# --- cb9: Q13/Q14 heavy-hitter users --------------------------------------
+
+
+@defquery(
+    "cb9_user_activity_topk",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY n DESC, user_id, event_type LIMIT 10
+    """,
+    doc="UserID+SearchPhrase shape: wide-key groupBy shuffle → top-10 heavy hitters.",
+)
+def cb9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+# --- cb10: Q17-ish per-hour histogram -------------------------------------
+
+
+@defquery(
+    "cb10_hourly_histogram",
+    """
+    SELECT EXTRACT(hour FROM ts)::INT AS hr, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY hr ORDER BY hr
+    """,
+    doc="per-minute-activity shape: time-part extraction, 24-bucket histogram.",
+)
+def cb10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.hour("ts").cast("int").alias("hr"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hr")
+    )
+
+
+# --- cb11: Q20 LIKE scan ---------------------------------------------------
+
+
+@defquery(
+    "cb11_like_scan",
+    """
+    SELECT count(*) AS n, round(min(value), 2) AS min_value
+    FROM events WHERE props LIKE '%9%' AND event_type <> 'error'
+    """,
+    doc="URL-LIKE-'%google%' shape: substring scan predicate, codegen-evaluated.",
+)
+def cb11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props").like("%9%") & (F.col("event_type") != "error"))
+        .agg(F.count("*").alias("n"), F.round(F.min("value"), 2).alias("min_value"))
+    )
+
+
+# --- cb12: Q34/Q35 daily active users -------------------------------------
+
+
+@defquery(
+    "cb12_daily_active_users",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events
+    FROM events GROUP BY day ORDER BY day
+    """,
+    doc="per-day uniq users: date_trunc bucket + distinct agg (DATE-cast both engines).",
+)
+def cb12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("dau"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- cb13: Q29 sum-expression chain ---------------------------------------
+
+
+@defquery(
+    "cb13_sum_chain",
+    """
+    SELECT round(sum(value + 1), 2) AS s1, round(sum(value + 2), 2) AS s2,
+           round(sum(value + 3), 2) AS s3, round(sum(value + 4), 2) AS s4,
+           round(sum(value + 5), 2) AS s5
+    FROM events
+    """,
+    doc="SUM(ResolutionWidth+N) chain: many expression aggs in one codegen stage.",
+)
+def cb13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).agg(
+        *[
+            F.round(F.sum(F.col("value") + i), 2).alias(f"s{i}")
+            for i in range(1, 6)
+        ]
+    )
+
+
+# --- cb14: Q38/Q39 date-window funnel over a range ------------------------
+
+
+@defquery(
+    "cb14_range_breakdown",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+      AND value > 1.0
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    doc="date-range + value filter (both pushed) → two-key breakdown.",
+)
+def cb14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return (
+        _ev(spark, sf_dir)
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi) & (F.col("value") > 1.0))
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "day")
+    )
