@@ -1,0 +1,164 @@
+"""Property-based chain fuzzing — the reference's signature test strategy
+(AGENTS.md:150-170; datastore/tests/test_property_based_chains.py): hypothesis
+draws random op chains, runs the SAME chain on a pandas DataFrame and on the
+DataStore shim, and asserts multiset equality of the results.
+
+Order semantics: DataStore (like SQL) doesn't promise row order, so chains are
+compared as row multisets; the only order-sensitive op generated is
+sort-by-all-columns → head(n), which is multiset-deterministic because ties
+are whole-row duplicates (interchangeable under multiset comparison).
+
+Null semantics: Spark null and pandas NaN both normalize to ∅; sum() is
+excluded from the generated agg set because pandas sums an all-NaN group to
+0.0 while SQL engines return NULL (documented divergence, SURVEY §7.7).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from chdb_spark.datastore import DataStore
+
+# exact binary fractions → float arithmetic is exact on both engines
+B_VALUES = [0.5, 1.5, -2.25, 3.0, 4.75, None]
+C_VALUES = ["x", "y", "z"]
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-5, max_value=5),
+        st.sampled_from(B_VALUES),
+        st.sampled_from(C_VALUES),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+filter_op = st.tuples(
+    st.just("filter_gt"),
+    st.sampled_from(["a", "b"]),
+    st.integers(min_value=-4, max_value=4),
+)
+query_op = st.just(("query", None, None))
+assign_op = st.just(("assign", None, None))
+fillna_op = st.just(("fillna_b", None, None))
+dropna_op = st.just(("dropna", None, None))
+distinct_op = st.just(("distinct", None, None))
+head_op = st.tuples(
+    st.just("sort_head"), st.just(None), st.integers(min_value=0, max_value=10)
+)
+
+chain = st.lists(
+    st.one_of(filter_op, query_op, assign_op, fillna_op, dropna_op, distinct_op, head_op),
+    min_size=1,
+    max_size=5,
+)
+
+terminal = st.sampled_from(["none", "groupby_agg", "value_counts"])
+
+
+def _apply_spark(ds: DataStore, op) -> DataStore:
+    name, col, arg = op
+    if name == "filter_gt":
+        return ds.filter(F.col(col) > arg)
+    if name == "query":
+        return ds.query("a > 0 and b < 3")
+    if name == "assign":
+        return ds.assign(d=F.col("a") * 2 + F.col("b"))
+    if name == "fillna_b":
+        return ds.fillna(0.0, subset=["b"])
+    if name == "dropna":
+        return ds.dropna()
+    if name == "distinct":
+        return ds.distinct()
+    if name == "sort_head":
+        cols = ds.columns
+        return DataStore(
+            ds.df.orderBy(*[F.col(c).asc_nulls_first() for c in cols]).limit(arg)
+        )
+    raise AssertionError(name)
+
+
+def _apply_pandas(pdf: pd.DataFrame, op) -> pd.DataFrame:
+    name, col, arg = op
+    if name == "filter_gt":
+        return pdf[pdf[col] > arg]
+    if name == "query":
+        return pdf.query("a > 0 and b < 3")
+    if name == "assign":
+        return pdf.assign(d=pdf["a"] * 2 + pdf["b"])
+    if name == "fillna_b":
+        return pdf.fillna({"b": 0.0})
+    if name == "dropna":
+        return pdf.dropna()
+    if name == "distinct":
+        return pdf.drop_duplicates()
+    if name == "sort_head":
+        cols = list(pdf.columns)
+        return pdf.sort_values(cols, na_position="first").head(arg)
+    raise AssertionError(name)
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        return f"{round(v, 6):.6g}"
+    return str(v)
+
+
+def _sig(rows_iter, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted("|".join(_norm(r[i]) for i in order) for r in rows_iter)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(data=rows, ops=chain, term=terminal)
+def test_chain_matches_pandas(spark, data, ops, term):
+    pdf = pd.DataFrame(data, columns=["a", "b", "c"]).astype(
+        {"a": "int64", "b": "float64", "c": "object"}
+    )
+    ds = DataStore(
+        spark.createDataFrame(pdf) if len(pdf) else
+        spark.createDataFrame([], "a bigint, b double, c string")
+    )
+    p = pdf
+    for op in ops:
+        ds = _apply_spark(ds, op)
+        p = _apply_pandas(p, op)
+
+    if term == "groupby_agg":
+        ds = ds.groupby("c").agg(
+            a_count=("a", "count"), b_mean=("b", "mean"), a_min=("a", "min")
+        )
+        p = (
+            p.groupby("c", as_index=False)
+            .agg(
+                a_count=("a", "count"), b_mean=("b", "mean"), a_min=("a", "min")
+            )
+        )
+        # pandas count is int64; Spark count is long — both normalize via str
+        p["a_min"] = p["a_min"].astype("float64")  # pandas keeps int only if no groups empty
+        ds = DataStore(ds.df.withColumn("a_min", F.col("a_min").cast("double")))
+    elif term == "value_counts":
+        ds = ds.value_counts("c")
+        vc = p["c"].value_counts(sort=False)
+        p = vc.rename_axis("c").reset_index(name="count")
+
+    scols = ds.columns
+    srows = [tuple(r) for r in ds.collect()]
+    pcols = list(p.columns)
+    prows = [tuple(r) for r in p.itertuples(index=False)]
+
+    assert sorted(scols) == sorted(pcols)
+    assert _sig(srows, scols) == _sig(prows, pcols)
