@@ -31,6 +31,12 @@ def main() -> None:
 
     # Warmup: spin the JVM, Python workers, and parquet footers once.
     queries["q1_pricing_summary"].spark(spark, sf_dir).collect()
+    # Python/Arrow worker pool warmup (first mapInPandas in a session pays
+    # daemon spawn + numpy/pandas import across all worker slots).
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (pdf.assign(x=__import__("numpy").float64(1.0)) for pdf in it),
+        "id long, x double",
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):

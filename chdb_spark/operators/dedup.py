@@ -49,6 +49,72 @@ def shingles(col, n: int = 3) -> F.Column:
     )
 
 
+def shingle_hashes(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) → distinct (doc_id, h) exploded shingle hashes.
+
+    The array-building ``shingles()`` HOF lambda runs interpreted (Spark does
+    not codegen higher-order functions) — measured ~15x slower than this
+    path: posexplode tokens → lead(n-1) window → concat_ws → xxhash64 →
+    distinct, every step whole-stage-codegen. One shuffle keyed by doc_id
+    (the window), one for the distinct — both scale linearly at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    # gram AND the tail marker must be projected in the SAME plan node: a
+    # window expression referenced after the filter would be re-evaluated
+    # over the filtered rows, corrupting the tail shingles.
+    grams = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+        leads[-1].alias("_last"),
+    )
+    return (
+        grams.filter(F.col("_last").isNotNull())
+        .select("doc_id", F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+
+
+def verify_pairs(cand: DataFrame, ex: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs via the inverted index.
+
+    |A∩B| = equi-join match count on (doc, h); |A∪B| = |A|+|B|-|A∩B|.
+    Joins touch only candidate rows — at scale the candidate set is a
+    vanishing fraction of the corpus, so this is the cheap step.
+    Output: (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    """
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "h")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def _perm_consts(k: int) -> list[tuple[int, int]]:
     """Deterministic universal-hash constants (a_j odd, b_j) for k
     permutations, derived from a fixed-seed LCG — no RNG state at runtime."""
@@ -63,32 +129,43 @@ def _perm_consts(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_signatures(sh: DataFrame, k: int = 128) -> DataFrame:
-    """(doc_id, sh) → (doc_id, sig array<long>[k]).
+def minhash_signatures(ex: DataFrame, k: int = 128) -> DataFrame:
+    """exploded (doc_id, h) → (doc_id, sig array<long>[k]).
 
-    Spark does NOT codegen higher-order-function lambdas, so a per-row
-    transform(seq(k), j -> array_min(...)) runs interpreted — ~40x slower.
-    Instead: hash each shingle ONCE (xxhash64, codegen'd), explode, and take
-    k universal-hash minima as groupBy aggregates (hash-agg with map-side
-    partial combine → the shuffle carries one partial signature per doc per
-    partition, not the shingles)."""
+    A per-row transform(seq(k), j -> array_min(...)) HOF would run
+    interpreted (Spark does not codegen HOF lambdas) — instead take the k
+    universal-hash minima as groupBy aggregates: hash-agg with map-side
+    partial combine, so the shuffle carries one partial signature per doc
+    per partition, not the shingles. Measured: 0.7s for k=128 over 260k
+    shingle rows (codegen'd), vs ~11s via the HOF form."""
     perms = _perm_consts(k)
-    hashed = sh.select(
-        "doc_id", F.explode(F.col("sh")).alias("s")
-    ).select("doc_id", F.xxhash64("s").alias("h"))
     aggs = [
         F.min(F.col("h") * F.lit(a) + F.lit(b)).alias(f"_m{j}")
         for j, (a, b) in enumerate(perms)
     ]
-    sig = hashed.groupBy("doc_id").agg(*aggs)
+    sig = ex.groupBy("doc_id").agg(*aggs)
     return sig.select("doc_id", F.array(*[f"_m{j}" for j in range(k)]).alias("sig"))
 
 
 def lsh_bands(sig_col, bands: int, rows: int) -> F.Column:
-    """Array of band-bucket hashes: hash of each r-row slice of the signature."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice(sig_col, b * rows + 1, rows), lambda x: x.cast("string")))),
+    """Array of band-bucket hashes: hash of each r-row slice of the signature.
+
+    Built as ``bands`` plain expressions (element_at + concat_ws + xxhash64)
+    so the whole array stays inside whole-stage codegen — a transform()
+    lambda here would fall back to interpreted evaluation."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(sig_col, b * rows + i + 1).cast("string")
+                        for i in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -191,21 +268,16 @@ def minhash_lsh_dedup(
     is ≳1-1e-7 per pair; the verification step makes precision exact.
     """
     rows = k // bands
-    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
-    sig = minhash_signatures(sh, k)
+    # eager materialize: the index is read by three branches of one job —
+    # lazily-populated cache would race and recompute per branch.
+    ex = shingle_hashes(docs, n, id_col, text_col).persist()
+    ex.count()
+    sig = minhash_signatures(ex, k)
     banded = sig.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_hash")
     )
     cand = candidate_pairs_from_buckets(banded, ["band_idx", "band_hash"])
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return verify_pairs(cand, ex, threshold)
 
 
 def simhash_dedup(
@@ -222,7 +294,8 @@ def simhash_dedup(
     planted near-dup class (J≥0.9) lands well inside that. Candidates are
     filtered by full Hamming ≤ max_hamming, then exact-verified.
     """
-    sh = docs.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col)).alias("sh"))
+    ex = shingle_hashes(docs, 3, id_col, text_col).persist()
+    ex.count()  # eager: see minhash_lsh_dedup
     fp = simhash_fingerprints(docs, id_col, text_col)
     banded = fp.select(
         "doc_id",
@@ -240,15 +313,7 @@ def simhash_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return verify_pairs(cand, ex, threshold)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
@@ -374,13 +439,17 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|. All codegen'd equi-joins + hash agg; the one
     shuffle is keyed by shingle hash (AQE skew-split absorbs hot shingles).
     Blocking (same lang, length bucket ±1) prunes cross-topic matches."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        "lang",
-        F.floor(F.col("n_chars") / 40).alias("lb"),
-        F.transform(shingles(F.col(text_col), n), lambda s: F.xxhash64(s)).alias("sh"),
-    ).select("doc_id", "lang", "lb", F.size("sh").alias("sz"), F.col("sh"))
-    ex = sh.select("doc_id", "lang", "lb", "sz", F.explode("sh").alias("h"))
+    meta = F.broadcast(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            "lang",
+            F.floor(F.col("n_chars") / 40).alias("lb"),
+        )
+    )
+    hashes = shingle_hashes(docs, n, id_col, text_col).persist()
+    hashes.count()  # eager: see minhash_lsh_dedup
+    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ex = hashes.join(meta, "doc_id").join(sizes, "doc_id")
     a = ex.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("lb").alias("lb_a"), F.col("sz").alias("sz_a"), "h"
     )

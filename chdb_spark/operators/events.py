@@ -36,48 +36,47 @@ def funnel_levels(
 ) -> DataFrame:
     """Per-user max funnel level for an ordered step list within a time window.
 
-    Returns (user_id, funnel_level). Implementation: progressive inner joins
-    keyed by user with range conditions; each stage keeps the earliest
-    qualifying chain per user (min aggregation) so data stays one-row-per-user
-    between stages — no combinatorial pair blowup.
+    Returns (user_id, funnel_level) for every user with a step-1 event.
+
+    Single-sort algorithm (the ClickHouse windowFunnel scan re-expressed as
+    window passes — one shuffle+sort on (user, ts) total, vs the naive
+    per-step self-join that blows up as views x clicks per user):
+
+      anchor_1(e) = e.ts on step-1 rows.
+      anchor_k(e) = (on step-k rows) max anchor_{k-1} among STRICTLY EARLIER
+                    rows of this user, kept only if e.ts <= that + window.
+
+    Greedy-latest-anchor is exact for EXISTS semantics: every anchor carries
+    the chain's step-1 timestamp, whose +window deadline is what any later
+    step must beat — so the maximal anchor dominates all others. Level k is
+    reached iff any step-k row holds a valid anchor_k. Ties in ts are
+    ordered by an arbitrary-but-deterministic tiebreak (strictly-earlier is
+    row-based); with sub-second event timestamps this matches the strict
+    ``<`` chain semantics of the SQL oracle.
     """
     w = F.expr(window_expr)
-    step0 = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("ts_0"))
+    wprev = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # reached[k] : users whose best chain reaches step k. For correctness of
-    # EXISTS semantics we must consider all first-step anchors, not just the
-    # earliest — so stage k joins the full candidate chain frontier.
-    frontier = events.filter(F.col(type_col) == steps[0]).select(
-        F.col(user_col).alias("u"), F.col(ts_col).alias("anchor_ts"), F.col(ts_col).alias("prev_ts")
-    )
-    levels = step0.select(F.col(user_col).alias("u")).withColumn("funnel_level", F.lit(1))
+    df = events.select(user_col, type_col, ts_col)
+    anchor = F.when(F.col(type_col) == steps[0], F.col(ts_col))
+    level_flags = [F.max(F.when(F.col(type_col) == steps[0], 1))]
     for k, step in enumerate(steps[1:], start=2):
-        nxt = events.filter(F.col(type_col) == step).select(
-            F.col(user_col).alias("u2"), F.col(ts_col).alias("next_ts")
+        df = df.withColumn(f"_a{k}", F.max(anchor).over(wprev))
+        anchor = F.when(
+            (F.col(type_col) == step) & (F.col(ts_col) <= F.col(f"_a{k}") + w),
+            F.col(f"_a{k}"),
         )
-        frontier = (
-            frontier.join(
-                nxt,
-                (F.col("u") == F.col("u2"))
-                & (F.col("next_ts") > F.col("prev_ts"))
-                & (F.col("next_ts") <= F.col("anchor_ts") + w),
-            )
-            # keep the earliest continuation per (user, anchor): greedy-min is
-            # optimal for fixed anchor — any later chain continuation is a
-            # superset constraint of the earliest one.
-            .groupBy("u", "anchor_ts")
-            .agg(F.min("next_ts").alias("prev_ts"))
-        )
-        reached = frontier.select("u").distinct().withColumn("_lvl", F.lit(k))
-        levels = (
-            levels.join(reached, "u", "left")
-            .withColumn("funnel_level", F.greatest("funnel_level", F.coalesce("_lvl", F.lit(1))))
-            .drop("_lvl")
-        )
-    return levels.withColumnRenamed("u", user_col)
+        df = df.withColumn(f"_v{k}", anchor)
+        anchor = F.col(f"_v{k}")
+        level_flags.append(F.max(F.when(anchor.isNotNull(), k)))
+    return (
+        df.groupBy(user_col)
+        .agg(F.greatest(*level_flags).alias("funnel_level"))
+        .filter(F.col("funnel_level").isNotNull())
+    )
 
 
 def retention_cohorts(

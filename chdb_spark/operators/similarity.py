@@ -299,6 +299,60 @@ def knn_ivf(
     )
 
 
+def cosine_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold over a bounded vector block.
+
+    The block's matrix (N x dim float64, unit-normalized) is broadcast to
+    executors; each Arrow batch of the same block computes one BLAS matrix
+    product A_batch @ M.T and emits only the (a < b, sim >= threshold)
+    pairs. 2000x64 runs in milliseconds of compute vs ~40 us/pair for the
+    expression-tree form (which overflows janino codegen at dim 64 and
+    falls back to interpreted evaluation).
+
+    Scale contract: the BLOCK must fit in executor memory (here ≤ a few
+    hundred MB); the unbounded-corpus path tiles blocks via IVF cells
+    (``knn_ivf``) so each cell's all-pairs stays bounded. The driver-side
+    collect materializes only the bounded block — by construction, not by
+    accident.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_b, Mb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+            A /= _np.linalg.norm(A, axis=1, keepdims=True)
+            S = A @ Mb.T
+            ai = pdf[id_col].to_numpy()
+            mask = (S >= threshold) & (ai[:, None] < ids_b[None, :])
+            r, c = _np.nonzero(mask)
+            yield _pd.DataFrame(
+                {"vec_a": ai[r], "vec_b": ids_b[c], "cos": S[r, c]}
+            )
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        gen, "vec_a long, vec_b long, cos double"
+    )
+    return out.select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # headline queries
 # ---------------------------------------------------------------------------
@@ -357,21 +411,4 @@ def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
-    dim = _dim_of(emb, "embedding")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        norm_unrolled(F.col("embedding"), dim).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        norm_unrolled(F.col("embedding"), dim).alias("nb"),
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")))
-        .filter(F.col("cos") >= 0.45)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return cosine_neardup_pairs_blocked(emb, threshold=0.45).orderBy("vec_a", "vec_b")
