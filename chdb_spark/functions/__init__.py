@@ -32,6 +32,7 @@ from chdb_spark.functions import collection as _collection  # noqa: F401  ARRAY/
 from chdb_spark.functions import digest as _digest  # noqa: F401  HASH/URL/IP/UUID/ENCODING
 from chdb_spark.functions import vector as _vector  # noqa: F401  GEO/vector math
 from chdb_spark.functions import aggregate as _aggregate  # noqa: F401  AGGREGATE/WINDOW
+from chdb_spark.functions import scalar_ext as _scalar_ext  # noqa: F401  batch-2 widening
 
 __all__ = [
     "FunctionDef",

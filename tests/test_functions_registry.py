@@ -1,0 +1,226 @@
+"""Registry smoke + value tests for the batch-2 widening (scalar_ext.py):
+every new function is invoked once with type-appropriate arguments and
+evaluated in a single collect; a curated subset asserts exact values.
+(Mirrors the reference's rule that every registered function must be
+reachable and well-typed — function_registry.py invariants.)"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from chdb_spark.functions import fn, has
+
+
+def _row(spark, cols: dict):
+    df = spark.range(1).select(*[v.alias(k) for k, v in cols.items()])
+    return df.collect()[0].asDict()
+
+
+def test_string_batch2_values(spark):
+    s = F.lit("Hello World Hello")
+    out = _row(
+        spark,
+        {
+            "pos_ci": fn("positionCaseInsensitive")(s, F.lit("hello")),
+            "locate": fn("locate")("World", s),
+            "append": fn("appendTrailingCharIfAbsent")(F.lit("dir"), "/"),
+            "append_noop": fn("appendTrailingCharIfAbsent")(F.lit("dir/"), "/"),
+            "subidx": fn("substringIndex")(F.lit("a.b.c"), ".", 2),
+            "space": fn("space")(F.lit(3)),
+            "count_m": fn("countMatches")(s, "Hello"),
+            "not_like": fn("notLike")(s, "%xyz%"),
+            "ilike": fn("ilike")(s, "hello%"),
+            "first_line": fn("firstLine")(F.lit("l1\nl2")),
+            "has_tok": fn("hasToken")(s, "World"),
+            "msa": fn("multiSearchAny")(s, ["xyz", "World"]),
+            "msa_ci": fn("multiSearchAnyCaseInsensitive")(s, ["WORLD"]),
+            "toks": fn("tokens")(F.lit("a,b c!d")),
+            "ngrams": fn("ngrams")(F.lit("abcd"), 2),
+            "jacc": fn("stringJaccardIndex")(F.lit("abc"), F.lit("bcd")),
+            "norm_ws": fn("normalizeWhitespace")(F.lit("  a   b  ")),
+        },
+    )
+    assert out["pos_ci"] == 1
+    assert out["locate"] == 7
+    assert out["append"] == "dir/"
+    assert out["append_noop"] == "dir/"
+    assert out["subidx"] == "a.b"
+    assert out["space"] == "   "
+    assert out["count_m"] == 2
+    assert out["not_like"] is True
+    assert out["ilike"] is True
+    assert out["first_line"] == "l1"
+    assert out["has_tok"] is True
+    assert out["msa"] is True and out["msa_ci"] is True
+    assert out["toks"] == ["a", "b", "c", "d"]
+    assert out["ngrams"] == ["ab", "bc", "cd"]
+    assert out["jacc"] == pytest.approx(0.5)  # {b,c} / {a,b,c,d}
+    assert out["norm_ws"] == "a b"
+
+
+def test_datetime_batch2_values(spark):
+    ts = F.lit("2024-03-15 13:47:29").cast("timestamp")
+    out = _row(
+        spark,
+        {
+            "b5": fn("toStartOfFiveMinutes")(ts),
+            "b15": fn("toStartOfFifteenMinutes")(ts),
+            "slot": fn("timeSlot")(ts),
+            "t": fn("toTime")(ts),
+            "rel_day": fn("toRelativeDayNum")(ts),
+            "rel_month": fn("toRelativeMonthNum")(ts),
+            "wk": fn("addWeeks")(F.lit("2024-03-15").cast("date"), 2),
+            "subq": fn("subtractQuarters")(F.lit("2024-03-15").cast("date"), 1),
+            "mn": fn("monthName")(ts),
+            "dn": fn("dayName")(ts),
+            "wd": fn("weekday")(ts),
+            "ymdhms": fn("toYYYYMMDDhhmmss")(ts),
+            "iso_y": fn("toISOYear")(F.lit("2021-01-01").cast("date")),
+            "yw": fn("toYearWeek")(F.lit("2021-01-01").cast("date")),
+            "from_ms": fn("fromUnixTimestamp64Milli")(F.lit(86400000).cast("long")),
+            "to_us": fn("toUnixTimestamp64Micro")(ts),
+            "dadd": fn("dateAdd")("month", 2, F.lit("2024-01-31").cast("date")),
+            "tdiff": fn("timestampDiff")("hour", F.lit("2024-01-01 00:00:00").cast("timestamp"), F.lit("2024-01-01 05:30:00").cast("timestamp")),
+        },
+    )
+    assert str(out["b5"]) == "2024-03-15 13:45:00"
+    assert str(out["b15"]) == "2024-03-15 13:45:00"
+    assert str(out["slot"]) == "2024-03-15 13:30:00"
+    assert out["t"] == "13:47:29"
+    assert out["rel_day"] == 19797
+    assert out["rel_month"] == 2024 * 12 + 3
+    assert str(out["wk"]) == "2024-03-29"
+    assert str(out["subq"]) == "2023-12-15"
+    assert out["mn"] == "March" and out["dn"] == "Friday"
+    assert out["wd"] == 4  # Friday, 0=Mon
+    assert out["ymdhms"] == 20240315134729
+    assert out["iso_y"] == 2020  # 2021-01-01 is ISO week 53 of 2020
+    assert out["yw"] == 202053
+    assert str(out["from_ms"]) == "1970-01-02 00:00:00"
+    assert out["to_us"] == 1710510449000000
+    assert str(out["dadd"]) == "2024-03-31"
+    assert out["tdiff"] == 5
+
+
+def test_math_batch2_values(spark):
+    out = _row(
+        spark,
+        {
+            "e2": fn("exp2")(F.lit(10.0)),
+            "ie2": fn("intExp2")(F.lit(10)),
+            "sig": fn("sigmoid")(F.lit(0.0)),
+            "hyp": fn("hypot")(F.lit(3.0), F.lit(4.0)),
+            "cot": fn("cot")(F.lit(0.785398163)),
+            "mz": fn("moduloOrZero")(F.lit(7), F.lit(0)),
+            "idz": fn("intDivOrZero")(F.lit(7), F.lit(2)),
+            "inf": fn("ifNotFinite")(F.lit(float("inf")), F.lit(-1.0)),
+            "r2": fn("roundToExp2")(F.lit(100.0)),
+            "band": fn("bitAnd")(F.lit(12), F.lit(10)),
+            "bxor": fn("bitXor")(F.lit(12), F.lit(10)),
+            "bshl": fn("bitShiftLeft")(F.lit(1), 4),
+            "btest": fn("bitTest")(F.lit(5), 2),
+            "bham": fn("bitHammingDistance")(F.lit(5).cast("long"), F.lit(3).cast("long")),
+        },
+    )
+    assert out["e2"] == 1024.0
+    assert out["ie2"] == 1024
+    assert out["sig"] == 0.5
+    assert out["hyp"] == 5.0
+    assert abs(out["cot"] - 1.0) < 1e-6
+    assert out["mz"] == 0
+    assert out["idz"] == 3
+    assert out["inf"] == -1.0
+    assert out["r2"] == 64.0
+    assert out["band"] == 8 and out["bxor"] == 6
+    assert out["bshl"] == 16
+    assert out["btest"] is True
+    assert out["bham"] == 2  # 101 vs 011
+
+
+def test_cast_or_null_or_zero_families(spark):
+    out = _row(
+        spark,
+        {
+            "i_ok": fn("toInt32OrNull")(F.lit("42")),
+            "i_bad": fn("toInt32OrNull")(F.lit("xx")),
+            "i_zero": fn("toInt32OrZero")(F.lit("xx")),
+            "f_bad": fn("toFloat64OrNull")(F.lit("nope")),
+            "f_zero": fn("toFloat64OrZero")(F.lit("nope")),
+            "d_ok": fn("toDateOrNull")(F.lit("2024-01-02")),
+            "d_bad": fn("toDateOrNull")(F.lit("not-a-date")),
+            "d_zero": fn("toDateOrZero")(F.lit("not-a-date")),
+            "u64": fn("toUInt64OrNull")(F.lit("18446744073709551615")),
+        },
+    )
+    assert out["i_ok"] == 42 and out["i_bad"] is None and out["i_zero"] == 0
+    assert out["f_bad"] is None and out["f_zero"] == 0.0
+    assert out["d_ok"] == datetime.date(2024, 1, 2)
+    assert out["d_bad"] is None
+    assert out["d_zero"] == datetime.date(1970, 1, 1)
+    assert int(out["u64"]) == 18446744073709551615
+
+
+def test_json_batch2_values(spark):
+    js = F.lit('{"a": 7, "b": [1, 2, 3], "s": "x"}')
+    out = _row(
+        spark,
+        {
+            "u": fn("JSONExtractUInt")(js, "a"),
+            "arr": fn("JSONExtractArrayRaw")(js, "b"),
+            "alen": fn("JSONArrayLength")(js, "b"),
+            "exists": fn("JSON_EXISTS")(js, "$.s"),
+            "q": fn("JSON_QUERY")(js, "$.s"),
+            "sj": fn("simpleJSONExtractInt")(js, "a"),
+            "ty_obj": fn("JSONType")(js),
+            "ty_arr": fn("JSONType")(F.lit("[1,2]")),
+            "ty_num": fn("JSONType")(F.lit("3.5")),
+        },
+    )
+    assert out["u"] == 7
+    assert out["arr"] == ["1", "2", "3"]
+    assert out["alen"] == 3
+    assert out["exists"] is True and out["q"] == "x"
+    assert out["sj"] == 7
+    assert out["ty_obj"] == "Object" and out["ty_arr"] == "Array" and out["ty_num"] == "Number"
+
+
+def test_ip_functions(spark):
+    out = _row(
+        spark,
+        {
+            "num": fn("IPv4StringToNum")(F.lit("192.168.1.10")),
+            "s": fn("IPv4NumToString")(F.lit(3232235786).cast("long")),
+            "is4": fn("isIPv4String")(F.lit("10.0.0.1")),
+            "not4": fn("isIPv4String")(F.lit("999.0.0.1")),
+            "is6": fn("isIPv6String")(F.lit("2001:db8::1")),
+            "cidr": fn("IPv4CIDRToRange")(F.lit("192.168.1.10"), 24),
+        },
+    )
+    assert out["num"] == 3232235786
+    assert out["s"] == "192.168.1.10"
+    assert out["is4"] is True and out["not4"] is False and out["is6"] is True
+    assert out["cidr"]["lo"] == 3232235776 and out["cidr"]["hi"] == 3232236031
+
+
+def test_bool_aggregates(spark):
+    df = spark.createDataFrame([(True,), (True,), (False,)], ["b"])
+    r = df.agg(
+        fn("boolAnd")(F.col("b")).alias("ba"),
+        fn("boolOr")(F.col("b")).alias("bo"),
+    ).collect()[0]
+    assert r.ba is False and r.bo is True
+
+
+def test_registry_size_and_categories(spark):
+    from chdb_spark.functions import all_functions, coverage
+
+    cov = coverage()
+    total = len(all_functions())
+    # batch 2 pushes the registry well past 500 registrations
+    assert total >= 500, (total, cov)
+    for cat in ("STRING", "DATETIME", "MATH", "TYPE_CONVERSION", "JSON", "IP"):
+        assert cov[cat] > 0
+    assert has("toInt32OrNull") and has("multiSearchAny") and has("IPv4NumToString")
