@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -239,56 +241,73 @@ def knn_ivf(
     probe the ``nprobe`` nearest cells per query, brute-force inside.
 
     Deterministic: centroids are the ``n_centroids`` lowest-id vectors (at
-    100 TB you'd k-means a sample; the pipeline shape is identical — the
-    cell assignment is a broadcast-free codegen'd expression, the probe join
-    shuffles only (query, cell) pairs, and each cell scans ≈ corpus/C).
+    100 TB you'd k-means a sample; the pipeline shape is identical).
+    Kernels are numpy over Arrow batches: the centroid matrix (C x dim)
+    broadcasts to executors, cell assignment is one BLAS product per batch
+    (mapInPandas — distributed, no shuffle), and candidate scoring is a
+    vectorized pandas_udf over the probe join. The probe join shuffles only
+    (query, cell) pairs; each cell scans ≈ corpus/C rows.
     """
-    dim = _dim_of(corpus, vec_col)
-    cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     )
-    c = ivf_assign(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec2"),
-            norm_unrolled(F.col(vec_col), dim).alias("c_norm"),
-        ),
-        cents,
-        "c_vec2",
-        "cell",
-    )
-    # query → nprobe nearest cells (tiny cross join: |queries| x C)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_unrolled(F.col(vec_col), dim).alias("q_norm"),
-    )
-    qcells = (
-        q.crossJoin(cents)
-        .select(
-            "query_id", "q_vec", "q_norm", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("csim")
-        )
-    )
-    from pyspark.sql.window import Window as W
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((c_ids, Cn))
 
-    wq = W.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("c_id"))
-    probes = (
-        qcells.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "q_vec", "q_norm", F.col("c_id").alias("cell"))
+    def assign(batches):
+        ids_b, Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "c_vec": pdf[vec_col],
+                    "cell": ids_b[np.argmax(A @ Cb.T, axis=1)],
+                }
+            )
+
+    c = corpus.select(id_col, vec_col).mapInPandas(
+        assign, "neighbor_id long, c_vec array<float>, cell long"
     )
+
+    # query → nprobe nearest cells: queries are small by definition, so the
+    # probe list is computed in one driver-side numpy pass and parallelized.
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+    probe_rows = [
+        (int(q_ids[i]), [float(x) for x in Q[i]], int(c_ids[j]))
+        for i in range(len(q_ids))
+        for j in order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<double>, cell long"
+    )
+
+    @F.pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
     scored = (
-        probes.join(c, "cell")
+        F.broadcast(probes)
+        .join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot_unrolled(F.col("q_vec"), F.col("c_vec2"), dim)
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cos"),
+            _cos(F.col("q_vec"), F.col("c_vec")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
