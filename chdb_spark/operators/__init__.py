@@ -26,3 +26,4 @@ def register_operator_queries() -> None:
     from chdb_spark import queries_tpch2  # noqa: F401
     from chdb_spark import queries_clickbench  # noqa: F401
     from chdb_spark import queries_aggs  # noqa: F401
+    from chdb_spark import queries_reshape  # noqa: F401
