@@ -33,6 +33,9 @@ from chdb_spark.functions import digest as _digest  # noqa: F401  HASH/URL/IP/UU
 from chdb_spark.functions import vector as _vector  # noqa: F401  GEO/vector math
 from chdb_spark.functions import aggregate as _aggregate  # noqa: F401  AGGREGATE/WINDOW
 from chdb_spark.functions import scalar_ext as _scalar_ext  # noqa: F401  batch-2 widening
+from chdb_spark.functions import scalar_ext2 as _scalar_ext2  # noqa: F401  batch-3 scalar surface
+from chdb_spark.functions import collection_ext as _collection_ext  # noqa: F401  batch-3 collections
+from chdb_spark.functions import aggregate_ext as _aggregate_ext  # noqa: F401  batch-3 aggregates
 
 __all__ = [
     "FunctionDef",

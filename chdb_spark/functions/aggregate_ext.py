@@ -1,0 +1,548 @@
+"""Registry widening batch 3 — remaining AGGREGATE surface.
+
+Three implementation tiers, chosen per function by what Spark can express:
+
+1. **Pure aggregate Column compositions** (JVM-side, partial+final agg,
+   scale-safe): product, anyHeavy, groupBitmap, retention, studentTTest /
+   welchTTest (closed forms from conditional moments), quantileDeterministic,
+   minSampleSize* (scalar power-analysis formulas).
+2. **collect_list + higher-order-function walks** (per-group state machines;
+   fine when group cardinality is bounded — event analytics on per-user
+   groups): sequenceMatch, sequenceCount, windowFunnel, deltaSumTimestamp,
+   groupArrayMovingSum/Avg, quantileExactWeighted, sparkBar.
+   At 100 TB these remain distributed (state is per-group, shuffled by key);
+   the degenerate all-rows-one-group case is the same hazard as in ClickHouse.
+3. **DataFrame-level helpers** (rank-based statistics that need a window or
+   a contingency sub-aggregation, kind="TABLE"): rankCorr, cramersV,
+   theilsU, contingency, mannWhitneyUTest, kolmogorovSmirnovTest,
+   topKWeighted, stochasticLinearRegression/LogisticRegression.
+
+Reference anchors: function_definitions.py AGGREGATE :2437-2905,4919-5243,
+:9561-9960,12300-12572,13287-13301.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chdb_spark.functions.registry import register, register_many
+
+# ---------------------------------------------------------------------------
+# Tier 1 — pure aggregate compositions
+# ---------------------------------------------------------------------------
+
+
+def _student_t_test(value, is_treatment) -> Column:
+    """Two-sample pooled-variance t statistic as a single agg expression —
+    conditional moments only, one shuffle-free partial agg per partition
+    (reference studentTTest, function_definitions.py:9862)."""
+    t1 = F.when(is_treatment, value)
+    t0 = F.when(~is_treatment, value)
+    n1, n0 = F.count(t1), F.count(t0)
+    m1, m0 = F.avg(t1), F.avg(t0)
+    v1, v0 = F.var_samp(t1), F.var_samp(t0)
+    sp2 = ((n1 - 1) * v1 + (n0 - 1) * v0) / (n1 + n0 - 2)
+    t = (m1 - m0) / F.sqrt(sp2 * (1.0 / n1 + 1.0 / n0))
+    return F.struct(t.alias("t_statistic"), (n1 + n0 - 2).cast("double").alias("degrees_of_freedom"))
+
+
+def _welch_t_test(value, is_treatment) -> Column:
+    t1 = F.when(is_treatment, value)
+    t0 = F.when(~is_treatment, value)
+    n1, n0 = F.count(t1), F.count(t0)
+    m1, m0 = F.avg(t1), F.avg(t0)
+    v1, v0 = F.var_samp(t1), F.var_samp(t0)
+    se2 = v1 / n1 + v0 / n0
+    t = (m1 - m0) / F.sqrt(se2)
+    dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v0 / n0) ** 2 / (n0 - 1))
+    return F.struct(t.alias("t_statistic"), dof.alias("degrees_of_freedom"))
+
+
+def _retention(*conds) -> Column:
+    """retention(c1..cN) → array<int>: r[0] = max(c1); r[i] = max(c1 AND ci).
+    Pure max aggregates — fully partial-aggregatable (reference :9721)."""
+    first = F.max(conds[0].cast("int"))
+    rest = [F.max((conds[0] & c).cast("int")) for c in conds[1:]]
+    return F.array(first, *rest)
+
+
+register_many(
+    "AGGREGATE",
+    {
+        "prod": F.product,
+        "product": F.product,
+        "anyHeavy": F.mode,  # heavy-hitter ≈ mode (doc'd: CH returns *a* heavy value)
+        "any_value": F.any_value,
+        "groupBitmap": lambda c: F.size(F.collect_set(c)),  # bitmap cardinality
+        "studentTTest": _student_t_test,
+        "welchTTest": _welch_t_test,
+        "retention": _retention,
+        "quantileDeterministic": lambda c, q=0.5, det=None: F.percentile(c, F.lit(q)),
+        "boundingRatio": lambda x, y: (F.max_by(y, x) - F.min_by(y, x)) / (F.max(x) - F.min(x)),
+    },
+    kind="AGGREGATE",
+)
+
+# ---------------------------------------------------------------------------
+# Tier 2 — collect_list + HOF state machines (per-group, distributed by key)
+# ---------------------------------------------------------------------------
+
+
+def _sorted_events(ts, conds) -> Column:
+    """array<struct(ts, c1..cN)> sorted by ts — shared scaffold for the
+    sequence family. Struct field order makes array_sort order by ts first."""
+    return F.array_sort(
+        F.collect_list(
+            F.struct(ts.alias("ts"), *[c.cast("boolean").alias(f"c{i+1}") for i, c in enumerate(conds)])
+        )
+    )
+
+
+def _seq_step(n_conds: int):
+    """State transition: if event satisfies cond[matched] then matched+1."""
+
+    def step(acc, e):
+        out = acc
+        for i in range(n_conds - 1, -1, -1):
+            out = F.when((acc == i) & e[f"c{i+1}"], F.lit(i + 1)).otherwise(out)
+        return out
+
+    return step
+
+
+def _sequence_match(ts, *conds) -> Column:
+    """sequenceMatch('(?1)(?2)…') — events matching conds in order (other
+    events may interleave). Subsequence automaton over the sorted event list."""
+    n = len(conds)
+    matched = F.aggregate(_sorted_events(ts, conds), F.lit(0), _seq_step(n))
+    return matched >= n
+
+
+def _sequence_count(ts, *conds) -> Column:
+    """Count of non-overlapping completions of the pattern."""
+    n = len(conds)
+    step = _seq_step(n)
+
+    def counting_step(acc, e):
+        nxt = step(acc.state, e)
+        return F.struct(
+            (nxt % n).alias("state"),
+            (acc.hits + F.when(nxt == n, 1).otherwise(0)).alias("hits"),
+        )
+
+    out = F.aggregate(
+        _sorted_events(ts, conds),
+        F.struct(F.lit(0).alias("state"), F.lit(0).alias("hits")),
+        counting_step,
+    )
+    return out.hits
+
+
+def _window_funnel(window_secs, ts, *conds) -> Column:
+    """windowFunnel(w)(ts, c1..cN) → deepest level reached with all steps
+    inside a sliding window starting at each c1 event (strict-order variant).
+    Composition form; the hot-path single-sort implementation used by the
+    bench queries lives in operators/events.py (funnel_levels)."""
+    n = len(conds)
+
+    def step(acc, e):
+        ts_ok = (F.unix_timestamp(e.ts) - F.unix_timestamp(acc.start)) <= window_secs
+        out = acc
+        for i in range(n - 1, 0, -1):
+            out = F.when(
+                (acc.level == i) & e[f"c{i+1}"] & ts_ok,
+                F.struct(acc.start.alias("start"), F.lit(i + 1).alias("level"),
+                         F.greatest(acc.best, F.lit(i + 1)).alias("best")),
+            ).otherwise(out)
+        # a c1 event (re)starts the funnel if it doesn't extend a deeper one
+        out = F.when(
+            e["c1"] & (out.level == acc.level),
+            F.struct(e.ts.alias("start"), F.lit(1).alias("level"),
+                     F.greatest(acc.best, F.lit(1)).alias("best")),
+        ).otherwise(out)
+        return out
+
+    zero_ts = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    out = F.aggregate(
+        _sorted_events(ts, conds),
+        F.struct(zero_ts.alias("start"), F.lit(0).alias("level"), F.lit(0).alias("best")),
+        step,
+    )
+    return out.best
+
+
+def _delta_sum_timestamp(val, ts) -> Column:
+    """Sum of positive deltas of val ordered by ts (reference deltaSumTimestamp)."""
+    pairs = F.array_sort(F.collect_list(F.struct(ts.alias("ts"), val.alias("v"))))
+    out = F.aggregate(
+        pairs,
+        F.struct(F.lit(None).cast("double").alias("prev"), F.lit(0.0).alias("acc")),
+        lambda acc, e: F.struct(
+            e.v.cast("double").alias("prev"),
+            (acc.acc + F.when(e.v > acc.prev, e.v - acc.prev).otherwise(F.lit(0.0))).alias("acc"),
+        ),
+    )
+    return out.acc
+
+
+def _group_array_moving_sum(val, ord_c, n: int) -> Column:
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(ord_c.alias("o"), val.alias("v")))), lambda e: e.v
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.size(vals)),
+        lambda i: F.aggregate(
+            F.slice(vals, F.greatest(i - n + 1, F.lit(1)), F.least(i, F.lit(n))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def _group_array_moving_avg(val, ord_c, n: int) -> Column:
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct(ord_c.alias("o"), val.alias("v")))), lambda e: e.v
+    )
+    return F.transform(
+        F.sequence(F.lit(1), F.size(vals)),
+        lambda i: F.aggregate(
+            F.slice(vals, F.greatest(i - n + 1, F.lit(1)), F.least(i, F.lit(n))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.least(i, F.lit(n)),
+    )
+
+
+def _quantile_exact_weighted(val, weight, q: float = 0.5) -> Column:
+    """Smallest value whose cumulative weight reaches q·W over the sorted
+    per-group list (exact weighted quantile, reference :12487)."""
+    pairs = F.array_sort(F.collect_list(F.struct(val.alias("v"), weight.cast("double").alias("w"))))
+    total = F.aggregate(pairs, F.lit(0.0), lambda a, e: a + e.w)
+    target = total * q
+    found = F.aggregate(
+        pairs,
+        F.struct(F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("ans")),
+        lambda acc, e: F.struct(
+            (acc.cum + e.w).alias("cum"),
+            F.when(acc.ans.isNotNull(), acc.ans)
+            .when(acc.cum + e.w >= target, e.v.cast("double"))
+            .alias("ans"),
+        ),
+    )
+    return found.ans
+
+
+def _spark_bar(x, y, buckets: int = 8) -> Column:
+    """sparkBar: ▁▂▃▄▅▆▇█ sparkline of y bucketed by x (equal-width buckets)."""
+    pairs = F.collect_list(F.struct(x.cast("double").alias("x"), y.cast("double").alias("y")))
+    xs = F.transform(pairs, lambda e: e.x)
+    lo, hi = F.array_min(xs), F.array_max(xs)
+    width = F.when(hi > lo, (hi - lo) / buckets).otherwise(F.lit(1.0))
+    sums = F.transform(
+        F.sequence(F.lit(0), F.lit(buckets - 1)),
+        lambda b: F.aggregate(
+            F.filter(
+                pairs,
+                lambda e: (F.floor((e.x - lo) / width) == b)
+                | ((b == buckets - 1) & (e.x == hi)),
+            ),
+            F.lit(0.0),
+            lambda a, e: a + e.y,
+        ),
+    )
+    mx = F.array_max(sums)
+    blocks = " ▁▂▃▄▅▆▇█"
+    return F.aggregate(
+        sums,
+        F.lit(""),
+        lambda acc, s: F.concat(
+            acc,
+            F.substring(
+                F.lit(blocks),
+                F.when(mx > 0, F.ceil(s / mx * 8).cast("int") + 1).otherwise(F.lit(1)),
+                1,
+            ),
+        ),
+    )
+
+
+register_many(
+    "AGGREGATE",
+    {
+        "sequenceMatch": _sequence_match,
+        "sequenceCount": _sequence_count,
+        "windowFunnel": _window_funnel,
+        "deltaSumTimestamp": _delta_sum_timestamp,
+        "groupArrayMovingSum": _group_array_moving_sum,
+        "groupArrayMovingAvg": _group_array_moving_avg,
+        "quantileExactWeighted": _quantile_exact_weighted,
+        "medianExactWeighted": lambda v, w: _quantile_exact_weighted(v, w, 0.5),
+        "sparkBar": _spark_bar,
+    },
+    kind="AGGREGATE",
+)
+
+# ---------------------------------------------------------------------------
+# Scalar power-analysis formulas (registered MATH-adjacent but CH calls them
+# aggregate-ish A/B-test helpers)
+# ---------------------------------------------------------------------------
+
+
+def _z(p: float) -> float:
+    """Φ⁻¹ via Acklam rational approximation (python-side: args are literals)."""
+    import math
+
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    if p < 0.02425:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p > 1 - 0.02425:
+        return -_z(1 - p)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+    )
+
+
+def _min_sample_size_conversion(baseline, mde, power: float = 0.8, alpha: float = 0.05) -> Column:
+    """n per variant for a two-proportion test (CH minSampleSizeConversion)."""
+    za, zb = _z(1 - alpha / 2), _z(power)
+    p1 = baseline
+    p2 = baseline + mde
+    pbar = (p1 + p2) / 2
+    n = ((za * F.sqrt(2 * pbar * (1 - pbar)) + zb * F.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) ** 2) / (mde * mde)
+    return F.ceil(n).cast("long")
+
+
+def _min_sample_size_continuous(baseline, sigma, mde, power: float = 0.8, alpha: float = 0.05) -> Column:
+    za, zb = _z(1 - alpha / 2), _z(power)
+    effect = mde * baseline
+    return F.ceil(2 * (za + zb) ** 2 * sigma * sigma / (effect * effect)).cast("long")
+
+
+register_many(
+    "AGGREGATE",
+    {
+        "minSampleSizeConversion": _min_sample_size_conversion,
+        "minSampleSizeContinuous": _min_sample_size_continuous,
+    },
+)
+
+# ---------------------------------------------------------------------------
+# Tier 3 — DataFrame-level helpers (need a window or sub-aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register("rankCorr", "AGGREGATE", kind="TABLE",
+          doc="Spearman rank correlation — ranks via two window sorts, then "
+              "Pearson corr of ranks (reference rankCorr :12300)")
+def rank_corr(df: DataFrame, x: str, y: str) -> DataFrame:
+    ranked = df.select(
+        F.rank().over(Window.orderBy(x)).alias("rx"),
+        F.rank().over(Window.orderBy(y)).alias("ry"),
+    )
+    return ranked.agg(F.corr("rx", "ry").alias("rank_corr"))
+
+
+@register("contingency", "AGGREGATE", kind="TABLE",
+          doc="Contingency coefficient sqrt(chi2/(chi2+n)) from the "
+              "cross-tabulated counts (reference contingency :9806)")
+def contingency(df: DataFrame, a: str, b: str) -> DataFrame:
+    return _chi2_frame(df, a, b).select(
+        F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))).alias("contingency")
+    )
+
+
+def _chi2_frame(df: DataFrame, a: str, b: str) -> DataFrame:
+    """One groupBy for cell counts; broadcast marginals back in — a single
+    shuffle on (a,b), then map-side joins (cells ≪ rows at scale)."""
+    cells = df.groupBy(a, b).agg(F.count("*").alias("o")).cache()
+    row_m = cells.groupBy(a).agg(F.sum("o").alias("ra"))
+    col_m = cells.groupBy(b).agg(F.sum("o").alias("cb"))
+    n = cells.agg(F.sum("o").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_m), a)
+        .join(F.broadcast(col_m), b)
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.agg(
+        F.sum((F.col("o") - F.col("ra") * F.col("cb") / F.col("n")) ** 2
+              / (F.col("ra") * F.col("cb") / F.col("n"))).alias("chi2"),
+        F.first("n").alias("n"),
+        F.countDistinct(a).alias("ka"),
+        F.countDistinct(b).alias("kb"),
+    )
+
+
+@register("cramersV", "AGGREGATE", kind="TABLE",
+          doc="Cramér's V = sqrt(chi2 / (n·(min(ka,kb)-1))) over the "
+              "contingency counts (reference cramersV :9820)")
+def cramers_v(df: DataFrame, a: str, b: str) -> DataFrame:
+    return _chi2_frame(df, a, b).select(
+        F.sqrt(F.col("chi2") / (F.col("n") * (F.least("ka", "kb") - 1))).alias("cramers_v")
+    )
+
+
+@register("theilsU", "AGGREGATE", kind="TABLE",
+          doc="Theil's U (uncertainty coefficient) U(a|b) from joint/marginal "
+              "entropies — one shuffle on (a,b) (reference theilsU :9834)")
+def theils_u(df: DataFrame, a: str, b: str) -> DataFrame:
+    cells = df.groupBy(a, b).agg(F.count("*").alias("o"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    cells = cells.crossJoin(F.broadcast(tot)).withColumn("p", F.col("o") / F.col("n"))
+    h_ab = cells.agg((-F.sum(F.col("p") * F.log2("p"))).alias("h_ab"))
+    h_a = (
+        cells.groupBy(a).agg(F.sum("p").alias("pa"))
+        .agg((-F.sum(F.col("pa") * F.log2("pa"))).alias("h_a"))
+    )
+    h_b = (
+        cells.groupBy(b).agg(F.sum("p").alias("pb"))
+        .agg((-F.sum(F.col("pb") * F.log2("pb"))).alias("h_b"))
+    )
+    return (
+        h_ab.crossJoin(h_a).crossJoin(h_b)
+        .select(((F.col("h_a") + F.col("h_b") - F.col("h_ab")) / F.col("h_a")).alias("theils_u"))
+    )
+
+
+@register("mannWhitneyUTest", "AGGREGATE", kind="TABLE",
+          doc="Mann-Whitney U with tie-corrected normal approximation; ranks "
+              "via one window sort (reference mannWhitneyUTest :9862)")
+def mann_whitney_u_test(df: DataFrame, value: str, is_treatment: str) -> DataFrame:
+    ranked = df.select(
+        F.col(is_treatment).cast("boolean").alias("t"),
+        F.avg(F.row_number().over(Window.orderBy(value)))
+        .over(Window.partitionBy(value))
+        .alias("r"),  # mid-ranks for ties
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("t"), F.col("r"))).alias("r1"),
+        F.count(F.when(F.col("t"), 1)).alias("n1"),
+        F.count(F.when(~F.col("t"), 1)).alias("n2"),
+    )
+    return agg.select(
+        (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2).alias("u_statistic"),
+        F.col("n1"),
+        F.col("n2"),
+    ).select(
+        "u_statistic",
+        (
+            (F.col("u_statistic") - F.col("n1") * F.col("n2") / 2)
+            / F.sqrt(F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12)
+        ).alias("z_score"),
+    )
+
+
+@register("kolmogorovSmirnovTest", "AGGREGATE", kind="TABLE",
+          doc="Two-sample KS statistic: max |ECDF₁−ECDF₂| via cumulative "
+              "window counts over the value order (reference :9890)")
+def kolmogorov_smirnov_test(df: DataFrame, value: str, is_treatment: str) -> DataFrame:
+    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col(is_treatment).cast("boolean")
+    cum = df.select(
+        F.sum(F.when(t, 1).otherwise(0)).over(w).alias("c1"),
+        F.sum(F.when(~t, 1).otherwise(0)).over(w).alias("c2"),
+    )
+    totals = df.agg(
+        F.count(F.when(t, 1)).alias("n1"), F.count(F.when(~t, 1)).alias("n2")
+    )
+    return cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(F.abs(F.col("c1") / F.col("n1") - F.col("c2") / F.col("n2"))).alias("d_statistic")
+    )
+
+
+@register("topKWeighted", "AGGREGATE", kind="TABLE",
+          doc="Top-k values by summed weight — groupBy + TakeOrdered "
+              "(reference topKWeighted :2666)")
+def top_k_weighted(df: DataFrame, value: str, weight: str, k: int = 10) -> DataFrame:
+    return (
+        df.groupBy(value)
+        .agg(F.sum(weight).alias("w"))
+        .orderBy(F.desc("w"), value)
+        .limit(k)
+    )
+
+
+@register("stochasticLinearRegression", "AGGREGATE", kind="TABLE",
+          doc="OLS closed form via normal equations on aggregated moments — "
+              "deterministic, one pass, no SGD needed at any scale "
+              "(reference stochasticLinearRegression :13287)")
+def stochastic_linear_regression(df: DataFrame, y: str, *xs: str) -> DataFrame:
+    import numpy as np
+
+    feats = list(xs)
+    moments = df.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(f)).alias(f"s_{f}") for f in feats],
+        F.sum(F.col(y)).alias("s_y"),
+        *[F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+          for i, a in enumerate(feats) for b in feats[i:]],
+        *[F.sum(F.col(f) * F.col(y)).alias(f"s_{f}_y") for f in feats],
+    ).collect()[0]
+    p = len(feats) + 1
+    xtx = np.zeros((p, p))
+    xty = np.zeros(p)
+    xtx[0, 0] = moments["n"]
+    xty[0] = moments["s_y"]
+    for i, f in enumerate(feats, start=1):
+        xtx[0, i] = xtx[i, 0] = moments[f"s_{f}"]
+        xty[i] = moments[f"s_{f}_y"]
+    for i, a in enumerate(feats, start=1):
+        for j, b in enumerate(feats, start=1):
+            key = f"s_{a}_{b}" if j >= i else f"s_{b}_{a}"
+            xtx[i, j] = moments[key]
+    beta = np.linalg.solve(xtx, xty)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [tuple(float(v) for v in beta)], ["intercept"] + [f"w_{f}" for f in feats]
+    )
+
+
+@register("stochasticLogisticRegression", "AGGREGATE", kind="TABLE", is_udf=True,
+          doc="Logistic regression via distributed full-batch gradient descent: "
+              "each step is one agg over the data (map-side partials), driver "
+              "holds only the p-vector (reference :13301)")
+def stochastic_logistic_regression(
+    df: DataFrame, y: str, *xs: str, steps: int = 25, lr: float = 0.5
+) -> DataFrame:
+    feats = list(xs)
+    w = [0.0] * (len(feats) + 1)
+    cached = df.select(F.col(y).cast("double").alias("_y"),
+                       *[F.col(f).cast("double") for f in feats]).cache()
+    cached.count()
+    try:
+        n = None
+        for _ in range(steps):
+            z = F.lit(w[0])
+            for wi, f in zip(w[1:], feats):
+                z = z + F.lit(wi) * F.col(f)
+            pred = 1.0 / (1.0 + F.exp(-z))
+            err = pred - F.col("_y")
+            row = cached.agg(
+                F.count("*").alias("n"),
+                F.sum(err).alias("g0"),
+                *[F.sum(err * F.col(f)).alias(f"g_{f}") for f in feats],
+            ).collect()[0]
+            n = row["n"]
+            w[0] -= lr * row["g0"] / n
+            for i, f in enumerate(feats, start=1):
+                w[i] -= lr * row[f"g_{f}"] / n
+    finally:
+        cached.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [tuple(w)], ["intercept"] + [f"w_{f}" for f in feats]
+    )
