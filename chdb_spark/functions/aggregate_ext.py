@@ -61,10 +61,13 @@ def _welch_t_test(value, is_treatment) -> Column:
 
 
 def _retention(*conds) -> Column:
-    """retention(c1..cN) → array<int>: r[0] = max(c1); r[i] = max(c1 AND ci).
-    Pure max aggregates — fully partial-aggregatable (reference :9721)."""
+    """retention(c1..cN) → array<int>: r[0] = max(c1); r[i] = max(c1) AND
+    max(ci) — each condition is OR-ed across the group's rows FIRST, then
+    gated on the first condition (ClickHouse semantics: the conditions are
+    met on *different* events). Pure max aggregates — fully
+    partial-aggregatable (reference :9721)."""
     first = F.max(conds[0].cast("int"))
-    rest = [F.max((conds[0] & c).cast("int")) for c in conds[1:]]
+    rest = [F.least(first, F.max(c.cast("int"))) for c in conds[1:]]
     return F.array(first, *rest)
 
 
@@ -218,21 +221,32 @@ def _group_array_moving_avg(val, ord_c, n: int) -> Column:
 
 def _quantile_exact_weighted(val, weight, q: float = 0.5) -> Column:
     """Smallest value whose cumulative weight reaches q·W over the sorted
-    per-group list (exact weighted quantile, reference :12487)."""
+    per-group list (exact weighted quantile, reference :12487).
+
+    The q·W target is computed inside the aggregate's INITIAL value — the
+    zero expression is evaluated once per group, whereas anything referenced
+    from the merge lambda is re-evaluated per element (embedding the total
+    there makes the walk O(n²); measured 992 s vs ~1 s on a 20k-row group).
+    For very large groups prefer the window formulation (see
+    queries_stats.st5_weighted_median's plan notes)."""
     pairs = F.array_sort(F.collect_list(F.struct(val.alias("v"), weight.cast("double").alias("w"))))
-    total = F.aggregate(pairs, F.lit(0.0), lambda a, e: a + e.w)
-    target = total * q
-    found = F.aggregate(
+    init = F.struct(
+        (F.aggregate(pairs, F.lit(0.0), lambda a, e: a + e.w) * q).alias("target"),
+        F.lit(0.0).alias("cum"),
+        F.lit(None).cast("double").alias("ans"),
+    )
+    return F.aggregate(
         pairs,
-        F.struct(F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("ans")),
+        init,
         lambda acc, e: F.struct(
+            acc.target.alias("target"),
             (acc.cum + e.w).alias("cum"),
             F.when(acc.ans.isNotNull(), acc.ans)
-            .when(acc.cum + e.w >= target, e.v.cast("double"))
+            .when(acc.cum + e.w >= acc.target, e.v.cast("double"))
             .alias("ans"),
         ),
+        lambda acc: acc.ans,
     )
-    return found.ans
 
 
 def _spark_bar(x, y, buckets: int = 8) -> Column:
@@ -346,14 +360,28 @@ register_many(
 # ---------------------------------------------------------------------------
 
 
-@register("rankCorr", "AGGREGATE", kind="TABLE",
-          doc="Spearman rank correlation — ranks via two window sorts, then "
-              "Pearson corr of ranks (reference rankCorr :12300)")
-def rank_corr(df: DataFrame, x: str, y: str) -> DataFrame:
-    ranked = df.select(
-        F.rank().over(Window.orderBy(x)).alias("rx"),
-        F.rank().over(Window.orderBy(y)).alias("ry"),
+def _rank_map(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Distinct-value → min-rank ('rank()' semantics) lookup table.
+
+    Scale path: the global cumulative runs over DISTINCT values only (a
+    groupBy shrinks the data first), so the single-partition window touches
+    |distinct| rows, not |rows| — then a broadcast-joinable map."""
+    counts = df.groupBy(col).agg(F.count("*").alias("_c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        F.col(col),
+        (F.coalesce(F.sum("_c").over(w), F.lit(0)) + 1).alias(out),
     )
+
+
+@register("rankCorr", "AGGREGATE", kind="TABLE",
+          doc="Spearman rank correlation — per-distinct-value rank maps "
+              "joined back (no row-level global sort), then Pearson corr of "
+              "ranks (reference rankCorr :12300)")
+def rank_corr(df: DataFrame, x: str, y: str) -> DataFrame:
+    rx = _rank_map(df, x, "rx")
+    ry = _rank_map(df, y, "ry")
+    ranked = df.join(rx, x).join(ry, y)
     return ranked.agg(F.corr("rx", "ry").alias("rank_corr"))
 
 
@@ -419,19 +447,26 @@ def theils_u(df: DataFrame, a: str, b: str) -> DataFrame:
 
 
 @register("mannWhitneyUTest", "AGGREGATE", kind="TABLE",
-          doc="Mann-Whitney U with tie-corrected normal approximation; ranks "
-              "via one window sort (reference mannWhitneyUTest :9862)")
+          doc="Mann-Whitney U with normal approximation. Mid-ranks come from "
+              "per-distinct-value counts (rank(v) = cum count below v + "
+              "(count(v)+1)/2), so the only global cumulative runs over "
+              "distinct values — no row-level sort (reference :9862)")
 def mann_whitney_u_test(df: DataFrame, value: str, is_treatment: str) -> DataFrame:
-    ranked = df.select(
-        F.col(is_treatment).cast("boolean").alias("t"),
-        F.avg(F.row_number().over(Window.orderBy(value)))
-        .over(Window.partitionBy(value))
-        .alias("r"),  # mid-ranks for ties
+    t = F.col(is_treatment).cast("boolean")
+    counts = df.groupBy(value).agg(
+        F.count("*").alias("_c"),
+        F.count(F.when(t, 1)).alias("_c1"),
     )
-    agg = ranked.agg(
-        F.sum(F.when(F.col("t"), F.col("r"))).alias("r1"),
-        F.count(F.when(F.col("t"), 1)).alias("n1"),
-        F.count(F.when(~F.col("t"), 1)).alias("n2"),
+    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, -1)
+    midranks = counts.select(
+        F.col("_c1"),
+        (F.coalesce(F.sum("_c").over(w), F.lit(0)) + (F.col("_c") + 1) / 2.0).alias("r"),
+        F.col("_c"),
+    )
+    agg = midranks.agg(
+        F.sum(F.col("r") * F.col("_c1")).alias("r1"),
+        F.sum("_c1").alias("n1"),
+        F.sum(F.col("_c") - F.col("_c1")).alias("n2"),
     )
     return agg.select(
         (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2).alias("u_statistic"),
@@ -447,14 +482,20 @@ def mann_whitney_u_test(df: DataFrame, value: str, is_treatment: str) -> DataFra
 
 
 @register("kolmogorovSmirnovTest", "AGGREGATE", kind="TABLE",
-          doc="Two-sample KS statistic: max |ECDF₁−ECDF₂| via cumulative "
-              "window counts over the value order (reference :9890)")
+          doc="Two-sample KS statistic: max |ECDF₁−ECDF₂| evaluated at the "
+              "distinct values only (ECDFs are step functions — the sup is "
+              "attained at a step). Pre-aggregation by value keeps the "
+              "global cumulative on |distinct| rows (reference :9890)")
 def kolmogorov_smirnov_test(df: DataFrame, value: str, is_treatment: str) -> DataFrame:
-    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
     t = F.col(is_treatment).cast("boolean")
-    cum = df.select(
-        F.sum(F.when(t, 1).otherwise(0)).over(w).alias("c1"),
-        F.sum(F.when(~t, 1).otherwise(0)).over(w).alias("c2"),
+    counts = df.groupBy(value).agg(
+        F.count(F.when(t, 1)).alias("_c1"),
+        F.count(F.when(~t, 1)).alias("_c2"),
+    )
+    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("_c1").over(w).alias("c1"),
+        F.sum("_c2").over(w).alias("c2"),
     )
     totals = df.agg(
         F.count(F.when(t, 1)).alias("n1"), F.count(F.when(~t, 1)).alias("n2")

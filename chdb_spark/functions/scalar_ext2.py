@@ -253,6 +253,8 @@ def _jaro_winkler_udf():
     def _jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
         def jw(x: str, y: str) -> float:
             j = _jaro_py(x, y)
+            if j <= 0.7:  # canonical Winkler boost threshold
+                return j
             prefix = 0
             for cx, cy in zip(x[:4], y[:4]):
                 if cx != cy:

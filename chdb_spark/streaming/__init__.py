@@ -16,7 +16,9 @@ Three capability tiers:
 
 from chdb_spark.streaming.core import (
     materialized_view_stream,
+    read_events_stream,
     session_windows,
+    stateful_running_totals,
     stream_result,
     windowed_counts,
 )
@@ -26,4 +28,6 @@ __all__ = [
     "materialized_view_stream",
     "windowed_counts",
     "session_windows",
+    "read_events_stream",
+    "stateful_running_totals",
 ]

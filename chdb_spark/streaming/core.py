@@ -84,6 +84,79 @@ def session_windows(
     )
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source readStream over the events table — the streaming-ingest
+    entry point. Schema is pinned from a static read (file sources require
+    it); nanosecond timestamps come back as long via the session's
+    nanosAsLong conf, so ts is restored exactly like session.read_table."""
+    import os
+
+    from chdb_spark.session import read_table
+
+    path = os.path.join(sf_dir, "events.parquet")
+    static = read_table(spark, path)
+    raw_schema = spark.read.parquet(path).schema
+    # file sources stream DIRECTORIES: point at sf_dir, glob-filter the table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # restore TimestampType for the nanosAsLong-read ts column
+    for f in static.schema.fields:
+        if f.name == "ts" and str(stream.schema["ts"].dataType) == "LongType()":
+            stream = stream.withColumn("ts", (F.col("ts") / 1_000_000_000).cast("timestamp"))
+    return stream
+
+
+def stateful_running_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    value: str = "value",
+    timeout_minutes: int = 30,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState — per-key running
+    totals that survive across micro-batches (the reference has no streaming
+    state at all; this is the Spark-native superset, SURVEY.md §2.9).
+
+    State per key is one (count, total) pair — O(keys) state store, sharded
+    across executors by the groupBy hash. Timeout evicts idle keys so state
+    is bounded on unbounded key domains.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total double"
+    state_schema = "n long, total double"
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf[value].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key_tuple[0]], "n_events": [n], "total": [total]})
+
+    return (
+        events.groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def materialized_view_stream(
     spark: SparkSession,
     source_path: str,

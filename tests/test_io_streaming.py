@@ -164,3 +164,65 @@ def test_multimodal_video_and_audio_plumbing(spark):
     audio = audio_features(media).collect()
     assert len(audio) == 1
     assert audio[0].est_duration_s == pytest.approx(2.0)
+
+
+def test_readstream_windowed_to_memory_sink(spark):
+    """True end-to-end Structured Streaming: file-source readStream over the
+    events table → watermarked tumbling window → memory sink (complete
+    mode), then assert the streamed totals equal the batch computation."""
+    from chdb_spark.queries import table
+    from chdb_spark.streaming import read_events_stream, windowed_counts
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    assert stream.isStreaming
+    windowed = windowed_counts(stream, window="1 day", keys=["event_type"])
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n_events) FROM win_sink").first()[0]
+    expected = table(spark, SF_SMOKE, "events").count()
+    assert got == expected
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    feed the same keys in two files, one file per trigger, and check the
+    state accumulates (second update for a key sees the first's totals)."""
+    import pandas as pd
+
+    from chdb_spark.streaming import stateful_running_totals
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], ["user_id", "value"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, 2.0), (2, 3.0)], ["user_id", "value"]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stateful_running_totals(stream, key="user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql("SELECT * FROM state_sink").toPandas()
+    # last update per user reflects the accumulated state over all files
+    final = pdf.sort_values("n_events").groupby("user_id").last()
+    assert final.loc[1, "total"] == 17.0 and final.loc[1, "n_events"] == 3
+    assert final.loc[2, "total"] == 4.0 and final.loc[2, "n_events"] == 2
