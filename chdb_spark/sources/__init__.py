@@ -14,6 +14,8 @@ from chdb_spark.sources.files import (
     read_auto,
     read_jdbc,
 )
+from chdb_spark.sources.python_source import PyReader, from_py_reader, register_py_reader
+from chdb_spark.sources.uri import open_uri
 
 __all__ = [
     "read_auto",
@@ -22,4 +24,8 @@ __all__ = [
     "from_pandas",
     "from_arrow",
     "read_jdbc",
+    "open_uri",
+    "PyReader",
+    "from_py_reader",
+    "register_py_reader",
 ]

@@ -191,3 +191,106 @@ def test_merge_asof_through_datastore(spark):
     )
     out = from_df(spark, left).merge_asof(from_df(spark, right), on="ts", by="uid")
     assert all(r.asof_px == 5.0 for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# batch-3 ordered / time-series surface (explicit order_by contract)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def tpdf():
+    return pd.DataFrame(
+        {
+            "t": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:20", "2024-01-01 01:10",
+                 "2024-01-01 01:40", "2024-01-01 02:30", "2024-01-01 02:45"]
+            ),
+            "v": [1.0, 3.0, 2.0, 8.0, 5.0, 4.0],
+            "g": ["x", "x", "x", "y", "y", "y"],
+            "i": [1, 2, 3, 4, 5, 6],
+        }
+    )
+
+
+def test_shift_diff_pct_change(spark, tpdf):
+    ds = from_df(spark, tpdf)
+    got = ds.shift("v", 1, order_by="i").to_df().sort_values("i")
+    want = tpdf.assign(v_shift=tpdf["v"].shift(1))
+    assert got["v_shift"].fillna(-1).tolist() == want["v_shift"].fillna(-1).tolist()
+
+    got = ds.diff("v", order_by="i").to_df().sort_values("i")
+    want_d = tpdf["v"].diff()
+    assert got["v_diff"].fillna(-1).tolist() == want_d.fillna(-1).tolist()
+
+    got = ds.pct_change("v", order_by="i").to_df().sort_values("i")
+    want_p = tpdf["v"].pct_change()
+    assert got["v_pct_change"].fillna(-1).round(6).tolist() == want_p.fillna(-1).round(6).tolist()
+
+
+def test_cumulative_and_rank(spark, tpdf):
+    ds = from_df(spark, tpdf)
+    got = ds.cumsum("v", order_by="i").to_df().sort_values("i")
+    assert got["v_cumsum"].tolist() == tpdf["v"].cumsum().tolist()
+    got = ds.cummax("v", order_by="i", partition_by=["g"]).to_df().sort_values("i")
+    assert got["v_cummax"].tolist() == tpdf.groupby("g")["v"].cummax().tolist()
+    got = ds.rank("v", pct=False).to_df().sort_values("i")
+    assert got["v_rank"].tolist() == tpdf["v"].rank(method="min").astype(int).tolist()
+
+
+def test_rolling_expanding(spark, tpdf):
+    ds = from_df(spark, tpdf)
+    got = ds.rolling(2, "v", "mean", order_by="i").to_df().sort_values("i")
+    want = tpdf["v"].rolling(2).mean()
+    assert got["v_rolling_mean"].fillna(-1).tolist() == want.fillna(-1).tolist()
+
+    got = ds.rolling(3, "v", "sum", order_by="i", min_periods=1).to_df().sort_values("i")
+    want = tpdf["v"].rolling(3, min_periods=1).sum()
+    assert got["v_rolling_sum"].tolist() == want.tolist()
+
+    got = ds.expanding("v", "sum", order_by="i").to_df().sort_values("i")
+    assert got["v_expanding_sum"].tolist() == tpdf["v"].expanding().sum().tolist()
+
+
+def test_ewm_matches_pandas(spark, tpdf):
+    ds = from_df(spark, tpdf)
+    got = ds.ewm("v", alpha=0.5, order_by="i").to_df().sort_values("i")
+    want = tpdf["v"].ewm(alpha=0.5, adjust=True).mean()
+    assert got["v_ewm"].round(9).tolist() == want.round(9).tolist()
+
+
+def test_resample_hourly(spark, tpdf):
+    ds = from_df(spark, tpdf)
+    got = ds.resample("t", "1 hour", {"v": "sum"}).to_df().sort_values("t").reset_index(drop=True)
+    want = tpdf.resample("1h", on="t")["v"].sum().reset_index(name="v_sum")
+    assert got["v_sum"].tolist() == want["v_sum"].tolist()
+
+
+def test_interpolate_linear_and_ffill(spark):
+    pdf = pd.DataFrame({"i": [1, 2, 3, 4, 5, 6], "v": [1.0, None, None, 7.0, None, 10.0]})
+    ds = from_df(spark, pdf)
+    got = ds.interpolate("v", order_by="i", method="linear").to_df().sort_values("i")
+    want = pdf["v"].interpolate(method="linear")
+    assert got["v"].round(9).tolist() == want.round(9).tolist()
+
+    got = ds.interpolate("v", order_by="i", method="ffill").to_df().sort_values("i")
+    want = pdf["v"].ffill()
+    assert got["v"].fillna(-1).tolist() == want.fillna(-1).tolist()
+
+
+def test_duplicated_flags(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b", "b", "c"], "i": [1, 2, 3, 4, 5, 6]})
+    ds = from_df(spark, pdf)
+    got = ds.duplicated(subset=["k"], order_by="i").to_df().sort_values("i")
+    assert got["duplicated"].tolist() == pdf.duplicated(subset=["k"]).tolist()
+    got = ds.duplicated(subset=["k"], keep="last", order_by="i").to_df().sort_values("i")
+    assert got["duplicated"].tolist() == pdf.duplicated(subset=["k"], keep="last").tolist()
+    got = ds.duplicated(subset=["k"], keep=False, order_by="i").to_df().sort_values("i")
+    assert got["duplicated"].tolist() == pdf.duplicated(subset=["k"], keep=False).tolist()
+
+
+def test_groupby_filter(spark, tpdf):
+    ds = from_df(spark, tpdf)
+    got = ds.groupby("g").filter("sum", "v", lambda s: s > 10).to_df()
+    want = tpdf.groupby("g").filter(lambda d: d["v"].sum() > 10)
+    assert sorted(got["i"].tolist()) == sorted(want["i"].tolist())

@@ -226,3 +226,75 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     final = pdf.sort_values("n_events").groupby("user_id").last()
     assert final.loc[1, "total"] == 17.0 and final.loc[1, "n_events"] == 3
     assert final.loc[2, "total"] == 4.0 and final.loc[2, "n_events"] == 2
+
+
+# ---------------------------------------------------------------------------
+# URI dispatch + Python Data Source (reference uri_parser.py / PyReader)
+# ---------------------------------------------------------------------------
+
+
+def test_open_uri_local_and_file_scheme(spark):
+    from chdb_spark.sources import open_uri
+
+    path = os.path.join(SF_SMOKE, "region.parquet")
+    assert open_uri(spark, path).count() == 5
+    assert open_uri(spark, f"file://{path}").count() == 5
+
+
+def test_open_uri_http_download(spark, tmp_path):
+    """Drive the URL route end-to-end over a real local HTTP server."""
+    import http.server
+    import threading
+
+    from chdb_spark.sources import open_uri
+
+    src = os.path.join(SF_SMOKE, "region.parquet")
+    serve_dir = str(tmp_path)
+    import shutil
+
+    shutil.copy(src, os.path.join(serve_dir, "region.parquet"))
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(*a, directory=serve_dir, **kw)  # noqa: E731
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = open_uri(spark, f"http://127.0.0.1:{port}/region.parquet")
+        assert df.count() == 5
+    finally:
+        httpd.shutdown()
+
+
+def test_open_uri_jdbc_requires_table(spark):
+    from chdb_spark.sources import open_uri
+
+    with pytest.raises(ValueError, match="table"):
+        open_uri(spark, "mysql://host/db")
+
+
+def test_open_uri_unknown_scheme(spark):
+    from chdb_spark.sources import open_uri
+
+    with pytest.raises(ValueError, match="unsupported URI scheme"):
+        open_uri(spark, "gopher://nope/x")
+
+
+def test_py_reader_datasource_partitioned(spark):
+    """Custom Python reader as a Spark 4 data source: the generator runs
+    sharded across executor tasks (one instance per partition), not on the
+    driver — the PyReader/Python() table-function analogue."""
+    from chdb_spark.sources import PyReader, from_py_reader
+
+    class SquaresReader(PyReader):
+        def schema(self):
+            return "n int, sq long, part int"
+
+        def read(self, partition_index, n_partitions):
+            for n in range(partition_index, 100, n_partitions):
+                yield (n, n * n, partition_index)
+
+    df = from_py_reader(spark, "squares", SquaresReader, n_partitions=4)
+    rows = df.collect()
+    assert len(rows) == 100
+    assert {r["part"] for r in rows} == {0, 1, 2, 3}
+    assert sum(r["sq"] for r in rows) == sum(n * n for n in range(100))
