@@ -17,8 +17,26 @@ SQL API and Catalyst+Tungsten choose the physical plan. No dual-engine
 planner, no SQL segmentation (SURVEY.md §7.8).
 """
 
-from chdb_spark.session import connect, get_spark, read_table, register_tables, query, sql
+from chdb_spark.session import (
+    connect,
+    databases,
+    get_spark,
+    read_table,
+    register_tables,
+    query,
+    sql,
+    tables,
+    use_database,
+)
 from chdb_spark import functions as F
+from chdb_spark import dbapi
+from chdb_spark.udf import (
+    ExceptionHandling,
+    NullHandling,
+    chdb_udf,
+    create_function,
+    drop_function,
+)
 
 __all__ = [
     "connect",
@@ -28,5 +46,14 @@ __all__ = [
     "query",
     "sql",
     "F",
+    "databases",
+    "tables",
+    "use_database",
+    "dbapi",
+    "chdb_udf",
+    "create_function",
+    "drop_function",
+    "NullHandling",
+    "ExceptionHandling",
 ]
 __version__ = "0.1.0"

@@ -1,0 +1,328 @@
+"""DB-API 2.0 (PEP 249) surface — analogue of ``chdb.dbapi``.
+
+Reference (SURVEY.md §2.11): chDB ships a PyMySQL-derived DB-API driver —
+``conn = dbapi.connect(); cur = conn.cursor(); cur.execute(sql);
+cur.fetchone()`` with ``description``, ``DictCursor``, and
+``get_client_info()`` (reference examples/dbapi.py:1-14).
+
+Spark-first: a Connection wraps the shared SparkSession (the engine is the
+JVM, not a per-connection C++ instance), Cursor.execute plans via
+``spark.sql`` and materializes through collect(). For big result sets use
+``Cursor.stream()`` which yields rows from ``toLocalIterator()`` —
+constant driver memory, the same contract as the reference's chunked
+``StreamingResult`` (docs/streaming.rst:20-75).
+
+paramstyle is ``format`` (``%s``), matching the reference's
+PyMySQL-derived driver; ``pyformat`` (``%(name)s``) also works.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql import SparkSession
+
+apilevel = "2.0"
+threadsafety = 1
+paramstyle = "format"
+
+_VERSION = "1.0.0-chdb-spark"
+
+
+# -- PEP 249 exception hierarchy -----------------------------------------
+class Warning(Exception):  # noqa: A001 - PEP 249 name
+    pass
+
+
+class Error(Exception):
+    pass
+
+
+class InterfaceError(Error):
+    pass
+
+
+class DatabaseError(Error):
+    pass
+
+
+class DataError(DatabaseError):
+    pass
+
+
+class OperationalError(DatabaseError):
+    pass
+
+
+class IntegrityError(DatabaseError):
+    pass
+
+
+class InternalError(DatabaseError):
+    pass
+
+
+class ProgrammingError(DatabaseError):
+    pass
+
+
+class NotSupportedError(DatabaseError):
+    pass
+
+
+# -- type objects (PEP 249 §Type Objects) --------------------------------
+class _DBAPIType(frozenset):
+    def __eq__(self, other):  # a type_code equals the group containing it
+        if isinstance(other, str):
+            return other in self
+        return super().__eq__(other)
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __hash__(self):
+        return super().__hash__()
+
+
+STRING = _DBAPIType({"string", "varchar", "char"})
+BINARY = _DBAPIType({"binary"})
+NUMBER = _DBAPIType(
+    {
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+        "float",
+        "double",
+        "decimal",
+        "boolean",
+    }
+)
+DATETIME = _DBAPIType({"timestamp", "timestamp_ntz", "date"})
+ROWID = _DBAPIType(set())
+
+Date = _dt.date
+Time = _dt.time
+Timestamp = _dt.datetime
+
+
+def DateFromTicks(t):
+    return _dt.date.fromtimestamp(t)
+
+
+def TimeFromTicks(t):
+    return _dt.datetime.fromtimestamp(t).time()
+
+
+def TimestampFromTicks(t):
+    return _dt.datetime.fromtimestamp(t)
+
+
+def Binary(b):
+    return bytes(b)
+
+
+def get_client_info() -> str:
+    """Driver version string (reference examples/dbapi.py:5)."""
+    return _VERSION
+
+
+# -- literal escaping ----------------------------------------------------
+def escape_item(v: Any) -> str:
+    """Render one Python value as a SQL literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + v.hex() + "'"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY(" + ", ".join(escape_item(x) for x in v) + ")"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def _interpolate(sql: str, args) -> str:
+    if args is None:
+        return sql
+    if isinstance(args, dict):
+        return sql % {k: escape_item(v) for k, v in args.items()}
+    if isinstance(args, (list, tuple)):
+        return sql % tuple(escape_item(v) for v in args)
+    return sql % (escape_item(args),)
+
+
+class Cursor:
+    """PEP 249 cursor over ``spark.sql``."""
+
+    arraysize = 1
+
+    def __init__(self, connection: "Connection"):
+        self.connection = connection
+        self._rows: list[tuple] | None = None
+        self._idx = 0
+        self.description: list[tuple] | None = None
+        self.rowcount = -1
+        self._closed = False
+
+    # -- helpers ----------------------------------------------------------
+    def _check(self):
+        if self._closed or self.connection._closed:
+            raise InterfaceError("cursor is closed")
+
+    def _set_description(self, df):
+        self.description = [
+            (f.name, f.dataType.typeName(), None, None, None, None, f.nullable)
+            for f in df.schema.fields
+        ]
+
+    @staticmethod
+    def _convert(row) -> tuple:
+        return tuple(row)
+
+    # -- PEP 249 ----------------------------------------------------------
+    def execute(self, operation: str, args=None) -> int:
+        self._check()
+        sql = _interpolate(operation, args)
+        try:
+            df = self.connection.spark.sql(sql)
+            rows = df.collect()
+        except Exception as exc:  # surface as DB-API error classes
+            msg = str(exc)
+            if "PARSE_SYNTAX_ERROR" in msg or "AnalysisException" in type(exc).__name__:
+                raise ProgrammingError(msg) from exc
+            raise OperationalError(msg) from exc
+        self._set_description(df)
+        self._rows = [self._convert(r) for r in rows]
+        self._idx = 0
+        self.rowcount = len(self._rows)
+        return self.rowcount
+
+    def executemany(self, operation: str, seq_of_args: Sequence) -> int:
+        total = 0
+        for args in seq_of_args:
+            total += self.execute(operation, args)
+        self.rowcount = total
+        return total
+
+    def stream(self, operation: str, args=None) -> Iterator[tuple]:
+        """Constant-memory row iterator (``toLocalIterator``) — the analogue
+        of the reference's ``send_query`` → StreamingResult chunk pull."""
+        self._check()
+        df = self.connection.spark.sql(_interpolate(operation, args))
+        self._set_description(df)
+        return (self._convert(r) for r in df.toLocalIterator())
+
+    def fetchone(self):
+        self._check()
+        if self._rows is None:
+            raise ProgrammingError("execute() not called")
+        if self._idx >= len(self._rows):
+            return None
+        row = self._rows[self._idx]
+        self._idx += 1
+        return row
+
+    def fetchmany(self, size: int | None = None):
+        self._check()
+        if self._rows is None:
+            raise ProgrammingError("execute() not called")
+        size = size or self.arraysize
+        out = self._rows[self._idx : self._idx + size]
+        self._idx += len(out)
+        return out
+
+    def fetchall(self):
+        self._check()
+        if self._rows is None:
+            raise ProgrammingError("execute() not called")
+        out = self._rows[self._idx :]
+        self._idx = len(self._rows)
+        return out
+
+    def setinputsizes(self, sizes):  # PEP 249: may be a no-op
+        pass
+
+    def setoutputsize(self, size, column=None):
+        pass
+
+    def close(self):
+        self._closed = True
+        self._rows = None
+
+    def __iter__(self):
+        while True:
+            row = self.fetchone()
+            if row is None:
+                return
+            yield row
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class DictCursor(Cursor):
+    """Rows as dicts (reference ``chdb.dbapi.cursors.DictCursor``)."""
+
+    def _convert(self, row) -> dict:  # type: ignore[override]
+        return row.asDict(recursive=True)
+
+
+class Connection:
+    """One logical connection; the engine is the shared SparkSession."""
+
+    def __init__(
+        self,
+        sf_dir: str | None = None,
+        spark: SparkSession | None = None,
+        cursorclass: type[Cursor] = Cursor,
+    ):
+        from chdb_spark.session import get_spark, register_tables
+
+        self.spark = spark or get_spark(app_name="chdb_spark_dbapi")
+        if sf_dir:
+            register_tables(self.spark, sf_dir)
+        self.cursorclass = cursorclass
+        self._closed = False
+
+    def cursor(self, cursorclass: type[Cursor] | None = None) -> Cursor:
+        if self._closed:
+            raise InterfaceError("connection is closed")
+        return (cursorclass or self.cursorclass)(self)
+
+    def commit(self):  # autocommit engine — PEP 249 requires the method
+        pass
+
+    def rollback(self):
+        raise NotSupportedError("chdb_spark is an analytics engine; no transactions")
+
+    def close(self):
+        # The SparkSession is shared process-wide (the reference's engine is
+        # per-connection C++ state; ours is the JVM) — closing a connection
+        # must not tear down the JVM for other users.
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def connect(
+    sf_dir: str | None = None,
+    spark: SparkSession | None = None,
+    cursorclass: type[Cursor] = Cursor,
+) -> Connection:
+    """Open a DB-API connection (reference examples/dbapi.py:7)."""
+    return Connection(sf_dir=sf_dir, spark=spark, cursorclass=cursorclass)

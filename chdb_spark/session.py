@@ -155,3 +155,24 @@ def query(spark: SparkSession, sql_text: str) -> DataFrame:
 
 #: ``chdb.sql`` is an alias of ``chdb.query`` (reference chdb/__init__.py:220).
 sql = query
+
+
+def databases(spark: SparkSession) -> list[str]:
+    """List catalog databases (reference ``DataStore.databases()``,
+    datastore/core.py:7712)."""
+    return [db.name for db in spark.catalog.listDatabases()]
+
+
+def tables(spark: SparkSession, database: str | None = None) -> list[str]:
+    """List tables + temp views (reference ``DataStore.tables()``,
+    datastore/core.py:7733)."""
+    return [t.name for t in spark.catalog.listTables(database)]
+
+
+def use_database(spark: SparkSession, name: str) -> None:
+    """Switch current database (reference ``use_database``,
+    datastore/core.py:7675). Creates it if missing, mirroring the
+    reference's Atomic-DB auto-create on Session paths."""
+    if not spark.catalog.databaseExists(name):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+    spark.catalog.setCurrentDatabase(name)
