@@ -313,6 +313,33 @@ class DataStore:
             merge_asof_backward(self._df, right._df, on=on, by=by_cols, right_values=rvals)
         )
 
+    def merge_ordered(self, right: "DataStore", on, fill_method: str | None = None,
+                      partition_by: list[str] | None = None) -> "DataStore":
+        """Ordered full-outer merge with optional forward-fill — the
+        analogue of ``pd.merge_ordered`` (reference pandas_api.py:1245-1290,
+        executed pandas-side there; one Spark plan here).
+
+        Join keys align by equality; with ``fill_method='ffill'`` every
+        non-key column carries the last non-null value forward in key
+        order. The ffill window is per ``partition_by`` group (global when
+        omitted — appropriate only for key-grain data whose cardinality is
+        bounded, e.g. daily rollups; per-entity fills must pass
+        ``partition_by`` so the window parallelizes).
+        """
+        keys = [on] if isinstance(on, str) else list(on)
+        joined = self._df.join(right._df, on=keys, how="outer")
+        if fill_method == "ffill":
+            w = (
+                Window.partitionBy(*(partition_by or []))
+                .orderBy(*keys)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            fills = [c for c in joined.columns if c not in keys and c not in (partition_by or [])]
+            joined = joined.withColumns(
+                {c: F.last(c, ignorenulls=True).over(w) for c in fills}
+            )
+        return DataStore(joined)
+
     def union(self, other: "DataStore", all: bool = True) -> "DataStore":
         out = self._df.unionByName(other._df)
         return DataStore(out if all else out.distinct())

@@ -28,3 +28,4 @@ def register_operator_queries() -> None:
     from chdb_spark import queries_aggs  # noqa: F401
     from chdb_spark import queries_reshape  # noqa: F401
     from chdb_spark import queries_stats  # noqa: F401
+    from chdb_spark import queries_ts  # noqa: F401
