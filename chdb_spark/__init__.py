@@ -30,6 +30,7 @@ from chdb_spark.session import (
 )
 from chdb_spark import functions as F
 from chdb_spark import dbapi
+from chdb_spark.stateful import Session, StreamingResult
 from chdb_spark.udf import (
     ExceptionHandling,
     NullHandling,
@@ -50,6 +51,8 @@ __all__ = [
     "tables",
     "use_database",
     "dbapi",
+    "Session",
+    "StreamingResult",
     "chdb_udf",
     "create_function",
     "drop_function",

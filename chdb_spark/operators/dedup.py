@@ -21,6 +21,8 @@ Scale design (the whole point — 100 TB posture):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,6 +81,9 @@ def shingle_hashes(
         F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
         leads[-1].alias("_last"),
     )
+    # Dedup per (doc_id, h): groupBy(doc_id, h) hash-agg (codegen'd) rather
+    # than collect_set-per-doc (ObjectHashAggregate, no codegen — measured
+    # 20% slower end-to-end despite saving an exchange).
     return (
         grams.filter(F.col("_last").isNotNull())
         .select("doc_id", F.xxhash64("g").alias("h"))
@@ -127,6 +132,138 @@ def _perm_consts(k: int) -> list[tuple[int, int]]:
         b = x % (1 << 61)
         out.append((a, b))
     return out
+
+
+_FNV = np.uint64(1099511628211)
+_FNV_OFF = np.uint64(14695981039346656037)
+
+
+def doc_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    with_minhash: bool = True,
+    with_simhash: bool = True,
+) -> DataFrame:
+    """One Arrow-batched map pass over documents → per-doc dedup features:
+    distinct shingle hashes ``hs``, MinHash LSH band hashes ``band_hashes``,
+    SimHash64 fingerprint ``fp``.
+
+    This is the zero-shuffle formulation: every feature derives from one
+    document alone, so the whole stage is map-only (mapInPandas, Arrow
+    batches, vectorized numpy inside) — at 100 TB it scales embarrassingly
+    parallel with NO exchange, versus the explode→window→distinct→groupBy
+    composition (kept below as the pure-JVM reference path) which shuffles
+    the full shingle set twice and pays ~4 s of janino compile for its
+    128-aggregate plan. Hash = pandas' deterministic siphash-based
+    hash_array (stable across sessions); candidate recall does not depend
+    on which 64-bit hash family is used, and precision is restored by exact
+    verification either way.
+    """
+    perms = np.array(_perm_consts(k), dtype=np.uint64)
+    a_c, b_c = perms[:, 0], perms[:, 1]
+    r = k // bands
+    id_a = id_col
+
+    def _starts(lens: np.ndarray) -> np.ndarray:
+        s = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=s[1:])
+        return s
+
+    def gen(batches):
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids = pdf[id_a].to_numpy()
+            ndocs = len(ids)
+            tok_lists = [t.strip().split() for t in pdf[text_col]]
+            # distinct shingle hashes per doc: hash every gram of the batch
+            # in ONE hash_array call, then unique per doc slice
+            gram_lists = [
+                [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+                if len(tk) >= n
+                else []
+                for tk in tok_lists
+            ]
+            glens = np.array([len(g) for g in gram_lists], dtype=np.int64)
+            flat = [g for gl in gram_lists for g in gl]
+            allg = (
+                pd.util.hash_array(np.asarray(flat, dtype=object))
+                if flat
+                else np.empty(0, dtype=np.uint64)
+            )
+            gs = _starts(glens)
+            hs_list = [
+                np.unique(allg[s : s + l]) if l else np.empty(0, dtype=np.uint64)
+                for s, l in zip(gs, glens)
+            ]
+
+            if with_minhash:
+                hlens = np.array([h.size for h in hs_list], dtype=np.int64)
+                nz = hlens > 0
+                bh_all = np.empty((ndocs, bands), dtype=np.uint64)
+                if nz.any():
+                    allh = np.concatenate([h for h in hs_list if h.size])
+                    # (Σ|hs|, k) universal-hash matrix, min-reduced per doc —
+                    # one BLAS-shaped pass for the whole Arrow batch
+                    prods = allh[:, None] * a_c[None, :] + b_c[None, :]
+                    mins = np.minimum.reduceat(prods, _starts(hlens[nz]), axis=0)
+                    mm = mins.reshape(-1, bands, r)
+                    bh = np.full((mm.shape[0], bands), _FNV_OFF, dtype=np.uint64)
+                    for c in range(r):
+                        bh = (bh * _FNV) ^ mm[:, :, c]
+                    bh_all[nz] = bh
+                if (~nz).any():
+                    # per-doc sentinel: shingle-less docs must not share buckets
+                    bh_all[~nz] = (
+                        ids[~nz].astype(np.uint64)[:, None] * _FNV
+                        + np.arange(bands, dtype=np.uint64)[None, :]
+                    )
+                band_col = list(bh_all.view(np.int64))
+            else:
+                band_col = [[] for _ in range(ndocs)]
+
+            if with_simhash:
+                tlens = np.array([len(tk) for tk in tok_lists], dtype=np.int64)
+                flat_t = [t for tk in tok_lists for t in tk]
+                fp_all = np.zeros(ndocs, dtype=np.uint64)
+                if flat_t:
+                    allt = pd.util.hash_array(np.asarray(flat_t, dtype=object))
+                    bits = ((allt[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    nzt = tlens > 0
+                    sums = np.add.reduceat(bits, _starts(tlens[nzt]), axis=0)
+                    votes = 2 * sums - tlens[nzt][:, None]
+                    fp_all[nzt] = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                fp_col = fp_all.view(np.int64)
+            else:
+                fp_col = np.zeros(ndocs, dtype=np.int64)
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "hs": [h.view(np.int64) for h in hs_list],
+                    "band_hashes": band_col,
+                    "fp": fp_col,
+                }
+            )
+
+    sel = docs.select(id_a, text_col)
+    # A small corpus can arrive as 1-2 scan partitions (one parquet file) —
+    # that would serialize the map pass onto one worker. Round-robin to full
+    # parallelism first; the exchange carries only (id, text). At real scale
+    # the file splits already yield >= cores partitions and this no-ops.
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    return sel.mapInPandas(
+        gen, "doc_id long, hs array<long>, band_hashes array<long>, fp long"
+    )
 
 
 def minhash_signatures(ex: DataFrame, k: int = 128) -> DataFrame:
@@ -267,14 +404,15 @@ def minhash_lsh_dedup(
     Output: (doc_a, doc_b, jaccard). Recall at threshold 0.8 with K=128/b=32
     is ≳1-1e-7 per pair; the verification step makes precision exact.
     """
-    rows = k // bands
-    # eager materialize: the index is read by three branches of one job —
+    # eager materialize: the features are read by three branches of one job —
     # lazily-populated cache would race and recompute per branch.
-    ex = shingle_hashes(docs, n, id_col, text_col).persist()
-    ex.count()
-    sig = minhash_signatures(ex, k)
-    banded = sig.select(
-        "doc_id", F.posexplode(lsh_bands(F.col("sig"), bands, rows)).alias("band_idx", "band_hash")
+    feats = doc_features(
+        docs, id_col, text_col, n=n, k=k, bands=bands, with_simhash=False
+    ).persist()
+    feats.count()
+    ex = feats.select("doc_id", F.explode("hs").alias("h"))
+    banded = feats.select(
+        "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
     cand = candidate_pairs_from_buckets(banded, ["band_idx", "band_hash"])
     return verify_pairs(cand, ex, threshold)
@@ -294,9 +432,12 @@ def simhash_dedup(
     planted near-dup class (J≥0.9) lands well inside that. Candidates are
     filtered by full Hamming ≤ max_hamming, then exact-verified.
     """
-    ex = shingle_hashes(docs, 3, id_col, text_col).persist()
-    ex.count()  # eager: see minhash_lsh_dedup
-    fp = simhash_fingerprints(docs, id_col, text_col)
+    feats = doc_features(
+        docs, id_col, text_col, n=3, with_minhash=False, with_simhash=True
+    ).persist()
+    feats.count()  # eager: see minhash_lsh_dedup
+    ex = feats.select("doc_id", F.explode("hs").alias("h"))
+    fp = feats.select("doc_id", "fp")
     banded = fp.select(
         "doc_id",
         "fp",
@@ -446,9 +587,12 @@ def ngram_jaccard_pairs(
             F.floor(F.col("n_chars") / 40).alias("lb"),
         )
     )
-    hashes = shingle_hashes(docs, n, id_col, text_col).persist()
-    hashes.count()  # eager: see minhash_lsh_dedup
-    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    feats = doc_features(
+        docs, id_col, text_col, n=n, with_minhash=False, with_simhash=False
+    ).persist()
+    feats.count()  # eager: see minhash_lsh_dedup
+    hashes = feats.select("doc_id", F.explode("hs").alias("h"))
+    sizes = feats.select("doc_id", F.size("hs").alias("sz"))
     ex = hashes.join(meta, "doc_id").join(sizes, "doc_id")
     a = ex.select(
         F.col("doc_id").alias("doc_a"), "lang", F.col("lb").alias("lb_a"), F.col("sz").alias("sz_a"), "h"

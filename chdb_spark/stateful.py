@@ -1,0 +1,258 @@
+"""Stateful Session — the analogue of ``chdb.session.Session`` (SURVEY §3.3).
+
+Reference semantics (docs/session.rst:26-95): ``Session(path)`` binds an
+engine instance to a directory; DDL state (databases, tables, views)
+persists across queries and — for file-backed sessions — across process
+restarts. ``Session()`` is temporary with auto-cleanup.
+``send_query(sql)`` returns a chunked StreamingResult with early ``close()``
+(docs/streaming.rst:20-75).
+
+Spark-first: the engine is the shared SparkSession; each Session object is
+a *database* in the catalog plus a manifest file under its path. Spark's
+default in-memory catalog forgets table metadata on JVM exit, so restart
+persistence is provided the engine-agnostic way: after every DDL-bearing
+query the session snapshots its catalog (table name → location/schema/
+is-view) into ``_chdb_spark_session.json``; opening a Session over an
+existing path re-registers every entry (external tables point at their
+parquet directories, views re-run their stored text). This keeps the
+reference's durable-session contract without depending on a Hive
+metastore. Query *data* paths are standard distributed writes — nothing
+here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_chdb_spark_session.json"
+_DDL_RE = re.compile(
+    r"^\s*(CREATE|DROP|ALTER|REPLACE|INSERT|TRUNCATE)\b", re.IGNORECASE
+)
+_CT_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(`?\w+`?)\s*", re.IGNORECASE
+)
+
+
+class StreamingResult:
+    """Chunked pull-based result (reference docs/streaming.rst:20-75).
+
+    ``fetch()`` returns the next chunk (list of Rows) or None when
+    exhausted; iteration yields chunks; ``close()`` abandons the
+    underlying ``toLocalIterator`` which cancels remaining partition
+    computation. Constant driver memory at any result size.
+    """
+
+    def __init__(self, df: DataFrame, max_rows_per_chunk: int = 65536):
+        from chdb_spark.streaming.core import stream_result
+
+        self._it: Iterator | None = stream_result(df, max_rows_per_chunk)
+        self.schema = df.schema
+
+    def fetch(self):
+        if self._it is None:
+            return None
+        try:
+            return next(self._it)
+        except StopIteration:
+            self._it = None
+            return None
+
+    def close(self) -> None:
+        self._it = None
+
+    def __iter__(self):
+        while True:
+            chunk = self.fetch()
+            if chunk is None:
+                return
+            yield chunk
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _db_name(path: str) -> str:
+    base = re.sub(r"[^0-9a-zA-Z_]", "_", os.path.abspath(path).strip("/"))
+    return f"sess_{base[-100:]}"
+
+
+class Session:
+    """A stateful SQL session bound to a directory (reference
+    docs/session.rst:26-95).
+
+    >>> sess = Session("/tmp/mydb")
+    >>> sess.query("CREATE TABLE users AS SELECT 1 AS id")
+    >>> sess.query("SELECT * FROM users").show()
+    >>> sess.close()          # state persists; reopening restores tables
+    """
+
+    def __init__(self, path: str | None = None, spark: SparkSession | None = None):
+        from chdb_spark.session import get_spark
+
+        self._tmp = None
+        if path is None or path == ":memory:":
+            self._tmp = tempfile.TemporaryDirectory(prefix="chdb_spark_sess_")
+            path = self._tmp.name
+        # connection-string forms: file:path?opt=...  /  path?mode=ro
+        if path.startswith("file:"):
+            path = path[5:]
+        self.options: dict[str, str] = {}
+        if "?" in path:
+            path, qs = path.split("?", 1)
+            for part in qs.split("&"):
+                if part:
+                    k, _, v = part.partition("=")
+                    self.options[k] = v
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self.spark = spark or get_spark(app_name="chdb_spark_session")
+        self.db = _db_name(self.path)
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.db}`")
+        self._restore()
+        self._closed = False
+
+    # -- internal: manifest-based persistence -----------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _snapshot(self) -> None:
+        entries = []
+        for t in self.spark.catalog.listTables(self.db):
+            if t.tableType == "TEMPORARY":
+                continue
+            full = f"`{self.db}`.`{t.name}`"
+            if t.tableType == "VIEW":
+                text = self.spark.sql(f"SHOW CREATE TABLE {full}").first()[0]
+                entries.append({"name": t.name, "kind": "view", "create": text})
+            else:
+                detail = {
+                    r["col_name"]: r["data_type"]
+                    for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {full}").collect()
+                }
+                entries.append(
+                    {
+                        "name": t.name,
+                        "kind": "table",
+                        "location": detail.get("Location"),
+                        "provider": (detail.get("Provider") or "parquet").lower(),
+                    }
+                )
+        with open(self._manifest_path, "w") as fh:
+            json.dump({"db": self.db, "tables": entries}, fh, indent=1)
+
+    def _restore(self) -> None:
+        if not os.path.exists(self._manifest_path):
+            return
+        with open(self._manifest_path) as fh:
+            manifest = json.load(fh)
+        existing = {t.name for t in self.spark.catalog.listTables(self.db)}
+        prev = self.spark.catalog.currentDatabase()
+        # view bodies may reference session tables unqualified — replay with
+        # the session database current, tables before views
+        self.spark.catalog.setCurrentDatabase(self.db)
+        try:
+            for e in manifest.get("tables", []):
+                if e["name"] in existing:
+                    continue
+                if e["kind"] == "table" and e.get("location"):
+                    self.spark.sql(
+                        f"CREATE TABLE IF NOT EXISTS `{self.db}`.`{e['name']}` "
+                        f"USING {e.get('provider', 'parquet')} "
+                        f"LOCATION '{e['location']}'"
+                    )
+            for e in manifest.get("tables", []):
+                if e["kind"] == "view" and e["name"] not in existing and e.get("create"):
+                    try:
+                        self.spark.sql(e["create"])
+                    except Exception:
+                        pass  # view over a table dropped outside the session
+        finally:
+            self.spark.catalog.setCurrentDatabase(prev)
+
+    def _localize_create_table(self, sql: str) -> str:
+        """Rewrite a bare ``CREATE TABLE name …`` so the table is EXTERNAL
+        parquet under ``<session path>/tables/<name>`` — table data lives in
+        the session directory, exactly the reference's file-backed-session
+        contract (docs/session.rst:50-66: MergeTree data under the session
+        path). Statements that already carry USING/LOCATION/db-qualified
+        names pass through untouched.
+        """
+        m = _CT_RE.match(sql)
+        if not m or re.search(r"\b(LOCATION|USING)\b", sql, re.IGNORECASE):
+            return sql
+        name = m.group(1).strip("`")
+        loc = os.path.join(self.path, "tables", name)
+        rest = sql[m.end():].lstrip()
+        clause = f"USING parquet LOCATION '{loc}' "
+        if rest.upper().startswith("AS"):
+            return sql[: m.end()] + clause + rest
+        if rest.startswith("("):  # column-definition form: clause goes last
+            return sql.rstrip().rstrip(";") + " " + clause
+        return sql
+
+    # -- public API --------------------------------------------------------
+    def query(self, sql: str, fmt: str = "DataFrame") -> Any:
+        """Execute SQL with this session's database current
+        (reference Session.query, docs/session.rst:34-44).
+
+        fmt: 'DataFrame' (lazy Spark DataFrame), 'pandas', 'arrow', 'csv',
+        'json' — the output_format axis of chdb.query
+        (chdb/__init__.py:145-217).
+        """
+        if self._closed:
+            raise RuntimeError("session is closed")
+        prev = self.spark.catalog.currentDatabase()
+        self.spark.catalog.setCurrentDatabase(self.db)
+        try:
+            out = self.spark.sql(self._localize_create_table(sql))
+            if _DDL_RE.match(sql):
+                self._snapshot()
+            if fmt in (None, "DataFrame"):
+                return out
+            if fmt == "pandas":
+                return out.toPandas()
+            if fmt == "arrow":
+                from chdb_spark.sinks import to_arrow
+
+                return to_arrow(out)
+            if fmt == "csv":
+                pdf = out.toPandas()
+                return pdf.to_csv(index=False)
+            if fmt == "json":
+                pdf = out.toPandas()
+                return pdf.to_json(orient="records")
+            raise ValueError(f"unknown output format: {fmt!r}")
+        finally:
+            self.spark.catalog.setCurrentDatabase(prev)
+
+    sql = query
+
+    def send_query(self, sql: str, max_rows_per_chunk: int = 65536) -> StreamingResult:
+        """Streaming execution (reference docs/streaming.rst:20-75)."""
+        return StreamingResult(self.query(sql), max_rows_per_chunk)
+
+    def close(self) -> None:
+        """Detach; file-backed state persists (reference session.rst:66)."""
+        if not self._closed:
+            self._snapshot()
+        self._closed = True
+        if self._tmp is not None:  # temporary session: drop its database
+            self.spark.sql(f"DROP DATABASE IF EXISTS `{self.db}` CASCADE")
+            self._tmp.cleanup()
+            self._tmp = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

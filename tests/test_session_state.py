@@ -1,0 +1,94 @@
+"""Stateful Session tests (reference docs/session.rst:26-95) — DDL state,
+restart persistence via the manifest, output formats, streaming results."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from chdb_spark.stateful import Session, StreamingResult
+
+
+def test_temporary_session_ddl_and_cleanup(spark):
+    sess = Session(spark=spark)
+    db = sess.db
+    sess.query("CREATE TABLE log_t AS SELECT * FROM VALUES ('a',1),('b',3) AS t(x, y)")
+    sess.query("CREATE VIEW v_t AS SELECT x FROM log_t WHERE y > 1")
+    rows = sess.query("SELECT * FROM v_t").collect()
+    assert [r.x for r in rows] == ["b"]
+    sess.close()
+    assert not spark.catalog.databaseExists(db)
+
+
+def test_file_session_persists_across_reopen(spark, tmp_path):
+    path = str(tmp_path / "mydb")
+    with Session(path, spark=spark) as sess:
+        sess.query(
+            "CREATE TABLE users AS "
+            "SELECT * FROM VALUES (1,'Alice'),(2,'Bob') AS t(id, name)"
+        )
+        db = sess.db
+    # simulate restart: drop the catalog database entirely, then reopen
+    spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+    with Session(path, spark=spark) as sess2:
+        rows = sess2.query("SELECT * FROM users ORDER BY id").collect()
+        assert [(r.id, r.name) for r in rows] == [(1, "Alice"), (2, "Bob")]
+    assert os.path.exists(os.path.join(path, "_chdb_spark_session.json"))
+
+
+def test_session_view_restored(spark, tmp_path):
+    path = str(tmp_path / "viewdb")
+    with Session(path, spark=spark) as sess:
+        sess.query("CREATE TABLE base AS SELECT * FROM VALUES (1),(2),(3) AS t(n)")
+        sess.query("CREATE VIEW big AS SELECT n FROM base WHERE n >= 2")
+        db = sess.db
+    spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+    with Session(path, spark=spark) as sess2:
+        assert sess2.query("SELECT count(*) AS c FROM big").first().c == 2
+
+
+def test_output_formats(spark):
+    with Session(spark=spark) as sess:
+        pdf = sess.query("SELECT 1 AS a, 'x' AS b", fmt="pandas")
+        assert list(pdf.columns) == ["a", "b"]
+        tbl = sess.query("SELECT 1 AS a", fmt="arrow")
+        assert tbl.num_rows == 1
+        csv = sess.query("SELECT 1 AS a, 2 AS b", fmt="csv")
+        assert csv.splitlines()[0] == "a,b"
+        js = sess.query("SELECT 1 AS a", fmt="json")
+        assert js == '[{"a":1}]'
+        with pytest.raises(ValueError):
+            sess.query("SELECT 1", fmt="Pretty2")
+
+
+def test_send_query_streaming(spark):
+    with Session(spark=spark) as sess:
+        sess.query("CREATE TABLE nums AS SELECT id FROM range(10000)")
+        sr = sess.send_query("SELECT id FROM nums", max_rows_per_chunk=3000)
+        assert isinstance(sr, StreamingResult)
+        chunks = [len(c) for c in sr]
+        assert sum(chunks) == 10000
+        assert max(chunks) <= 3000
+        # early close
+        sr2 = sess.send_query("SELECT id FROM nums", max_rows_per_chunk=100)
+        first = sr2.fetch()
+        assert len(first) == 100
+        sr2.close()
+        assert sr2.fetch() is None
+
+
+def test_connection_string_forms(spark, tmp_path):
+    p = str(tmp_path / "opt.db")
+    sess = Session(f"file:{p}?mode=ro&verbose", spark=spark)
+    assert sess.options.get("mode") == "ro"
+    assert "verbose" in sess.options
+    assert sess.path == p
+    sess.close()
+
+
+def test_closed_session_raises(spark):
+    sess = Session(spark=spark)
+    sess.close()
+    with pytest.raises(RuntimeError):
+        sess.query("SELECT 1")
