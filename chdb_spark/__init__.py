@@ -31,6 +31,7 @@ from chdb_spark.session import (
 from chdb_spark import functions as F
 from chdb_spark import dbapi
 from chdb_spark.stateful import Session, StreamingResult
+from chdb_spark import durable
 from chdb_spark.udf import (
     ExceptionHandling,
     NullHandling,
@@ -53,6 +54,7 @@ __all__ = [
     "dbapi",
     "Session",
     "StreamingResult",
+    "durable",
     "chdb_udf",
     "create_function",
     "drop_function",

@@ -139,11 +139,18 @@ class Session:
                     r["col_name"]: r["data_type"]
                     for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {full}").collect()
                 }
+                loc = detail.get("Location") or ""
+                if loc.startswith("file:"):
+                    loc = loc[5:]
+                # store session-relative so the whole directory stays
+                # relocatable (durable checkpoints restore it elsewhere)
+                if loc.startswith(self.path + os.sep):
+                    loc = os.path.relpath(loc, self.path)
                 entries.append(
                     {
                         "name": t.name,
                         "kind": "table",
-                        "location": detail.get("Location"),
+                        "location": loc or None,
                         "provider": (detail.get("Provider") or "parquet").lower(),
                     }
                 )
@@ -165,10 +172,13 @@ class Session:
                 if e["name"] in existing:
                     continue
                 if e["kind"] == "table" and e.get("location"):
+                    loc = e["location"]
+                    if not os.path.isabs(loc):
+                        loc = os.path.join(self.path, loc)
                     self.spark.sql(
                         f"CREATE TABLE IF NOT EXISTS `{self.db}`.`{e['name']}` "
                         f"USING {e.get('provider', 'parquet')} "
-                        f"LOCATION '{e['location']}'"
+                        f"LOCATION '{loc}'"
                     )
             for e in manifest.get("tables", []):
                 if e["kind"] == "view" and e["name"] not in existing and e.get("create"):
