@@ -90,7 +90,11 @@ class DataStore:
 
     def __getitem__(self, key):
         if isinstance(key, str):
-            return F.col(key)
+            # ColumnExpr IS a Column, plus the reference's .str/.dt/.arr/
+            # .json/.url/.ip/.geo accessor namespaces (SURVEY §2.8)
+            from chdb_spark.accessors import ColumnExpr
+
+            return ColumnExpr(F.col(key))
         if isinstance(key, list):
             return DataStore(self._df.select(*key))
         if isinstance(key, Column):  # boolean mask: ds[ds['a'] > 5]
@@ -109,7 +113,9 @@ class DataStore:
         if name.startswith("_"):
             raise AttributeError(name)
         if name in self._df.columns:
-            return F.col(name)
+            from chdb_spark.accessors import ColumnExpr
+
+            return ColumnExpr(F.col(name))
         raise AttributeError(name)
 
     # -- projections / filters ----------------------------------------------

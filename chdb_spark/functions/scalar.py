@@ -45,6 +45,48 @@ register_many(
 )
 
 
+#: ClickHouse/MySQL formatDateTime specifiers → Java DateTimeFormatter
+#: (reference formatDateTime, function_definitions.py:1731-1746 — the
+#: reference takes %-style patterns; Spark's date_format takes Java ones).
+_CH_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "M": "mm", "i": "mm",
+    "S": "ss", "s": "ss", "f": "SSSSSS", "j": "DDD", "a": "EEE",
+    "W": "EEEE", "b": "MMM", "p": "a", "F": "yyyy-MM-dd",
+    "D": "MM/dd/yy", "T": "HH:mm:ss", "R": "HH:mm", "G": "yyyy",
+    "g": "yy", "n": "\n", "t": "\t", "%": "%",
+}
+
+
+def _ch_format_to_java(fmt: str) -> str:
+    """Translate a %-style datetime pattern to Java; literal letter runs are
+    single-quoted so date_format does not interpret them."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush_lit():
+        if lit:
+            chunk = "".join(lit)
+            if any(ch.isalpha() or ch == "'" for ch in chunk):
+                chunk = "'" + chunk.replace("'", "''") + "'"
+            out.append(chunk)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            flush_lit()
+            out.append(_CH_FMT.get(spec, spec))
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush_lit()
+    return "".join(out)
+
+
 def _re_quote(sep) -> str:
     """Escape a literal separator for Java-regex-based F.split."""
     import re
@@ -235,7 +277,7 @@ register_many(
         "toStartOfQuarter": lambda c: F.date_trunc("quarter", c),
         "toStartOfYear": lambda c: F.date_trunc("year", c),
         "toStartOfWeek": lambda c: F.date_trunc("week", c),
-        "formatDateTime": F.date_format,
+        "formatDateTime": lambda c, fmt: F.date_format(c, _ch_format_to_java(fmt)),
         "dateName": lambda part, c: F.date_format(c, {"year": "yyyy", "month": "MMMM", "weekday": "EEEE"}.get(part, "yyyy")),
         "toTimezone": F.from_utc_timestamp,
         "isLeapYear": lambda c: ((F.year(c) % 4 == 0) & (F.year(c) % 100 != 0)) | (F.year(c) % 400 == 0),
