@@ -270,6 +270,37 @@ class DataStore:
     def describe(self, *cols) -> "DataStore":
         return DataStore(self._df.describe(*cols))
 
+    def factorize(self, col: str) -> "DataStore":
+        """Dense integer codes for a column's distinct values (reference
+        pandas_api.py:1712 — pandas-executed there). Distributed form: the
+        code table is dense_rank over DISTINCT values (|distinct| rows, not
+        |rows|), broadcast-joined back when small, shuffle-joined otherwise
+        (AQE decides). Codes are 0-based in first-seen-sorted order."""
+        codes = (
+            self._df.select(col).distinct()
+            .withColumn(
+                f"{col}_code",
+                F.dense_rank().over(Window.orderBy(col)) - 1,
+            )
+        )
+        return DataStore(self._df.join(codes, col, "left"))
+
+    def unstack(self, index: str, columns: str, values: str, aggfunc: str = "first") -> "DataStore":
+        """Long → wide (reference pandas_compat.py:1603): groupBy(index)
+        .pivot(columns) — the same engine path as pivot_table. Column
+        cardinality of ``columns`` becomes the output width; Spark caps
+        pivot width via spark.sql.pivotMaxValues (defaults 10k)."""
+        return DataStore(
+            self._df.groupBy(index).pivot(columns).agg(_agg_expr(aggfunc, values))
+        )
+
+    def transpose(self):
+        """Rows ↔ columns (reference pandas_compat.py:1620 — pandas-executed
+        there too). Materializes to the driver by design: a transposed
+        relational table has one column per input ROW, which is only
+        meaningful for small summary frames. Returns a pandas DataFrame."""
+        return self._df.toPandas().T
+
     # -- joins / set ops -----------------------------------------------------
 
     def join(self, other: "DataStore", on=None, how: str = "inner") -> "DataStore":

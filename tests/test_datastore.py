@@ -294,3 +294,42 @@ def test_groupby_filter(spark, tpdf):
     got = ds.groupby("g").filter("sum", "v", lambda s: s > 10).to_df()
     want = tpdf.groupby("g").filter(lambda d: d["v"].sum() > 10)
     assert sorted(got["i"].tolist()) == sorted(want["i"].tolist())
+
+
+def test_factorize_matches_pandas_codes(spark):
+    pdf = pd.DataFrame({"k": ["b", "a", "c", "a", "b"], "i": [1, 2, 3, 4, 5]})
+    ds = from_df(spark, pdf)
+    got = ds.factorize("k").to_df().sort_values("i")
+    # our codes are sorted-order dense codes; same equivalence classes as
+    # pandas factorize, deterministic mapping a->0 b->1 c->2
+    assert got["k_code"].tolist() == [1, 0, 2, 0, 1]
+
+
+def test_unstack_long_to_wide(spark):
+    pdf = pd.DataFrame(
+        {"g": ["x", "x", "y", "y"], "k": ["a", "b", "a", "b"], "v": [1, 2, 3, 4]}
+    )
+    ds = from_df(spark, pdf)
+    got = ds.unstack("g", "k", "v", "sum").to_df().sort_values("g").reset_index(drop=True)
+    assert got["a"].tolist() == [1, 3] and got["b"].tolist() == [2, 4]
+
+
+def test_transpose_small_frame(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    ds = from_df(spark, pdf)
+    t = ds.transpose()
+    assert list(t.index) == ["a", "b"]
+
+
+def test_merge_ordered_ffill(spark):
+    left = from_df(spark, pd.DataFrame({"k": [1, 3, 5], "l": [10.0, 30.0, 50.0]}))
+    right = from_df(spark, pd.DataFrame({"k": [2, 3, 6], "r": [0.2, 0.3, 0.6]}))
+    got = (
+        left.merge_ordered(right, on="k", fill_method="ffill")
+        .to_df()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 5, 6]
+    assert got["l"].tolist() == [10.0, 10.0, 30.0, 50.0, 50.0]
+    assert got["r"].fillna(-1).tolist() == [-1.0, 0.2, 0.3, 0.3, 0.6]
