@@ -97,3 +97,39 @@ def test_funnel_single_window_exchange(spark):
     plan = plan_of(spark, "e1_window_funnel")
     assert "Window" in plan
     assert "Join" not in plan  # no self-joins anywhere in the funnel
+
+
+def test_ts_suite_no_python_nodes(spark):
+    """Every time-series query is pure window/agg algebra — no Python may
+    appear in the row path (EWM closed form included)."""
+    for name in ("ts1_rolling_avg", "ts2_expanding_max", "ts3_resample_15min",
+                 "ts4_interpolate_linear", "ts5_ewm_mean", "mo1_merge_ordered"):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ts_windows_share_one_exchange(spark):
+    """ts4 uses two frames (backward + forward) over the same user_id
+    partitioning — that must cost ONE hashpartitioning exchange, with both
+    window nodes downstream of it."""
+    plan = plan_of(spark, "ts4_interpolate_linear")
+    assert plan.count("Exchange (") == 1, plan
+    assert plan.count("Window (") == 2, plan
+
+
+def test_q2_single_lineitem_scan(spark):
+    """The min-per-part rewrite must not re-read lineitem for the min join
+    (the old self-join shape scanned it twice)."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 5
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_feature_stage_is_map_only(spark):
+    """knn scoring happens in one mapInPandas stage; the only exchanges
+    after it are the candidate window's."""
+    plan = plan_of(spark, "s1_knn_bruteforce")
+    assert "MapInPandas" in plan
+    # no join anywhere: the broadcast happens via SparkContext, not a plan node
+    assert "Join" not in plan
