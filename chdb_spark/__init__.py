@@ -32,6 +32,7 @@ from chdb_spark import functions as F
 from chdb_spark import dbapi
 from chdb_spark.stateful import Session, StreamingResult
 from chdb_spark import durable
+from chdb_spark import agents
 from chdb_spark.udf import (
     ExceptionHandling,
     NullHandling,
@@ -55,6 +56,7 @@ __all__ = [
     "Session",
     "StreamingResult",
     "durable",
+    "agents",
     "chdb_udf",
     "create_function",
     "drop_function",
