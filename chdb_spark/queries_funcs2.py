@@ -1,0 +1,225 @@
+"""Function-family breadth batch 2 — URL / HASH / ENCODING / IP /
+TYPE_CONVERSION registry families driven end-to-end under the DuckDB
+oracle, plus the multimodal plumbing as a rows-only entry.
+
+Reference anchors: URL functions function_definitions.py:4346-4542, hash
+:3059-3101, encoding :5264-5345, IP :4561-4673, type conversion
+:2261-2345,7614-7842. Each query constructs deterministic inputs from the
+TPC-H tables so both engines evaluate identical strings/numbers — the
+oracle checks VALUES, not just shapes.
+
+All pure Column expressions (whole-stage codegen); the only Python is the
+multimodal decode stub, which is the point of that entry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.functions import fn
+from chdb_spark.queries import defquery, table
+
+# ---------------------------------------------------------------------------
+# fx1 — URL family over constructed URLs
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "fx1_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT n_nationkey,
+             'https://www.' || lower(replace(replace(n_name, ' ', ''), '_', '')) ||
+             '.example.com/region/' || n_regionkey || '?key=' || n_nationkey ||
+             '&lang=en#top' AS url
+      FROM nation
+    )
+    SELECT n_nationkey,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, '[?&]key=([^&#]*)', 1) AS key_param,
+           'example.com' AS tld_domain
+    FROM u
+    """,
+    doc="URL family (reference :4346-4542): domain/path/queryString/fragment/"
+        "extractURLParameter via parse_url — JVM-side; oracle recomputes with "
+        "regexes so values (not implementations) are compared.",
+)
+def fx1_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = table(spark, sf_dir, "nation")
+    url = F.concat(
+        F.lit("https://www."),
+        # NB: strip underscores as well as spaces — Java's URI parser (behind
+        # parse_url) returns NULL HOST for hostnames containing "_"
+        F.lower(F.regexp_replace("n_name", "[ _]", "")),
+        F.lit(".example.com/region/"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("?key="),
+        F.col("n_nationkey").cast("string"),
+        F.lit("&lang=en#top"),
+    )
+    u = nat.select("n_nationkey", url.alias("url"))
+    return u.select(
+        "n_nationkey",
+        fn("domain")(F.col("url")).alias("host"),
+        fn("path")(F.col("url")).alias("path"),
+        fn("queryString")(F.col("url")).alias("query"),
+        fn("fragment")(F.col("url")).alias("fragment"),
+        fn("extractURLParameter")(F.col("url"), "key").alias("key_param"),
+        F.lit("example.com").alias("tld_domain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fx2 — digest family
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "fx2_hash_digests",
+    oracle="""
+    SELECT r_name,
+           md5(r_name) AS md5_hex,
+           sha256(r_name) AS sha256_hex,
+           CAST(length(md5(r_name)) AS BIGINT) AS md5_len
+    FROM region
+    """,
+    doc="hash family (reference :3059-3101): md5/sha256 hex digests match "
+        "across engines byte-for-byte; xxhash/cityHash are engine-specific "
+        "and covered by self-consistency tests instead.",
+)
+def fx2_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = table(spark, sf_dir, "region")
+    return reg.select(
+        "r_name",
+        F.md5(F.col("r_name").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("r_name").cast("binary"), 256).alias("sha256_hex"),
+        F.length(F.md5(F.col("r_name").cast("binary"))).cast("long").alias("md5_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fx3 — encoding family
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "fx3_encoding",
+    oracle="""
+    SELECT n_nationkey,
+           upper(hex(n_nationkey)) AS hexed,
+           to_base64(n_name::BLOB) AS b64,
+           CAST(bit_count(n_nationkey) AS BIGINT) AS bits
+    FROM nation
+    """,
+    doc="encoding family (reference :5264-5345): hex/base64/bitCount. "
+        "Spark hex(int) and DuckDB hex(int) agree on uppercase no-padding "
+        "form; base64 is RFC 4648 on both.",
+)
+def fx3_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = table(spark, sf_dir, "nation")
+    return nat.select(
+        "n_nationkey",
+        F.upper(F.hex(F.col("n_nationkey"))).alias("hexed"),
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.bit_count(F.col("n_nationkey")).cast("long").alias("bits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fx4 — IP family over synthesized addresses
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "fx4_ip_math",
+    oracle="""
+    WITH ips AS (
+      SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS ipnum
+      FROM orders WHERE o_orderkey <= 1000
+    )
+    SELECT o_orderkey,
+           CAST(ipnum // 16777216 AS BIGINT) || '.' ||
+           CAST((ipnum // 65536) % 256 AS BIGINT) || '.' ||
+           CAST((ipnum // 256) % 256 AS BIGINT) || '.' ||
+           CAST(ipnum % 256 AS BIGINT) AS ip_str,
+           CAST(ipnum // 16777216 AS BIGINT) AS octet1,
+           (ipnum < 2147483648) AS class_low
+    FROM ips
+    """,
+    doc="IP family (reference :4561-4673): IPv4NumToString as pure integer "
+        "Column math (shifts + concat) — both engines derive the dotted quad "
+        "from the same synthesized uint32.",
+)
+def fx4_ip_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    ipnum = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    ips = orders.select("o_orderkey", ipnum.alias("ipnum"))
+    return ips.select(
+        "o_orderkey",
+        fn("IPv4NumToString")(F.col("ipnum")).alias("ip_str"),
+        (F.col("ipnum") / 16777216).cast("long").alias("octet1"),
+        (F.col("ipnum") < 2147483648).alias("class_low"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fx5 — type-conversion family
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "fx5_type_conversion",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS price_dec,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           TRY_CAST(l_returnflag AS DOUBLE) IS NULL AS not_numeric
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+    doc="type-conversion family (reference :7614-7842): toInt64/toString/"
+        "toDecimal/toDate plus the OrNull cast form (accurateCastOrNull → "
+        "try_cast) — permissive semantics match DuckDB TRY_CAST.",
+)
+def fx5_type_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty_int"),
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)").cast("double"), 2).alias("price_dec"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_returnflag").try_cast("double").isNull().alias("not_numeric"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m1 — multimodal plumbing (rows-only: binary payloads are engine-internal)
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "m1_multimodal_pipeline",
+    None,  # binary decode is a stubbed non-SQL surface; driver does rows-only
+    doc="multimodal column pipeline: documents → opaque binary payload + "
+        "typed metadata → mapInPandas decode stub → per-image features. "
+        "The decode is a deterministic fake (no codec libs in container); "
+        "schema, Arrow batching, and partition plumbing are real "
+        "(chdb_spark/multimodal.py).",
+)
+def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.multimodal import decode_images
+
+    docs = table(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("image").alias("kind"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    return decode_images(media)
