@@ -120,6 +120,30 @@ def verify_pairs(cand: DataFrame, ex: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def verify_pairs_arrays(cand: DataFrame, feats: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs via per-doc hash ARRAYS.
+
+    Joins the (small) candidate set against the feature table twice and
+    computes |A∩B| with native array_intersect — no explode, no
+    count-groupBy; per-pair work is O(|hs|) on arrays bounded by document
+    length. Faster than the inverted-index join (verify_pairs) whenever
+    candidates ≪ corpus, which LSH guarantees; the inverted-index form
+    remains for corpora whose per-doc arrays would not be memory-bounded.
+    """
+    fa = feats.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    fb = feats.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def _perm_consts(k: int) -> list[tuple[int, int]]:
     """Deterministic universal-hash constants (a_j odd, b_j) for k
     permutations, derived from a fixed-seed LCG — no RNG state at runtime."""
@@ -231,15 +255,20 @@ def doc_features(
                 fp_all = np.zeros(ndocs, dtype=np.uint64)
                 if flat_t:
                     allt = pd.util.hash_array(np.asarray(flat_t, dtype=object))
-                    bits = ((allt[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                        np.int64
+                    # (Ntok, 64) uint8 bit matrix via unpackbits — 8x smaller
+                    # than the shift-based int64 form, same bit order
+                    # (little-endian bytes + little bitorder = bit j at col j)
+                    bits = np.unpackbits(
+                        allt.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
                     )
                     nzt = tlens > 0
-                    sums = np.add.reduceat(bits, _starts(tlens[nzt]), axis=0)
-                    votes = 2 * sums - tlens[nzt][:, None]
-                    fp_all[nzt] = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
-                        axis=1, dtype=np.uint64
+                    sums = np.add.reduceat(
+                        bits, _starts(tlens[nzt]), axis=0, dtype=np.int64
                     )
+                    votes = 2 * sums - tlens[nzt][:, None]
+                    fp_all[nzt] = np.packbits(
+                        (votes > 0).astype(np.uint8), axis=1, bitorder="little"
+                    ).view(np.uint64)[:, 0]
                 fp_col = fp_all.view(np.int64)
             else:
                 fp_col = np.zeros(ndocs, dtype=np.int64)
@@ -410,12 +439,11 @@ def minhash_lsh_dedup(
         docs, id_col, text_col, n=n, k=k, bands=bands, with_simhash=False
     ).persist()
     feats.count()
-    ex = feats.select("doc_id", F.explode("hs").alias("h"))
     banded = feats.select(
         "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
     cand = candidate_pairs_from_buckets(banded, ["band_idx", "band_hash"])
-    return verify_pairs(cand, ex, threshold)
+    return verify_pairs_arrays(cand, feats, threshold)
 
 
 def simhash_dedup(
@@ -436,7 +464,6 @@ def simhash_dedup(
         docs, id_col, text_col, n=3, with_minhash=False, with_simhash=True
     ).persist()
     feats.count()  # eager: see minhash_lsh_dedup
-    ex = feats.select("doc_id", F.explode("hs").alias("h"))
     fp = feats.select("doc_id", "fp")
     banded = fp.select(
         "doc_id",
@@ -454,7 +481,7 @@ def simhash_dedup(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return verify_pairs(cand, ex, threshold)
+    return verify_pairs_arrays(cand, feats, threshold)
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", order_col: str = "doc_id") -> DataFrame:
