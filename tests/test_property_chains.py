@@ -52,8 +52,17 @@ head_op = st.tuples(
     st.just("sort_head"), st.just(None), st.integers(min_value=0, max_value=10)
 )
 
+# ordered ops run over the injected unique row-id `i`, so the Spark window
+# order equals the pandas row order deterministically
+cumsum_op = st.just(("cumsum_a", None, None))
+diff_op = st.just(("diff_a", None, None))
+shift_op = st.tuples(st.just("shift_b"), st.just(None), st.integers(min_value=1, max_value=2))
+rolling_op = st.just(("rolling_a", None, None))
+dup_op = st.just(("duplicated_c", None, None))
+
 chain = st.lists(
-    st.one_of(filter_op, query_op, assign_op, fillna_op, dropna_op, distinct_op, head_op),
+    st.one_of(filter_op, query_op, assign_op, fillna_op, dropna_op, distinct_op,
+              head_op, cumsum_op, diff_op, shift_op, rolling_op, dup_op),
     min_size=1,
     max_size=5,
 )
@@ -80,6 +89,16 @@ def _apply_spark(ds: DataStore, op) -> DataStore:
         return DataStore(
             ds.df.orderBy(*[F.col(c).asc_nulls_first() for c in cols]).limit(arg)
         )
+    if name == "cumsum_a":
+        return ds.cumsum("a", order_by="i")
+    if name == "diff_a":
+        return ds.diff("a", order_by="i")
+    if name == "shift_b":
+        return ds.shift("b", arg, order_by="i")
+    if name == "rolling_a":
+        return ds.rolling(3, "a", "mean", order_by="i")
+    if name == "duplicated_c":
+        return ds.duplicated(subset=["c"], order_by="i")
     raise AssertionError(name)
 
 
@@ -100,6 +119,20 @@ def _apply_pandas(pdf: pd.DataFrame, op) -> pd.DataFrame:
     if name == "sort_head":
         cols = list(pdf.columns)
         return pdf.sort_values(cols, na_position="first").head(arg)
+    if name == "cumsum_a":
+        return pdf.assign(a_cumsum=pdf.sort_values("i")["a"].cumsum())
+    if name == "diff_a":
+        return pdf.assign(a_diff=pdf.sort_values("i")["a"].diff())
+    if name == "shift_b":
+        return pdf.assign(b_shift=pdf.sort_values("i")["b"].shift(arg))
+    if name == "rolling_a":
+        return pdf.assign(
+            a_rolling_mean=pdf.sort_values("i")["a"].rolling(3).mean()
+        )
+    if name == "duplicated_c":
+        return pdf.assign(
+            duplicated=pdf.sort_values("i").duplicated(subset=["c"])
+        )
     raise AssertionError(name)
 
 
@@ -128,9 +161,10 @@ def test_chain_matches_pandas(spark, data, ops, term):
     pdf = pd.DataFrame(data, columns=["a", "b", "c"]).astype(
         {"a": "int64", "b": "float64", "c": "object"}
     )
+    pdf.insert(0, "i", range(len(pdf)))  # unique row id for ordered ops
     ds = DataStore(
         spark.createDataFrame(pdf) if len(pdf) else
-        spark.createDataFrame([], "a bigint, b double, c string")
+        spark.createDataFrame([], "i bigint, a bigint, b double, c string")
     )
     p = pdf
     for op in ops:
