@@ -34,6 +34,7 @@ import pandas as pd
 
 __all__ = [
     "chdb_udf",
+    "chdb_udtf",
     "create_function",
     "drop_function",
     "register_udfs",
@@ -283,6 +284,47 @@ def register_udfs(spark) -> list[str]:
     for udf_obj in _REGISTRY.values():
         udf_obj.register(spark)
     return sorted(_REGISTRY)
+
+
+def chdb_udtf(schema: str | dict[str, str], *, name: str | None = None):
+    """Table-function decorator — the analogue of the reference's
+    UDTF surface (SURVEY §2.10: ``PyReader`` + ``Python()`` table function,
+    reference chdb/__init__.py:222, cc_extension.py:1-17) on Spark 4's
+    native Python UDTF.
+
+    ``schema`` is either a Spark DDL string (``"word string, n int"``) or a
+    mapping of column → ClickHouse type string (translated via
+    ``ch_type_to_spark``). The decorated class must define ``eval(self,
+    *args)`` yielding tuples; ``register(spark)`` exposes it to SQL:
+
+    >>> @chdb_udtf({"word": "String", "n": "UInt32"})
+    ... class SplitWords:
+    ...     def eval(self, text: str):
+    ...         for w in (text or "").split():
+    ...             yield (w, len(w))
+    >>> SplitWords.register(spark)
+    >>> spark.sql("SELECT * FROM split_words('a bb ccc')")
+    """
+    from pyspark.sql.functions import udtf as _udtf
+
+    if isinstance(schema, dict):
+        ddl = ", ".join(f"{k} {ch_type_to_spark(v)}" for k, v in schema.items())
+    else:
+        ddl = schema
+
+    def deco(cls):
+        wrapped = _udtf(cls, returnType=ddl)
+        fn_name = name or re.sub(r"(?<!^)(?=[A-Z])", "_", cls.__name__).lower()
+
+        def register(spark):
+            spark.udtf.register(fn_name, wrapped)
+            return wrapped
+
+        wrapped.register = register
+        wrapped.name = fn_name
+        return wrapped
+
+    return deco
 
 
 def load_udf_path(spark, udf_path: str) -> list[str]:

@@ -235,3 +235,37 @@ def test_catalog_helpers(spark):
     use_database(spark, "cat_test_db")
     assert spark.catalog.currentDatabase() == "cat_test_db"
     use_database(spark, "default")
+
+
+def test_chdb_udtf_sql_and_lateral(spark):
+    from chdb_spark.udf import chdb_udtf
+
+    @chdb_udtf({"word": "String", "n": "UInt32"})
+    class SplitWordsT:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    SplitWordsT.register(spark)
+    rows = spark.sql("SELECT * FROM split_words_t('a bb ccc')").collect()
+    assert [(r.word, r.n) for r in rows] == [("a", 1), ("bb", 2), ("ccc", 3)]
+    # lateral join over a table
+    spark.createDataFrame([("x y",), ("z",)], "s string").createOrReplaceTempView("udtf_src")
+    out = spark.sql(
+        "SELECT s, word FROM udtf_src, LATERAL split_words_t(s)"
+    ).collect()
+    assert len(out) == 3
+
+
+def test_chdb_udtf_ddl_schema(spark):
+    from chdb_spark.udf import chdb_udtf
+
+    @chdb_udtf("v int", name="range_squares_t")
+    class RangeSquares:
+        def eval(self, n: int):
+            for i in range(n):
+                yield (i * i,)
+
+    RangeSquares.register(spark)
+    rows = spark.sql("SELECT v FROM range_squares_t(4)").collect()
+    assert [r.v for r in rows] == [0, 1, 4, 9]
