@@ -34,6 +34,7 @@ import pandas as pd
 
 __all__ = [
     "chdb_udf",
+    "chdb_udaf",
     "chdb_udtf",
     "create_function",
     "drop_function",
@@ -284,6 +285,51 @@ def register_udfs(spark) -> list[str]:
     for udf_obj in _REGISTRY.values():
         udf_obj.register(spark)
     return sorted(_REGISTRY)
+
+
+def chdb_udaf(return_type: str = "Float64", *, name: str | None = None):
+    """Aggregate-function decorator (SURVEY §2.10: the reference exposes no
+    Python UDAF — engine-side -State/-Merge combinators only; Spark's
+    GROUPED_AGG pandas_udf provides the superset here).
+
+    The function receives one pandas Series per argument for a whole group
+    (Arrow-batched) and returns one scalar:
+
+    >>> @chdb_udaf(return_type="Float64")
+    ... def geo_mean(v):
+    ...     import numpy as np
+    ...     return float(np.exp(np.log(v[v > 0]).mean()))
+    >>> geo_mean.register(spark)
+    >>> df.groupBy("k").agg(geo_mean.column(F.col("v")))
+
+    Partial aggregation note: GROUPED_AGG evaluates once per group after a
+    full shuffle of the group's rows (no map-side combine) — fine for
+    bounded groups, the documented slow path otherwise; prefer registry
+    aggregates for hot paths.
+    """
+
+    def deco(fn: Callable[..., Any]):
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.functions import PandasUDFType
+
+        spark_type = ch_type_to_spark(return_type)
+        agg = pandas_udf(fn, spark_type, PandasUDFType.GROUPED_AGG)
+        fn_name = name or fn.__name__
+
+        def register(spark):
+            spark.udf.register(fn_name, agg)
+            return agg
+
+        def column(*cols):
+            return agg(*cols)
+
+        agg_obj = agg
+        agg_obj.register = register
+        agg_obj.column = column
+        agg_obj.name = fn_name
+        return agg_obj
+
+    return deco
 
 
 def chdb_udtf(schema: str | dict[str, str], *, name: str | None = None):

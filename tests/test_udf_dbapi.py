@@ -269,3 +269,31 @@ def test_chdb_udtf_ddl_schema(spark):
     RangeSquares.register(spark)
     rows = spark.sql("SELECT v FROM range_squares_t(4)").collect()
     assert [r.v for r in rows] == [0, 1, 4, 9]
+
+
+def test_chdb_udaf_grouped_agg(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chdb_spark.udf import chdb_udaf
+
+    @chdb_udaf(return_type="Float64")
+    def geo_mean_t(v):
+        arr = v[v > 0]
+        return float(np.exp(np.log(arr).mean())) if len(arr) else 0.0
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("b", 9.0)], "k string, v double"
+    )
+    out = {
+        r.k: r.g
+        for r in df.groupBy("k").agg(geo_mean_t.column(F.col("v")).alias("g")).collect()
+    }
+    assert abs(out["a"] - 2.0) < 1e-9 and abs(out["b"] - 9.0) < 1e-9
+    # SQL registration path
+    geo_mean_t.register(spark)
+    df.createOrReplaceTempView("udaf_src")
+    rows = spark.sql(
+        "SELECT k, geo_mean_t(v) AS g FROM udaf_src GROUP BY k ORDER BY k"
+    ).collect()
+    assert abs(rows[0].g - 2.0) < 1e-9
