@@ -269,3 +269,145 @@ def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "fingerprint")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene; north-star text-analysis family)
+# ---------------------------------------------------------------------------
+
+#: Conservative patterns; ORDER MATTERS (emails before bare domains, etc.).
+#: Kept identical in the DuckDB oracle so redaction is value-checked.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d\s().-]{7,}\d\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def scrub_pii(col) -> F.Column:
+    """Chained regexp_replace redaction — pure Column expressions, map-only
+    at any scale (the hot path of a cleaning pipeline must not touch
+    Python). Patterns are deliberately conservative: false negatives beat
+    corrupting clean text."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+@defquery(
+    "t5_pii_scrub",
+    oracle="""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact ' || lower(replace(source, ' ', '')) ||
+             '@mail-' || (doc_id % 50) || '.com or 10.0.' || (doc_id % 256) ||
+             '.' || ((doc_id * 7) % 256) AS dirty
+      FROM documents WHERE doc_id < 1000
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(dirty,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\+?\\d[\\d\\s().-]{7,}\\d\\b', '<PHONE>', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS clean,
+           CAST(length(dirty) - length(regexp_replace(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '', 'g')) > 0 AS BOOLEAN)
+             AS had_email
+    FROM synth
+    """,
+    doc="PII redaction over deterministically synthesized dirty text "
+        "(emails + IPs injected from doc metadata): chained regexp_replace, "
+        "value-checked against DuckDB applying the identical patterns.",
+)
+def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.lower(F.regexp_replace("source", " ", "")),
+        F.lit("@mail-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    synth = docs.select("doc_id", dirty.alias("dirty"))
+    return synth.select(
+        "doc_id",
+        scrub_pii(F.col("dirty")).alias("clean"),
+        F.col("dirty").rlike(PII_PATTERNS[0][0]).alias("had_email"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document packing (concat-and-chunk, GPT-style pretraining batches)
+# ---------------------------------------------------------------------------
+
+
+def pack_documents(
+    docs: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    token_count_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign documents to fixed-capacity context chunks by concatenation
+    order (the streaming "concat-and-chunk" packing used for pretraining
+    token streams): documents are laid out in ``id_col`` order, and each
+    doc's chunk is ``floor(start_offset / capacity)``; ``spans_boundary``
+    marks docs split across two chunks.
+
+    One window cumsum over a deterministic order — O(1) state, one
+    exchange. First-fit-decreasing bin packing (less waste, sequential) is
+    deliberately NOT the scale path; concat-and-chunk is what the big
+    pipelines do because it is order-stable and embarrassingly windowable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    end = start + F.col(token_count_col)
+    return docs.select(
+        id_col,
+        F.col(token_count_col),
+        start.alias("start_offset"),
+        F.floor(start / capacity).cast("long").alias("chunk_id"),
+        (F.floor(start / capacity) != F.floor((end - 1) / capacity)).alias(
+            "spans_boundary"
+        ),
+    )
+
+
+@defquery(
+    "t6_pack_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, length(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 2048) AS BIGINT) AS chunk_id,
+           floor(start_offset / 2048)
+             != floor((start_offset + n_tokens - 1) / 2048) AS spans_boundary
+    FROM laid
+    """,
+    doc="concat-and-chunk packing into 2048-token contexts over the "
+        "whitespace token counts; global window is the intentional layout "
+        "order (at scale: pack per shard/partition key, same expression).",
+)
+def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    return pack_documents(with_counts, capacity=2048)
