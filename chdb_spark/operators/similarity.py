@@ -260,6 +260,119 @@ def ivf_assign(
     )
 
 
+def kmeans(
+    corpus: DataFrame,
+    k: int = 16,
+    max_iters: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Scale shape: each iteration is ONE map-only pass — every Arrow batch
+    computes nearest-centroid assignments with a BLAS product and emits at
+    most k partial rows (per-cell vector sum + count), so the driver
+    collects k × num_batches tiny rows per iteration regardless of corpus
+    size; centroid update happens driver-side on a (k, dim) matrix. No
+    shuffle at all. Deterministic: farthest-point init on the lowest-id
+    sample, fixed iteration order.
+
+    Returns ``(centroids DataFrame (c_id, c_vec), assignments DataFrame
+    (id_col, cluster))``.
+    """
+    spark = corpus.sparkSession
+    dim = _dim_of(corpus, vec_col)
+
+    sample_rows = (
+        corpus.orderBy(id_col).limit(max(k * 8, 64)).select(vec_col).collect()
+    )
+    S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
+    # deterministic farthest-point (k-means++ without RNG) init
+    cents = [S[0]]
+    d2 = ((S - S[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(k, len(S))):
+        nxt = int(np.argmax(d2))
+        cents.append(S[nxt])
+        d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+    C = np.stack(cents)
+
+    sel = corpus.select(id_col, vec_col)
+    target = spark.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+    sel = sel.persist()
+    sel.count()
+
+    try:
+        for _ in range(max_iters):
+            bc = spark.sparkContext.broadcast(C)
+
+            def partials(batches):
+                Cb = bc.value
+                kk = Cb.shape[0]
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                    # nearest centroid by euclidean distance: argmin ||a-c||^2
+                    d = (A**2).sum(1)[:, None] - 2 * A @ Cb.T + (Cb**2).sum(1)[None, :]
+                    cell = np.argmin(d, axis=1)
+                    sums = np.zeros((kk, A.shape[1]))
+                    np.add.at(sums, cell, A)
+                    counts = np.bincount(cell, minlength=kk)
+                    nz = counts > 0
+                    yield pd.DataFrame(
+                        {
+                            "cell": np.arange(kk)[nz],
+                            "vsum": list(sums[nz]),
+                            "cnt": counts[nz],
+                        }
+                    )
+
+            rows = sel.mapInPandas(
+                partials, "cell int, vsum array<double>, cnt long"
+            ).collect()
+            sums = np.zeros_like(C)
+            counts = np.zeros(C.shape[0], dtype=np.int64)
+            for r in rows:
+                sums[r.cell] += np.asarray(r.vsum)
+                counts[r.cell] += r.cnt
+            newC = C.copy()
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz][:, None]
+            shift = float(np.abs(newC - C).max())
+            C = newC
+            bc.destroy()
+            if shift < tol:
+                break
+
+        bc2 = spark.sparkContext.broadcast(C)
+
+        def assign(batches):
+            Cb = bc2.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                d = (A**2).sum(1)[:, None] - 2 * A @ Cb.T + (Cb**2).sum(1)[None, :]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "cluster": np.argmin(d, axis=1).astype(np.int64),
+                    }
+                )
+
+        assignments = sel.mapInPandas(assign, f"{id_col} long, cluster long")
+        centroids = spark.createDataFrame(
+            [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
+            "c_id long, c_vec array<double>",
+        )
+        return centroids, assignments
+    finally:
+        sel.unpersist()
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -463,3 +576,22 @@ def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
     return cosine_neardup_pairs_blocked(emb, threshold=0.45).orderBy("vec_a", "vec_b")
+
+
+@defquery(
+    "km1_kmeans_clusters",
+    None,  # iterative algorithm — not SQL-expressible; rows-only driver check
+    doc="distributed Lloyd's k-means (k=8, deterministic farthest-point "
+        "init): per-iteration map-only partial sums (<= k rows per Arrow "
+        "batch collected), centroid update driver-side; returns cluster "
+        "sizes. Differentially tested against a pure-numpy reference in "
+        "tests/test_operators.py.",
+)
+def km1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    _, assignments = kmeans(emb, k=8, max_iters=5)
+    return (
+        assignments.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .orderBy("cluster")
+    )

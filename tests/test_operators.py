@@ -141,3 +141,45 @@ def test_exact_dedup_keeps_lowest_id(spark):
     )
     kept = {r.doc_id for r in exact_dedup(df).collect()}
     assert kept == {1, 2}
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """Distributed Lloyd's must produce EXACTLY the same assignments as a
+    single-machine numpy implementation run from the same deterministic
+    init (same iteration count, same tie-breaking)."""
+    import numpy as np
+
+    from chdb_spark.operators.similarity import kmeans
+    from chdb_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    k, iters = 6, 4
+    cents, assign = kmeans(emb, k=k, max_iters=iters, tol=0.0)
+    got = {r.vec_id: r.cluster for r in assign.collect()}
+
+    rows = sorted(
+        ((r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    A = np.stack([t[1] for t in rows])
+    S = A[np.argsort(ids)][: max(k * 8, 64)]
+    cents_ref = [S[0]]
+    d2 = ((S - S[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        cents_ref.append(S[nxt])
+        d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+    C = np.stack(cents_ref)
+    for _ in range(iters):
+        d = (A**2).sum(1)[:, None] - 2 * A @ C.T + (C**2).sum(1)[None, :]
+        cell = np.argmin(d, axis=1)
+        newC = C.copy()
+        for j in range(k):
+            m = cell == j
+            if m.any():
+                newC[j] = A[m].mean(axis=0)
+        C = newC
+    d = (A**2).sum(1)[:, None] - 2 * A @ C.T + (C**2).sum(1)[None, :]
+    want = dict(zip(ids.tolist(), np.argmin(d, axis=1).tolist()))
+    assert got == want
