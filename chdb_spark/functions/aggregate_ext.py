@@ -587,3 +587,54 @@ def stochastic_logistic_regression(
     return spark.createDataFrame(
         [tuple(w)], ["intercept"] + [f"w_{f}" for f in feats]
     )
+
+
+@register("largestTriangleThreeBuckets", "AGGREGATE", kind="TABLE",
+          doc="LTTB time-series downsampling to n points (reference "
+              "largestTriangleThreeBuckets): per-series applyInPandas "
+              "(the selection is sequential by construction); series "
+              "partition by key so state is one series per task")
+def largest_triangle_three_buckets(
+    df: DataFrame, x: str, y: str, n: int, by: list[str] | None = None
+) -> DataFrame:
+    """Downsample each (by-group) series to ``n`` visually-representative
+    points: first/last kept, interior points picked to maximize the
+    triangle area with the previously selected point and the next bucket's
+    centroid. Scale: one shuffle on the group key; each task holds one
+    series (time-series row counts are bounded per entity by definition —
+    the unbounded case should pre-aggregate to a coarser grain first)."""
+    import numpy as np
+    import pandas as pd
+
+    keys = by or []
+
+    def lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x)
+        xs = pdf[x].to_numpy(dtype=np.float64)
+        ys = pdf[y].to_numpy(dtype=np.float64)
+        m = len(xs)
+        if m <= n:
+            return pdf[keys + [x, y]]
+        idx = [0]
+        bounds = np.linspace(1, m - 1, n - 1).astype(np.int64)
+        for b in range(n - 2):
+            lo, hi = bounds[b], bounds[b + 1]
+            nxt_lo, nxt_hi = bounds[b + 1], (bounds[b + 2] if b + 2 < n - 1 else m)
+            cx, cy = xs[nxt_lo:nxt_hi].mean(), ys[nxt_lo:nxt_hi].mean()
+            ax, ay = xs[idx[-1]], ys[idx[-1]]
+            area = np.abs(
+                (ax - cx) * (ys[lo:hi] - ay) - (ax - xs[lo:hi]) * (cy - ay)
+            )
+            idx.append(lo + int(np.argmax(area)))
+        idx.append(m - 1)
+        return pdf.iloc[idx][keys + [x, y]]
+
+    schema_cols = keys + [x, y]
+    schema = ", ".join(
+        f"{c} {dict(df.dtypes)[c]}" for c in schema_cols
+    )
+    if keys:
+        return df.select(*schema_cols).groupBy(*keys).applyInPandas(lttb, schema)
+    return df.select(*schema_cols).groupBy(F.lit(1).alias("_g")).applyInPandas(
+        lambda pdf: lttb(pdf.drop(columns=["_g"], errors="ignore")), schema
+    )

@@ -400,3 +400,33 @@ def test_ols_closed_form(spark):
     row = fn("stochasticLinearRegression")(df, "y", "x").collect()[0]
     assert abs(row["intercept"] - 1.0) < 1e-9
     assert abs(row["w_x"] - 2.0) < 1e-9
+
+
+def test_lttb_downsampling(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chdb_spark.functions import registry
+    from chdb_spark.session import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001/events.parquet").withColumn(
+        "xs", F.unix_timestamp("ts").cast("double")
+    )
+    out = registry.get("largestTriangleThreeBuckets")(
+        ev, "xs", "value", 25, by=["event_type"]
+    ).collect()
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append((r.xs, r.value))
+    full = {
+        r.event_type: (r.mn, r.mx)
+        for r in ev.groupBy("event_type").agg(
+            F.min("xs").alias("mn"), F.max("xs").alias("mx")
+        ).collect()
+    }
+    for t, pts in by_type.items():
+        xs = [p[0] for p in pts]
+        assert len(pts) == 25
+        # endpoints preserved, output ordered in x
+        assert min(xs) == full[t][0] and max(xs) == full[t][1]
+        assert xs == sorted(xs)
