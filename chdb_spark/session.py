@@ -132,6 +132,14 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    # Driver-session-proof: callers may hand us a SparkSession built without
+    # DEFAULT_CONFS (e.g. an external harness). nanosAsLong is runtime-settable,
+    # and without it any parquet with TIMESTAMP(NANOS) columns fails the scan
+    # with PARQUET_TYPE_ILLEGAL. Set it here, right before the read.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down (e.g. spark-connect policy) — fall through
     df = spark.read.parquet(path)
     try:
         arrow_schema = pq.read_schema(path)
