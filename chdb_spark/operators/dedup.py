@@ -606,13 +606,16 @@ def ngram_jaccard_pairs(
     mass, not corpus². |A∩B| = count of equi-join matches on shingle hash;
     |A∪B| = |A|+|B|-|A∩B|. All codegen'd equi-joins + hash agg; the one
     shuffle is keyed by shingle hash (AQE skew-split absorbs hot shingles).
-    Blocking (same lang, length bucket ±1) prunes cross-topic matches."""
-    meta = F.broadcast(
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            "lang",
-            F.floor(F.col("n_chars") / 40).alias("lb"),
-        )
+    Blocking (same lang, length bucket ±1) prunes cross-topic matches.
+
+    The per-doc metadata relation grows with the corpus, so it is joined
+    plainly (doc_id equi-join into the already-shuffling pipeline) — never
+    force-broadcast; AQE upgrades the join to broadcast only when the side
+    is actually small."""
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        "lang",
+        F.floor(F.col("n_chars") / 40).alias("lb"),
     )
     feats = doc_features(
         docs, id_col, text_col, n=n, with_minhash=False, with_simhash=False

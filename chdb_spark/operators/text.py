@@ -355,26 +355,45 @@ def pack_documents(
     capacity: int,
     id_col: str = "doc_id",
     token_count_col: str = "n_tokens",
+    num_shards: int = 16,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-capacity context chunks by concatenation
     order (the streaming "concat-and-chunk" packing used for pretraining
-    token streams): documents are laid out in ``id_col`` order, and each
-    doc's chunk is ``floor(start_offset / capacity)``; ``spans_boundary``
-    marks docs split across two chunks.
+    token streams): documents are laid out per-shard in ``id_col`` order,
+    and each doc's chunk within its shard is ``floor(start_offset /
+    capacity)``; ``spans_boundary`` marks docs split across two chunks.
 
-    One window cumsum over a deterministic order — O(1) state, one
-    exchange. First-fit-decreasing bin packing (less waste, sequential) is
-    deliberately NOT the scale path; concat-and-chunk is what the big
-    pipelines do because it is order-stable and embarrassingly windowable.
+    Packing is PER-SHARD: the window partitions on ``shard_col`` (or a
+    deterministic ``pmod(id, num_shards)`` when none is given), so the
+    cumsum never funnels the whole corpus through one reducer — each shard
+    packs independently and chunk identity is the (shard_id, chunk_id)
+    pair. A single global ``Window.orderBy`` would serialize 100 TB
+    through one task; per-shard packing is what large pretraining
+    pipelines ship (each output shard is one token stream).
+
+    One shuffle on the shard key, O(1) window state per row.
+    First-fit-decreasing bin packing (less waste, sequential) is
+    deliberately NOT the scale path; concat-and-chunk is order-stable and
+    embarrassingly windowable.
     """
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    shard = (
+        F.col(shard_col) if shard_col else F.pmod(F.col(id_col), F.lit(num_shards))
+    ).cast("long")
+    sharded = docs.withColumn("shard_id", shard)
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(token_count_col).over(w), F.lit(0)).cast("long")
     end = start + F.col(token_count_col)
-    return docs.select(
+    return sharded.select(
         id_col,
         F.col(token_count_col),
+        "shard_id",
         start.alias("start_offset"),
         F.floor(start / capacity).cast("long").alias("chunk_id"),
         (F.floor(start / capacity) != F.floor((end - 1) / capacity)).alias(
@@ -391,19 +410,23 @@ def pack_documents(
       FROM documents
     ), laid AS (
       SELECT doc_id, n_tokens,
-             COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+             CAST(doc_id % 16 AS BIGINT) AS shard_id,
+             CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id % 16
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
       FROM toks
     )
-    SELECT doc_id, n_tokens, start_offset,
+    SELECT doc_id, n_tokens, shard_id, start_offset,
            CAST(floor(start_offset / 2048) AS BIGINT) AS chunk_id,
            floor(start_offset / 2048)
              != floor((start_offset + n_tokens - 1) / 2048) AS spans_boundary
     FROM laid
     """,
     doc="concat-and-chunk packing into 2048-token contexts over the "
-        "whitespace token counts; global window is the intentional layout "
-        "order (at scale: pack per shard/partition key, same expression).",
+        "whitespace token counts, sharded by pmod(doc_id, 16) so the "
+        "packing window partitions (no global single-reducer sort); chunk "
+        "identity is the (shard_id, chunk_id) pair.",
 )
 def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

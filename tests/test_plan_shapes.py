@@ -133,3 +133,27 @@ def test_knn_feature_stage_is_map_only(spark):
     assert "MapInPandas" in plan
     # no join anywhere: the broadcast happens via SparkContext, not a plan node
     assert "Join" not in plan
+
+
+def test_pack_documents_window_is_partitioned(spark):
+    """t6 packing must never run a global unpartitioned window — at corpus
+    scale that serializes every row through one reducer. The plan's window
+    spec must carry a partition key (shard_id), and the single exchange must
+    be a hashpartitioning, not SinglePartition."""
+    plan = plan_of(spark, "t6_pack_documents")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "shard_id" in plan
+
+
+def test_dd4_no_forced_corpus_broadcast(spark):
+    """dd4's per-doc metadata grows with the corpus — it must reach the
+    join WITHOUT an explicit broadcast hint. With the auto-broadcast
+    threshold disabled, a hint-free plan has zero BroadcastExchange nodes;
+    a forced F.broadcast would survive the threshold and fail this."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "dd4_ngram_jaccard_blocked")
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
