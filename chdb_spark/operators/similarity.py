@@ -547,10 +547,60 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
+#: s2 is approximate vs BRUTE FORCE but fully deterministic as an algorithm
+#: (fixed lowest-32-id centroids, stable argsort probe order, fixed nprobe),
+#: so the oracle REPLAYS the same IVF in SQL: assign every vector to its
+#: max-cosine centroid (ties → lowest c_id, matching numpy argmax), probe
+#: each query's 4 best cells, brute-force within probed cells. Verified
+#: margins (min top1−top2 assignment gap 3.3e-4, probe gap 2.9e-3) are far
+#: above float64-vs-DuckDB rounding noise, so cell choices are stable.
+_S2_ORACLE = """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS c_id, v FROM corpus ORDER BY vec_id LIMIT 32
+    ),
+    assigned AS (
+      SELECT e.vec_id AS neighbor_id, e.v AS c_vec,
+             (SELECT c.c_id FROM cents c
+              ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.c_id
+              LIMIT 1) AS cell
+      FROM corpus e
+    ),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.v AS q_vec, p.c_id AS cell
+      FROM corpus q, LATERAL (
+        SELECT c.c_id FROM cents c
+        ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.c_id
+        LIMIT 4
+      ) p(c_id)
+      WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_cosine_similarity(p.q_vec, a.c_vec) AS cos
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id != a.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
 @defquery(
     "s2_ann_ivf",
-    None,  # approximate by design — recall vs brute force asserted in tests
-    doc="ANN top-5 via IVF-flat (32 cells, nprobe=4 → ~12% scan, recall≈0.9); rows-only driver check.",
+    _S2_ORACLE,
+    doc="ANN top-5 via IVF-flat (32 cells, nprobe=4 → ~12% scan); oracle "
+        "replays the deterministic IVF in SQL (same centroids, same probe "
+        "order, brute-force within probed cells).",
 )
 def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
@@ -578,14 +628,76 @@ def s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs_blocked(emb, threshold=0.45).orderBy("vec_a", "vec_b")
 
 
+def _km1_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64, sample_n: int = 64) -> str:
+    """SQL replay of the deterministic kmeans() run that km1 executes:
+    farthest-point init on the lowest-``sample_n``-id vectors, then
+    ``iters`` Lloyd iterations (argmin euclidean, ties → lowest cell id,
+    matching numpy argmin; empty cells keep their centroid). Valid because
+    the run is fully deterministic AND never early-stops at these SFs
+    (shift stays > tol through iteration 5) and the min top1−top2
+    assignment margin (5.6e-4 at sf0.01) dwarfs float summation-order
+    noise. Generated, not hand-written: one CTE pair per init pick and per
+    iteration."""
+    parts = [
+        "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""sample AS (
+          SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM corpus ORDER BY vec_id LIMIT {sample_n}
+        )""",
+        "i0 AS (SELECT v FROM sample WHERE rn = 1)",
+        "d0 AS (SELECT rn, v, list_distance(v, (SELECT v FROM i0))**2 AS d2 FROM sample)",
+    ]
+    for j in range(1, k):
+        parts.append(f"i{j} AS MATERIALIZED (SELECT v FROM d{j-1} ORDER BY d2 DESC, rn LIMIT 1)")
+        if j < k - 1:
+            parts.append(
+                f"d{j} AS (SELECT rn, v, least(d2, "
+                f"list_distance(v, (SELECT v FROM i{j}))**2) AS d2 FROM d{j-1})"
+            )
+    cents0 = " UNION ALL ".join(f"SELECT {j} AS c_id, v FROM i{j}" for j in range(k))
+    parts.append(f"cents0 AS ({cents0})")
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+          SELECT e.vec_id, e.v,
+                 (SELECT c.c_id FROM cents{t-1} c
+                  ORDER BY list_distance(e.v, c.v) ASC, c.c_id LIMIT 1) AS cell
+          FROM corpus e
+        )""")
+        parts.append(f"""m{t} AS (
+          SELECT cell AS c_id, gs AS idx, avg(v[gs]) AS av
+          FROM a{t}, generate_series(1, {dim}) t(gs)
+          GROUP BY cell, gs
+        )""")
+        parts.append(
+            f"n{t} AS (SELECT c_id, list(av ORDER BY idx) AS v FROM m{t} GROUP BY c_id)"
+        )
+        parts.append(f"""cents{t} AS (
+          SELECT c.c_id, COALESCE(n.v, c.v) AS v
+          FROM cents{t-1} c LEFT JOIN n{t} n USING (c_id)
+        )""")
+    parts.append(f"""final AS (
+      SELECT e.vec_id,
+             (SELECT c.c_id FROM cents{iters} c
+              ORDER BY list_distance(e.v, c.v) ASC, c.c_id LIMIT 1) AS cluster
+      FROM corpus e
+    )""")
+    body = ",\n    ".join(parts)
+    return (
+        body
+        + "\n    SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS n"
+        + " FROM final GROUP BY cluster ORDER BY cluster"
+    )
+
+
 @defquery(
     "km1_kmeans_clusters",
-    None,  # iterative algorithm — not SQL-expressible; rows-only driver check
+    _km1_oracle_sql(),
     doc="distributed Lloyd's k-means (k=8, deterministic farthest-point "
         "init): per-iteration map-only partial sums (<= k rows per Arrow "
         "batch collected), centroid update driver-side; returns cluster "
-        "sizes. Differentially tested against a pure-numpy reference in "
-        "tests/test_operators.py.",
+        "sizes. Oracle = generated SQL replay of the same deterministic "
+        "init + 5 Lloyd iterations; also differentially tested against a "
+        "pure-numpy reference in tests/test_operators.py.",
 )
 def km1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
