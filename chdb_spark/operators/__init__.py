@@ -11,6 +11,19 @@ from __future__ import annotations
 _REGISTERED = False
 
 
+def _repartition_feature_pass(sel):
+    """Round-robin a (id, payload) projection to full parallelism ahead of an
+    Arrow map pass. Unconditional by design: checking the current partition
+    count via ``df.rdd`` would force a driver-side plan→RDD conversion just
+    to maybe skip one exchange. Opt out with
+    ``spark.conf.set("spark.chdb.featurePass.repartition", "false")`` when
+    the scan's file splits already provide >= core parallelism."""
+    spark = sel.sparkSession
+    if spark.conf.get("spark.chdb.featurePass.repartition", "true") == "false":
+        return sel
+    return sel.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_operator_queries() -> None:
     """Idempotently import operator modules that carry @defquery entries."""
     global _REGISTERED

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chdb_spark.operators import _repartition_feature_pass
 from chdb_spark.queries import defquery, table
 
 # ---------------------------------------------------------------------------
@@ -285,11 +286,12 @@ def doc_features(
     sel = docs.select(id_a, text_col)
     # A small corpus can arrive as 1-2 scan partitions (one parquet file) —
     # that would serialize the map pass onto one worker. Round-robin to full
-    # parallelism first; the exchange carries only (id, text). At real scale
-    # the file splits already yield >= cores partitions and this no-ops.
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
-        sel = sel.repartition(target)
+    # parallelism first; the exchange carries only (id, text). Unconditional:
+    # probing the current partition count would force a plan→RDD conversion
+    # on the driver, and at scale the one extra exchange is cheaper than that.
+    # Disable via spark.chdb.featurePass.repartition=false when file splits
+    # already give full parallelism.
+    sel = _repartition_feature_pass(sel)
     return sel.mapInPandas(
         gen, "doc_id long, hs array<long>, band_hashes array<long>, fp long"
     )

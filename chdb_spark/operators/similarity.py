@@ -138,10 +138,9 @@ def knn_bruteforce(
                 }
             )
 
-    sel = corpus.select(id_col, vec_col)
-    target = spark.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
-        sel = sel.repartition(target)
+    from chdb_spark.operators import _repartition_feature_pass
+
+    sel = _repartition_feature_pass(corpus.select(id_col, vec_col))
     scored = sel.mapInPandas(gen, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -297,10 +296,9 @@ def kmeans(
         d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
     C = np.stack(cents)
 
-    sel = corpus.select(id_col, vec_col)
-    target = spark.sparkContext.defaultParallelism
-    if sel.rdd.getNumPartitions() < target:
-        sel = sel.repartition(target)
+    from chdb_spark.operators import _repartition_feature_pass
+
+    sel = _repartition_feature_pass(corpus.select(id_col, vec_col))
     sel = sel.persist()
     sel.count()
 

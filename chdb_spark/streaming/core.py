@@ -28,6 +28,18 @@ def stream_result(df: DataFrame, max_rows_per_chunk: int = 65536) -> Iterator:
         yield buf
 
 
+def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Spark's event-time watermark requires TIMESTAMP (LTZ). Parquet written
+    with NTZ/micros timestamps (the driver's testdata since round 2) infers
+    TIMESTAMP_NTZ, which ``withWatermark`` rejects. With the session TZ pinned
+    to UTC the cast is lossless, so normalize here once for every caller."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if ts_col in df.columns and isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -42,7 +54,7 @@ def windowed_counts(
     readStream DataFrame (watermark bounds state). State is partitioned by
     (window, keys) — at 100 TB/day the state store shards across executors.
     """
-    df = events
+    df = _ensure_event_time(events, ts_col)
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
@@ -70,7 +82,7 @@ def session_windows(
     """Session-window aggregation (F.session_window) — gap-closed sessions
     as a native streaming stateful op; batch DataFrames compute the same
     result without state."""
-    df = events
+    df = _ensure_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     out = df.groupBy(F.session_window(ts_col, gap), F.col(key)).agg(
@@ -103,11 +115,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # restore TimestampType for the nanosAsLong-read ts column
+    # restore TimestampType for the nanosAsLong-read ts column; micros parquet
+    # infers TIMESTAMP_NTZ, which event-time ops reject — normalize both.
     for f in static.schema.fields:
         if f.name == "ts" and str(stream.schema["ts"].dataType) == "LongType()":
             stream = stream.withColumn("ts", (F.col("ts") / 1_000_000_000).cast("timestamp"))
-    return stream
+    return _ensure_event_time(stream, "ts")
 
 
 def stateful_running_totals(
