@@ -1,0 +1,501 @@
+"""SQL output formats — the ``output_format`` axis of ``chdb.query``.
+
+The reference accepts 60+ ClickHouse format names and has the engine render
+the result as text/bytes in that format (reference chdb/__init__.py:145-217:
+everything that is not DataFrame/ArrowTable is passed to the engine as an
+output format string; docs/ examples lean on ``"Pretty"``, ``"CSV"``,
+``"JSONEachRow"``). Here the engine is Spark, so rendering happens on the
+*collected* result: ``df.toPandas()`` (Arrow transfer) then pure-Python
+string building.
+
+Scale posture: a format string is a *driver-side presentation* of a result
+the user asked to see — the reference semantics are identical (the full
+formatted payload materializes in process memory). Anything big should go
+through a sink (``chdb_spark.sinks``) or the lazy DataFrame path; formats
+exist for the human/API surface, not the 100 TB data path.
+
+Supported (canonical name — aliases in FORMAT_ALIASES):
+  text:   CSV, CSVWithNames, CSVWithNamesAndTypes,
+          TabSeparated(+WithNames/+WithNamesAndTypes/Raw),
+          Pretty, PrettyCompact, PrettyNoEscapes, PrettySpace,
+          JSON, JSONEachRow, JSONCompact, JSONCompactEachRow, JSONColumns,
+          JSONStrings, Values, Vertical, Markdown, Null
+  binary: Arrow, ArrowStream, Parquet
+  python: DataFrame (lazy Spark DF), Pandas, ArrowTable
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from datetime import date, datetime
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# ClickHouse type names (for WithNamesAndTypes rows and JSON meta)
+# ---------------------------------------------------------------------------
+
+_CH_SIMPLE = {
+    T.LongType: "Int64",
+    T.IntegerType: "Int32",
+    T.ShortType: "Int16",
+    T.ByteType: "Int8",
+    T.DoubleType: "Float64",
+    T.FloatType: "Float32",
+    T.StringType: "String",
+    T.BooleanType: "Bool",
+    T.DateType: "Date32",
+    T.TimestampType: "DateTime64(6)",
+    T.TimestampNTZType: "DateTime64(6)",
+    T.BinaryType: "String",
+    T.NullType: "Nothing",
+}
+
+
+def ch_type_name(dt: T.DataType, nullable: bool = False) -> str:
+    """Spark DataType → ClickHouse type name (reference meta rows carry CH
+    names; SURVEY.md §3.1 type mapping)."""
+    if isinstance(dt, T.DecimalType):
+        name = f"Decimal({dt.precision}, {dt.scale})"
+    elif isinstance(dt, T.ArrayType):
+        name = f"Array({ch_type_name(dt.elementType, dt.containsNull)})"
+        return name  # Array itself is never Nullable in CH
+    elif isinstance(dt, T.MapType):
+        name = (
+            f"Map({ch_type_name(dt.keyType)}, "
+            f"{ch_type_name(dt.valueType, dt.valueContainsNull)})"
+        )
+        return name
+    elif isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {ch_type_name(f.dataType, f.nullable)}" for f in dt.fields
+        )
+        return f"Tuple({inner})"
+    else:
+        name = _CH_SIMPLE.get(type(dt), str(dt.simpleString()))
+    if nullable and not name.startswith("Nullable("):
+        name = f"Nullable({name})"
+    return name
+
+
+# ---------------------------------------------------------------------------
+# scalar rendering
+# ---------------------------------------------------------------------------
+
+
+def _is_null(v: Any) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(v != v)  # NaN/NaT (pandas nulls); arrays compare elementwise
+    except ValueError:
+        return False
+
+
+def _fmt_float(v: float) -> str:
+    if math.isnan(v):
+        return "nan"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(float(v))
+
+
+def _plain(v: Any) -> str:
+    """Unescaped text of one value (Pretty/TSV body before escaping)."""
+    if _is_null(v):
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return _fmt_float(v)
+    if isinstance(v, datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}"
+        return s
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_quoted_inner(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_quoted_inner(k)}:{_quoted_inner(x)}" for k, x in v.items()) + "}"
+    return str(v)
+
+
+def _quoted_inner(v: Any) -> str:
+    """Array/map elements: strings get single quotes (CH nested rendering)."""
+    if _is_null(v):
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return _plain(v)
+
+
+def _tsv_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def _tsv_value(v: Any) -> str:
+    if _is_null(v):
+        return "\\N"
+    return _tsv_escape(_plain(v))
+
+
+def _csv_value(v: Any) -> str:
+    if _is_null(v):
+        return "\\N"  # CH CSV null default (format_csv_null_representation)
+    s = _plain(v)
+    if isinstance(v, (str, bytes, bytearray, datetime, date, list, tuple, dict)) or any(
+        c in s for c in (",", '"', "\n", "\r")
+    ):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def _sql_value(v: Any) -> str:
+    """Values format / SQL literal."""
+    if _is_null(v):
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (str, bytes, bytearray)):
+        s = _plain(v)
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (datetime, date)):
+        return "'" + _plain(v) + "'"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_sql_value(x) for x in v) + "]"
+    return _plain(v)
+
+
+def _json_value(v: Any, quote64: bool = True) -> Any:
+    """Python object ready for json.dumps. CH quotes 64-bit integers by
+    default (output_format_json_quote_64bit_integers=1)."""
+    if _is_null(v):
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        return str(v) if quote64 and abs(v) > 2**53 - 1 else v
+    if isinstance(v, float):
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return v
+    if isinstance(v, (datetime, date)):
+        return _plain(v)
+    if isinstance(v, (bytes, bytearray)):
+        return _plain(v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_json_value(x, quote64) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_value(x, quote64) for k, x in v.items()}
+    if hasattr(v, "item"):  # numpy scalar
+        return _json_value(v.item(), quote64)
+    return str(v) if not isinstance(v, str) else v
+
+
+# ---------------------------------------------------------------------------
+# table renderers (rows = list of tuples of python values)
+# ---------------------------------------------------------------------------
+
+
+def _collect(df: DataFrame):
+    pdf = df.toPandas()
+    cols = list(pdf.columns)
+    rows = [tuple(rec) for rec in pdf.itertuples(index=False, name=None)]
+    types = [
+        ch_type_name(f.dataType, f.nullable) for f in df.schema.fields
+    ]
+    numeric = [
+        isinstance(f.dataType, T.NumericType) for f in df.schema.fields
+    ]
+    return cols, types, rows, numeric
+
+
+def _sep(names, sep_rows):
+    return "\n".join(sep_rows) + "\n" if sep_rows else ""
+
+
+def _render_csv(cols, types, rows, names=False, with_types=False):
+    out = []
+    if names:
+        out.append(",".join(_csv_value(c) for c in cols))
+    if with_types:
+        out.append(",".join(_csv_value(t) for t in types))
+    for r in rows:
+        out.append(",".join(_csv_value(v) for v in r))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _render_tsv(cols, types, rows, names=False, with_types=False, raw=False):
+    esc = (lambda v: "\\N" if _is_null(v) else _plain(v)) if raw else _tsv_value
+    out = []
+    if names:
+        out.append("\t".join(_tsv_escape(c) for c in cols))
+    if with_types:
+        out.append("\t".join(types))
+    for r in rows:
+        out.append("\t".join(esc(v) for v in r))
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _cells(cols, rows):
+    body = [[_plain(v) for v in r] for r in rows]
+    widths = [len(c) for c in cols]
+    for r in body:
+        for i, s in enumerate(r):
+            widths[i] = max(widths[i], len(s))
+    return body, widths
+
+
+def _pad(s, w, right_align):
+    return s.rjust(w) if right_align else s.ljust(w)
+
+
+def _render_pretty(cols, rows, numeric):
+    """CH ``Pretty``: heavy-box header, light-box body."""
+    body, w = _cells(cols, rows)
+    top = "┏━" + "━┳━".join("━" * x for x in w) + "━┓"
+    hdr = "┃ " + " ┃ ".join(c.ljust(x) for c, x in zip(cols, w)) + " ┃"
+    mid = "┡━" + "━╇━".join("━" * x for x in w) + "━┩"
+    bot = "└─" + "─┴─".join("─" * x for x in w) + "─┘"
+    lines = [top, hdr, mid]
+    for r in body:
+        lines.append(
+            "│ " + " │ ".join(_pad(s, x, n) for s, x, n in zip(r, w, numeric)) + " │"
+        )
+    lines.append(bot)
+    return "\n".join(lines) + "\n"
+
+
+def _render_pretty_compact(cols, rows, numeric):
+    """CH ``PrettyCompact``: names embedded in the top border."""
+    body, w = _cells(cols, rows)
+    top = "┌─" + "─┬─".join(c.ljust(x, "─") for c, x in zip(cols, w)) + "─┐"
+    bot = "└─" + "─┴─".join("─" * x for x in w) + "─┘"
+    lines = [top]
+    for r in body:
+        lines.append(
+            "│ " + " │ ".join(_pad(s, x, n) for s, x, n in zip(r, w, numeric)) + " │"
+        )
+    lines.append(bot)
+    return "\n".join(lines) + "\n"
+
+
+def _render_pretty_space(cols, rows, numeric):
+    body, w = _cells(cols, rows)
+    lines = [" " + "   ".join(c.ljust(x) for c, x in zip(cols, w))]
+    for r in body:
+        lines.append(
+            " " + "   ".join(_pad(s, x, n) for s, x, n in zip(r, w, numeric))
+        )
+    return "\n".join(lines) + "\n"
+
+
+def _render_vertical(cols, rows):
+    lines = []
+    for i, r in enumerate(rows, 1):
+        head = f"Row {i}:"
+        lines.append(head)
+        lines.append("─" * max(len(head), 6))
+        width = max((len(c) for c in cols), default=0)
+        for c, v in zip(cols, r):
+            lines.append(f"{c.rjust(width)}: {_plain(v)}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _render_markdown(cols, rows, numeric):
+    body, w = _cells(cols, rows)
+    lines = ["| " + " | ".join(c.ljust(x) for c, x in zip(cols, w)) + " |"]
+    lines.append(
+        "|" + "|".join(("-" * (x + 1) + ":") if n else ("-" * (x + 2)) for x, n in zip(w, numeric)) + "|"
+    )
+    for r in body:
+        lines.append(
+            "| " + " | ".join(_pad(s, x, n) for s, x, n in zip(r, w, numeric)) + " |"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def _render_json(cols, types, rows):
+    doc = {
+        "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
+        "data": [
+            {c: _json_value(v) for c, v in zip(cols, r)} for r in rows
+        ],
+        "rows": len(rows),
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
+
+
+def _render_json_compact(cols, types, rows):
+    doc = {
+        "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
+        "data": [[_json_value(v) for v in r] for r in rows],
+        "rows": len(rows),
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
+
+
+def _render_json_each_row(cols, rows):
+    return (
+        "\n".join(
+            json.dumps(
+                {c: _json_value(v) for c, v in zip(cols, r)}, ensure_ascii=False
+            )
+            for r in rows
+        )
+        + ("\n" if rows else "")
+    )
+
+
+def _render_json_compact_each_row(cols, rows):
+    return (
+        "\n".join(
+            json.dumps([_json_value(v) for v in r], ensure_ascii=False) for r in rows
+        )
+        + ("\n" if rows else "")
+    )
+
+
+def _render_json_columns(cols, rows):
+    doc = {c: [_json_value(r[i]) for r in rows] for i, c in enumerate(cols)}
+    return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
+
+
+def _render_json_strings(cols, types, rows):
+    doc = {
+        "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
+        "data": [
+            {c: (None if _is_null(v) else _plain(v)) for c, v in zip(cols, r)}
+            for r in rows
+        ],
+        "rows": len(rows),
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
+
+
+def _render_values(rows):
+    return ",".join("(" + ",".join(_sql_value(v) for v in r) + ")" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+#: alias (lowercase) → canonical lowercase key
+FORMAT_ALIASES = {
+    "tsv": "tabseparated",
+    "tsvwithnames": "tabseparatedwithnames",
+    "tsvwithnamesandtypes": "tabseparatedwithnamesandtypes",
+    "tsvraw": "tabseparatedraw",
+    "raw": "tabseparatedraw",
+    "ndjson": "jsoneachrow",
+    "jsonlines": "jsoneachrow",
+    "pretty_compact": "prettycompact",
+    "prettycompactnoescapes": "prettycompact",
+    "prettynoescapes": "pretty",
+    "prettymonoblock": "pretty",
+    "prettycompactmonoblock": "prettycompact",
+    "vertical_raw": "vertical",
+    "datastore": "dataframe",
+    "df": "dataframe",
+    "debug": "csv",  # reference: Debug = CSV + verbose engine logging
+}
+
+_TEXT_RENDERERS = {
+    "csv": lambda c, t, r, n: _render_csv(c, t, r),
+    "csvwithnames": lambda c, t, r, n: _render_csv(c, t, r, names=True),
+    "csvwithnamesandtypes": lambda c, t, r, n: _render_csv(c, t, r, names=True, with_types=True),
+    "tabseparated": lambda c, t, r, n: _render_tsv(c, t, r),
+    "tabseparatedwithnames": lambda c, t, r, n: _render_tsv(c, t, r, names=True),
+    "tabseparatedwithnamesandtypes": lambda c, t, r, n: _render_tsv(c, t, r, names=True, with_types=True),
+    "tabseparatedraw": lambda c, t, r, n: _render_tsv(c, t, r, raw=True),
+    "pretty": lambda c, t, r, n: _render_pretty(c, r, n),
+    "prettycompact": lambda c, t, r, n: _render_pretty_compact(c, r, n),
+    "prettyspace": lambda c, t, r, n: _render_pretty_space(c, r, n),
+    "vertical": lambda c, t, r, n: _render_vertical(c, r),
+    "markdown": lambda c, t, r, n: _render_markdown(c, r, n),
+    "json": lambda c, t, r, n: _render_json(c, t, r),
+    "jsoncompact": lambda c, t, r, n: _render_json_compact(c, t, r),
+    "jsoneachrow": lambda c, t, r, n: _render_json_each_row(c, r),
+    "jsoncompacteachrow": lambda c, t, r, n: _render_json_compact_each_row(c, r),
+    "jsoncolumns": lambda c, t, r, n: _render_json_columns(c, r),
+    "jsonstrings": lambda c, t, r, n: _render_json_strings(c, t, r),
+    "values": lambda c, t, r, n: _render_values(r),
+    "null": lambda c, t, r, n: "",
+}
+
+
+def supported_formats() -> list[str]:
+    """All accepted format names (canonical + aliases), for docs/tests."""
+    canon = set(_TEXT_RENDERERS) | {
+        "dataframe", "pandas", "arrowtable", "arrow", "arrowstream", "parquet",
+    }
+    return sorted(canon | set(FORMAT_ALIASES))
+
+
+def format_result(df: DataFrame, fmt: str = "DataFrame") -> Any:
+    """Render a (lazy) result DataFrame in a ClickHouse output format.
+
+    Returns: ``str`` for text formats, ``bytes`` for Arrow/Parquet, a lazy
+    Spark DataFrame for ``DataFrame``, ``pandas.DataFrame`` for ``Pandas``,
+    ``pyarrow.Table`` for ``ArrowTable``. Mirrors reference
+    chdb/__init__.py:145-217 (everything beyond the Python objects is an
+    engine-rendered format string).
+    """
+    key = FORMAT_ALIASES.get(fmt.lower(), fmt.lower())
+
+    if key == "dataframe":
+        return df
+    if key == "pandas":
+        return df.toPandas()
+    if key == "arrowtable":
+        import pyarrow as pa  # noqa: F401
+
+        from chdb_spark.sinks import to_arrow
+
+        return to_arrow(df)
+    if key in ("arrow", "arrowstream", "parquet"):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from chdb_spark.sinks import to_arrow
+
+        tbl = to_arrow(df)
+        buf = io.BytesIO()
+        if key == "parquet":
+            pq.write_table(tbl, buf)
+        elif key == "arrow":
+            with pa.ipc.new_file(buf, tbl.schema) as w:
+                w.write_table(tbl)
+        else:
+            with pa.ipc.new_stream(buf, tbl.schema) as w:
+                w.write_table(tbl)
+        return buf.getvalue()
+
+    renderer = _TEXT_RENDERERS.get(key)
+    if renderer is None:
+        raise ValueError(
+            f"unknown output format: {fmt!r} (supported: {', '.join(supported_formats())})"
+        )
+    if key == "null":
+        df.count()  # execute for side effects, discard output (CH Null format)
+        return ""
+    cols, types, rows, numeric = _collect(df)
+    return renderer(cols, types, rows, numeric)

@@ -152,13 +152,25 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
-def query(spark: SparkSession, sql_text: str) -> DataFrame:
-    """One-shot SQL — the analogue of ``chdb.query(sql)``
-    (reference chdb/__init__.py:145-217). Catalyst handles
-    parse→analyze→optimize→physical; the returned DataFrame is lazy,
-    exactly like the reference's lazy result objects.
+def query(
+    spark: SparkSession,
+    sql_text: str,
+    output_format: str = "DataFrame",
+    params: dict | None = None,
+):
+    """One-shot SQL — the analogue of ``chdb.query(sql, output_format,
+    params=...)`` (reference chdb/__init__.py:145-217). Catalyst handles
+    parse→analyze→optimize→physical; with the default ``output_format``
+    the returned DataFrame is lazy, exactly like the reference's lazy
+    result objects. Other format names ("Pretty", "CSV", "JSONEachRow",
+    "Arrow", …) render the collected result — see chdb_spark.formats.
+    ``params`` binds ``{key:Type}`` placeholders (chdb_spark.params).
     """
-    return spark.sql(sql_text)
+    from chdb_spark.formats import format_result
+    from chdb_spark.params import bind_params
+
+    out = spark.sql(bind_params(sql_text, params))
+    return format_result(out, output_format)
 
 
 #: ``chdb.sql`` is an alias of ``chdb.query`` (reference chdb/__init__.py:220).

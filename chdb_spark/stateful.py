@@ -211,37 +211,32 @@ class Session:
         return sql
 
     # -- public API --------------------------------------------------------
-    def query(self, sql: str, fmt: str = "DataFrame") -> Any:
+    def query(self, sql: str, fmt: str = "DataFrame", params: dict | None = None) -> Any:
         """Execute SQL with this session's database current
         (reference Session.query, docs/session.rst:34-44).
 
-        fmt: 'DataFrame' (lazy Spark DataFrame), 'pandas', 'arrow', 'csv',
-        'json' — the output_format axis of chdb.query
-        (chdb/__init__.py:145-217).
+        fmt: the output_format axis of chdb.query (chdb/__init__.py:145-217)
+        — 'DataFrame' (lazy Spark DataFrame), 'Pandas', 'ArrowTable',
+        'Arrow'/'Parquet' (bytes), or any ClickHouse text format name
+        ('Pretty', 'CSV', 'CSVWithNames', 'JSON', 'JSONEachRow', 'TSV',
+        'Values', 'Vertical', …) — see chdb_spark.formats.supported_formats().
+        params: values for ``{key:Type}`` placeholders (chdb_spark.params).
         """
         if self._closed:
             raise RuntimeError("session is closed")
+        from chdb_spark.formats import format_result
+        from chdb_spark.params import bind_params
+
+        sql = bind_params(sql, params)
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
         try:
             out = self.spark.sql(self._localize_create_table(sql))
             if _DDL_RE.match(sql):
                 self._snapshot()
-            if fmt in (None, "DataFrame"):
-                return out
-            if fmt == "pandas":
-                return out.toPandas()
-            if fmt == "arrow":
-                from chdb_spark.sinks import to_arrow
-
-                return to_arrow(out)
-            if fmt == "csv":
-                pdf = out.toPandas()
-                return pdf.to_csv(index=False)
-            if fmt == "json":
-                pdf = out.toPandas()
-                return pdf.to_json(orient="records")
-            raise ValueError(f"unknown output format: {fmt!r}")
+            if fmt == "arrow":  # pre-round-3 alias: bytes were never returned
+                fmt = "ArrowTable"
+            return format_result(out, fmt or "DataFrame")
         finally:
             self.spark.catalog.setCurrentDatabase(prev)
 

@@ -1,0 +1,226 @@
+"""Output-format strings (chdb_spark.formats) + {key:Type} query params
+(chdb_spark.params) — the reference's chdb.query(sql, output_format, params)
+surface (reference chdb/__init__.py:145-217)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+
+from chdb_spark import session as chs
+from chdb_spark.formats import FORMAT_ALIASES, format_result, supported_formats
+from chdb_spark.params import bind_params
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'alpha', 1.5, DATE '2024-01-02', TIMESTAMP '2024-01-02 03:04:05', true), "
+        "(2, 'be\"ta', 2.0, DATE '2024-02-03', TIMESTAMP '2024-02-03 04:05:06', false), "
+        "(3, NULL, CAST(NULL AS DOUBLE), NULL, NULL, NULL) "
+        "AS t(id, name, score, d, ts, flag)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text formats
+# ---------------------------------------------------------------------------
+
+
+def test_csv_family(df):
+    csv = format_result(df, "CSV")
+    lines = csv.splitlines()
+    assert lines[0] == '1,"alpha",1.5,"2024-01-02","2024-01-02 03:04:05",true'
+    assert '"be""ta"' in lines[1]
+    assert lines[2] == "3,\\N,\\N,\\N,\\N,\\N"
+
+    withnames = format_result(df, "CSVWithNames")
+    assert withnames.splitlines()[0] == '"id","name","score","d","ts","flag"'
+    assert withnames.splitlines()[1:] == lines
+
+    wnt = format_result(df, "CSVWithNamesAndTypes").splitlines()
+    assert "Int32" in wnt[1] and "Nullable(String)" in wnt[1]
+
+
+def test_tsv_family(spark):
+    df = spark.sql("SELECT 'a\\tb' AS s, 10 AS n")
+    tsv = format_result(df, "TSV")
+    assert tsv == "a\\tb\t10\n"  # tab inside value is escaped
+    named = format_result(df, "TabSeparatedWithNames")
+    assert named.splitlines()[0] == "s\tn"
+    raw = format_result(df, "TabSeparatedRaw")
+    assert raw == "a\tb\t10\n"  # raw: no escaping
+
+
+def test_pretty_formats(df):
+    pretty = format_result(df, "Pretty")
+    assert pretty.startswith("┏")
+    assert "┃ id" in pretty.splitlines()[1]
+    assert pretty.rstrip().endswith("┘")
+
+    compact = format_result(df, "PrettyCompact")
+    assert compact.startswith("┌─id")
+    assert "│" in compact
+
+    space = format_result(df, "PrettySpace")
+    assert "id" in space.splitlines()[0] and "│" not in space
+
+
+def test_json_formats(df):
+    doc = json.loads(format_result(df, "JSON"))
+    assert doc["rows"] == 3
+    assert doc["meta"][0] == {"name": "id", "type": "Int32"}
+    assert doc["data"][0]["name"] == "alpha"
+    assert doc["data"][2]["name"] is None
+
+    ejr = format_result(df, "JSONEachRow").splitlines()
+    assert len(ejr) == 3
+    assert json.loads(ejr[0])["id"] == 1
+
+    compact = json.loads(format_result(df, "JSONCompact"))
+    assert compact["data"][0][0] == 1 and isinstance(compact["data"][0], list)
+
+    cols = json.loads(format_result(df, "JSONColumns"))
+    assert cols["id"] == [1, 2, 3]
+
+    # NDJSON / JSONLines are aliases of JSONEachRow
+    assert format_result(df, "NDJSON") == format_result(df, "JSONEachRow")
+
+
+def test_values_vertical_markdown(df):
+    vals = format_result(df, "Values")
+    assert vals.startswith("(1,'alpha',1.5,'2024-01-02'")
+    assert "NULL" in vals
+
+    vert = format_result(df, "Vertical")
+    assert vert.startswith("Row 1:")
+    assert "name: alpha" in vert.replace("  ", " ").replace(" name", "name")
+
+    md = format_result(df, "Markdown")
+    assert md.splitlines()[0].startswith("| id")
+    assert set(md.splitlines()[1]) <= set("|-: ")
+
+
+def test_null_format_executes_but_empty(df):
+    assert format_result(df, "Null") == ""
+
+
+# ---------------------------------------------------------------------------
+# binary + python formats
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_and_parquet_bytes(df):
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = format_result(df, "Arrow")
+    tbl = pa.ipc.open_file(io.BytesIO(raw)).read_all()
+    assert tbl.num_rows == 3
+
+    stream = format_result(df, "ArrowStream")
+    tbl2 = pa.ipc.open_stream(io.BytesIO(stream)).read_all()
+    assert tbl2.num_rows == 3
+
+    pqa = format_result(df, "Parquet")
+    tbl3 = pq.read_table(io.BytesIO(pqa))
+    assert tbl3.num_rows == 3 and "name" in tbl3.column_names
+
+
+def test_python_formats(df):
+    assert format_result(df, "DataFrame") is df
+    pdf = format_result(df, "Pandas")
+    assert len(pdf) == 3
+    at = format_result(df, "ArrowTable")
+    assert at.num_rows == 3
+
+
+def test_unknown_format_raises(df):
+    with pytest.raises(ValueError, match="unknown output format"):
+        format_result(df, "NoSuchFormat")
+    assert "pretty" in supported_formats()
+    assert FORMAT_ALIASES["debug"] == "csv"  # Debug renders as CSV (reference)
+
+
+def test_module_level_query_formats(spark):
+    out = chs.query(spark, "SELECT 2 AS two", "CSVWithNames")
+    assert out == '"two"\n2\n'
+    lazy = chs.query(spark, "SELECT 2 AS two")
+    assert lazy.first().two == 2
+
+
+# ---------------------------------------------------------------------------
+# {key:Type} parameter binding
+# ---------------------------------------------------------------------------
+
+
+def test_bind_basic_types():
+    assert bind_params("SELECT {n:UInt32} AS n", {"n": 41}) == "SELECT 41 AS n"
+    assert (
+        bind_params("SELECT {s:String} AS s", {"s": "it's"})
+        == "SELECT 'it\\'s' AS s"
+    )
+    assert (
+        bind_params("SELECT {d:Date} AS d", {"d": datetime.date(2024, 5, 6)})
+        == "SELECT DATE '2024-05-06' AS d"
+    )
+    assert (
+        bind_params("SELECT {t:DateTime} AS t", {"t": "2024-05-06 07:08:09"})
+        == "SELECT TIMESTAMP '2024-05-06 07:08:09' AS t"
+    )
+    assert bind_params("SELECT {f:Float64}", {"f": 1.5}) == "SELECT 1.5"
+    assert bind_params("SELECT {b:Bool}", {"b": True}) == "SELECT true"
+
+
+def test_bind_nullable_array_identifier():
+    assert bind_params("SELECT {x:Nullable(Int64)}", {"x": None}) == "SELECT NULL"
+    assert (
+        bind_params("SELECT {a:Array(Int32)}", {"a": [1, 2, 3]})
+        == "SELECT array(1, 2, 3)"
+    )
+    assert (
+        bind_params("SELECT * FROM {t:Identifier}", {"t": "lineitem"})
+        == "SELECT * FROM `lineitem`"
+    )
+    with pytest.raises(ValueError):
+        bind_params("SELECT * FROM {t:Identifier}", {"t": "x; DROP TABLE y"})
+
+
+def test_bind_injection_safe():
+    # a malicious string value stays inside its literal
+    sql = bind_params("SELECT {s:String} AS s", {"s": "'; DROP TABLE users; --"})
+    assert sql == "SELECT '\\'; DROP TABLE users; --' AS s"
+
+
+def test_bind_errors():
+    with pytest.raises(KeyError):
+        bind_params("SELECT {a:Int32}", {"b": 1})
+    with pytest.raises(KeyError):
+        bind_params("SELECT {a:Int32}", None)
+    # no placeholders + no params = passthrough
+    assert bind_params("SELECT 1", None) == "SELECT 1"
+
+
+def test_query_with_params_end_to_end(spark):
+    out = chs.query(
+        spark,
+        "SELECT {n:UInt32} * 2 AS x, {s:String} AS s",
+        "JSONEachRow",
+        params={"n": 21, "s": "ok"},
+    )
+    assert json.loads(out) == {"x": 42, "s": "ok"}
+
+
+def test_stateful_session_params(spark):
+    from chdb_spark.stateful import Session
+
+    with Session(spark=spark) as sess:
+        got = sess.query(
+            "SELECT {v:Int64} + 1 AS r", fmt="Pandas", params={"v": 9}
+        )
+        assert int(got["r"].iloc[0]) == 10

@@ -54,10 +54,13 @@ def test_output_formats(spark):
         assert list(pdf.columns) == ["a", "b"]
         tbl = sess.query("SELECT 1 AS a", fmt="arrow")
         assert tbl.num_rows == 1
-        csv = sess.query("SELECT 1 AS a, 2 AS b", fmt="csv")
-        assert csv.splitlines()[0] == "a,b"
-        js = sess.query("SELECT 1 AS a", fmt="json")
-        assert js == '[{"a":1}]'
+        # ClickHouse CSV semantics: no header row; CSVWithNames adds it
+        csv = sess.query("SELECT 1 AS a, 2 AS b", fmt="CSV")
+        assert csv == "1,2\n"
+        csvn = sess.query("SELECT 1 AS a, 2 AS b", fmt="CSVWithNames")
+        assert csvn.splitlines()[0] == '"a","b"'  # CH quotes CSV header names
+        js = sess.query("SELECT 1 AS a", fmt="JSONEachRow")
+        assert js == '{"a": 1}\n'
         with pytest.raises(ValueError):
             sess.query("SELECT 1", fmt="Pretty2")
 
