@@ -259,6 +259,60 @@ def ivf_assign(
     )
 
 
+def _farthest_point_init(S: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-point (k-means++ without RNG) init over a
+    sample matrix: start at row 0, greedily add the point with max distance
+    to the chosen set. Shared by ``kmeans`` and ``train_ivf_centroids`` so
+    both replay identically in their SQL oracles."""
+    cents = [S[0]]
+    d2 = ((S - S[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(k, len(S))):
+        nxt = int(np.argmax(d2))
+        cents.append(S[nxt])
+        d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
+    return np.stack(cents)
+
+
+def _lloyd_numpy(X: np.ndarray, C: np.ndarray, iters: int) -> np.ndarray:
+    """Fixed-count Lloyd iterations on an in-memory matrix: argmin euclidean
+    (ties → lowest cell id, numpy argmin), mean update, empty cells keep
+    their centroid. Exactly the semantics the SQL oracle replays."""
+    C = C.copy()
+    for _ in range(iters):
+        d = (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
+        cell = np.argmin(d, axis=1)
+        for j in range(C.shape[0]):
+            members = X[cell == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 3,
+    sample_n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse-quantizer training for IVF: k-means on a BOUNDED deterministic
+    sample (the ``sample_n`` lowest-id vectors), fit driver-side.
+
+    This is the standard IVF shape (quantizers train on a sample, not the
+    corpus): O(sample x k) work on a (sample_n, dim) matrix, so the collect
+    is bounded by contract. The distributed ``kmeans`` above is the
+    corpus-scale clustering path; the quantizer only needs a sample that
+    covers the density, and training on it driver-side costs zero Spark
+    jobs per iteration. Fixed ``iters`` (no early stop) keeps the run
+    replayable in the SQL oracle.
+    """
+    sample_n = sample_n or max(8 * n_centroids, 64)
+    rows = corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    S = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return _lloyd_numpy(S, _farthest_point_init(S, n_centroids), iters)
+
+
 def kmeans(
     corpus: DataFrame,
     k: int = 16,
@@ -287,14 +341,7 @@ def kmeans(
         corpus.orderBy(id_col).limit(max(k * 8, 64)).select(vec_col).collect()
     )
     S = np.array([list(r[0]) for r in sample_rows], dtype=np.float64)
-    # deterministic farthest-point (k-means++ without RNG) init
-    cents = [S[0]]
-    d2 = ((S - S[0]) ** 2).sum(axis=1)
-    for _ in range(1, min(k, len(S))):
-        nxt = int(np.argmax(d2))
-        cents.append(S[nxt])
-        d2 = np.minimum(d2, ((S - S[nxt]) ** 2).sum(axis=1))
-    C = np.stack(cents)
+    C = _farthest_point_init(S, k)
 
     from chdb_spark.operators import _repartition_feature_pass
 
@@ -379,24 +426,27 @@ def knn_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 3,
 ) -> DataFrame:
     """IVF-flat ANN: coarse-quantize the corpus into ``n_centroids`` cells,
     probe the ``nprobe`` nearest cells per query, brute-force inside.
 
-    Deterministic: centroids are the ``n_centroids`` lowest-id vectors (at
-    100 TB you'd k-means a sample; the pipeline shape is identical).
-    Kernels are numpy over Arrow batches: the centroid matrix (C x dim)
-    broadcasts to executors, cell assignment is one BLAS product per batch
-    (mapInPandas — distributed, no shuffle), and candidate scoring is a
-    vectorized pandas_udf over the probe join. The probe join shuffles only
-    (query, cell) pairs; each cell scans ≈ corpus/C rows.
+    Centroids come from ``train_ivf_centroids`` — deterministic k-means
+    (farthest-point init + ``kmeans_iters`` Lloyd steps) on the bounded
+    lowest-id sample, which balances cell populations (the lowest-id
+    placeholder this replaces left cell skew: one hot cell degenerates
+    toward a scan at scale). Kernels are numpy over Arrow batches: the
+    centroid matrix (C x dim) broadcasts to executors, cell assignment is
+    one BLAS product per batch (mapInPandas — distributed, no shuffle), and
+    candidate scoring is a vectorized pandas_udf over the probe join. The
+    probe join shuffles only (query, cell) pairs; each cell scans
+    ≈ corpus/C rows.
     """
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    C = train_ivf_centroids(
+        corpus, n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
-    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    c_ids = np.arange(C.shape[0], dtype=np.int64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((c_ids, Cn))
 
@@ -545,60 +595,106 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
-#: s2 is approximate vs BRUTE FORCE but fully deterministic as an algorithm
-#: (fixed lowest-32-id centroids, stable argsort probe order, fixed nprobe),
-#: so the oracle REPLAYS the same IVF in SQL: assign every vector to its
-#: max-cosine centroid (ties → lowest c_id, matching numpy argmax), probe
-#: each query's 4 best cells, brute-force within probed cells. Verified
-#: margins (min top1−top2 assignment gap 3.3e-4, probe gap 2.9e-3) are far
-#: above float64-vs-DuckDB rounding noise, so cell choices are stable.
-_S2_ORACLE = """
-    WITH corpus AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    cents AS (
-      SELECT vec_id AS c_id, v FROM corpus ORDER BY vec_id LIMIT 32
-    ),
-    assigned AS (
+def _s2_oracle_sql(
+    k: int = 32,
+    iters: int = 3,
+    dim: int = 64,
+    sample_n: int = 256,
+    nprobe: int = 4,
+    topk: int = 5,
+    nq: int = 10,
+) -> str:
+    """SQL replay of the deterministic IVF that s2 executes: k-means
+    centroids trained on the lowest-``sample_n``-id vectors
+    (farthest-point init + ``iters`` fixed Lloyd steps, the
+    ``train_ivf_centroids`` run), then max-cosine cell assignment
+    (ties → lowest c_id, matching numpy argmax), ``nprobe`` best cells per
+    query, brute force within probed cells. Valid because every step is
+    deterministic with no early stop, and assignment/probe margins are
+    asserted above rounding noise in tests/test_operators.py
+    (test_s2_oracle_margins). Generated like ``_km1_oracle_sql``: one CTE
+    pair per init pick, one CTE chain per Lloyd iteration (over the SAMPLE
+    only — quantizer training is sample-bounded by design)."""
+    parts = [
+        "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""sample AS (
+          SELECT v, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM corpus ORDER BY vec_id LIMIT {sample_n}
+        )""",
+        "i0 AS (SELECT v FROM sample WHERE rn = 1)",
+        "d0 AS (SELECT rn, v, list_distance(v, (SELECT v FROM i0))**2 AS d2 FROM sample)",
+    ]
+    for j in range(1, k):
+        parts.append(f"i{j} AS MATERIALIZED (SELECT v FROM d{j-1} ORDER BY d2 DESC, rn LIMIT 1)")
+        if j < k - 1:
+            parts.append(
+                f"d{j} AS (SELECT rn, v, least(d2, "
+                f"list_distance(v, (SELECT v FROM i{j}))**2) AS d2 FROM d{j-1})"
+            )
+    cents0 = " UNION ALL ".join(f"SELECT {j} AS c_id, v FROM i{j}" for j in range(k))
+    parts.append(f"cents0 AS ({cents0})")
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+          SELECT s.rn, s.v,
+                 (SELECT c.c_id FROM cents{t-1} c
+                  ORDER BY list_distance(s.v, c.v) ASC, c.c_id LIMIT 1) AS cell
+          FROM sample s
+        )""")
+        parts.append(f"""m{t} AS (
+          SELECT cell AS c_id, gs AS idx, avg(v[gs]) AS av
+          FROM a{t}, generate_series(1, {dim}) t(gs)
+          GROUP BY cell, gs
+        )""")
+        parts.append(
+            f"n{t} AS (SELECT c_id, list(av ORDER BY idx) AS v FROM m{t} GROUP BY c_id)"
+        )
+        parts.append(f"""cents{t} AS (
+          SELECT c.c_id, COALESCE(n.v, c.v) AS v
+          FROM cents{t-1} c LEFT JOIN n{t} n USING (c_id)
+        )""")
+    parts.append(f"""assigned AS (
       SELECT e.vec_id AS neighbor_id, e.v AS c_vec,
-             (SELECT c.c_id FROM cents c
+             (SELECT c.c_id FROM cents{iters} c
               ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.c_id
               LIMIT 1) AS cell
       FROM corpus e
-    ),
-    probes AS (
+    )""")
+    parts.append(f"""probes AS (
       SELECT q.vec_id AS query_id, q.v AS q_vec, p.c_id AS cell
       FROM corpus q, LATERAL (
-        SELECT c.c_id FROM cents c
+        SELECT c.c_id FROM cents{iters} c
         ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.c_id
-        LIMIT 4
+        LIMIT {nprobe}
       ) p(c_id)
-      WHERE q.vec_id < 10
-    ),
-    scored AS (
+      WHERE q.vec_id < {nq}
+    )""")
+    parts.append("""scored AS (
       SELECT p.query_id, a.neighbor_id,
              list_cosine_similarity(p.q_vec, a.c_vec) AS cos
       FROM probes p JOIN assigned a USING (cell)
       WHERE p.query_id != a.neighbor_id
-    ),
-    ranked AS (
+    )""")
+    parts.append("""ranked AS (
       SELECT query_id, neighbor_id, cos,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cos DESC, neighbor_id) AS rank
       FROM scored
+    )""")
+    body = ",\n    ".join(parts)
+    return (
+        body
+        + f"\n    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank"
+        + f" FROM ranked WHERE rank <= {topk} ORDER BY query_id, rank"
     )
-    SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank
-    FROM ranked WHERE rank <= 5
-    ORDER BY query_id, rank
-"""
 
 
 @defquery(
     "s2_ann_ivf",
-    _S2_ORACLE,
-    doc="ANN top-5 via IVF-flat (32 cells, nprobe=4 → ~12% scan); oracle "
-        "replays the deterministic IVF in SQL (same centroids, same probe "
-        "order, brute-force within probed cells).",
+    _s2_oracle_sql(),
+    doc="ANN top-5 via IVF-flat (32 k-means cells trained on the lowest-256"
+        "-id sample, nprobe=4 → ~12% scan); oracle replays the deterministic "
+        "IVF in SQL (same k-means training, same probe order, brute-force "
+        "within probed cells).",
 )
 def s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

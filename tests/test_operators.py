@@ -11,9 +11,14 @@ from tests.conftest import SF_CORRECT
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
-    """IVF (32 cells, nprobe 4 → ~12% of corpus scanned) must recover most
-    true top-5 neighbors. Measured ≈0.90 on the sf0.01 embeddings; bar 0.7
-    leaves slack for hash-order variation across Spark versions."""
+    """IVF with k-means cells (32 cells, nprobe 8 → ~25% of corpus scanned)
+    must recover most true top-5 neighbors; measured ≈0.75 on the sf0.01
+    embeddings, bar 0.7. Note the pre-round-3 lowest-id-centroid variant
+    "measured" 0.90 at nprobe=4 — that number was self-serving: the query
+    vectors (vec_id < 20) WERE the centroids, so each query's own cell
+    trivially held its neighbors. With honest k-means cells on these
+    unstructured synthetic embeddings, recall ≈ 3-4x the scanned fraction —
+    the real ANN tradeoff."""
     from chdb_spark.operators.similarity import knn_bruteforce, knn_ivf
 
     emb = table(spark, SF_CORRECT, "embeddings")
@@ -24,10 +29,35 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=4).collect()
+        for r in knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=8).collect()
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
+
+
+def test_s2_oracle_margins(spark):
+    """The s2 oracle replays the deterministic IVF in DuckDB SQL; the replay
+    is only trustworthy if cell choices can't flip under float rounding.
+    Assert the top1-top2 cosine margins (cell assignment and the nprobe
+    boundary) sit far above float64-vs-DuckDB noise (~1e-12)."""
+    import numpy as np
+
+    from chdb_spark.operators.similarity import train_ivf_centroids
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    C = train_ivf_centroids(emb, 32, iters=3)
+    S = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (
+        C / np.linalg.norm(C, axis=1, keepdims=True)
+    ).T
+    Ssort = np.sort(S, axis=1)
+    assert float((Ssort[:, -1] - Ssort[:, -2]).min()) > 1e-8
+    qs = np.sort(S[:10], axis=1)
+    assert float((qs[:, -4] - qs[:, -5]).min()) > 1e-8
+    # k-means centroids must spread load: no cell above 4x the uniform share
+    cells = np.bincount(np.argmax(S, axis=1), minlength=32)
+    assert cells.max() <= 4 * len(X) / 32, f"cell skew: {cells.max()}/{len(X)}"
 
 
 def test_ann_lsh_beats_random_candidates(spark):
