@@ -48,16 +48,93 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+#: synthesis constants shared by `synthesize_ppm` and the m1 oracle SQL —
+#: every formula here must stay SQL-mirrorable (chdb_spark/queries_funcs2.py m1)
+PPM_MULT = 2654435761  # Knuth multiplicative hash constant
+PPM_STEP = 40503
+PPM_MOD = 251  # prime < 256 keeps every byte value valid
+
+
+def ppm_dims(media_id: int) -> tuple[int, int]:
+    """Deterministic (width, height) for a synthesized image: 4..32 px each,
+    pure integer math so DuckDB reproduces it exactly."""
+    w = 4 * (1 + media_id % 8)
+    h = 4 * (1 + (media_id % 64) // 8)
+    return w, h
+
+
+def encode_ppm(media_id: int) -> bytes:
+    """Synthesize a VALID binary P6/PPM image from an id: real header, real
+    raw RGB pixel plane, every byte an LCG of (id, offset). numpy-only —
+    this is the deterministic stand-in for reading a real image file, and
+    unlike an opaque blob it exercises an actual decode path."""
+    import numpy as np
+
+    w, h = ppm_dims(media_id)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    j = np.arange(3 * w * h, dtype=np.int64)
+    pixels = ((media_id * PPM_MULT + j * PPM_STEP) % PPM_MOD).astype(np.uint8)
+    return header + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
+    """Minimal real P6/PPM codec (numpy-only): parse the text header
+    (magic, dims, maxval), read the raw RGB plane, compute mean luma via
+    the integer BT.601 weights (299R+587G+114B)/1000 — an exact-integer sum
+    so the SQL oracle computes bit-identical values. Returns None when the
+    payload is not a P6 image."""
+    import numpy as np
+
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    try:
+        # header: magic, width, height, maxval — whitespace separated
+        parts = payload[:64].split(maxsplit=4)
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        header_len = len(b" ".join(parts[:4])) + 1  # +1 trailing whitespace
+        # re-derive exact header length (separators may vary): find maxval end
+        idx = payload.index(parts[3], len(parts[0]) + len(parts[1]) + len(parts[2]))
+        header_len = idx + len(parts[3]) + 1
+        pixels = np.frombuffer(payload, dtype=np.uint8, offset=header_len)
+        if maxval != 255 or pixels.size < 3 * w * h:
+            return None
+        rgb = pixels[: 3 * w * h].astype(np.int64).reshape(-1, 3)
+        luma_sum = int(rgb[:, 0].sum() * 299 + rgb[:, 1].sum() * 587 + rgb[:, 2].sum() * 114)
+        # unrounded: one exact-int division — callers round engine-side
+        # (F.round) so Spark and the DuckDB oracle round the same way
+        return w, h, luma_sum / (1000.0 * w * h)
+    except (ValueError, IndexError):
+        return None
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for a real image decode: derives (w, h, luma)
-    from the payload bytes. Replace the body with PIL when codecs exist."""
+    """Deterministic stand-in for decoding formats the container lacks
+    codecs for: derives (w, h, luma) from a crc32 of the payload (crc32,
+    not hash() — bytes hashing is PYTHONHASHSEED-salted and would differ
+    across executor processes). Replace with PIL when codecs exist."""
+    import zlib
+
     if not payload:
         return 0, 0, 0.0
-    h = hash(bytes(payload)) & 0xFFFFFFFF
+    h = zlib.crc32(bytes(payload)) & 0xFFFFFFFF
     w = 64 + (h % 1024)
     ht = 64 + ((h >> 10) % 1024)
     luma = (sum(payload[:256]) % 25600) / 100.0
     return int(w), int(ht), float(luma)
+
+
+def synthesize_ppm(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Attach a synthesized binary P6 payload per id — the test-data
+    generator for multimodal pipelines (no image files in the container).
+    Arrow-batched pandas_udf: payload bytes are built executor-side and
+    never pass through the driver."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf(T.BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_ppm(int(i)))
+
+    return df.withColumn("payload", _synth(F.col(id_col)))
 
 
 def decode_images(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -74,11 +151,13 @@ def decode_images(media: DataFrame, batch_size: int = 256) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if _HAVE_CODECS:  # pragma: no cover
                     raise NotImplementedError("real image decode requires PIL")
-                w, h, luma = _fake_decode_image(payload or b"")
+                b = bytes(payload or b"")
+                decoded = decode_ppm(b)  # real parse for P6; fallback otherwise
+                w, h, luma = decoded if decoded else _fake_decode_image(b)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["n_bytes"].append(len(payload or b""))
+                out["n_bytes"].append(len(b))
                 out["mean_luma"].append(luma)
             yield pd.DataFrame(out)
 

@@ -203,23 +203,57 @@ def fx5_type_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: the oracle mirrors multimodal.encode_ppm/decode_ppm: same dims formula,
+#: same LCG pixel bytes, same integer BT.601 luma sum — so it checks the
+#: WHOLE pipeline (synthesize → binary payload → header parse → pixel
+#: stats) value-for-value, not just row counts.
+_M1_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             4 * (1 + doc_id % 8) AS w,
+             4 * (1 + (doc_id % 64) // 8) AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             sum(299 * ((doc_id * 2654435761 + (3*gs)   * 40503) % 251)
+               + 587 * ((doc_id * 2654435761 + (3*gs+1) * 40503) % 251)
+               + 114 * ((doc_id * 2654435761 + (3*gs+2) * 40503) % 251)
+             ) AS luma_sum
+      FROM d, generate_series(0, 1023) t(gs)  -- 1023 = max w*h - 1 (32x32)
+      WHERE gs < w*h
+      GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 + length(CAST(w AS VARCHAR)) + 1 + length(CAST(h AS VARCHAR))
+                + 5 + 3*w*h AS BIGINT) AS n_bytes,
+           round(luma_sum / (1000.0 * w * h), 4) AS mean_luma
+    FROM px ORDER BY media_id
+"""
+
+
 @defquery(
     "m1_multimodal_pipeline",
-    None,  # binary decode is a stubbed non-SQL surface; driver does rows-only
-    doc="multimodal column pipeline: documents → opaque binary payload + "
-        "typed metadata → mapInPandas decode stub → per-image features. "
-        "The decode is a deterministic fake (no codec libs in container); "
-        "schema, Arrow batching, and partition plumbing are real "
+    _M1_ORACLE,
+    doc="multimodal column pipeline: synthesize a real binary P6/PPM image "
+        "per document id (executor-side pandas_udf), flow it as an opaque "
+        "binary column, decode with the numpy-only PPM codec over "
+        "mapInPandas (header parse + raw pixel luma). The oracle recomputes "
+        "width/height/n_bytes/mean_luma from the same deterministic "
+        "formulas in SQL — full value check, no codec libs needed "
         "(chdb_spark/multimodal.py).",
 )
 def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.multimodal import decode_images
+    from chdb_spark.multimodal import decode_images, synthesize_ppm
 
-    docs = table(spark, sf_dir, "documents").limit(200)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-        F.lit("image").alias("kind"),
-        F.length("text").cast("long").alias("n_bytes"),
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_ppm(
+        docs.select(F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"))
     )
-    return decode_images(media)
+    feats = decode_images(media)
+    return feats.select(
+        "media_id", "width", "height", "n_bytes",
+        F.round("mean_luma", 4).alias("mean_luma"),
+    ).orderBy("media_id")

@@ -149,6 +149,25 @@ def test_multimodal_image_decode_plumbing(spark):
     assert feats[0].n_bytes == len(b"\x89PNG-fake-bytes-1")
 
 
+def test_ppm_codec_roundtrip():
+    """encode_ppm produces a valid P6 payload and decode_ppm recovers the
+    exact dims + integer-sum luma; non-PPM bytes return None (fallback)."""
+    from chdb_spark.multimodal import decode_ppm, encode_ppm, ppm_dims
+
+    for mid in (0, 7, 63, 199):
+        payload = encode_ppm(mid)
+        w, h = ppm_dims(mid)
+        assert payload.startswith(f"P6\n{w} {h}\n255\n".encode())
+        got = decode_ppm(payload)
+        assert got is not None
+        gw, gh, luma = got
+        assert (gw, gh) == (w, h)
+        assert 0.0 <= luma <= 255.0
+    assert decode_ppm(b"\x89PNG-not-a-ppm") is None
+    assert decode_ppm(b"") is None
+    assert decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 5) is None  # truncated
+
+
 def test_multimodal_video_and_audio_plumbing(spark):
     from chdb_spark.multimodal import MEDIA_SCHEMA, audio_features, sample_video_frames
 
