@@ -1,0 +1,176 @@
+"""MongoDB / Redis table functions (chdb_spark.sources.nosql) — reference
+mongodb()/redis() table functions (datastore/table_functions.py:668,722).
+
+No servers in this container: the tests inject dict-backed fake clients
+through the cloudpickled factory option, which exercises the FULL Spark
+path — Python data source registration, partition planning, executor-side
+reads, Arrow hand-off, type coercion. Only the wire protocol is faked.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chdb_spark.sources.nosql import (
+    mongodb,
+    plan_mongo_ranges,
+    redis_table,
+    structure_to_ddl,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure helpers
+# ---------------------------------------------------------------------------
+
+
+def test_structure_to_ddl():
+    assert (
+        structure_to_ddl("key String, v1 Int64, score Float64")
+        == "key string, v1 bigint, score double"
+    )
+    assert structure_to_ddl("d Date, t DateTime64(3)") == "d date, t timestamp"
+    assert structure_to_ddl("x Nullable(Int32)") == "x int"
+    with pytest.raises(ValueError):
+        structure_to_ddl("x NoSuchType")
+    with pytest.raises(ValueError):
+        structure_to_ddl("")
+
+
+class _PlanColl:
+    def __init__(self, n):
+        self.n = n
+
+    def aggregate(self, pipeline):
+        size = pipeline[0]["$sample"]["size"]
+        return [{"_id": i} for i in range(min(size, self.n))]
+
+
+def test_plan_mongo_ranges():
+    assert plan_mongo_ranges(_PlanColl(1000), "_id", 1) == [(None, None)]
+    ranges = plan_mongo_ranges(_PlanColl(1000), "_id", 4)
+    assert len(ranges) == 4
+    assert ranges[0][0] is None and ranges[-1][1] is None
+    # ranges are contiguous half-open intervals
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi == lo
+    # too small to sample → single range
+    assert plan_mongo_ranges(_PlanColl(2), "_id", 4) == [(None, None)]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the Spark data source (fake clients, real plumbing)
+# ---------------------------------------------------------------------------
+
+
+def _fake_mongo_factory(docs):
+    """Factory building a minimal pymongo-shaped client over a doc list.
+    Defined via closures so cloudpickle ships it by value to executors."""
+
+    def connect():
+        class Coll:
+            def aggregate(self, pipeline):
+                size = pipeline[0]["$sample"]["size"]
+                return sorted(docs, key=lambda d: d["_id"])[:size]
+
+            def find(self, flt):
+                lo = flt.get("_id", {}).get("$gte")
+                hi = flt.get("_id", {}).get("$lt")
+                for d in sorted(docs, key=lambda d: d["_id"]):
+                    if lo is not None and d["_id"] < lo:
+                        continue
+                    if hi is not None and d["_id"] >= hi:
+                        continue
+                    yield d
+
+        class DB(dict):
+            def __getitem__(self, name):
+                return Coll()
+
+        class Client(dict):
+            def __getitem__(self, name):
+                return DB()
+
+        return Client()
+
+    return connect
+
+
+def test_mongodb_read_partitioned(spark):
+    docs = [{"_id": i, "name": f"user{i}", "score": i * 1.5} for i in range(97)]
+    df = mongodb(
+        spark,
+        host="fake:27017",
+        database="appdb",
+        collection="users",
+        structure="_id Int64, name String, score Float64",
+        n_partitions=4,
+        client_factory=_fake_mongo_factory(docs),
+    )
+    assert df.schema.simpleString() == "struct<_id:bigint,name:string,score:double>"
+    rows = sorted(df.collect(), key=lambda r: r._id)
+    assert len(rows) == 97  # range partitions are disjoint AND complete
+    assert rows[10]._id == 10 and rows[10].name == "user10"
+    assert rows[10].score == pytest.approx(15.0)
+    # the scan really was split: 4 input partitions planned
+    assert df.rdd.getNumPartitions() == 4
+
+
+def _fake_redis_factory(kv):
+    def connect():
+        class Client:
+            def scan_iter(self, match="*"):
+                for k in sorted(kv):
+                    yield k.encode()
+
+            def hgetall(self, k):
+                key = k.decode() if isinstance(k, bytes) else k
+                return {f.encode(): str(v).encode() for f, v in kv[key].items()}
+
+        return Client()
+
+    return connect
+
+
+def test_redis_read(spark):
+    kv = {f"user:{i}": {"visits": i * 3, "country": "ES" if i % 2 else "DE"} for i in range(25)}
+    df = redis_table(
+        spark,
+        host="fake:6379",
+        key="k",
+        structure="k String, visits Int64, country String",
+        client_factory=_fake_redis_factory(kv),
+    )
+    rows = {r.k: r for r in df.collect()}
+    assert len(rows) == 25
+    assert rows["user:7"].visits == 21 and rows["user:7"].country == "ES"
+
+
+def test_redis_read_sharded(spark):
+    kv = {f"k{i}": {"v": i} for i in range(40)}
+    df = redis_table(
+        spark,
+        host="fake:6379",
+        key="k",
+        structure="k String, v Int64",
+        n_partitions=3,
+        client_factory=_fake_redis_factory(kv),
+    )
+    got = sorted(int(r.k[1:]) for r in df.collect())
+    assert got == list(range(40))  # hash-sharding loses/duplicates nothing
+
+
+def test_uri_dispatch(spark):
+    from chdb_spark.sources.uri import open_uri
+
+    with pytest.raises(ValueError, match="collection"):
+        open_uri(spark, "mongodb://h:27017/db")
+    with pytest.raises(ValueError, match="key=.*structure"):
+        open_uri(spark, "redis://h:6379/0")
+    # full URI plumbs through to the data source (fake client via options)
+    df = open_uri(
+        spark,
+        "mongodb://u:p@h:27017/db?collection=c&structure=_id Int64",
+        client_factory=_fake_mongo_factory([{"_id": 1}, {"_id": 2}]),
+    )
+    assert [r._id for r in df.orderBy("_id").collect()] == [1, 2]
