@@ -346,6 +346,191 @@ def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style repetition / quality filtering
+# ---------------------------------------------------------------------------
+
+
+def gopher_filters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Gopher-rule features + a keep/drop verdict (the
+    repetition-and-shape filter pass of a pretraining pipeline; rules after
+    Rae et al. 2021 §A1.1): token-count bounds, mean-word-length band,
+    symbol-to-word ratio, alpha-word ratio, and top-bigram share (the
+    repetition signal).
+
+    Scale shape: all features except bigram share are map-only Column math.
+    The bigram share needs per-(doc, bigram) counts — posexplode + lead
+    (codegen'd, same pattern as doc_fingerprints) then two hash aggregates
+    keyed by doc_id; the shuffle carries (doc_id, bigram-hash) pairs and
+    partial counts combine map-side. No global state, no skew beyond
+    document length itself.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    # single-space tokenization ⇒ sum(len(tok)) == n_chars - (n-1); stays in
+    # codegen (an aggregate() HOF would evaluate interpreted)
+    mean_wl = (n_chars - (n - 1)).cast("double") / n
+    alpha_ratio = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double") / n
+    n_hash = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    n_ellipsis = (
+        F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+    )
+
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok_rows.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("gram"),
+        F.lead("tok", 1).over(w).alias("_nxt"),
+    ).filter(F.col("_nxt").isNotNull())
+    shares = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("_share"))
+    )
+    out = base.join(shares, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "alpha_word_ratio",
+        "symbol_ratio",
+        F.round(F.coalesce(F.col("_share"), F.lit(0.0)), 4).alias("top_bigram_share"),
+    )
+    passes = (
+        F.col("n_tokens").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("alpha_word_ratio") > 0.8)
+        & (F.col("top_bigram_share") < 0.2)
+    )
+    return out.withColumn("passes", passes)
+
+
+@defquery(
+    "t7_gopher_filters",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+        round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4) AS mean_word_len,
+        round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+              / len(toks), 4) AS alpha_word_ratio,
+        round(((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE
+              / len(toks), 4) AS symbol_ratio
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY doc_id, gram),
+    bs AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_share
+           FROM bc GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.mean_word_len, b.alpha_word_ratio,
+           b.symbol_ratio, COALESCE(bs.top_bigram_share, 0.0) AS top_bigram_share,
+           (b.n_tokens BETWEEN 50 AND 100000)
+             AND (b.mean_word_len BETWEEN 3.0 AND 10.0)
+             AND (b.symbol_ratio < 0.1)
+             AND (b.alpha_word_ratio > 0.8)
+             AND (COALESCE(bs.top_bigram_share, 0.0) < 0.2) AS passes
+    FROM base b LEFT JOIN bs USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition/shape filters (token bounds, word-length "
+        "band, symbol + alpha ratios, top-bigram share) with a keep/drop "
+        "verdict per document.",
+)
+def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return gopher_filters(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified corpus sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality_score",
+    keep_lo_pct: int = 30,
+    quality_cut: float = 0.5,
+) -> DataFrame:
+    """Quality-stratified downsampling decision per document: docs at or
+    above ``quality_cut`` always keep; below it, keep a deterministic
+    ``keep_lo_pct``% chosen by md5-hash of the id (stable across runs,
+    engines, and cluster layouts — no RNG state, rerunning the pipeline on
+    a grown corpus keeps prior decisions). Map-only at any scale."""
+    bucket = F.when(F.col(quality_col) >= quality_cut, F.lit("hi")).otherwise(F.lit("lo"))
+    slot = F.pmod(md5_prefix48(F.col(id_col).cast("string")), F.lit(100))
+    keep = (bucket == "hi") | (slot < keep_lo_pct)
+    return docs.withColumn("bucket", bucket).withColumn("keep", keep)
+
+
+@defquery(
+    "t8_stratified_sample",
+    """
+    WITH feats AS (
+      SELECT doc_id, lang,
+        greatest(1.0
+          - least(1.0, abs(len(list_filter(string_split(trim(text), ' '),
+              t -> list_contains(['the','a','of','and','is','in','to'], t)))::DOUBLE
+              / len(string_split(trim(text), ' ')) - 0.08) * 5)
+          - least(0.5, length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+              / length(text) * 5)
+          - least(0.5, length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+              / length(text) * 2), 0.0) AS q
+      FROM documents
+    ),
+    flagged AS (
+      SELECT lang,
+        CASE WHEN q >= 0.5 THEN 'hi' ELSE 'lo' END AS bucket,
+        (q >= 0.5) OR (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 < 30) AS keep
+      FROM feats
+    )
+    SELECT lang, bucket, count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+    doc="deterministic quality-stratified downsampling: keep all "
+        "high-quality docs, a stable md5-chosen 30% of low-quality ones; "
+        "reports per-(lang, bucket) kept counts. Hash-based, so decisions "
+        "are reproducible across engines and corpus growth.",
+)
+def t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = quality_features(table(spark, sf_dir, "documents"))
+    flagged = stratified_sample_flags(docs)
+    return (
+        flagged.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # document packing (concat-and-chunk, GPT-style pretraining batches)
 # ---------------------------------------------------------------------------
 
