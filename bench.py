@@ -1,17 +1,27 @@
 #!/usr/bin/env python
 """Benchmark runner — times every headline query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is executed once after a JVM/parquet-footer warmup pass, timed
-to full materialization (collect) — the same work the driver's oracle does.
+Prints ONE compact JSON line to stdout (keys: metric, value, unit, sf,
+n_queries, mean_sec, slowest, queries_file) and writes the full per-query
+timing map to BENCH_full.json next to this script (the ~3 KB inline map
+got truncated by the driver's stdout tail window in round 1).
+
+Conditions are pinned so round-over-round deltas mean something
+(round-2 lesson: a busy machine produced a uniform ~2x phantom
+"regression" across queries whose code hadn't changed):
+  * each query runs BENCH_RUNS times (default 3) and reports the MEDIAN;
+  * the 1-min load average before the run is recorded in BENCH_full.json
+    ("load_1m_at_start") so a loaded-machine run is visibly suspect;
+  * warmup spins the JVM, the Python/Arrow worker pool, and parquet
+    footers before any timing.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,9 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
 
     from chdb_spark.queries import all_queries
     from chdb_spark.session import get_spark
+
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
 
     spark = get_spark(app_name="chdb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,9 +56,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
-        t0 = time.perf_counter()
-        q.spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -52,10 +71,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs_per_query": runs,
+        "aggregation": "median",
+        "load_1m_at_start": load_1m,
     }
-    # Full per-query map goes to a file (the ~3 KB one-liner got truncated
-    # by the driver's stdout tail window in round 1); the FINAL stdout line
-    # is a compact (<500 char) summary the driver can always parse.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

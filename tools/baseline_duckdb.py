@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Measure the in-container reference baseline: every oracle SQL query run
+through DuckDB at a given scale factor, N runs, median per query.
+
+Why DuckDB: the chdb wheel is not installable in this container, and the
+reference repo commits no TPC-H numbers (BASELINE.md §A-C). DuckDB is the
+same engine class (embedded vectorized OLAP, same latency envelope at these
+scales) and is already the correctness oracle — so it is the honest local
+stand-in for "the reference's single-node throughput at the same data
+scale". The oracle SQL is semantically identical to what the Spark queries
+compute, making per-query ratios meaningful.
+
+Usage: python tools/baseline_duckdb.py [sf_dir] [runs]
+Writes BASELINE_duckdb.json at the repo root and prints a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: Oracles that are CORRECTNESS devices, not equivalent work — timing them
+#: as a throughput baseline would be meaningless or pathological:
+#: dd2/dd3's oracle is brute-force all-pairs Jaccard (O(n^2) list
+#: intersections — the Spark side runs banded LSH/SimHash, and at sf0.1 the
+#: brute force runs for hours); s2/km1's oracles replay iterative
+#: algorithms as generated CTE chains (correlated subqueries per row —
+#: again not how any engine would execute the operator).
+NOT_COMPARABLE = {"dd2_minhash_lsh", "dd3_simhash", "s2_ann_ivf", "km1_kmeans_clusters"}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    import duckdb
+
+    from chdb_spark.queries import all_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    for name, q in sorted(queries.items()):
+        sql = q.oracle
+        if not sql:
+            skipped.append(name)
+            continue
+        if name in NOT_COMPARABLE:
+            skipped.append(name)
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()  # first run doubles as warmup
+        first = time.perf_counter() - t0
+        samples = [first]
+        # repeat only when affordable — a 60s oracle replay doesn't need a
+        # median to be meaningfully compared against a 1s Spark query
+        if first < 10.0:
+            for _ in range(runs - 1):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    out = {
+        "engine": f"duckdb {duckdb.__version__}",
+        "sf_dir": sf_dir,
+        "runs_per_query": runs,
+        "aggregation": "median",
+        "total_sec": round(sum(timings.values()), 4),
+        "n_queries": len(timings),
+        "skipped_no_oracle": skipped,
+        "queries": timings,
+    }
+    with open(os.path.join(ROOT, "BASELINE_duckdb.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "engine": out["engine"],
+                "total_sec": out["total_sec"],
+                "n_queries": out["n_queries"],
+                "mean_sec": round(out["total_sec"] / max(len(timings), 1), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
