@@ -153,24 +153,60 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def query(
-    spark: SparkSession,
-    sql_text: str,
-    output_format: str = "DataFrame",
+    spark_or_sql,
+    sql_or_fmt: str | None = None,
+    output_format: str | None = None,
     params: dict | None = None,
+    path: str = "",
+    udf_path: str = "",
 ):
     """One-shot SQL — the analogue of ``chdb.query(sql, output_format,
-    params=...)`` (reference chdb/__init__.py:145-217). Catalyst handles
-    parse→analyze→optimize→physical; with the default ``output_format``
-    the returned DataFrame is lazy, exactly like the reference's lazy
-    result objects. Other format names ("Pretty", "CSV", "JSONEachRow",
-    "Arrow", …) render the collected result — see chdb_spark.formats.
-    ``params`` binds ``{key:Type}`` placeholders (chdb_spark.params).
+    path=..., udf_path=..., params=...)`` (reference chdb/__init__.py:
+    145-217). Two call shapes:
+
+    * Reference shape — ``query("SELECT 1", "Pretty")``: the tuned shared
+      SparkSession is created/fetched implicitly, ``output_format``
+      defaults to "CSV" exactly like the reference, ``path`` routes
+      through a stateful ``Session(path)`` (persisted DDL), ``udf_path``
+      loads a UDF script directory first.
+    * Spark shape — ``query(spark, "SELECT 1")``: explicit session,
+      default format "DataFrame" (a lazy DataFrame, like the reference's
+      lazy result objects).
+
+    Format names ("Pretty", "CSV", "JSONEachRow", "Arrow", …) render the
+    collected result — see chdb_spark.formats. ``params`` binds
+    ``{key:Type}`` placeholders (chdb_spark.params).
     """
     from chdb_spark.formats import format_result
     from chdb_spark.params import bind_params
 
+    if isinstance(spark_or_sql, str):
+        sql_text = spark_or_sql
+        fmt = sql_or_fmt if sql_or_fmt is not None else (output_format or "CSV")
+        if path:
+            from chdb_spark.stateful import Session
+
+            sess = Session(path)
+            try:
+                if udf_path:
+                    from chdb_spark.udf import load_udf_path
+
+                    load_udf_path(sess.spark, udf_path)
+                return sess.query(sql_text, fmt=fmt, params=params)
+            finally:
+                sess.close()  # file-backed state persists (reference contract)
+        spark = get_spark()
+        if udf_path:
+            from chdb_spark.udf import load_udf_path
+
+            load_udf_path(spark, udf_path)
+    else:
+        spark = spark_or_sql
+        sql_text = sql_or_fmt
+        fmt = output_format or "DataFrame"
+
     out = spark.sql(bind_params(sql_text, params))
-    return format_result(out, output_format)
+    return format_result(out, fmt)
 
 
 #: ``chdb.sql`` is an alias of ``chdb.query`` (reference chdb/__init__.py:220).

@@ -154,6 +154,18 @@ def test_module_level_query_formats(spark):
     assert lazy.first().two == 2
 
 
+def test_reference_shape_query(spark, tmp_path):
+    """chdb.query('SELECT ...', 'Pretty') — sql-first, implicit session,
+    CSV default, path= routes through a stateful Session."""
+    assert chs.query("SELECT 1 AS a, 'x' AS b") == '1,"x"\n'  # CSV default
+    pretty = chs.query("SELECT 7 AS n", "Pretty")
+    assert pretty.startswith("┏") and "7" in pretty
+    # path= persists DDL across calls, like chdb.query(path=...)
+    p = str(tmp_path / "qsess")
+    chs.query("CREATE TABLE kv AS SELECT 1 AS k, 'v' AS v", "CSV", path=p)
+    assert chs.query("SELECT v FROM kv", "CSV", path=p) == '"v"\n'
+
+
 # ---------------------------------------------------------------------------
 # {key:Type} parameter binding
 # ---------------------------------------------------------------------------
