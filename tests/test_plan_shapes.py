@@ -157,3 +157,42 @@ def test_dd4_no_forced_corpus_broadcast(spark):
         assert "BroadcastExchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_t7_gopher_windows_partitioned_no_cartesian(spark):
+    """t7's bigram repetition pass: the lead() window and both aggregates
+    must partition on doc_id (never a global window), and the features-to-
+    shares join must not degrade to a cartesian/nested-loop product."""
+    plan = plan_of(spark, "t7_gopher_filters")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_m1_multimodal_single_python_stage(spark):
+    """m1 synthesize+decode: exactly the two Arrow Python crossings the
+    design declares (pandas_udf synth, mapInPandas decode) and no shuffle
+    between them — payloads must never be exchanged."""
+    plan = plan_of(spark, "m1_multimodal_pipeline")
+    assert "MapInPandas" in plan and "ArrowEvalPython" in plan
+    # synthesis and decode run back-to-back with no exchange in between:
+    # the only exchange in the whole plan is the final orderBy's range
+    # partitioning — payload bytes are never hash-shuffled.
+    assert plan.count("rangepartitioning") == 1, plan
+    assert "hashpartitioning" not in plan, plan
+    # decode's scan reads ONLY doc_id (payloads are synthesized, text unread)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema and "doc_id" in read_schema
+
+
+def test_s2_ivf_probe_join_broadcasts_probes_not_corpus(spark):
+    """s2's probe join: the bounded (query, cell) probe relation is the
+    broadcast side; the cell-assigned corpus must arrive as a plain child
+    (no corpus-sized broadcast)."""
+    plan = plan_of(spark, "s2_ann_ivf")
+    assert "BroadcastHashJoin" in plan
+    # exactly one broadcast-exchange NODE (formatted explain prints each
+    # node twice — tree line "BroadcastExchange (n)" + detail section):
+    # the probes broadcast; the cell-assigned corpus streams as the child.
+    assert plan.count("BroadcastExchange (") == 1, plan
