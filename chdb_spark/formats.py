@@ -448,6 +448,33 @@ def supported_formats() -> list[str]:
     return sorted(canon | set(FORMAT_ALIASES))
 
 
+_FORMAT_SUFFIX = None  # compiled lazily (needs supported_formats())
+
+
+def split_format_suffix(sql: str) -> tuple[str, str | None]:
+    """Strip a trailing ClickHouse ``FORMAT <Name>`` clause from SQL text
+    (the reference accepts ``SELECT ... FORMAT JSONEachRow`` — ClickHouse
+    dialect; chdb examples use it throughout). Returns (sql, format|None).
+    Conservative: only strips when the trailing word is a KNOWN format
+    name, so ``date_format``/column names never false-positive."""
+    import re
+
+    global _FORMAT_SUFFIX
+    if _FORMAT_SUFFIX is None:
+        _FORMAT_SUFFIX = re.compile(r"\bFORMAT\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+    m = _FORMAT_SUFFIX.search(sql or "")
+    if not m:
+        return sql, None
+    name = m.group(1)
+    key = FORMAT_ALIASES.get(name.lower(), name.lower())
+    known = key in _TEXT_RENDERERS or key in (
+        "dataframe", "pandas", "arrowtable", "arrow", "arrowstream", "parquet",
+    )
+    if not known:
+        return sql, None
+    return sql[: m.start()].rstrip(), name
+
+
 def format_result(df: DataFrame, fmt: str = "DataFrame") -> Any:
     """Render a (lazy) result DataFrame in a ClickHouse output format.
 

@@ -205,6 +205,13 @@ def query(
         sql_text = sql_or_fmt
         fmt = output_format or "DataFrame"
 
+    # ClickHouse dialect: a trailing `FORMAT <Name>` in the SQL text wins
+    # over the argument (reference behavior — the engine honors the clause)
+    from chdb_spark.formats import split_format_suffix
+
+    sql_text, suffix_fmt = split_format_suffix(sql_text)
+    if suffix_fmt is not None:
+        fmt = suffix_fmt
     out = spark.sql(bind_params(sql_text, params))
     return format_result(out, fmt)
 

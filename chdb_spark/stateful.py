@@ -224,10 +224,13 @@ class Session:
         """
         if self._closed:
             raise RuntimeError("session is closed")
-        from chdb_spark.formats import format_result
+        from chdb_spark.formats import format_result, split_format_suffix
         from chdb_spark.params import bind_params
 
         sql = bind_params(sql, params)
+        sql, suffix_fmt = split_format_suffix(sql)
+        if suffix_fmt is not None:
+            fmt = suffix_fmt
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
         try:

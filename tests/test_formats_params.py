@@ -12,6 +12,7 @@ import pytest
 from chdb_spark import session as chs
 from chdb_spark.formats import FORMAT_ALIASES, format_result, supported_formats
 from chdb_spark.params import bind_params
+from chdb_spark.stateful import Session
 
 
 @pytest.fixture(scope="module")
@@ -169,6 +170,23 @@ def test_reference_shape_query(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # {key:Type} parameter binding
 # ---------------------------------------------------------------------------
+
+
+def test_format_suffix_clause(spark):
+    """ClickHouse dialect: `SELECT ... FORMAT JSONEachRow` inside the SQL."""
+    out = chs.query(spark, "SELECT 5 AS n FORMAT JSONEachRow")
+    assert json.loads(out) == {"n": 5}
+    # unknown trailing word is NOT treated as a format clause
+    lazy = chs.query(spark, "SELECT 'x' AS format_nothing")
+    assert lazy.first()[0] == "x"
+    from chdb_spark.formats import split_format_suffix
+
+    assert split_format_suffix("SELECT date_format(now(), 'y') AS d") == (
+        "SELECT date_format(now(), 'y') AS d", None,
+    )
+    assert split_format_suffix("SELECT 1 FORMAT Pretty;") == ("SELECT 1", "Pretty")
+    with Session(spark=spark) as sess:  # stateful surface honors it too
+        assert sess.query("SELECT 1 AS a FORMAT CSV") == "1\n"
 
 
 def test_bind_basic_types():
