@@ -392,6 +392,174 @@ def _render_values(rows):
     return ",".join("(" + ",".join(_sql_value(v) for v in r) + ")" for r in rows)
 
 
+def _render_tskv(cols, rows):
+    """CH ``TSKV``: one line per row of tab-separated key=value pairs."""
+    out = []
+    for r in rows:
+        out.append(
+            "\t".join(
+                f"{_tsv_escape(c)}={_tsv_value(v)}" for c, v in zip(cols, r)
+            )
+        )
+    return "\n".join(out) + ("\n" if out else "")
+
+
+def _render_json_object_each_row(cols, rows):
+    doc = {
+        f"row_{i}": {c: _json_value(v) for c, v in zip(cols, r)}
+        for i, r in enumerate(rows, 1)
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
+
+
+def _render_json_compact_columns(cols, rows):
+    doc = [[_json_value(r[i]) for r in rows] for i in range(len(cols))]
+    return json.dumps(doc, ensure_ascii=False) + "\n"
+
+
+def _str_or_none(v):
+    return None if _is_null(v) else _plain(v)
+
+
+def _render_json_strings_each_row(cols, rows):
+    return (
+        "\n".join(
+            json.dumps(
+                {c: _str_or_none(v) for c, v in zip(cols, r)}, ensure_ascii=False
+            )
+            for r in rows
+        )
+        + ("\n" if rows else "")
+    )
+
+
+def _render_json_compact_strings(cols, types, rows):
+    doc = {
+        "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
+        "data": [[_str_or_none(v) for v in r] for r in rows],
+        "rows": len(rows),
+    }
+    return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
+
+
+def _render_json_compact_strings_each_row(cols, rows):
+    return (
+        "\n".join(
+            json.dumps([_str_or_none(v) for v in r], ensure_ascii=False)
+            for r in rows
+        )
+        + ("\n" if rows else "")
+    )
+
+
+def _render_line_as_string(rows):
+    """CH ``LineAsString`` output: each row's values joined raw, no escaping."""
+    return "\n".join(" ".join(_plain(v) for v in r) for r in rows) + (
+        "\n" if rows else ""
+    )
+
+
+def _render_xml(cols, types, rows):
+    from xml.sax.saxutils import escape
+
+    lines = ["<?xml version='1.0' encoding='UTF-8' ?>", "<result>", "\t<meta>", "\t\t<columns>"]
+    for c, t in zip(cols, types):
+        lines.append("\t\t\t<column>")
+        lines.append(f"\t\t\t\t<name>{escape(c)}</name>")
+        lines.append(f"\t\t\t\t<type>{escape(t)}</type>")
+        lines.append("\t\t\t</column>")
+    lines += ["\t\t</columns>", "\t</meta>", "\t<data>"]
+    for r in rows:
+        lines.append("\t\t<row>")
+        for c, v in zip(cols, r):
+            tag = escape(c)
+            if _is_null(v):
+                lines.append(f"\t\t\t<{tag} xsi:nil=\"true\"/>")
+            else:
+                lines.append(f"\t\t\t<{tag}>{escape(_plain(v))}</{tag}>")
+        lines.append("\t\t</row>")
+    lines += ["\t</data>", f"\t<rows>{len(rows)}</rows>", "</result>"]
+    return "\n".join(lines) + "\n"
+
+
+def _render_sql_insert(cols, rows, table="table"):
+    """CH ``SQLInsert``: INSERT statements (64-row batches like the engine)."""
+    out = []
+    head = f"INSERT INTO {table} (" + ", ".join(cols) + ") VALUES "
+    for i in range(0, len(rows), 64):
+        batch = rows[i : i + 64]
+        out.append(
+            head
+            + ", ".join("(" + ", ".join(_sql_value(v) for v in r) + ")" for r in batch)
+            + ";"
+        )
+    return "\n".join(out) + ("\n" if out else "")
+
+
+# -- RowBinary (real binary encoding: little-endian fixed types, LEB128
+#    varint length-prefixed UTF-8 strings, Date=uint16 days,
+#    DateTime=uint32 seconds — the CH wire layout for flat types) ----------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _rowbinary_cell(v, spark_type: str) -> bytes:
+    import struct
+
+    t = spark_type
+    if _is_null(v):
+        # Nullable encoding: 1-byte null flag; Spark schemas are nullable,
+        # so every cell carries the flag (documented divergence from
+        # non-nullable CH columns)
+        return b"\x01"
+    prefix = b"\x00"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        size = {"tinyint": "b", "smallint": "h", "int": "i", "bigint": "q"}[t]
+        return prefix + struct.pack("<" + size, int(v))
+    if t == "float":
+        return prefix + struct.pack("<f", float(v))
+    if t == "double":
+        return prefix + struct.pack("<d", float(v))
+    if t == "boolean":
+        return prefix + (b"\x01" if v else b"\x00")
+    if t == "date":
+        epoch = date(1970, 1, 1)
+        return prefix + struct.pack("<H", (v - epoch).days)
+    if t.startswith("timestamp"):
+        return prefix + struct.pack("<I", int(v.timestamp()))
+    s = _plain(v).encode("utf-8")
+    return prefix + _varint(len(s)) + s
+
+
+def _render_rowbinary(
+    cols, spark_types, rows, names=False, with_types=False, ch_types=None
+) -> bytes:
+    out = bytearray()
+    if names or with_types:
+        out += _varint(len(cols))
+        for c in cols:
+            b = c.encode()
+            out += _varint(len(b)) + b
+    if with_types:
+        for t in ch_types or spark_types:
+            b = t.encode()
+            out += _varint(len(b)) + b
+    for r in rows:
+        for v, t in zip(r, spark_types):
+            out += _rowbinary_cell(v, t)
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -410,7 +578,11 @@ FORMAT_ALIASES = {
     "prettynoescapes": "pretty",
     "prettymonoblock": "pretty",
     "prettycompactmonoblock": "prettycompact",
+    "prettyspacenoescapes": "prettyspace",
+    "prettyspacemonoblock": "prettyspace",
     "vertical_raw": "vertical",
+    "tabseparatedrawwithnames": "tabseparatedwithnames",
+    "jsoncolumnswithmetadata": "jsoncompact",
     "datastore": "dataframe",
     "df": "dataframe",
     "debug": "csv",  # reference: Debug = CSV + verbose engine logging
@@ -436,13 +608,24 @@ _TEXT_RENDERERS = {
     "jsoncolumns": lambda c, t, r, n: _render_json_columns(c, r),
     "jsonstrings": lambda c, t, r, n: _render_json_strings(c, t, r),
     "values": lambda c, t, r, n: _render_values(r),
+    "tskv": lambda c, t, r, n: _render_tskv(c, r),
+    "jsonobjecteachrow": lambda c, t, r, n: _render_json_object_each_row(c, r),
+    "jsoncompactcolumns": lambda c, t, r, n: _render_json_compact_columns(c, r),
+    "jsonstringseachrow": lambda c, t, r, n: _render_json_strings_each_row(c, r),
+    "jsoncompactstrings": lambda c, t, r, n: _render_json_compact_strings(c, t, r),
+    "jsoncompactstringseachrow": lambda c, t, r, n: _render_json_compact_strings_each_row(c, r),
+    "lineasstring": lambda c, t, r, n: _render_line_as_string(r),
+    "xml": lambda c, t, r, n: _render_xml(c, t, r),
+    "sqlinsert": lambda c, t, r, n: _render_sql_insert(c, r),
     "null": lambda c, t, r, n: "",
 }
+
+_ROWBINARY = {"rowbinary", "rowbinarywithnames", "rowbinarywithnamesandtypes"}
 
 
 def supported_formats() -> list[str]:
     """All accepted format names (canonical + aliases), for docs/tests."""
-    canon = set(_TEXT_RENDERERS) | {
+    canon = set(_TEXT_RENDERERS) | _ROWBINARY | {
         "dataframe", "pandas", "arrowtable", "arrow", "arrowstream", "parquet",
     }
     return sorted(canon | set(FORMAT_ALIASES))
@@ -515,6 +698,18 @@ def format_result(df: DataFrame, fmt: str = "DataFrame") -> Any:
             with pa.ipc.new_stream(buf, tbl.schema) as w:
                 w.write_table(tbl)
         return buf.getvalue()
+
+    if key in _ROWBINARY:
+        spark_types = [f.dataType.simpleString() for f in df.schema.fields]
+        ch_names, _, rows, _ = _collect(df)
+        return _render_rowbinary(
+            list(df.columns),
+            spark_types,
+            rows,
+            names=key != "rowbinary",
+            with_types=key == "rowbinarywithnamesandtypes",
+            ch_types=[ch_type_name(f.dataType, f.nullable) for f in df.schema.fields],
+        )
 
     renderer = _TEXT_RENDERERS.get(key)
     if renderer is None:

@@ -109,6 +109,63 @@ def test_null_format_executes_but_empty(df):
     assert format_result(df, "Null") == ""
 
 
+def test_extended_text_formats(df):
+    tskv = format_result(df, "TSKV").splitlines()
+    assert tskv[0].startswith("id=1\tname=alpha")
+    assert "name=\\N" in tskv[2]
+
+    obj = json.loads(format_result(df, "JSONObjectEachRow"))
+    assert obj["row_1"]["id"] == 1 and len(obj) == 3
+
+    cc = json.loads(format_result(df, "JSONCompactColumns"))
+    assert cc[0] == [1, 2, 3]  # column-major
+
+    se = format_result(df, "JSONStringsEachRow").splitlines()
+    assert json.loads(se[0])["score"] == "1.5"  # every value stringified
+
+    xml = format_result(df, "XML")
+    assert "<name>alpha</name>" in xml and "<rows>3</rows>" in xml
+
+    ins = format_result(df, "SQLInsert")
+    assert ins.startswith("INSERT INTO table (id, name, score")
+    assert "NULL" in ins
+
+
+def test_rowbinary_roundtrip(spark):
+    """RowBinary: decode the bytes back and compare — real binary layout
+    (null flag + little-endian fixed types + varint strings)."""
+    import struct
+
+    df2 = spark.sql("SELECT * FROM VALUES (1, 'ab', 2.5), (2, NULL, CAST(NULL AS DOUBLE)) AS t(i, s, d)")
+    raw = format_result(df2, "RowBinary")
+    pos = 0
+
+    def read_cell(fmt=None, is_str=False):
+        nonlocal pos
+        null = raw[pos]; pos += 1
+        if null:
+            return None
+        if is_str:
+            ln = raw[pos]; pos += 1  # values < 128: single varint byte
+            s = raw[pos : pos + ln].decode(); pos += ln
+            return s
+        size = struct.calcsize(fmt)
+        v = struct.unpack_from(fmt, raw, pos)[0]; pos += size
+        return v
+
+    assert read_cell("<i") == 1
+    assert read_cell(is_str=True) == "ab"
+    assert read_cell("<d") == 2.5
+    assert read_cell("<i") == 2
+    assert read_cell(is_str=True) is None
+    assert read_cell("<d") is None
+    assert pos == len(raw)
+
+    named = format_result(df2, "RowBinaryWithNamesAndTypes")
+    assert named[0] == 3  # varint column count
+    assert b"Int32" in named and b"Nullable(String)" in named
+
+
 # ---------------------------------------------------------------------------
 # binary + python formats
 # ---------------------------------------------------------------------------
