@@ -653,3 +653,160 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "lang", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup + train/eval decontamination (RefinedWeb/CCNet- and
+# GPT-3-style corpus hygiene passes)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = r"\. ",
+) -> DataFrame:
+    """Per-document duplicated-paragraph ratio: split into paragraphs
+    (sentence-level here — the synthetic corpus has no newlines), hash each,
+    count occurrences CORPUS-WIDE, and report per doc how many of its
+    paragraphs appear elsewhere (the RefinedWeb/CCNet repetition-removal
+    signal; docs above a dup-ratio cut get dropped or trimmed).
+
+    Scale shape: explode → hash-count keyed by paragraph hash (map-side
+    partial combine; hot paragraphs are exactly the interesting ones and
+    AQE skew-split absorbs them) → join back on hash → per-doc agg keyed by
+    doc_id. Two shuffles, both on uniform-ish keys; no all-pairs anywhere.
+    """
+    from chdb_spark.operators.text import md5_prefix48
+
+    paras = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), sep)).alias("para"),
+        )
+        .withColumn("para", F.trim("para"))
+        .filter(F.length("para") > 0)
+        .withColumn("h", md5_prefix48(F.col("para")))
+    )
+    counts = paras.groupBy("h").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        paras.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum((F.col("n_occ") > 1).cast("int")).cast("long").alias("n_dup_paras"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.round(F.col("n_dup_paras") / F.col("n_paras"), 4).alias("dup_ratio"),
+    )
+
+
+@defquery(
+    "dd5_paragraph_dedup",
+    """
+    WITH paras AS (
+      SELECT doc_id, trim(p) AS para
+      FROM documents, unnest(string_split(text, '. ')) t(p)
+      WHERE length(trim(p)) > 0
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(para), 1, 12))::BIGINT AS h FROM paras
+    ),
+    counts AS (SELECT h, count(*) AS n_occ FROM hashed GROUP BY h)
+    SELECT doc_id,
+           count(*) AS n_paras,
+           CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_ratio
+    FROM hashed JOIN counts USING (h)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="corpus-wide duplicated-paragraph ratio per document (RefinedWeb/"
+        "CCNet repetition removal): explode paragraphs, hash-count across "
+        "the corpus, report each doc's share of non-unique paragraphs.",
+)
+def dd5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return paragraph_dup_stats(docs).orderBy("doc_id")
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval overlap detection — the GPT-3 decontamination rule: a
+    training document is contaminated when it shares any ``n``-gram
+    (n=13 tokens) with a benchmark document.
+
+    Scale shape: benchmark gram hashes are small by definition (eval sets
+    are thousands of docs) — distinct-reduced and LEFT SEMI joined against
+    the training gram stream, so the corpus side never materializes pairs;
+    AQE broadcasts the benchmark side. Gram construction is posexplode +
+    lead window (codegen), keyed by doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    from chdb_spark.operators.text import md5_prefix48, tokens
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+        return (
+            toks.select(
+                "doc_id",
+                F.concat_ws(" ", "tok", *leads).alias("gram"),
+                leads[-1].alias("_last"),
+            )
+            .filter(F.col("_last").isNotNull())
+            .select("doc_id", md5_prefix48(F.col("gram")).alias("h"))
+        )
+
+    bench_hashes = grams(benchmark).select("h").distinct()
+    hits = grams(train).join(bench_hashes, "h", "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@defquery(
+    "dd6_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 12))::BIGINT AS h
+      FROM toks, unnest(range(1, len(toks) - 11)) t(i)
+    ),
+    bench AS (
+      SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shared_grams
+    FROM grams JOIN bench USING (h)
+    WHERE doc_id % 10 != 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="GPT-3-style decontamination: training docs sharing any 13-token "
+        "gram with the (synthesized: doc_id %% 10 = 0) benchmark set, with "
+        "shared-gram counts. Benchmark gram hashes reduce small and semi-"
+        "join against the training gram stream.",
+)
+def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(train, bench, n=13)
