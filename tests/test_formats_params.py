@@ -311,3 +311,32 @@ def test_stateful_session_params(spark):
             "SELECT {v:Int64} + 1 AS r", fmt="Pandas", params={"v": 9}
         )
         assert int(got["r"].iloc[0]) == 10
+
+
+# ---------------------------------------------------------------------------
+# property-based: binding is injection-proof and value-exact
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_texts)
+def test_string_param_roundtrips_exactly(spark, s):
+    """Any unicode string (quotes, backslashes, braces, newlines) bound via
+    {v:String} must come back byte-identical — the literal can never be
+    escaped out of, and the binder must not mangle content."""
+    pdf = chs.query(spark, "SELECT {v:String} AS v", "Pandas", params={"v": s})
+    assert pdf["v"].iloc[0] == s
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+def test_int_param_roundtrips(spark, n):
+    pdf = chs.query(spark, "SELECT {v:Int64} AS v", "Pandas", params={"v": n})
+    assert int(pdf["v"].iloc[0]) == n
