@@ -619,3 +619,71 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
     )
     return pack_documents(with_counts, capacity=2048)
+
+
+# ---------------------------------------------------------------------------
+# token vocabulary build (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(
+    docs: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token-frequency vocabulary with cumulative coverage — the
+    counting pass a tokenizer-training pipeline runs before BPE merges:
+    top ``top_k`` tokens by frequency (ties → lexicographic) with each
+    prefix's share of all token occurrences.
+
+    Scale shape: one hash aggregate keyed by token (map-side combine —
+    the shuffle carries distinct tokens, not occurrences), a top-k under
+    a total order, then a cumsum window over the BOUNDED top-k rows only
+    (never the full vocabulary); the corpus total joins in as a broadcast
+    1-row relation.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    total = toks.agg(F.count("*").alias("_total"))
+    top = counts.orderBy(F.desc("n_occ"), F.asc("tok")).limit(top_k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "tok",
+            "n_occ",
+            F.round(F.sum("n_occ").over(w) / F.col("_total"), 4).alias("coverage"),
+        )
+        .orderBy("rank")
+    )
+
+
+@defquery(
+    "t9_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    nonempty AS (SELECT tok FROM toks WHERE length(tok) > 0),
+    counts AS (SELECT tok, count(*) AS n_occ FROM nonempty GROUP BY tok),
+    total AS (SELECT count(*) AS t FROM nonempty),
+    top AS (SELECT tok, n_occ FROM counts ORDER BY n_occ DESC, tok LIMIT 50)
+    SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, tok) AS BIGINT) AS rank,
+           tok, n_occ,
+           round(sum(n_occ) OVER (ORDER BY n_occ DESC, tok
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+                 / (SELECT t FROM total), 4) AS coverage
+    FROM top ORDER BY rank
+    """,
+    doc="top-50 token vocabulary with cumulative corpus coverage — the "
+        "frequency-counting pass before tokenizer training; one hash agg "
+        "keyed by token, cumsum window over the bounded top-k only.",
+)
+def t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, top_k=50)
