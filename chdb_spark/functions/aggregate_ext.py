@@ -360,18 +360,82 @@ register_many(
 # ---------------------------------------------------------------------------
 
 
+def _bucketed_cumsum(
+    counts: DataFrame,
+    col: str,
+    sum_cols: list[str],
+    inclusive: bool = False,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed cumulative sums over a value-ordered relation — the
+    two-phase replacement for a global ``Window.orderBy(value)``.
+
+    A single global window funnels every distinct value through one
+    reducer; for near-unique columns (prices, timestamps) |distinct| ≈
+    |rows| and that is a genuine 100 TB bottleneck. Instead: (1) assign
+    each value to one of ``n_buckets`` monotone range buckets, (2) one
+    BOUNDED global window over the ≤ n_buckets bucket totals computes
+    bucket offsets, (3) a window PARTITIONED by bucket finishes the
+    cumulative within each bucket. All count arithmetic is exact longs,
+    so results are bit-identical to the single-window form. Non-numeric
+    columns fall back to the global window (callers here are numeric).
+
+    Adds ``_cum_<c>`` for each c in ``sum_cols``. NULL values sort first
+    (bucket -1), matching ``Window.orderBy`` NULLS FIRST semantics.
+    """
+    numeric = dict(counts.dtypes)[col] not in ("string", "boolean", "date", "timestamp")
+    frame_end = 0 if inclusive else -1
+    if not numeric:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, frame_end)
+        out = counts
+        for c in sum_cols:
+            out = out.withColumn(f"_cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)))
+        return out
+
+    mm = counts.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
+    c = counts.crossJoin(F.broadcast(mm))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
+    bucket = (
+        F.when(F.col(col).isNull(), F.lit(-1))
+        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(col) - F.col("_mn")) / width), F.lit(n_buckets - 1)
+            )
+        )
+    )
+    c = c.withColumn("_bk", bucket).drop("_mn", "_mx")
+    btot = c.groupBy("_bk").agg(*[F.sum(s).alias(f"_bt_{s}") for s in sum_cols])
+    wglob = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bk",
+        *[
+            F.coalesce(F.sum(f"_bt_{s}").over(wglob), F.lit(0)).alias(f"_off_{s}")
+            for s in sum_cols
+        ],
+    )
+    win_b = Window.partitionBy("_bk").orderBy(col).rowsBetween(
+        Window.unboundedPreceding, frame_end
+    )
+    out = c.join(F.broadcast(boff), "_bk")
+    for s in sum_cols:
+        out = out.withColumn(
+            f"_cum_{s}",
+            F.col(f"_off_{s}") + F.coalesce(F.sum(s).over(win_b), F.lit(0)),
+        )
+    return out.drop("_bk", *[f"_off_{s}" for s in sum_cols])
+
+
 def _rank_map(df: DataFrame, col: str, out: str) -> DataFrame:
     """Distinct-value → min-rank ('rank()' semantics) lookup table.
 
-    Scale path: the global cumulative runs over DISTINCT values only (a
-    groupBy shrinks the data first), so the single-partition window touches
-    |distinct| rows, not |rows| — then a broadcast-joinable map."""
+    Scale path: a groupBy shrinks to distinct values first, then the
+    cumulative runs BUCKETED (``_bucketed_cumsum``) — no single-reducer
+    pass even when the column is near-unique; then a broadcast-joinable
+    map."""
     counts = df.groupBy(col).agg(F.count("*").alias("_c"))
-    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-    return counts.select(
-        F.col(col),
-        (F.coalesce(F.sum("_c").over(w), F.lit(0)) + 1).alias(out),
-    )
+    below = _bucketed_cumsum(counts, col, ["_c"], inclusive=False)
+    return below.select(F.col(col), (F.col("_cum__c") + 1).alias(out))
 
 
 @register("rankCorr", "AGGREGATE", kind="TABLE",
@@ -457,10 +521,10 @@ def mann_whitney_u_test(df: DataFrame, value: str, is_treatment: str) -> DataFra
         F.count("*").alias("_c"),
         F.count(F.when(t, 1)).alias("_c1"),
     )
-    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, -1)
-    midranks = counts.select(
+    cum = _bucketed_cumsum(counts, value, ["_c"], inclusive=False)
+    midranks = cum.select(
         F.col("_c1"),
-        (F.coalesce(F.sum("_c").over(w), F.lit(0)) + (F.col("_c") + 1) / 2.0).alias("r"),
+        (F.col("_cum__c") + (F.col("_c") + 1) / 2.0).alias("r"),
         F.col("_c"),
     )
     agg = midranks.agg(
@@ -492,10 +556,9 @@ def kolmogorov_smirnov_test(df: DataFrame, value: str, is_treatment: str) -> Dat
         F.count(F.when(t, 1)).alias("_c1"),
         F.count(F.when(~t, 1)).alias("_c2"),
     )
-    w = Window.orderBy(value).rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select(
-        F.sum("_c1").over(w).alias("c1"),
-        F.sum("_c2").over(w).alias("c2"),
+    cum = _bucketed_cumsum(counts, value, ["_c1", "_c2"], inclusive=True).select(
+        F.col("_cum__c1").alias("c1"),
+        F.col("_cum__c2").alias("c2"),
     )
     totals = df.agg(
         F.count(F.when(t, 1)).alias("n1"), F.count(F.when(~t, 1)).alias("n2")

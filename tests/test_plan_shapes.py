@@ -196,3 +196,36 @@ def test_s2_ivf_probe_join_broadcasts_probes_not_corpus(spark):
     # node twice — tree line "BroadcastExchange (n)" + detail section):
     # the probes broadcast; the cell-assigned corpus streams as the child.
     assert plan.count("BroadcastExchange (") == 1, plan
+
+
+def test_all_queries_plan_hygiene(spark):
+    """Corpus-wide plan sweep: NO query may plan a CartesianProduct, and a
+    GLOBAL window (sort-only spec — every row through one reducer) is
+    allowed only when its input is bounded by construction:
+      * `_bk`-ordered windows — bucket totals from _bucketed_cumsum,
+        <= n_buckets rows by definition;
+      * the allowlisted queries below, each documenting its bound.
+    BroadcastNestedLoopJoin is allowed only as the 1-row scalar
+    crossJoin(broadcast(...)) pattern — approximated here by allowlist.
+    """
+    import re
+
+    GLOBAL_WINDOW_OK = {
+        "mo1_merge_ordered",   # day-grain: rows bounded by date range
+        "t9_vocab_coverage",   # cumsum over the top-50 rows only
+        "w3_event_deltas",     # day-grain event deltas (bounded days)
+    }
+    for name in sorted(_QUERIES):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name in GLOBAL_WINDOW_OK:
+            continue
+        for spec in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            head = spec.group(1).split(",")[0].strip()
+            is_global = "ASC" in head or "DESC" in head
+            if is_global:
+                assert head.startswith("_bk"), (
+                    f"{name} plans a global window over {head!r} — either "
+                    "partition it, route it through _bucketed_cumsum, or "
+                    "document the bound and allowlist it here"
+                )
