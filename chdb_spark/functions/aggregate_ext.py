@@ -360,6 +360,97 @@ register_many(
 # ---------------------------------------------------------------------------
 
 
+def bucketed_running_sum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    group_cols: list[str] | None = None,
+    extra_order: list[str] | None = None,
+    inclusive: bool = False,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Distributed running sums over a value-ordered relation — the
+    two-phase replacement for ``Window.orderBy(value)`` (global) or a
+    few-groups ``Window.partitionBy(g).orderBy(value)`` (each group's
+    whole row set on one reducer).
+
+    Shape: (1) per-group min/max of ``order_col`` (broadcast back),
+    (2) assign monotone range buckets, (3) bucket totals per
+    (group, bucket) feed a window partitioned by group ordered by bucket
+    — BOUNDED at ≤ n_buckets rows per group — producing offsets,
+    (4) a window partitioned by (group, bucket) finishes the running sum.
+    No task ever sees more than one bucket of one group.
+
+    Exactness: integer/integer-valued summands reproduce the
+    single-window result bit-for-bit (addition order only changes
+    genuinely fractional float sums — callers with float weights should
+    note the low-bit summation-order caveat). NULL order values sort
+    first (bucket -1), matching NULLS FIRST. Non-numeric order columns
+    fall back to the single-window form.
+
+    Adds ``_cum_<c>`` for each c in ``sum_cols``.
+    """
+    group_cols = list(group_cols or [])
+    extra_order = list(extra_order or [])
+    frame_end = 0 if inclusive else -1
+    numeric = dict(df.dtypes)[order_col] not in ("string", "boolean", "date", "timestamp")
+    if not numeric:
+        w = (
+            Window.partitionBy(*group_cols)
+            if group_cols
+            else Window.partitionBy()
+        ).orderBy(order_col, *extra_order).rowsBetween(Window.unboundedPreceding, frame_end)
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(f"_cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)))
+        return out
+
+    if group_cols:
+        mm = df.groupBy(*group_cols).agg(
+            F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
+        )
+        c = df.join(F.broadcast(mm), group_cols)
+    else:
+        mm = df.agg(F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx"))
+        c = df.crossJoin(F.broadcast(mm))
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
+    bucket = (
+        F.when(F.col(order_col).isNull(), F.lit(-1))
+        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col(order_col) - F.col("_mn")) / width),
+                F.lit(n_buckets - 1),
+            )
+        )
+    )
+    c = c.withColumn("_bk", bucket).drop("_mn", "_mx")
+    btot = c.groupBy(*group_cols, "_bk").agg(
+        *[F.sum(s).alias(f"_bt_{s}") for s in sum_cols]
+    )
+    wglob = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        *group_cols,
+        "_bk",
+        *[
+            F.coalesce(F.sum(f"_bt_{s}").over(wglob), F.lit(0)).alias(f"_off_{s}")
+            for s in sum_cols
+        ],
+    )
+    win_b = Window.partitionBy(*group_cols, "_bk").orderBy(
+        order_col, *extra_order
+    ).rowsBetween(Window.unboundedPreceding, frame_end)
+    out = c.join(F.broadcast(boff), group_cols + ["_bk"])
+    for s in sum_cols:
+        out = out.withColumn(
+            f"_cum_{s}",
+            F.col(f"_off_{s}") + F.coalesce(F.sum(s).over(win_b), F.lit(0)),
+        )
+    return out.drop("_bk", *[f"_off_{s}" for s in sum_cols])
+
+
 def _bucketed_cumsum(
     counts: DataFrame,
     col: str,
@@ -367,63 +458,12 @@ def _bucketed_cumsum(
     inclusive: bool = False,
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """Distributed cumulative sums over a value-ordered relation — the
-    two-phase replacement for a global ``Window.orderBy(value)``.
-
-    A single global window funnels every distinct value through one
-    reducer; for near-unique columns (prices, timestamps) |distinct| ≈
-    |rows| and that is a genuine 100 TB bottleneck. Instead: (1) assign
-    each value to one of ``n_buckets`` monotone range buckets, (2) one
-    BOUNDED global window over the ≤ n_buckets bucket totals computes
-    bucket offsets, (3) a window PARTITIONED by bucket finishes the
-    cumulative within each bucket. All count arithmetic is exact longs,
-    so results are bit-identical to the single-window form. Non-numeric
-    columns fall back to the global window (callers here are numeric).
-
-    Adds ``_cum_<c>`` for each c in ``sum_cols``. NULL values sort first
-    (bucket -1), matching ``Window.orderBy`` NULLS FIRST semantics.
-    """
-    numeric = dict(counts.dtypes)[col] not in ("string", "boolean", "date", "timestamp")
-    frame_end = 0 if inclusive else -1
-    if not numeric:
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, frame_end)
-        out = counts
-        for c in sum_cols:
-            out = out.withColumn(f"_cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)))
-        return out
-
-    mm = counts.agg(F.min(col).alias("_mn"), F.max(col).alias("_mx"))
-    c = counts.crossJoin(F.broadcast(mm))
-    width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
-    bucket = (
-        F.when(F.col(col).isNull(), F.lit(-1))
-        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.floor((F.col(col) - F.col("_mn")) / width), F.lit(n_buckets - 1)
-            )
-        )
+    """Global (ungrouped) distinct-value form of ``bucketed_running_sum``
+    — see there for the scale rationale. Count arithmetic is exact longs,
+    so results are bit-identical to the single-window form."""
+    return bucketed_running_sum(
+        counts, col, sum_cols, inclusive=inclusive, n_buckets=n_buckets
     )
-    c = c.withColumn("_bk", bucket).drop("_mn", "_mx")
-    btot = c.groupBy("_bk").agg(*[F.sum(s).alias(f"_bt_{s}") for s in sum_cols])
-    wglob = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
-    boff = btot.select(
-        "_bk",
-        *[
-            F.coalesce(F.sum(f"_bt_{s}").over(wglob), F.lit(0)).alias(f"_off_{s}")
-            for s in sum_cols
-        ],
-    )
-    win_b = Window.partitionBy("_bk").orderBy(col).rowsBetween(
-        Window.unboundedPreceding, frame_end
-    )
-    out = c.join(F.broadcast(boff), "_bk")
-    for s in sum_cols:
-        out = out.withColumn(
-            f"_cum_{s}",
-            F.col(f"_off_{s}") + F.coalesce(F.sum(s).over(win_b), F.lit(0)),
-        )
-    return out.drop("_bk", *[f"_off_{s}" for s in sum_cols])
 
 
 def _rank_map(df: DataFrame, col: str, out: str) -> DataFrame:

@@ -192,23 +192,30 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "HOF lambdas never enter codegen (measured 4x slower at sf0.1).",
 )
 def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
 
     li = table(spark, sf_dir, "lineitem")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_quantity")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # cumulative weight via the bucketed two-phase form: the naive
+    # Window.partitionBy(l_returnflag) puts each flag's ENTIRE row set on
+    # one reducer (3 groups → 3 tasks at any scale); bucketing by price
+    # range parallelizes within groups. l_quantity is integer-valued, so
+    # the re-associated sums are exact and the oracle comparison is safe.
+    cum = bucketed_running_sum(
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            "l_quantity",
+        ),
+        order_col="v",
+        sum_cols=["l_quantity"],
+        group_cols=["l_returnflag"],
+        extra_order=["l_quantity"],
+        inclusive=True,
     )
-    w_tot = Window.partitionBy("l_returnflag")
-    c = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("v"),
-        F.sum("l_quantity").over(w_cum).alias("cw"),
-        F.sum("l_quantity").over(w_tot).alias("tw"),
-    )
+    totals = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
     return (
-        c.filter(F.col("cw") >= F.col("tw") * 0.5)
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .filter(F.col("_cum_l_quantity") >= F.col("tw") * 0.5)
         .groupBy("l_returnflag")
         .agg(F.round(F.min("v"), 2).alias("wmedian"))
         .orderBy("l_returnflag")
