@@ -153,6 +153,13 @@ def _interpolate(sql: str, args) -> str:
     if args is None:
         return sql
     if isinstance(args, dict):
+        # dict args serve both the pyformat %(name)s style and, when the
+        # SQL carries ClickHouse {name:Type} placeholders, the reference's
+        # typed server-side binding (chdb/__init__.py:153) via params.py
+        from chdb_spark.params import _PLACEHOLDER, bind_params
+
+        if _PLACEHOLDER.search(sql):
+            return bind_params(sql, args)
         return sql % {k: escape_item(v) for k, v in args.items()}
     if isinstance(args, (list, tuple)):
         return sql % tuple(escape_item(v) for v in args)

@@ -297,3 +297,16 @@ def test_chdb_udaf_grouped_agg(spark):
         "SELECT k, geo_mean_t(v) AS g FROM udaf_src GROUP BY k ORDER BY k"
     ).collect()
     assert abs(rows[0].g - 2.0) < 1e-9
+
+
+def test_cursor_clickhouse_placeholder_params(spark):
+    """dict args bind {name:Type} placeholders (typed, injection-safe) in
+    addition to the pyformat %(name)s style."""
+    from chdb_spark import dbapi
+
+    conn = dbapi.connect(spark=spark)
+    cur = conn.cursor()
+    cur.execute("SELECT {n:Int64} * 2 AS x, {s:String} AS s", {"n": 21, "s": "o'k"})
+    assert cur.fetchone() == (42, "o'k")
+    cur.execute("SELECT %(a)s AS a", {"a": 7})  # pyformat still works
+    assert cur.fetchone() == (7,)
