@@ -33,6 +33,8 @@ from chdb_spark import dbapi
 from chdb_spark.stateful import Session, StreamingResult
 from chdb_spark import durable
 from chdb_spark import agents
+from chdb_spark.sinks import to_arrow as to_arrowTable  # noqa: N812 (reference name)
+from chdb_spark.sinks import to_pandas as to_df
 from chdb_spark.udf import (
     ExceptionHandling,
     NullHandling,
@@ -62,5 +64,7 @@ __all__ = [
     "drop_function",
     "NullHandling",
     "ExceptionHandling",
+    "to_df",
+    "to_arrowTable",
 ]
 __version__ = "0.1.0"
