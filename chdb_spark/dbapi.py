@@ -307,6 +307,16 @@ class Connection:
             raise InterfaceError("connection is closed")
         return (cursorclass or self.cursorclass)(self)
 
+    def query(self, sql: str, fmt: str = "CSV", params: dict | None = None):
+        """Reference ``Connection.query(sql, fmt)`` convenience
+        (chdb/state: ``conn = chdb.connect(); conn.query(sql, "CSV")``) —
+        one-shot execution in any output format, typed params bound."""
+        if self._closed:
+            raise InterfaceError("connection is closed")
+        from chdb_spark.session import query as _query
+
+        return _query(self.spark, sql, fmt, params=params)
+
     def commit(self):  # autocommit engine — PEP 249 requires the method
         pass
 

@@ -239,3 +239,15 @@ def use_database(spark: SparkSession, name: str) -> None:
     if not spark.catalog.databaseExists(name):
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
     spark.catalog.setCurrentDatabase(name)
+
+
+def __getattr__(name: str):
+    """``chdb_spark.session.Session`` resolves to the stateful Session —
+    the reference's ``chdb.session.Session`` lives in a module of the same
+    name, so a drop-in import path keeps working (PEP 562 lazy alias;
+    eager import would be circular)."""
+    if name == "Session":
+        from chdb_spark.stateful import Session
+
+        return Session
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -310,3 +310,18 @@ def test_cursor_clickhouse_placeholder_params(spark):
     assert cur.fetchone() == (42, "o'k")
     cur.execute("SELECT %(a)s AS a", {"a": 7})  # pyformat still works
     assert cur.fetchone() == (7,)
+
+
+def test_connection_query_and_session_alias(spark):
+    """Reference drop-in shapes: conn.query(sql, fmt) and
+    chdb_spark.session.Session(path)."""
+    from chdb_spark import dbapi
+    from chdb_spark import session as session_mod
+
+    conn = dbapi.connect(spark=spark)
+    assert conn.query("SELECT 3 AS x") == "3\n"  # CSV default, like chdb
+    assert conn.query("SELECT 3 AS x", "JSONEachRow") == '{"x": 3}\n'
+
+    from chdb_spark.stateful import Session
+
+    assert session_mod.Session is Session
