@@ -18,6 +18,7 @@ planner, no SQL segmentation (SURVEY.md §7.8).
 """
 
 from chdb_spark.session import (
+    ChdbError,
     connect,
     databases,
     get_spark,
@@ -66,5 +67,6 @@ __all__ = [
     "ExceptionHandling",
     "to_df",
     "to_arrowTable",
+    "ChdbError",
 ]
 __version__ = "0.1.0"

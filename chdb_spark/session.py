@@ -19,6 +19,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+class ChdbError(Exception):
+    """Raised when a reference-shape ``query(sql, fmt)`` fails — the
+    reference's error contract (chdb/__init__.py:31: one exception type
+    wrapping the engine's message). Spark-shape calls keep Spark's typed
+    exceptions (AnalysisException etc.) for programmatic handling."""
+
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -200,10 +207,12 @@ def query(
             from chdb_spark.udf import load_udf_path
 
             load_udf_path(spark, udf_path)
+        reference_shape = True
     else:
         spark = spark_or_sql
         sql_text = sql_or_fmt
         fmt = output_format or "DataFrame"
+        reference_shape = False
 
     # ClickHouse dialect: a trailing `FORMAT <Name>` in the SQL text wins
     # over the argument (reference behavior — the engine honors the clause)
@@ -212,8 +221,13 @@ def query(
     sql_text, suffix_fmt = split_format_suffix(sql_text)
     if suffix_fmt is not None:
         fmt = suffix_fmt
-    out = spark.sql(bind_params(sql_text, params))
-    return format_result(out, fmt)
+    try:
+        out = spark.sql(bind_params(sql_text, params))
+        return format_result(out, fmt)
+    except Exception as exc:
+        if reference_shape and not isinstance(exc, (ValueError, KeyError)):
+            raise ChdbError(str(exc)) from exc
+        raise
 
 
 #: ``chdb.sql`` is an alias of ``chdb.query`` (reference chdb/__init__.py:220).

@@ -340,3 +340,15 @@ def test_string_param_roundtrips_exactly(spark, s):
 def test_int_param_roundtrips(spark, n):
     pdf = chs.query(spark, "SELECT {v:Int64} AS v", "Pandas", params={"v": n})
     assert int(pdf["v"].iloc[0]) == n
+
+
+def test_chdb_error_on_reference_shape(spark):
+    """Reference error contract: sql-first query failures raise ChdbError;
+    Spark-shape calls keep Spark's typed exceptions."""
+    from chdb_spark import ChdbError
+
+    with pytest.raises(ChdbError):
+        chs.query("SELECT * FROM no_such_table_xyz")
+    with pytest.raises(Exception) as ei:
+        chs.query(spark, "SELECT * FROM no_such_table_xyz")
+    assert not isinstance(ei.value, ChdbError)  # Spark shape: native error
