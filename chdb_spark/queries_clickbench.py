@@ -318,3 +318,166 @@ def cb14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "day")
     )
+
+
+# --- cb15: Q34 constant-plus-column grouping -------------------------------
+
+
+@defquery(
+    "cb15_const_group",
+    """
+    SELECT 1 AS one, event_type, count(*) AS c
+    FROM events GROUP BY 1, event_type ORDER BY c DESC, event_type LIMIT 10
+    """,
+    doc="GROUP BY 1, URL shape (clickbench.py:48): constant + column group "
+        "keys fold to the column grouping.",
+)
+def cb15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(F.lit(1).alias("one"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "event_type")
+        .limit(10)
+    )
+
+
+# --- cb16: Q36 computed group keys ----------------------------------------
+
+
+@defquery(
+    "cb16_computed_group_keys",
+    """
+    SELECT user_id, user_id - 1 AS u1, user_id - 2 AS u2, count(*) AS c
+    FROM events GROUP BY user_id, u1, u2 ORDER BY c DESC, user_id LIMIT 10
+    """,
+    doc="ClientIP, ClientIP-1, ... grouping shape (clickbench.py:50): "
+        "arithmetic group keys collapse to one hash key.",
+)
+def cb16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            (F.col("user_id") - 1).alias("u1"),
+            (F.col("user_id") - 2).alias("u2"),
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(10)
+    )
+
+
+# --- cb17: Q27 two-column order-by-limit ----------------------------------
+
+
+@defquery(
+    "cb17_two_col_topn",
+    """
+    SELECT event_id, ts, props
+    FROM events WHERE props <> ''
+    ORDER BY ts, props LIMIT 10
+    """,
+    doc="ORDER BY EventTime, SearchPhrase LIMIT 10 shape (clickbench.py:41): "
+        "two-column TakeOrdered, no full sort.",
+)
+def cb17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props") != "")
+        .select("event_id", "ts", "props")
+        .orderBy("ts", "props")
+        .limit(10)
+    )
+
+
+# --- cb18: Q28 avg-length HAVING ------------------------------------------
+
+
+@defquery(
+    "cb18_avg_len_having",
+    """
+    SELECT event_type, round(avg(length(props)), 4) AS l, count(*) AS c
+    FROM events WHERE props <> ''
+    GROUP BY event_type HAVING count(*) > 100
+    ORDER BY l DESC, event_type LIMIT 25
+    """,
+    doc="AVG(length(URL)) ... HAVING COUNT(*) > N shape (clickbench.py:42): "
+        "string-length agg with post-agg filter.",
+)
+def cb18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props") != "")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.length("props")), 4).alias("l"),
+            F.count("*").alias("c"),
+        )
+        .filter(F.col("c") > 100)
+        .orderBy(F.desc("l"), "event_type")
+        .limit(25)
+    )
+
+
+# --- cb19: Q29 regexp-derived group key -----------------------------------
+
+
+@defquery(
+    "cb19_regexp_key",
+    """
+    SELECT regexp_extract(source, '^([A-Za-z]+)', 1) AS k,
+           round(avg(length(text)), 4) AS l, count(*) AS c, min(source) AS first_src
+    FROM documents WHERE source <> ''
+    GROUP BY k HAVING count(*) > 10
+    ORDER BY l DESC, k LIMIT 25
+    """,
+    doc="REGEXP_REPLACE(Referer, ...) AS k ... HAVING shape "
+        "(clickbench.py:43): regexp-derived group key + length stats.",
+)
+def cb19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("source") != "")
+        .groupBy(F.regexp_extract("source", r"^([A-Za-z]+)", 1).alias("k"))
+        .agg(
+            F.round(F.avg(F.length("text")), 4).alias("l"),
+            F.count("*").alias("c"),
+            F.min("source").alias("first_src"),
+        )
+        .filter(F.col("c") > 10)
+        .orderBy(F.desc("l"), "k")
+        .limit(25)
+    )
+
+
+# --- cb20: Q37-39 date-range + pagination offset --------------------------
+
+
+@defquery(
+    "cb20_paginated_range",
+    """
+    SELECT user_id, count(*) AS page_views
+    FROM events
+    WHERE event_type <> 'error' AND CAST(ts AS DATE) >= DATE '2024-01-03'
+      AND CAST(ts AS DATE) <= DATE '2024-12-28'
+    GROUP BY user_id ORDER BY page_views DESC, user_id
+    LIMIT 10 OFFSET 100
+    """,
+    doc="date-bounded GROUP BY ... LIMIT 10 OFFSET 1000 shape "
+        "(clickbench.py:51-53): pagination offset after an ordered agg.",
+)
+def cb20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("event_type") != "error")
+            & (F.col("ts").cast("date") >= F.lit("2024-01-03").cast("date"))
+            & (F.col("ts").cast("date") <= F.lit("2024-12-28").cast("date"))
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("page_views"))
+        .orderBy(F.desc("page_views"), "user_id")
+        .offset(100)
+        .limit(10)
+    )
