@@ -810,3 +810,121 @@ def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     return decontaminate(train, bench, n=13)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster formation (pairs → connected components → canonical doc)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs by min-label propagation —
+    the step between pairwise dedup output and "keep one doc per duplicate
+    cluster": every vertex converges to the smallest doc_id reachable from
+    it, which names its cluster.
+
+    Scale shape: per iteration, one join of the label relation against the
+    symmetrized edge list and one min-aggregate — O(E) shuffle keyed by
+    vertex, no driver-side graph state (the driver sees only the
+    changed-label count). Iterations needed = graph diameter in hops
+    (near-dup clusters are shallow — boilerplate families converge in
+    2-3). Deterministic: min-label is order-free.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges.dst == labels.v)
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neigh, labels.v == neigh.src, "left")
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()
+
+
+@defquery(
+    "dd7_dedup_clusters",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT cluster_id, count(*) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_removable
+    FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+    doc="duplicate-cluster formation: exact-verified near-dup pairs "
+        "(Jaccard >= 0.8, the dd2 candidate set) → connected components by "
+        "min-label propagation → per-cluster sizes with the removable-doc "
+        "count (cluster canonical = min doc_id). Oracle replays components "
+        "via a recursive CTE.",
+)
+def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.8)
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - 1).cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_id")
+    )

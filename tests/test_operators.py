@@ -213,3 +213,15 @@ def test_kmeans_matches_numpy_reference(spark):
     d = (A**2).sum(1)[:, None] - 2 * A @ C.T + (C**2).sum(1)[None, :]
     want = dict(zip(ids.tolist(), np.argmin(d, axis=1).tolist()))
     assert got == want
+
+
+def test_connected_components_chain_and_pair(spark):
+    """A 4-chain and a detached pair: one component labeled by its min id
+    each; labels converge through multi-hop propagation (chain diameter 3)."""
+    from chdb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(3, 7), (7, 9), (9, 12), (20, 21)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 12: 3, 20: 20, 21: 20}
