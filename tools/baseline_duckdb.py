@@ -37,7 +37,15 @@ TABLES = (
 #: brute force runs for hours); s2/km1's oracles replay iterative
 #: algorithms as generated CTE chains (correlated subqueries per row —
 #: again not how any engine would execute the operator).
-NOT_COMPARABLE = {"dd2_minhash_lsh", "dd3_simhash", "s2_ann_ivf", "km1_kmeans_clusters"}
+NOT_COMPARABLE = {
+    "dd2_minhash_lsh",
+    "dd3_simhash",
+    "s2_ann_ivf",
+    "km1_kmeans_clusters",
+    # dd7's oracle = the dd2 brute-force pair set + a recursive-CTE
+    # transitive closure — a correctness device, not comparable work
+    "dd7_dedup_clusters",
+}
 
 
 def main() -> None:
