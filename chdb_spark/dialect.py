@@ -1,0 +1,824 @@
+"""ClickHouse-dialect SQL acceptance — rewrite CH SQL text into Spark SQL.
+
+The reference accepts ClickHouse SQL everywhere (``chdb.query(sql)``,
+reference chdb/__init__.py:145-217; every README.md example is CH dialect:
+``toDate(...)``, ``numbers_mt(1e10)``, ``file("data.parquet", Parquet)``,
+``SETTINGS max_threads=4``). Spark SQL is ANSI-ish with different function
+names, so a *textual* rewrite layer maps the CH surface onto Spark's:
+
+* function calls → Spark builtins / expression templates (``uniq`` →
+  ``approx_count_distinct``, ``toYYYYMM(d)`` → ``CAST(date_format(..))``),
+  applied recursively through nested calls;
+* parametric aggregates (``quantile(0.5)(x)``, ``quantiles(..)(x)``,
+  ``uniqUpTo(n)(x)``, ``groupArray(n)(x)``) → Spark equivalents;
+* combinators ``countIf/sumIf/...`` → ``count_if`` / ``CASE WHEN`` forms;
+* ``PREWHERE`` → ``WHERE``; table ``FINAL`` modifier and trailing
+  ``SETTINGS k=v`` clause are stripped (no-ops here: Spark tables have no
+  merge-pending duplicates and thread caps come from the session);
+* ``numbers(N)`` / ``numbers_mt(N)`` / ``system.numbers`` → Spark's
+  ``range`` table-valued function with the column aliased to ``number``;
+* ``file('path', Format)`` / ``url(...)`` / ``Python(var)`` table
+  functions → registered temp views (needs a SparkSession — see
+  :func:`resolve_table_functions`).
+
+Everything here is driver-side string work on the query text — nothing at
+data scale. The rewrite is conservative: only CH-specific names (ones Spark
+SQL does not define, or defines identically) are touched, so valid Spark
+SQL passes through byte-identical and the layer can sit unconditionally in
+front of ``spark.sql``.
+
+Design note (why text, not plans): Spark cannot register Column-builder
+expressions as SQL functions from Python (only UDFs, the slow path). A
+text-level rewrite keeps every mapped function inside whole-stage codegen —
+the resulting query plans are exactly what hand-written Spark SQL produces.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+# ---------------------------------------------------------------------------
+# lexer helpers
+# ---------------------------------------------------------------------------
+
+
+def _end_of_string(s: str, i: int) -> int:
+    """Index just past a quoted token starting at s[i] (handles backslash
+    escapes and doubled-quote escapes, both of which CH accepts)."""
+    q = s[i]
+    j = i + 1
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c == "\\" and q != "`":
+            j += 2
+            continue
+        if c == q:
+            if j + 1 < n and s[j + 1] == q:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _balanced(s: str, i: int) -> tuple[str, int]:
+    """s[i] == '(' — return (inner_text, index_past_close)."""
+    depth = 0
+    j = i
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c in "'\"`":
+            j = _end_of_string(s, j)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[i + 1 : j], j + 1
+        j += 1
+    raise ValueError(f"unbalanced parentheses in SQL near: {s[i:i+40]!r}")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument text on top-level commas (paren/bracket/
+    string aware). Empty input → []."""
+    out: list[str] = []
+    depth = 0
+    start = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"`":
+            i = _end_of_string(s, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = s[start:].strip()
+    if tail or out:
+        out.append(tail)
+    return [a for a in out if a != ""] if out == [""] else out
+
+
+def _str_lit(arg: str) -> str | None:
+    """If ``arg`` is a single single-quoted literal, return its unescaped
+    content; else None."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and _end_of_string(a, 0) == len(a):
+        body = a[1:-1]
+        return body.replace("\\'", "'").replace("''", "'").replace("\\\\", "\\")
+    return None
+
+
+def _q(s: str) -> str:
+    """Re-quote a Python string as a Spark SQL single-quoted literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# function templates
+# ---------------------------------------------------------------------------
+
+# CH dayofweek: Mon=1..Sun=7; Spark dayofweek: Sun=1..Sat=7.
+_DOW = "(((dayofweek({0}) + 5) % 7) + 1)"
+
+
+def _t(template: str) -> Callable[[list[str]], str]:
+    return lambda args: template.format(*args)
+
+
+def _case_if(agg: str) -> Callable[[list[str]], str]:
+    # sumIf(x, cond) → sum(CASE WHEN cond THEN x END)
+    return lambda a: f"{agg}(CASE WHEN {a[1]} THEN {a[0]} END)"
+
+
+def _multi_if(args: list[str]) -> str:
+    # multiIf(c1, v1, c2, v2, ..., default)
+    parts = ["CASE"]
+    i = 0
+    while i + 1 < len(args):
+        parts.append(f"WHEN {args[i]} THEN {args[i+1]}")
+        i += 2
+    if i < len(args):
+        parts.append(f"ELSE {args[i]}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+def _split_by_char(args: list[str]) -> str:
+    # splitByChar(sep, s[, limit]) — sep is a literal char; escape for the
+    # regex split() takes. Non-literal separators fall back unescaped.
+    sep = _str_lit(args[0])
+    pat = _q(re.escape(sep)) if sep is not None else args[0]
+    return f"split({args[1]}, {pat}{', ' + args[2] if len(args) > 2 else ''})"
+
+
+def _json_path(args: list[str]) -> str:
+    """JSONExtract*(json, 'k1', 'k2', ... ) → '$.k1.k2' path (literal keys;
+    integer indices become [i-1] — CH indices are 1-based)."""
+    keys = []
+    for a in args[1:]:
+        lit = _str_lit(a)
+        if lit is not None:
+            keys.append("." + lit)
+        elif re.fullmatch(r"-?\d+", a.strip()):
+            keys.append(f"[{int(a) - 1}]")
+        else:
+            return f"concat('$.', {a})"  # dynamic single key
+    return _q("$" + "".join(keys))
+
+
+def _json_extract(cast: str | None) -> Callable[[list[str]], str]:
+    def render(args: list[str]) -> str:
+        path = _json_path(args)
+        g = f"get_json_object({args[0]}, {path})"
+        return f"CAST({g} AS {cast})" if cast else g
+
+    return render
+
+
+_FMT_DT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M", "%d": "dd", "%e": "d",
+    "%H": "HH", "%I": "hh", "%i": "mm", "%M": "mm", "%S": "ss", "%s": "ss",
+    "%f": "SSSSSS", "%p": "a", "%j": "DDD", "%a": "EEE", "%W": "EEEE",
+    "%w": "u", "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%D": "MM/dd/yy",
+    "%R": "HH:mm", "%%": "%",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    fmt = _str_lit(args[1])
+    if fmt is None:
+        return f"date_format({args[0]}, {args[1]})"  # already Java-style?
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            out.append(_FMT_DT.get(fmt[i : i + 2], fmt[i + 1]))
+            i += 2
+        else:
+            # literal text must be quoted in Java datetime patterns
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            chunk = fmt[i:j]
+            out.append(chunk if chunk.isalnum() is False and not any(c.isalpha() for c in chunk) else "'" + chunk.replace("'", "''") + "'")
+            i = j
+    return f"date_format({args[0]}, {_q(''.join(out))})"
+
+
+def _date_diff(args: list[str]) -> str:
+    # dateDiff('unit', start, end) → timestampdiff(UNIT, start, end)
+    unit = _str_lit(args[0])
+    if unit is None:
+        raise ValueError("dateDiff unit must be a string literal")
+    return f"timestampdiff({unit.upper()}, {args[1]}, {args[2]})"
+
+
+def _interval_add(unit: str, sign: str = "+") -> Callable[[list[str]], str]:
+    return lambda a: f"({a[0]} {sign} ({a[1]}) * INTERVAL '1' {unit})"
+
+
+def _replace_regexp(args: list[str]) -> str:
+    # CH uses re2 \1 backrefs; Java wants $1
+    pat = args[2]
+    lit = _str_lit(pat)
+    if lit is not None:
+        pat = _q(re.sub(r"\\(\d)", r"$\1", lit))
+    return f"regexp_replace({args[0]}, {args[1]}, {pat})"
+
+
+#: name → renderer(args)->str. ONLY names Spark SQL does not define (or
+#: defines with identical semantics, in which case they are omitted).
+_FUNCS: dict[str, Callable[[list[str]], str]] = {
+    # -- type conversion -----------------------------------------------------
+    "toString": _t("CAST({0} AS STRING)"),
+    "toInt8": _t("CAST({0} AS TINYINT)"),
+    "toInt16": _t("CAST({0} AS SMALLINT)"),
+    "toInt32": _t("CAST({0} AS INT)"),
+    "toInt64": _t("CAST({0} AS BIGINT)"),
+    "toUInt8": _t("CAST({0} AS SMALLINT)"),
+    "toUInt16": _t("CAST({0} AS INT)"),
+    "toUInt32": _t("CAST({0} AS BIGINT)"),
+    "toUInt64": _t("CAST({0} AS BIGINT)"),
+    "toFloat32": _t("CAST({0} AS FLOAT)"),
+    "toFloat64": _t("CAST({0} AS DOUBLE)"),
+    "toDate": _t("CAST({0} AS DATE)"),
+    "toDate32": _t("CAST({0} AS DATE)"),
+    "toDateTime": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toDateTime64": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "toDecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))",
+    "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))",
+    "toDecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+    "toIntervalDay": _t("(({0}) * INTERVAL '1' DAY)"),
+    "toIntervalHour": _t("(({0}) * INTERVAL '1' HOUR)"),
+    "parseDateTimeBestEffort": _t("CAST({0} AS TIMESTAMP)"),
+    "parseDateTime32BestEffort": _t("CAST({0} AS TIMESTAMP)"),
+    "toUnixTimestamp": _t("unix_timestamp({0})"),
+    "toUnixTimestamp64Milli": _t("(unix_timestamp({0}) * 1000)"),
+    "toUnixTimestamp64Micro": _t("(unix_timestamp({0}) * 1000000)"),
+    "fromUnixTimestamp": _t("timestamp_seconds({0})"),
+    "reinterpretAsUInt64": _t("CAST({0} AS BIGINT)"),
+    "accurateCast": lambda a: f"CAST({a[0]} AS {_str_lit(a[1]) or a[1]})",
+    # -- date parts ----------------------------------------------------------
+    "toYear": _t("year({0})"),
+    "toMonth": _t("month({0})"),
+    "toDayOfMonth": _t("day({0})"),
+    "toDayOfWeek": _t(_DOW),
+    "toDayOfYear": _t("dayofyear({0})"),
+    "toHour": _t("hour({0})"),
+    "toMinute": _t("minute({0})"),
+    "toSecond": _t("second({0})"),
+    "toQuarter": _t("quarter({0})"),
+    "toISOWeek": _t("weekofyear({0})"),
+    "toWeek": _t("weekofyear({0})"),
+    "toYYYYMM": _t("CAST(date_format({0}, 'yyyyMM') AS INT)"),
+    "toYYYYMMDD": _t("CAST(date_format({0}, 'yyyyMMdd') AS INT)"),
+    "toYYYYMMDDhhmmss": _t("CAST(date_format({0}, 'yyyyMMddHHmmss') AS BIGINT)"),
+    "toStartOfYear": _t("trunc({0}, 'YEAR')"),
+    "toStartOfQuarter": _t("trunc({0}, 'QUARTER')"),
+    "toStartOfMonth": _t("trunc({0}, 'MM')"),
+    "toMonday": _t("trunc({0}, 'WEEK')"),
+    "toStartOfWeek": _t("date_sub({0}, dayofweek({0}) - 1)"),
+    "toStartOfDay": _t("date_trunc('DAY', {0})"),
+    "toStartOfHour": _t("date_trunc('HOUR', {0})"),
+    "toStartOfMinute": _t("date_trunc('MINUTE', {0})"),
+    "toStartOfSecond": _t("date_trunc('SECOND', {0})"),
+    "toStartOfFiveMinutes": _t("timestamp_seconds(floor(unix_timestamp({0}) / 300) * 300)"),
+    "toStartOfTenMinutes": _t("timestamp_seconds(floor(unix_timestamp({0}) / 600) * 600)"),
+    "toStartOfFifteenMinutes": _t("timestamp_seconds(floor(unix_timestamp({0}) / 900) * 900)"),
+    "toTime": _t("date_format({0}, 'HH:mm:ss')"),
+    "now": lambda a: "current_timestamp()",
+    "now64": lambda a: "current_timestamp()",
+    "today": lambda a: "current_date()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "addYears": _t("add_months({0}, ({1}) * 12)"),
+    "addMonths": _t("add_months({0}, {1})"),
+    "addWeeks": _t("date_add({0}, ({1}) * 7)"),
+    "addDays": _t("date_add({0}, {1})"),
+    "addHours": _interval_add("HOUR"),
+    "addMinutes": _interval_add("MINUTE"),
+    "addSeconds": _interval_add("SECOND"),
+    "subtractYears": _t("add_months({0}, -(({1}) * 12))"),
+    "subtractMonths": _t("add_months({0}, -({1}))"),
+    "subtractWeeks": _t("date_sub({0}, ({1}) * 7)"),
+    "subtractDays": _t("date_sub({0}, {1})"),
+    "subtractHours": _interval_add("HOUR", "-"),
+    "subtractMinutes": _interval_add("MINUTE", "-"),
+    "subtractSeconds": _interval_add("SECOND", "-"),
+    "dateDiff": _date_diff,
+    "date_diff": _date_diff,
+    "dateName": _t("date_format({0}, 'MMMM')"),
+    "monthName": _t("date_format({0}, 'MMMM')"),
+    "formatDateTime": _format_datetime,
+    "toRelativeDayNum": _t("datediff({0}, DATE '1970-01-01')"),
+    "toRelativeHourNum": _t("floor(unix_timestamp({0}) / 3600)"),
+    # -- strings -------------------------------------------------------------
+    "lowerUTF8": _t("lower({0})"),
+    "upperUTF8": _t("upper({0})"),
+    "lengthUTF8": _t("char_length({0})"),
+    "char_length": _t("char_length({0})"),
+    "empty": _t("(length({0}) = 0)"),
+    "notEmpty": _t("(length({0}) > 0)"),
+    "position": lambda a: f"instr({a[0]}, {a[1]})" if len(a) == 2 else f"position({', '.join(a)})",
+    "positionCaseInsensitive": _t("instr(lower({0}), lower({1}))"),
+    "positionUTF8": _t("instr({0}, {1})"),
+    "startsWith": _t("startswith({0}, {1})"),
+    "endsWith": _t("endswith({0}, {1})"),
+    "trimBoth": _t("trim({0})"),
+    "trimLeft": _t("ltrim({0})"),
+    "trimRight": _t("rtrim({0})"),
+    "substringUTF8": _t("substring({0}, {1}, {2})"),
+    "concatWithSeparator": lambda a: f"concat_ws({', '.join(a)})",
+    "splitByChar": _split_by_char,
+    "splitByString": _split_by_char,
+    "arrayStringConcat": lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else _q('')})",
+    "replaceAll": _t("replace({0}, {1}, {2})"),
+    "replaceRegexpAll": _replace_regexp,
+    "replaceRegexpOne": _replace_regexp,
+    "match": _t("({0} RLIKE {1})"),
+    "extractAll": _t("regexp_extract_all({0}, {1}, 0)"),
+    "countMatches": _t("size(regexp_extract_all({0}, {1}, 0))"),
+    "multiSearchAny": lambda a: (
+        "(" + " OR ".join(f"contains({a[0]}, {x})" for x in _split_args(a[1].strip()[1:-1])) + ")"
+        if a[1].strip().startswith("[")
+        else f"exists({a[1]}, _n -> contains({a[0]}, _n))"
+    ),
+    "leftPad": _t("lpad({0}, {1}, {2})"),
+    "rightPad": _t("rpad({0}, {1}, {2})"),
+    "base64Encode": _t("base64({0})"),
+    "base64Decode": _t("CAST(unbase64({0}) AS STRING)"),
+    "tryBase64Decode": _t("CAST(unbase64({0}) AS STRING)"),
+    "appendTrailingCharIfAbsent": _t("(CASE WHEN endswith({0}, {1}) THEN {0} ELSE concat({0}, {1}) END)"),
+    "caseWithExpression": _multi_if,
+    # -- conditionals / null handling ---------------------------------------
+    "multiIf": _multi_if,
+    "assumeNotNull": _t("{0}"),
+    "toNullable": _t("{0}"),
+    "isNull": _t("({0} IS NULL)"),
+    "isNotNull": _t("({0} IS NOT NULL)"),
+    "isFinite": _t("(NOT isnan({0}) AND ABS({0}) != double('inf'))"),
+    "isInfinite": _t("(ABS({0}) = double('inf'))"),
+    "isNaN": _t("isnan({0})"),
+    # -- math ----------------------------------------------------------------
+    "intDiv": _t("({0} DIV {1})"),
+    "intDivOrZero": _t("(CASE WHEN ({1}) = 0 THEN 0 ELSE {0} DIV {1} END)"),
+    "modulo": _t("({0} % {1})"),
+    "moduloOrZero": _t("(CASE WHEN ({1}) = 0 THEN 0 ELSE ({0}) % ({1}) END)"),
+    "plus": _t("({0} + {1})"),
+    "minus": _t("({0} - {1})"),
+    "multiply": _t("({0} * {1})"),
+    "divide": _t("(({0}) / ({1}))"),
+    "negate": _t("(-({0}))"),
+    "equals": _t("({0} = {1})"),
+    "notEquals": _t("({0} != {1})"),
+    "less": _t("({0} < {1})"),
+    "greater": _t("({0} > {1})"),
+    "lessOrEquals": _t("({0} <= {1})"),
+    "greaterOrEquals": _t("({0} >= {1})"),
+    "roundBankers": lambda a: f"bround({a[0]}, {a[1] if len(a) > 1 else 0})",
+    # floor/ceil: Spark's own floor(expr[, scale])/ceil(expr[, scale])
+    # already match CH's two-arg decimal forms — no mapping needed.
+    "trunc": lambda a: f"CAST({a[0]} AS BIGINT)" if len(a) == 1 else f"trunc({a[0]}, {a[1]})",
+    "truncate": lambda a: f"CAST({a[0]} AS BIGINT)" if len(a) == 1 else f"trunc({a[0]}, {a[1]})",
+    "exp2": _t("pow(2, {0})"),
+    "exp10": _t("pow(10, {0})"),
+    "intExp2": _t("CAST(pow(2, {0}) AS BIGINT)"),
+    "intExp10": _t("CAST(pow(10, {0}) AS BIGINT)"),
+    "log1p": _t("log1p({0})"),
+    "sign": _t("sign({0})"),
+    "bitAnd": _t("({0} & {1})"),
+    "bitOr": _t("({0} | {1})"),
+    "bitXor": _t("({0} ^ {1})"),
+    "bitNot": _t("(~{0})"),
+    "bitShiftLeft": _t("shiftleft({0}, {1})"),
+    "bitShiftRight": _t("shiftright({0}, {1})"),
+    "bitCount": _t("bit_count({0})"),
+    "rand": lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)",
+    "rand64": lambda a: "CAST(floor(rand() * 9.223372036854776e18) AS BIGINT)",
+    "randCanonical": lambda a: "rand()",
+    # -- aggregates ----------------------------------------------------------
+    "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "uniqCombined": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqCombined64": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqHLL12": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "uniqTheta": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "countIf": _t("count_if({0})"),
+    "sumIf": _case_if("sum"),
+    "avgIf": _case_if("avg"),
+    "minIf": _case_if("min"),
+    "maxIf": _case_if("max"),
+    "anyIf": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    "argMin": lambda a: f"min_by({a[0]}, {a[1]})",
+    "argMax": lambda a: f"max_by({a[0]}, {a[1]})",
+    "anyLast": _t("last({0})"),
+    "anyHeavy": _t("mode({0})"),
+    "avgWeighted": _t("(sum(({0}) * ({1})) / sum({1}))"),
+    "median": _t("percentile_approx({0}, 0.5)"),
+    "medianExact": _t("percentile({0}, 0.5)"),
+    "stddevPop": _t("stddev_pop({0})"),
+    "stddevSamp": _t("stddev_samp({0})"),
+    "varPop": _t("var_pop({0})"),
+    "varSamp": _t("var_samp({0})"),
+    "covarPop": _t("covar_pop({0}, {1})"),
+    "covarSamp": _t("covar_samp({0}, {1})"),
+    "skewPop": _t("skewness({0})"),
+    "kurtPop": _t("kurtosis({0})"),
+    "groupArray": lambda a: f"collect_list({a[0]})",
+    "groupUniqArray": lambda a: f"collect_set({a[0]})",
+    "groupBitAnd": _t("bit_and({0})"),
+    "groupBitOr": _t("bit_or({0})"),
+    "groupBitXor": _t("bit_xor({0})"),
+    "groupArrayArray": _t("flatten(collect_list({0}))"),
+    "sumDistinct": _t("sum(DISTINCT {0})"),
+    "avgDistinct": _t("avg(DISTINCT {0})"),
+    "deltaSum": _t("(max({0}) - min({0}))"),
+    "boundingRatio": _t("((max({0}) - min({0})) / nullif(max({1}) - min({1}), 0))"),
+    # -- arrays --------------------------------------------------------------
+    "arrayJoin": _t("explode({0})"),
+    "has": _t("array_contains({0}, {1})"),
+    "hasAny": _t("arrays_overlap({0}, {1})"),
+    "hasAll": _t("(size(array_except({1}, {0})) = 0)"),
+    "indexOf": _t("coalesce(array_position({0}, {1}), 0)"),
+    "arrayConcat": lambda a: f"concat({', '.join(a)})",
+    "arrayElement": _t("element_at({0}, {1})"),
+    "arraySlice": lambda a: f"slice({', '.join(a)})",
+    "arrayUniq": _t("size(array_distinct({0}))"),
+    "arrayDistinct": _t("array_distinct({0})"),
+    "arraySort": lambda a: f"array_sort({a[0]})" if len(a) == 1 else f"array_sort({a[1]}, (l, r) -> CASE WHEN ({a[0]})(l) < ({a[0]})(r) THEN -1 WHEN ({a[0]})(l) > ({a[0]})(r) THEN 1 ELSE 0 END)",
+    "arrayReverse": _t("reverse({0})"),
+    "arrayReverseSort": lambda a: f"reverse(array_sort({a[0]}))",
+    "arrayFlatten": _t("flatten({0})"),
+    "arrayZip": lambda a: f"arrays_zip({', '.join(a)})",
+    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})" if len(a) == 2 else f"exists({a[0]}, x -> x != 0)",
+    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})" if len(a) == 2 else f"forall({a[0]}, x -> x != 0)",
+    "arrayCount": lambda a: f"size(filter({a[1]}, {a[0]}))" if len(a) == 2 else f"size(filter({a[0]}, x -> x != 0))",
+    "arraySum": lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)" if len(a) == 1 else f"aggregate({a[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + ({a[0]})(x))",
+    "arrayAvg": _t("(aggregate({0}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({0}))"),
+    "arrayMin": _t("array_min({0})"),
+    "arrayMax": _t("array_max({0})"),
+    "arrayCompact": _t("array_distinct({0})"),
+    "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arrayPopBack": _t("slice({0}, 1, size({0}) - 1)"),
+    "arrayPopFront": _t("slice({0}, 2, size({0}) - 1)"),
+    "arrayIntersect": lambda a: f"array_intersect({a[0]}, {a[1]})",
+    "arrayResize": lambda a: f"slice(concat({a[0]}, array_repeat({a[2] if len(a) > 2 else 'NULL'}, {a[1]})), 1, {a[1]})",
+    "arrayEnumerate": _t("sequence(1, size({0}))"),
+    "emptyArrayString": lambda a: "array()",
+    "emptyArrayInt32": lambda a: "array()",
+    "length_array": _t("size({0})"),
+    # -- json ----------------------------------------------------------------
+    "JSONExtractString": _json_extract(None),
+    "JSONExtractRaw": _json_extract(None),
+    "JSONExtractInt": _json_extract("BIGINT"),
+    "JSONExtractUInt": _json_extract("BIGINT"),
+    "JSONExtractFloat": _json_extract("DOUBLE"),
+    "JSONExtractBool": _json_extract("BOOLEAN"),
+    "JSONHas": lambda a: f"(get_json_object({a[0]}, {_json_path(a)}) IS NOT NULL)",
+    "simpleJSONExtractString": _json_extract(None),
+    "simpleJSONExtractInt": _json_extract("BIGINT"),
+    "simpleJSONExtractFloat": _json_extract("DOUBLE"),
+    "simpleJSONHas": lambda a: f"(get_json_object({a[0]}, {_json_path(a)}) IS NOT NULL)",
+    "visitParamExtractString": _json_extract(None),
+    "toJSONString": _t("to_json({0})"),
+    "JSONExtractKeys": _t("json_object_keys({0})"),
+    "JSONLength": _t("json_array_length({0})"),
+    "isValidJSON": _t("(get_json_object({0}, '$') IS NOT NULL)"),
+    # -- hash / url / misc ---------------------------------------------------
+    # Hash-name parity note: CH's cityHash64/sipHash64 exact values are not
+    # reproducible without the native implementations; xxhash64 preserves
+    # the contract that matters for dedup/bucketing (stable 64-bit spread).
+    "cityHash64": lambda a: f"xxhash64({', '.join(a)})",
+    "sipHash64": lambda a: f"xxhash64({', '.join(a)})",
+    "farmHash64": lambda a: f"xxhash64({', '.join(a)})",
+    "intHash64": _t("xxhash64({0})"),
+    "halfMD5": _t("CAST(conv(substring(md5({0}), 1, 16), 16, 10) AS BIGINT)"),
+    "MD5": _t("md5({0})"),
+    "SHA256": _t("sha2({0}, 256)"),
+    "SHA1": _t("sha1({0})"),
+    "URLHash": _t("xxhash64({0})"),
+    "domain": _t("parse_url({0}, 'HOST')"),
+    "domainWithoutWWW": _t("regexp_replace(parse_url({0}, 'HOST'), '^www\\\\.', '')"),
+    "topLevelDomain": _t("regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)"),
+    "protocol": _t("parse_url({0}, 'PROTOCOL')"),
+    "path_url": _t("parse_url({0}, 'PATH')"),
+    "pathFull": _t("concat(parse_url({0}, 'PATH'), coalesce(concat('?', parse_url({0}, 'QUERY')), ''))"),
+    "queryString": _t("parse_url({0}, 'QUERY')"),
+    "extractURLParameter": _t("parse_url({0}, 'QUERY', {1})"),
+    "cutQueryString": _t("regexp_replace({0}, '\\\\?.*$', '')"),
+    "generateUUIDv4": lambda a: "uuid()",
+    "currentDatabase": lambda a: "current_database()",
+    "currentUser": lambda a: "current_user()",
+    "hostName": lambda a: "'localhost'",
+    "version": lambda a: "'24.5.1-chdb-spark'",
+    "tuple": lambda a: f"struct({', '.join(a)})",
+    "greatCircleDistance": _t(
+        "(2 * 6371000 * asin(sqrt(pow(sin(radians(({3}) - ({1})) / 2), 2) "
+        "+ cos(radians({1})) * cos(radians({3})) * pow(sin(radians(({2}) - ({0})) / 2), 2))))"
+    ),
+    "transform_ch": _multi_if,
+    "ifNotFinite": _t("(CASE WHEN isnan({0}) OR ABS({0}) = double('inf') THEN {1} ELSE {0} END)"),
+    "runningDifference": _t("({0} - lag({0}, 1, 0) OVER (ORDER BY monotonically_increasing_id()))"),
+}
+
+# CH `path(url)` clashes with nothing in Spark, but keep the key distinct
+_FUNCS["path"] = _FUNCS.pop("path_url")
+
+
+def _parametric_quantile(fn: str) -> Callable[[list[str], list[str]], str]:
+    def render(params: list[str], args: list[str]) -> str:
+        if len(params) == 1:
+            return f"{fn}({args[0]}, {params[0]})"
+        return f"{fn}({args[0]}, array({', '.join(params)}))"
+
+    return render
+
+
+#: parametric aggregates: name(params)(args)
+_PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "quantile": _parametric_quantile("percentile_approx"),
+    "quantiles": _parametric_quantile("percentile_approx"),
+    "quantileExact": _parametric_quantile("percentile"),
+    "quantilesExact": _parametric_quantile("percentile"),
+    "quantileTDigest": _parametric_quantile("percentile_approx"),
+    "medianExact": _parametric_quantile("percentile"),
+    "uniqUpTo": lambda p, a: (
+        f"(CASE WHEN count(DISTINCT {a[0]}) <= {p[0]} "
+        f"THEN count(DISTINCT {a[0]}) ELSE {p[0]} + 1 END)"
+    ),
+    "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "groupUniqArray": lambda p, a: f"slice(collect_set({a[0]}), 1, {p[0]})",
+    "histogram": lambda p, a: f"histogram_numeric({a[0]}, {p[0]})",
+}
+
+#: bare identifiers (no call parens) rewritten case-insensitively
+_KEYWORDS = {
+    "prewhere": "WHERE",
+    "final": "",  # MergeTree FINAL: no merge-pending duplicates here
+    "global": "",  # GLOBAL IN/JOIN: all joins are "global" in Spark
+}
+
+#: bare identifier (exact case) → replacement
+_IDENTS = {
+    # system.numbers is CH's infinite integer stream; a 2^40 range is lazy
+    # (row generation stops at the LIMIT) and far past any practical LIMIT.
+    "system.numbers": "(SELECT id AS number FROM range(1099511627776))",
+    "system.numbers_mt": "(SELECT id AS number FROM range(1099511627776))",
+    "system.one": "(SELECT 0 AS dummy)",
+}
+
+_SETTINGS_RE = re.compile(
+    r"\bSETTINGS\s+\w+\s*=\s*[^,;]+(?:\s*,\s*\w+\s*=\s*[^,;]+)*\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
+
+
+def _numbers_tf(args: list[str]) -> str:
+    # numbers(N) / numbers(offset, N) / numbers_mt(...) → range TVF.
+    # When every value provably fits in INT, surface `number` as INT so
+    # CH idioms like `toDate(s) + number` type-check (Spark's date + n
+    # coercion requires INT); past 2^31 rows it must stay BIGINT.
+    def _fits_int(a: str) -> bool:
+        try:
+            return float(a) <= 2**31 - 1
+        except ValueError:
+            return False
+
+    if len(args) == 1:
+        cast = "INT" if _fits_int(args[0]) else "BIGINT"
+        return f"(SELECT CAST(id AS {cast}) AS number FROM range(CAST({args[0]} AS BIGINT)))"
+    try:
+        cast = "INT" if float(args[0]) + float(args[1]) <= 2**31 - 1 else "BIGINT"
+    except ValueError:
+        cast = "BIGINT"
+    return (
+        f"(SELECT CAST(id AS {cast}) AS number FROM range(CAST({args[0]} AS BIGINT), "
+        f"CAST({args[0]} AS BIGINT) + CAST({args[1]} AS BIGINT)))"
+    )
+
+
+_FUNCS["numbers"] = _numbers_tf
+_FUNCS["numbers_mt"] = _numbers_tf
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite ClickHouse-dialect SQL text into Spark SQL.
+
+    Conservative: names Spark SQL already defines are left alone, string
+    literals and quoted identifiers pass through untouched, and SQL that is
+    already valid Spark comes out byte-identical — so this can run
+    unconditionally in front of ``spark.sql``.
+    """
+    sql = _SETTINGS_RE.sub("", sql or "").rstrip()
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'`":
+            j = _end_of_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == '"':
+            # Spark treats double quotes as string literals; CH as
+            # identifiers. Literals pass through — only file()/Python()
+            # args (handled in resolve_table_functions) accept both.
+            j = _end_of_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j] in _WORD_CHARS or sql[j] == "."):
+                j += 1
+            word = sql[i:j]
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if k < n and sql[k] == "(" and (word in _FUNCS or word in _PARAMETRIC):
+                inner, end = _balanced(sql, k)
+                args = [rewrite_expr(a) for a in _split_args(inner)]
+                k2 = end
+                while k2 < n and sql[k2].isspace():
+                    k2 += 1
+                if word in _PARAMETRIC and k2 < n and sql[k2] == "(":
+                    inner2, end2 = _balanced(sql, k2)
+                    args2 = [rewrite_expr(a) for a in _split_args(inner2)]
+                    out.append(_PARAMETRIC[word](args, args2))
+                    i = end2
+                    continue
+                if word in _FUNCS:
+                    out.append(_FUNCS[word](args))
+                    i = end
+                    continue
+                # parametric-only name used plainly (e.g. quantile(x))
+                if word in ("quantile", "quantileTDigest"):
+                    out.append(f"percentile_approx({args[0]}, 0.5)")
+                elif word in ("quantileExact",):
+                    out.append(f"percentile({args[0]}, 0.5)")
+                elif word == "histogram":
+                    out.append(f"histogram_numeric({args[0]}, 10)")
+                else:
+                    out.append(f"{word}({', '.join(args)})")
+                i = end
+                continue
+            if word in _IDENTS:
+                out.append(_IDENTS[word])
+                i = j
+                continue
+            lw = word.lower()
+            if lw in _KEYWORDS:
+                out.append(_KEYWORDS[lw])
+                i = j
+                continue
+            out.append(word)
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+#: expression-level entry (arguments of calls re-enter here)
+rewrite_expr = rewrite
+
+
+# ---------------------------------------------------------------------------
+# table functions that need a SparkSession (file/url/Python)
+# ---------------------------------------------------------------------------
+
+_TF_RE = re.compile(r"\b(file|url|Python|sqlite)\s*\(", re.IGNORECASE)
+
+#: CH format name (lowercase) → Spark reader format + options
+_TF_FORMATS = {
+    "parquet": ("parquet", {}),
+    "csv": ("csv", {"inferSchema": "true"}),
+    "csvwithnames": ("csv", {"header": "true", "inferSchema": "true"}),
+    "tsv": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tabseparated": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tsvwithnames": ("csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
+    "tabseparatedwithnames": ("csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
+    "json": ("json", {}),
+    "jsoneachrow": ("json", {}),
+    "ndjson": ("json", {}),
+    "orc": ("orc", {}),
+    "avro": ("avro", {}),
+    "arrow": ("arrow", {}),
+    "lineasstring": ("text", {}),
+}
+
+
+def _tf_literal(arg: str) -> str | None:
+    """Path/format args accept single quotes, double quotes (the README
+    writes ``file("data.parquet", Parquet)``), or a bare word."""
+    a = arg.strip()
+    if a and a[0] in "'\"" and _end_of_string(a, 0) == len(a):
+        return a[1:-1]
+    if re.fullmatch(r"[\w./*\-]+", a):
+        return a
+    return None
+
+
+def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> str:
+    """Replace ``file(...)``/``url(...)``/``Python(var)`` table functions
+    with temp views backed by the matching reader (reference
+    datastore/table_functions.py:123,208,1143). ``namespace`` supplies the
+    variables ``Python(name)`` may reference (the reference inspects the
+    caller's frame; :func:`chdb_spark.session.query` passes it in).
+
+    Only the *reference* of the data moves through the driver — each view
+    is a lazy DataFrame whose scan parallelizes like any other source.
+    """
+    # find candidate call sites with a string-literal-aware scan
+    sites: list[tuple[int, int, str]] = []  # (start, open_paren, name)
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _end_of_string(sql, i)
+            continue
+        m = _TF_RE.match(sql, i)
+        if m and (i == 0 or sql[i - 1] not in _WORD_CHARS and sql[i - 1] != "."):
+            sites.append((m.start(), m.end() - 1, m.group(1)))
+            i = m.end()
+            continue
+        i += 1
+    out = []
+    i = 0
+    counter = 0
+    for start, paren, name in sites:
+        if start < i:
+            continue  # inside a previously consumed call
+        inner, end = _balanced(sql, paren)
+        args = _split_args(inner)
+        view = f"_chsql_tf_{counter}"
+        counter += 1
+        if name.lower() == "python":
+            var = args[0].strip()
+            ns = namespace or {}
+            if var not in ns:
+                raise NameError(f"Python() table function: no variable {var!r} in scope")
+            obj = ns[var]
+            from chdb_spark.sources.files import from_arrow, from_pandas
+
+            if hasattr(obj, "toPandas") and hasattr(obj, "sparkSession"):
+                df = obj  # already a Spark DataFrame
+            elif type(obj).__module__.startswith("pyarrow"):
+                df = from_arrow(spark, obj)
+            else:
+                df = from_pandas(spark, obj)
+            df.createOrReplaceTempView(view)
+        elif name.lower() == "file":
+            path = _tf_literal(args[0])
+            if path is None:
+                raise ValueError(f"file(): unsupported path argument {args[0]!r}")
+            fmt_name = (_tf_literal(args[1]) or "").lower() if len(args) > 1 else ""
+            from chdb_spark.sources.files import infer_format, read_auto
+
+            if fmt_name in _TF_FORMATS:
+                fmt, opts = _TF_FORMATS[fmt_name]
+            else:
+                fmt, opts = infer_format(path), {}
+            read_auto(spark, path, fmt=fmt, **opts).createOrReplaceTempView(view)
+        elif name.lower() == "sqlite":
+            # sqlite('db_path', 'table') — reference table_functions.py:772
+            db = _tf_literal(args[0])
+            tbl = _tf_literal(args[1]) if len(args) > 1 else None
+            if db is None or tbl is None:
+                raise ValueError("sqlite() needs (db_path, table) literals")
+            from chdb_spark.sources.sqlite import read_sqlite
+
+            read_sqlite(spark, db, tbl).createOrReplaceTempView(view)
+        else:  # url
+            path = _tf_literal(args[0])
+            fmt_name = (_tf_literal(args[1]) or "").lower() if len(args) > 1 else ""
+            from chdb_spark.sources.uri import open_uri
+
+            fmt, opts = _TF_FORMATS.get(fmt_name, (None, {}))
+            open_uri(spark, path, fmt=fmt, **opts).createOrReplaceTempView(view)
+        out.append(sql[i:start] + view)
+        i = end
+    out.append(sql[i:])
+    return "".join(out)

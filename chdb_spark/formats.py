@@ -180,15 +180,18 @@ def _sql_value(v: Any) -> str:
     return _plain(v)
 
 
-def _json_value(v: Any, quote64: bool = True) -> Any:
+def _json_value(v: Any, quote64: bool = False) -> Any:
     """Python object ready for json.dumps. CH quotes 64-bit integers by
-    default (output_format_json_quote_64bit_integers=1)."""
+    default (output_format_json_quote_64bit_integers=1) — *by column type*:
+    every Int64/UInt64 value is a JSON string, regardless of magnitude.
+    ``quote64`` carries that column-level fact; values whose type is
+    unknown (nested/dynamic) still quote past 2^53 to stay JS-safe."""
     if _is_null(v):
         return None
     if isinstance(v, bool):
         return v
     if isinstance(v, int):
-        return str(v) if quote64 and abs(v) > 2**53 - 1 else v
+        return str(v) if quote64 or abs(v) > 2**53 - 1 else v
     if isinstance(v, float):
         if math.isnan(v) or math.isinf(v):
             return None
@@ -330,11 +333,21 @@ def _render_markdown(cols, rows, numeric):
     return "\n".join(lines) + "\n"
 
 
+def _i64_flags(types):
+    """Per-column: is the ClickHouse type (U)Int64, so JSON must quote it?"""
+    out = []
+    for t in types or ():
+        base = t[9:-1] if t.startswith("Nullable(") else t
+        out.append(base in ("Int64", "UInt64"))
+    return out
+
+
 def _render_json(cols, types, rows):
+    q = _i64_flags(types)
     doc = {
         "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
         "data": [
-            {c: _json_value(v) for c, v in zip(cols, r)} for r in rows
+            {c: _json_value(v, f) for c, v, f in zip(cols, r, q)} for r in rows
         ],
         "rows": len(rows),
     }
@@ -342,19 +355,22 @@ def _render_json(cols, types, rows):
 
 
 def _render_json_compact(cols, types, rows):
+    q = _i64_flags(types)
     doc = {
         "meta": [{"name": c, "type": t} for c, t in zip(cols, types)],
-        "data": [[_json_value(v) for v in r] for r in rows],
+        "data": [[_json_value(v, f) for v, f in zip(r, q)] for r in rows],
         "rows": len(rows),
     }
     return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
 
 
-def _render_json_each_row(cols, rows):
+def _render_json_each_row(cols, rows, types=None):
+    q = _i64_flags(types) or [False] * len(cols)
     return (
         "\n".join(
             json.dumps(
-                {c: _json_value(v) for c, v in zip(cols, r)}, ensure_ascii=False
+                {c: _json_value(v, f) for c, v, f in zip(cols, r, q)},
+                ensure_ascii=False,
             )
             for r in rows
         )
@@ -362,17 +378,22 @@ def _render_json_each_row(cols, rows):
     )
 
 
-def _render_json_compact_each_row(cols, rows):
+def _render_json_compact_each_row(cols, rows, types=None):
+    q = _i64_flags(types) or [False] * len(cols)
     return (
         "\n".join(
-            json.dumps([_json_value(v) for v in r], ensure_ascii=False) for r in rows
+            json.dumps([_json_value(v, f) for v, f in zip(r, q)], ensure_ascii=False)
+            for r in rows
         )
         + ("\n" if rows else "")
     )
 
 
-def _render_json_columns(cols, rows):
-    doc = {c: [_json_value(r[i]) for r in rows] for i, c in enumerate(cols)}
+def _render_json_columns(cols, rows, types=None):
+    q = _i64_flags(types) or [False] * len(cols)
+    doc = {
+        c: [_json_value(r[i], q[i]) for r in rows] for i, c in enumerate(cols)
+    }
     return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
 
 
@@ -404,16 +425,18 @@ def _render_tskv(cols, rows):
     return "\n".join(out) + ("\n" if out else "")
 
 
-def _render_json_object_each_row(cols, rows):
+def _render_json_object_each_row(cols, rows, types=None):
+    q = _i64_flags(types) or [False] * len(cols)
     doc = {
-        f"row_{i}": {c: _json_value(v) for c, v in zip(cols, r)}
+        f"row_{i}": {c: _json_value(v, f) for c, v, f in zip(cols, r, q)}
         for i, r in enumerate(rows, 1)
     }
     return json.dumps(doc, ensure_ascii=False, indent=1) + "\n"
 
 
-def _render_json_compact_columns(cols, rows):
-    doc = [[_json_value(r[i]) for r in rows] for i in range(len(cols))]
+def _render_json_compact_columns(cols, rows, types=None):
+    q = _i64_flags(types) or [False] * len(cols)
+    doc = [[_json_value(r[i], q[i]) for r in rows] for i in range(len(cols))]
     return json.dumps(doc, ensure_ascii=False) + "\n"
 
 
@@ -497,8 +520,10 @@ def _render_sql_insert(cols, rows, table="table"):
 
 
 # -- RowBinary (real binary encoding: little-endian fixed types, LEB128
-#    varint length-prefixed UTF-8 strings, Date=uint16 days,
-#    DateTime=uint32 seconds — the CH wire layout for flat types) ----------
+#    varint length-prefixed UTF-8 strings, Date32=int32 days,
+#    DateTime64(6)=int64 microsecond ticks — matching the type names the
+#    WithNamesAndTypes header declares, so a CH-wire decoder reading the
+#    declared types stays in sync and the full 1900..2299 range fits) ------
 
 
 def _varint(n: int) -> bytes:
@@ -533,10 +558,13 @@ def _rowbinary_cell(v, spark_type: str) -> bytes:
     if t == "boolean":
         return prefix + (b"\x01" if v else b"\x00")
     if t == "date":
+        # Date32 wire: signed int32 days since epoch (negative = pre-1970)
         epoch = date(1970, 1, 1)
-        return prefix + struct.pack("<H", (v - epoch).days)
+        return prefix + struct.pack("<i", (v - epoch).days)
     if t.startswith("timestamp"):
-        return prefix + struct.pack("<I", int(v.timestamp()))
+        # DateTime64(6) wire: signed int64 microsecond ticks since epoch
+        micros = int(v.timestamp()) * 1_000_000 + v.microsecond
+        return prefix + struct.pack("<q", micros)
     s = _plain(v).encode("utf-8")
     return prefix + _varint(len(s)) + s
 
@@ -603,14 +631,14 @@ _TEXT_RENDERERS = {
     "markdown": lambda c, t, r, n: _render_markdown(c, r, n),
     "json": lambda c, t, r, n: _render_json(c, t, r),
     "jsoncompact": lambda c, t, r, n: _render_json_compact(c, t, r),
-    "jsoneachrow": lambda c, t, r, n: _render_json_each_row(c, r),
-    "jsoncompacteachrow": lambda c, t, r, n: _render_json_compact_each_row(c, r),
-    "jsoncolumns": lambda c, t, r, n: _render_json_columns(c, r),
+    "jsoneachrow": lambda c, t, r, n: _render_json_each_row(c, r, t),
+    "jsoncompacteachrow": lambda c, t, r, n: _render_json_compact_each_row(c, r, t),
+    "jsoncolumns": lambda c, t, r, n: _render_json_columns(c, r, t),
     "jsonstrings": lambda c, t, r, n: _render_json_strings(c, t, r),
     "values": lambda c, t, r, n: _render_values(r),
     "tskv": lambda c, t, r, n: _render_tskv(c, r),
-    "jsonobjecteachrow": lambda c, t, r, n: _render_json_object_each_row(c, r),
-    "jsoncompactcolumns": lambda c, t, r, n: _render_json_compact_columns(c, r),
+    "jsonobjecteachrow": lambda c, t, r, n: _render_json_object_each_row(c, r, t),
+    "jsoncompactcolumns": lambda c, t, r, n: _render_json_compact_columns(c, r, t),
     "jsonstringseachrow": lambda c, t, r, n: _render_json_strings_each_row(c, r),
     "jsoncompactstrings": lambda c, t, r, n: _render_json_compact_strings(c, t, r),
     "jsoncompactstringseachrow": lambda c, t, r, n: _render_json_compact_strings_each_row(c, r),

@@ -385,7 +385,9 @@ def bucketed_running_sum(
     single-window result bit-for-bit (addition order only changes
     genuinely fractional float sums — callers with float weights should
     note the low-bit summation-order caveat). NULL order values sort
-    first (bucket -1), matching NULLS FIRST. Non-numeric order columns
+    first (bucket -1), matching NULLS FIRST; float NaN sorts last
+    (dedicated bucket n_buckets, matching Spark's NaN-greatest ordering)
+    rather than poisoning the min/max width. Non-numeric order columns
     fall back to the single-window form.
 
     Adds ``_cum_<c>`` for each c in ``sum_cols``.
@@ -405,18 +407,33 @@ def bucketed_running_sum(
             out = out.withColumn(f"_cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)))
         return out
 
+    # NaN would poison _mn/_mx (Spark max() returns NaN if any value is
+    # NaN), making width NaN and silently dropping those rows at the
+    # bucket join. Route NaN to a dedicated last bucket instead — Spark
+    # sort order places NaN after every real number, so bucket n_buckets
+    # preserves the single-window ordering exactly.
+    is_float = dict(df.dtypes)[order_col] in ("float", "double")
+    clean = (
+        F.when(~F.isnan(order_col), F.col(order_col))
+        if is_float
+        else F.col(order_col)
+    )
     if group_cols:
         mm = df.groupBy(*group_cols).agg(
-            F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx")
+            F.min(clean).alias("_mn"), F.max(clean).alias("_mx")
         )
         c = df.join(F.broadcast(mm), group_cols)
     else:
-        mm = df.agg(F.min(order_col).alias("_mn"), F.max(order_col).alias("_mx"))
+        mm = df.agg(F.min(clean).alias("_mn"), F.max(clean).alias("_mx"))
         c = df.crossJoin(F.broadcast(mm))
     width = (F.col("_mx") - F.col("_mn")) / F.lit(n_buckets)
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1))
+    if is_float:
+        bucket = bucket.when(F.isnan(order_col), F.lit(n_buckets))
     bucket = (
-        F.when(F.col(order_col).isNull(), F.lit(-1))
-        .when(F.col("_mx") == F.col("_mn"), F.lit(0))
+        bucket.when(
+            F.col("_mn").isNull() | (F.col("_mx") == F.col("_mn")), F.lit(0)
+        )
         .otherwise(
             F.least(
                 F.floor((F.col(order_col) - F.col("_mn")) / width),

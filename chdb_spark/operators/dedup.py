@@ -843,13 +843,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist): each iteration references `labels`
+    # twice (neighbor join + changed-count join), so without lineage
+    # truncation the logical plan doubles per iteration — exponential
+    # Catalyst analysis time by ~iteration 15. Checkpointing materializes
+    # the ≤|V|-row label relation on executors and resets the plan to a
+    # scan, keeping every iteration O(E) compute AND O(1) plan size.
+    # (On a cluster with preemptible executors, swap for reliable
+    # checkpoint() on a checkpoint dir — same shape.)
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-        .persist()
+        .localCheckpoint()
     )
-    labels.count()
+    changed = 0
     try:
         for _ in range(max_iters):
             neigh = (
@@ -865,7 +873,7 @@ def connected_components(
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.alias("n")
@@ -873,10 +881,23 @@ def connected_components(
                 .filter(F.col("n.label") != F.col("o.label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
+        if changed != 0:
+            # Converging silently short of a fixpoint would split long
+            # duplicate chains into multiple clusters with no signal —
+            # surface it (diameter > max_iters is pathological for
+            # near-dup graphs, so a loud warning beats extra iterations).
+            import warnings
+
+            warnings.warn(
+                f"connected_components: not converged after {max_iters} "
+                f"iterations ({changed} labels still changing); clusters "
+                "may be split — raise max_iters",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()

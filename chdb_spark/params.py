@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 from datetime import date, datetime
+from decimal import Decimal
 from typing import Any, Mapping
 
 _PLACEHOLDER = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\s*:\s*([A-Za-z0-9_() ,'\"]+?)\}")
@@ -60,8 +61,16 @@ def _render(value: Any, ch_type: str) -> str:
 
     if tl in _INT_TYPES:
         return str(int(value))
-    if tl in _FLOAT_TYPES or tl.startswith("decimal"):
-        return repr(float(value)) if not tl.startswith("decimal") else str(value)
+    if tl.startswith("decimal"):
+        # Validate through decimal.Decimal so a non-numeric string can never
+        # splice raw text into the query (same guarantee as the int/float
+        # paths); Decimal keeps full precision where float would round.
+        d = Decimal(str(value))  # raises InvalidOperation on junk
+        if not d.is_finite():
+            raise ValueError(f"non-finite Decimal parameter: {value!r}")
+        return str(d)
+    if tl in _FLOAT_TYPES:
+        return repr(float(value))
     if tl in ("bool", "boolean"):
         truthy = value in (True, 1, "1", "true", "True")
         return "true" if truthy else "false"

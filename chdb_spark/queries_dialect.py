@@ -1,0 +1,158 @@
+"""ClickHouse-dialect end-to-end queries — the CH SQL *text* goes in, the
+dialect layer (chdb_spark/dialect.py) rewrites it, Spark executes it.
+
+These entries prove the drop-in contract the reference offers (reference
+chdb/__init__.py:145-217 — ``chdb.query`` takes CH SQL): a user's existing
+CH query strings run unmodified. Each query here is CH dialect verbatim
+(uniq/countIf/quantileExact/toYYYYMM/toStartOfMonth/splitByChar/numbers()/
+PREWHERE/SETTINGS), executed through ``session.query`` so the whole
+rewrite → plan → execute path is covered by the oracle gate.
+
+Plans are identical to hand-written Spark SQL — the rewrite is pure text,
+so Catalyst sees ordinary expressions (pushdown/codegen intact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chdb_spark.queries import defquery, table
+
+
+def _ch(spark: SparkSession, sf_dir: str, sql: str, views: list[str]) -> DataFrame:
+    """Register the named sf tables as temp views and run CH-dialect SQL."""
+    from chdb_spark import session as chs
+
+    for t in views:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return chs.query(spark, sql, "DataFrame")
+
+
+@defquery(
+    "ch1_dialect_aggs",
+    """
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)                                     AS n_cust,
+           count(*) FILTER (WHERE o_totalprice > 150000)                 AS n_big,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+           round(quantile_cont(o_totalprice, 0.5), 2)                    AS med_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="CH-dialect aggregate surface end-to-end: uniqExact/countIf/sumIf/"
+        "quantileExact parametric syntax through the rewrite layer.",
+)
+def ch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               uniqExact(o_custkey)                              AS n_cust,
+               countIf(o_totalprice > 150000)                    AS n_big,
+               round(sumIf(o_totalprice, o_orderstatus = 'F'), 2) AS f_total,
+               round(quantileExact(0.5)(o_totalprice), 2)        AS med_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        SETTINGS max_threads=4
+        """,
+        ["orders"],
+    )
+
+
+@defquery(
+    "ch2_dialect_dates",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1, 2
+    ORDER BY ym
+    """,
+    doc="CH-dialect datetime surface: toYYYYMM/toStartOfMonth/toDate through "
+        "the rewrite layer; filter still reaches the parquet scan.",
+)
+def ch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT toYYYYMM(o_orderdate)       AS ym,
+               toStartOfMonth(o_orderdate) AS month_start,
+               count(*)                    AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        PREWHERE o_orderdate >= toDate('1995-01-01')
+        GROUP BY ym, month_start
+        ORDER BY ym
+        """,
+        ["orders"],
+    )
+
+
+@defquery(
+    "ch3_dialect_numbers",
+    """
+    SELECT (r % 7) AS bucket,
+           count(*) AS n,
+           sum(r)   AS s
+    FROM (SELECT CAST(range AS BIGINT) AS r FROM range(0, 100000))
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="CH numbers() generator table function → Spark range TVF; "
+        "map-side partial agg over a synthesized integer stream.",
+)
+def ch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark import session as chs
+
+    return chs.query(
+        spark,
+        """
+        SELECT modulo(number, 7) AS bucket,
+               count(*)          AS n,
+               sum(number)       AS s
+        FROM numbers(100000)
+        GROUP BY bucket
+        ORDER BY bucket
+        """,
+        "DataFrame",
+    )
+
+
+@defquery(
+    "ch4_dialect_strings",
+    """
+    SELECT p_brand,
+           count(*) FILTER (WHERE regexp_matches(p_type, 'BRASS|COPPER'))   AS n_metal,
+           count(DISTINCT string_split(p_type, ' ')[1])                     AS n_first,
+           max(length(replace(p_name, ' ', '')))                           AS max_len,
+           count(*) FILTER (WHERE p_name LIKE '%green%')                    AS n_green
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="CH-dialect string surface: match/splitByChar/replaceAll/countIf/"
+        "arrayElement through the rewrite layer (all codegen'd Spark builtins).",
+)
+def ch4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand,
+               countIf(match(p_type, 'BRASS|COPPER'))                 AS n_metal,
+               uniqExact(arrayElement(splitByChar(' ', p_type), 1))   AS n_first,
+               max(lengthUTF8(replaceAll(p_name, ' ', '')))           AS max_len,
+               countIf(p_name LIKE '%green%')                         AS n_green
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+        ["part"],
+    )

@@ -159,6 +159,23 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def _caller_namespace() -> dict:
+    """Variables visible to ``Python(var)`` table functions — the first
+    stack frame outside this package (the reference engine inspects the
+    caller's frame the same way for its ``Python()`` source,
+    datastore/table_functions.py:1143)."""
+    import inspect
+
+    pkg = __name__.split(".")[0]
+    for frame_info in inspect.stack()[1:]:
+        mod = frame_info.frame.f_globals.get("__name__", "")
+        if not mod.startswith(pkg):
+            ns = dict(frame_info.frame.f_globals)
+            ns.update(frame_info.frame.f_locals)
+            return ns
+    return {}
+
+
 def query(
     spark_or_sql,
     sql_or_fmt: str | None = None,
@@ -216,13 +233,24 @@ def query(
 
     # ClickHouse dialect: a trailing `FORMAT <Name>` in the SQL text wins
     # over the argument (reference behavior — the engine honors the clause)
+    from chdb_spark.dialect import resolve_table_functions, rewrite
     from chdb_spark.formats import split_format_suffix
 
     sql_text, suffix_fmt = split_format_suffix(sql_text)
     if suffix_fmt is not None:
         fmt = suffix_fmt
     try:
-        out = spark.sql(bind_params(sql_text, params))
+        bound = bind_params(sql_text, params)
+        # CH-dialect acceptance (reference chdb/__init__.py:145-217 — every
+        # README example is CH SQL): rewrite CH function names/clauses onto
+        # Spark SQL, then materialize file()/url()/Python() table functions
+        # as temp views. Pure Spark SQL passes through unchanged.
+        translated = rewrite(bound)
+        if any(tf in translated for tf in ("file(", "url(", "Python(", "python(", "sqlite(")):
+            translated = resolve_table_functions(
+                spark, translated, namespace=_caller_namespace()
+            )
+        out = spark.sql(translated)
         return format_result(out, fmt)
     except Exception as exc:
         if reference_shape and not isinstance(exc, (ValueError, KeyError)):

@@ -15,6 +15,7 @@ from chdb_spark.sources.files import (
     read_jdbc,
 )
 from chdb_spark.sources.python_source import PyReader, from_py_reader, register_py_reader
+from chdb_spark.sources.sqlite import read_sqlite, register_sqlite_source
 from chdb_spark.sources.uri import open_uri
 
 __all__ = [
@@ -28,4 +29,6 @@ __all__ = [
     "PyReader",
     "from_py_reader",
     "register_py_reader",
+    "read_sqlite",
+    "register_sqlite_source",
 ]

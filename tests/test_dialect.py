@@ -1,0 +1,206 @@
+"""ClickHouse-dialect SQL acceptance (chdb_spark/dialect.py).
+
+The reference accepts CH SQL everywhere; these tests run the reference's
+own documented example shapes (README.md:206-493) plus the common function
+surface end-to-end through ``chs.query``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+import chdb_spark.session as chs
+from chdb_spark.dialect import rewrite
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    from tests.conftest import SF_SMOKE
+
+    return SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# pure-text rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_spark_sql_passes_through_unchanged():
+    for sql in [
+        "SELECT 1",
+        "SELECT count(*) FROM t WHERE x > 3 GROUP BY y HAVING count(*) > 1",
+        "SELECT percentile_approx(x, 0.5) FROM t",
+        "SELECT 'a string with uniq( inside' AS s",
+        "SELECT `weird col`, t.col FROM t ORDER BY 1 LIMIT 5",
+        "SELECT transform(arr, x -> x + 1) FROM t",
+    ]:
+        assert rewrite(sql) == sql
+
+
+def test_rewrite_functions():
+    assert rewrite("SELECT uniq(x) FROM t") == "SELECT approx_count_distinct(x) FROM t"
+    assert rewrite("SELECT uniqExact(x) FROM t") == "SELECT count(DISTINCT x) FROM t"
+    assert rewrite("SELECT countIf(x > 1) FROM t") == "SELECT count_if(x > 1) FROM t"
+    assert (
+        rewrite("SELECT sumIf(amt, region = 'EU') FROM t")
+        == "SELECT sum(CASE WHEN region = 'EU' THEN amt END) FROM t"
+    )
+    assert (
+        rewrite("SELECT toYYYYMM(d) FROM t")
+        == "SELECT CAST(date_format(d, 'yyyyMM') AS INT) FROM t"
+    )
+    assert rewrite("SELECT toStartOfMonth(d) FROM t") == "SELECT trunc(d, 'MM') FROM t"
+    assert rewrite("SELECT toString(1)") == "SELECT CAST(1 AS STRING)"
+    # nested calls rewrite recursively
+    assert (
+        rewrite("SELECT uniq(toYYYYMM(d)) FROM t")
+        == "SELECT approx_count_distinct(CAST(date_format(d, 'yyyyMM') AS INT)) FROM t"
+    )
+
+
+def test_rewrite_parametric_aggregates():
+    assert (
+        rewrite("SELECT quantile(0.9)(x) FROM t")
+        == "SELECT percentile_approx(x, 0.9) FROM t"
+    )
+    assert (
+        rewrite("SELECT quantiles(0.5, 0.9)(x) FROM t")
+        == "SELECT percentile_approx(x, array(0.5, 0.9)) FROM t"
+    )
+    assert rewrite("SELECT quantileExact(0.5)(x) FROM t") == "SELECT percentile(x, 0.5) FROM t"
+    assert "CASE WHEN count(DISTINCT x) <= 3" in rewrite("SELECT uniqUpTo(3)(x) FROM t")
+
+
+def test_rewrite_clauses():
+    assert (
+        rewrite("SELECT x FROM t PREWHERE x > 1")
+        == "SELECT x FROM t WHERE x > 1"
+    )
+    assert rewrite("SELECT sum(n) FROM t SETTINGS max_threads=4") == "SELECT sum(n) FROM t"
+    assert (
+        rewrite("SELECT sum(n) FROM t GROUP BY k SETTINGS max_threads=4, max_memory_usage=1000")
+        == "SELECT sum(n) FROM t GROUP BY k"
+    )
+    out = rewrite("SELECT number FROM numbers(10)")
+    assert "range(CAST(10 AS BIGINT))" in out and "AS number" in out
+    out = rewrite("SELECT sum(number) FROM numbers_mt(1e6) GROUP BY number % 10 SETTINGS max_threads=4")
+    assert "SETTINGS" not in out and "range(" in out
+    out = rewrite("SELECT number FROM system.numbers LIMIT 3")
+    assert "range(" in out and "AS number" in out
+
+
+def test_rewrite_preserves_strings_and_comments():
+    sql = "SELECT 'uniq(x) toYYYYMM' AS s -- uniq(y) comment\nFROM t"
+    assert rewrite(sql) == sql
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through query()
+# ---------------------------------------------------------------------------
+
+
+def test_e2e_reference_readme_shapes(spark):
+    # README.md:275 — toDate param + numbers arithmetic
+    out = chs.query(
+        spark,
+        "SELECT toDate({base_date:String}) + number AS date "
+        "FROM numbers(3) ORDER BY date",
+        "Pandas",
+        params={"base_date": "2024-01-01"},
+    )
+    assert [str(d) for d in out["date"]] == ["2024-01-01", "2024-01-02", "2024-01-03"]
+
+    # README.md:228 — system.numbers + toString
+    out = chs.query(
+        spark,
+        "SELECT number, toString(number) AS str FROM system.numbers LIMIT 3",
+        "Pandas",
+    )
+    assert list(out["number"]) == [0, 1, 2]
+    assert list(out["str"]) == ["0", "1", "2"]
+
+    # README.md:293 — numbers_mt + GROUP BY + SETTINGS
+    out = chs.query(
+        spark,
+        "SELECT sum(number) AS s FROM numbers_mt(100) GROUP BY number % 10 "
+        "ORDER BY s SETTINGS max_threads=4",
+        "Pandas",
+    )
+    assert int(out["s"].sum()) == sum(range(100))
+
+    # version() one-shot (README.md:259)
+    v = chs.query(spark, "SELECT version()", "CSV")
+    assert "chdb-spark" in v
+
+
+def test_e2e_dialect_functions(spark):
+    out = chs.query(
+        spark,
+        "SELECT toYYYYMM(toDate('2024-03-15')) AS ym,"
+        " toStartOfMonth(toDate('2024-03-15')) AS som,"
+        " toDayOfWeek(toDate('2024-03-15')) AS dow,"  # Friday = 5 (CH Mon=1)
+        " intDiv(7, 2) AS idiv, modulo(7, 3) AS m",
+        "JSONEachRow",
+    )
+    row = json.loads(out)
+    assert row["ym"] == 202403
+    assert str(row["som"]).startswith("2024-03-01")
+    assert row["dow"] == 5
+    # DIV yields BIGINT → JSON quotes it by column type (CH
+    # output_format_json_quote_64bit_integers=1 default); % on INTs stays
+    # an unquoted INT.
+    assert row["idiv"] == "3" and row["m"] == 1
+
+
+def test_e2e_file_table_function(spark, tmp_path):
+    # README.md:265 — select * from file("data.parquet", Parquet)
+    import pandas as pd
+
+    p = str(tmp_path / "data.parquet")
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_parquet(p)
+    out = chs.query(spark, f'SELECT * FROM file("{p}", Parquet) ORDER BY a', "Pandas")
+    assert list(out["a"]) == [1, 2, 3]
+
+    c = str(tmp_path / "data.csv")
+    pd.DataFrame({"a": [5, 6]}).to_csv(c, index=False)
+    out = chs.query(spark, f"SELECT * FROM file('{c}', CSVWithNames)", "Pandas")
+    assert sorted(out["a"]) == [5, 6]
+
+
+def test_e2e_python_table_function(spark):
+    # README.md:478 — SELECT b, sum(a) FROM Python(df) GROUP BY b
+    import pandas as pd
+
+    df = pd.DataFrame({"a": [1, 2, 3, 4], "b": ["x", "y", "x", "y"]})
+    out = chs.query(
+        spark, "SELECT b, sum(a) AS s FROM Python(df) GROUP BY b ORDER BY b", "Pandas"
+    )
+    assert list(out["b"]) == ["x", "y"]
+    assert list(out["s"]) == [4, 6]
+
+
+def test_e2e_python_table_function_arrow(spark):
+    import pyarrow as pa
+
+    arrow_table = pa.table({"a": [1, 2], "b": ["m", "m"]})
+    out = chs.query(
+        spark, "SELECT b, sum(a) AS s FROM Python(arrow_table) GROUP BY b", "Pandas"
+    )
+    assert list(out["s"]) == [3]
+
+
+def test_e2e_quantile_and_uniq(spark, sf_dir):
+    got = chs.query(
+        spark,
+        f"SELECT uniq(o_custkey) AS u, quantile(0.5)(o_totalprice) AS med "
+        f"FROM file('{sf_dir}/orders.parquet', Parquet)",
+        "Pandas",
+    )
+    assert got["u"].iloc[0] > 0 and got["med"].iloc[0] > 0
+
+
+def test_python_table_function_missing_var(spark):
+    with pytest.raises(NameError):
+        chs.query(spark, "SELECT * FROM Python(no_such_var_xyz)", "Pandas")

@@ -166,6 +166,32 @@ def test_rowbinary_roundtrip(spark):
     assert b"Int32" in named and b"Nullable(String)" in named
 
 
+def test_rowbinary_date_timestamp_match_declared_types(spark):
+    """Date32/DateTime64(6) wire widths must agree with the declared header
+    types: int32 days and int64 microsecond ticks (a decoder following the
+    header would desync otherwise)."""
+    import struct
+    from datetime import date as _date
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.sql(
+            "SELECT DATE'1969-12-25' AS d, TIMESTAMP'2024-03-01 12:30:45.123456' AS ts"
+        )
+        raw = format_result(df, "RowBinaryWithNamesAndTypes")
+        assert b"Date32" in raw and b"DateTime64(6)" in raw
+        # body = last (1+4) + (1+8) bytes: null flag + int32, null flag + int64
+        body = raw[-(5 + 9):]
+        assert body[0] == 0
+        days = struct.unpack_from("<i", body, 1)[0]
+        assert days == (_date(1969, 12, 25) - _date(1970, 1, 1)).days  # negative
+        assert body[5] == 0
+        micros = struct.unpack_from("<q", body, 6)[0]
+        assert micros == 1709296245123456
+    finally:
+        spark.conf.unset("spark.sql.session.timeZone")
+
+
 # ---------------------------------------------------------------------------
 # binary + python formats
 # ---------------------------------------------------------------------------
@@ -282,6 +308,25 @@ def test_bind_injection_safe():
     # a malicious string value stays inside its literal
     sql = bind_params("SELECT {s:String} AS s", {"s": "'; DROP TABLE users; --"})
     assert sql == "SELECT '\\'; DROP TABLE users; --' AS s"
+
+
+def test_bind_decimal_validates():
+    # valid numerics render as exact decimal text
+    assert bind_params("SELECT {d:Decimal(10,2)}", {"d": "12.34"}) == "SELECT 12.34"
+    assert bind_params("SELECT {d:Decimal(10,2)}", {"d": 7}) == "SELECT 7"
+    from decimal import Decimal as D
+
+    assert (
+        bind_params("SELECT {d:Decimal(38,10)}", {"d": D("1.0000000001")})
+        == "SELECT 1.0000000001"
+    )
+    # non-numeric input must raise, never splice raw text into the SQL
+    import decimal
+
+    with pytest.raises((decimal.InvalidOperation, ValueError)):
+        bind_params("SELECT {d:Decimal(10,2)}", {"d": "1; DROP TABLE users"})
+    with pytest.raises((decimal.InvalidOperation, ValueError)):
+        bind_params("SELECT {d:Decimal(10,2)}", {"d": "nan"})
 
 
 def test_bind_errors():

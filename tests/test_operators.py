@@ -225,3 +225,52 @@ def test_connected_components_chain_and_pair(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {3: 3, 7: 3, 9: 3, 12: 3, 20: 20, 21: 20}
+
+
+def test_connected_components_warns_on_nonconvergence(spark):
+    """A chain longer than max_iters hops must not split silently: the
+    operator warns when label propagation exits before the fixpoint."""
+    import warnings
+
+    from chdb_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(chain, max_iters=2).collect()
+    assert any("not converged" in str(x.message) for x in w)
+    # and with enough iterations it converges quietly to one cluster
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(chain, max_iters=20).collect()
+        }
+    assert not any("not converged" in str(x.message) for x in w)
+    assert set(got.values()) == {0}
+
+
+def test_bucketed_running_sum_nan_rows_kept(spark):
+    """NaN order values must survive bucketing (routed to the last bucket,
+    Spark's NaN-sorts-greatest order) instead of being dropped by a
+    NaN-poisoned width — and the cumulative must match the single-window
+    form on the clean prefix."""
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+
+    rows = [(1.0, 10), (2.0, 20), (float("nan"), 5), (None, 1), (3.0, 30)]
+    df = spark.createDataFrame(rows, ["x", "w"])
+    out = bucketed_running_sum(df, "x", ["w"], inclusive=True, n_buckets=4)
+    got = out.collect()
+    assert len(got) == len(rows)  # nothing silently dropped
+    by_x = {}
+    for r in got:
+        key = "nan" if (r.x is not None and r.x != r.x) else r.x
+        by_x[key] = r["_cum_w"]
+    # NULL first (1), then 1.0, 2.0, 3.0, NaN last
+    assert by_x[None] == 1
+    assert by_x[1.0] == 11
+    assert by_x[2.0] == 31
+    assert by_x[3.0] == 61
+    assert by_x["nan"] == 66
