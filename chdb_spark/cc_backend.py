@@ -1,0 +1,170 @@
+"""clickhouse-connect-style client over the Spark engine.
+
+Reference: chdb registers itself as a clickhouse-connect *backend*
+(reference chdb/cc_backend.py:1-31 — ``clickhouse_connect.get_client(
+"chdb://memory")`` returns a thin Client whose transport methods run the
+embedded engine in-process). clickhouse-connect itself is not installed in
+this environment, so this module provides the same client surface
+directly: ``get_client("chdb://memory")`` / ``get_client("chdb:///path")``
+→ a client whose ``query`` / ``query_df`` / ``query_arrow`` / ``command``
+/ ``insert`` / ``insert_df`` / ``raw_query`` calls execute through
+:class:`chdb_spark.stateful.Session` (CH dialect accepted end-to-end via
+chdb_spark.dialect). If the real ``clickhouse_connect`` package is present
+it still works — this client never imports it.
+
+Driver-side glue only: every query stays a lazy Spark plan until the
+client's result shape (rows / pandas / Arrow) forces collection, same as
+any other format path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Sequence
+
+#: mirrors the engine version string the dialect's version() returns
+SERVER_VERSION = "24.5.1"
+
+
+class QueryResult:
+    """Result shape of clickhouse-connect's ``Client.query``: named tuple
+    columns + materialized row tuples (driver.query.QueryResult surface)."""
+
+    def __init__(self, column_names: tuple[str, ...], rows: list[tuple]):
+        self.column_names = column_names
+        self.result_rows = rows
+
+    @property
+    def result_columns(self) -> list[list]:
+        return [list(c) for c in zip(*self.result_rows)] if self.result_rows else [
+            [] for _ in self.column_names
+        ]
+
+    @property
+    def row_count(self) -> int:
+        return len(self.result_rows)
+
+    def first_row(self):
+        return self.result_rows[0] if self.result_rows else None
+
+    def first_item(self):
+        r = self.first_row()
+        return r[0] if r else None
+
+    def named_results(self):
+        for r in self.result_rows:
+            yield dict(zip(self.column_names, r))
+
+
+class ChdbSparkClient:
+    """The subset of clickhouse-connect's Client contract the reference's
+    chdb backend exercises (reference tests/clickhouse_connect/
+    test_cc_backend.py): ping/query/query_df/query_arrow/command/
+    raw_query/insert/insert_df/close, plus uri/server_version and the
+    ``chdb_connection`` escape hatch (here: the underlying Session)."""
+
+    def __init__(self, uri: str, spark=None):
+        from chdb_spark.stateful import Session
+
+        self.uri = uri
+        path = uri[len("chdb://") :]
+        if path in ("", "memory", ":memory:"):
+            self._session = Session(spark=spark)
+        else:
+            self._session = Session(path if path.startswith("/") else "/" + path, spark=spark)
+        self.server_version = SERVER_VERSION
+        self._closed = False
+
+    # -- clickhouse-connect escape hatch (reference exposes the raw conn) --
+    @property
+    def chdb_connection(self):
+        return self._session
+
+    # -- protocol ----------------------------------------------------------
+    def ping(self) -> bool:
+        return not self._closed
+
+    def close(self) -> None:
+        if not self._closed:
+            self._session.close()
+            self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- query surface -----------------------------------------------------
+    def query(self, sql: str, parameters: dict | None = None, **_) -> QueryResult:
+        df = self._session.query(sql, fmt="DataFrame", params=parameters)
+        cols = tuple(df.columns)
+        rows = [tuple(r) for r in df.collect()]
+        return QueryResult(cols, rows)
+
+    def query_df(self, sql: str, parameters: dict | None = None, **_):
+        return self._session.query(sql, fmt="Pandas", params=parameters)
+
+    def query_arrow(self, sql: str, parameters: dict | None = None, **_):
+        return self._session.query(sql, fmt="ArrowTable", params=parameters)
+
+    def query_np(self, sql: str, parameters: dict | None = None, **_):
+        return self.query_df(sql, parameters).to_numpy()
+
+    def raw_query(self, sql: str, parameters: dict | None = None, fmt: str = "CSV", **_):
+        out = self._session.query(sql, fmt=fmt, params=parameters)
+        return out.encode() if isinstance(out, str) else out
+
+    def command(self, sql: str, parameters: dict | None = None, **_):
+        """DDL → summary string; SELECT → scalar for one column, list of
+        strings for several (clickhouse-connect's command contract)."""
+        df = self._session.query(sql, fmt="DataFrame", params=parameters)
+        if df is None or not df.columns:
+            return ""
+        rows = df.limit(2).collect()
+        if not rows:
+            return ""
+        first = rows[0]
+        if len(first) == 1 and len(rows) == 1:
+            return first[0]
+        return [str(v) for v in first]
+
+    # -- insert surface ----------------------------------------------------
+    def insert(
+        self,
+        table: str,
+        data: Sequence[Sequence[Any]],
+        column_names: Iterable[str] | None = None,
+        **_,
+    ) -> None:
+        spark = self._session.spark
+        cols = list(column_names) if column_names else None
+        sdf = spark.createDataFrame([tuple(r) for r in data], schema=cols)
+        self._insert_df_ordered(table, sdf)
+
+    def insert_df(self, table: str, df, **_) -> None:
+        spark = self._session.spark
+        self._insert_df_ordered(table, spark.createDataFrame(df))
+
+    def _insert_df_ordered(self, table: str, sdf) -> None:
+        # align by NAME to the target schema (reference reorders df columns)
+        prev = self._session.spark.catalog.currentDatabase()
+        self._session.spark.catalog.setCurrentDatabase(self._session.db)
+        try:
+            target = self._session.spark.table(table)
+            aligned = sdf.select(
+                *[sdf[c].cast(f.dataType).alias(c) for c, f in zip(
+                    [f.name for f in target.schema.fields], target.schema.fields
+                )]
+            )
+            aligned.write.insertInto(table)
+        finally:
+            self._session.spark.catalog.setCurrentDatabase(prev)
+
+
+def get_client(dsn: str, spark=None, **_) -> ChdbSparkClient:
+    """``get_client("chdb://memory")`` / ``get_client("chdb:///tmp/x.db")``
+    (reference cc_backend.py DSN shapes). Non-chdb DSNs are rejected —
+    real ClickHouse servers are clickhouse-connect's own job."""
+    if not dsn.startswith("chdb://"):
+        raise ValueError(f"get_client: expected a chdb:// DSN, got {dsn!r}")
+    return ChdbSparkClient(dsn, spark=spark)

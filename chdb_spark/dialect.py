@@ -580,6 +580,77 @@ _IDENTS = {
     "system.one": "(SELECT 0 AS dummy)",
 }
 
+# ---------------------------------------------------------------------------
+# DDL: CREATE TABLE with CH engines/types → Spark DDL
+# ---------------------------------------------------------------------------
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?TABLE\b", re.IGNORECASE
+)
+_ENGINE_RE = re.compile(r"\bENGINE\s*=", re.IGNORECASE)
+_AS_SELECT_RE = re.compile(r"\bAS\s+\(?\s*SELECT\b", re.IGNORECASE)
+
+#: CH column type → Spark DDL type (word-boundary replacement, applied after
+#: Nullable()/LowCardinality() unwrapping; Spark columns are nullable anyway)
+_CH_DDL_TYPES = {
+    "String": "STRING",
+    "UInt8": "SMALLINT",
+    "UInt16": "INT",
+    "UInt32": "BIGINT",
+    "UInt64": "BIGINT",
+    "Int8": "TINYINT",
+    "Int16": "SMALLINT",
+    "Int32": "INT",
+    "Int64": "BIGINT",
+    "Float32": "FLOAT",
+    "Float64": "DOUBLE",
+    "Date": "DATE",
+    "Date32": "DATE",
+    "Bool": "BOOLEAN",
+    "Boolean": "BOOLEAN",
+    "UUID": "STRING",
+    "IPv4": "STRING",
+    "IPv6": "STRING",
+    "JSON": "STRING",
+}
+
+
+def rewrite_ddl(sql: str) -> str:
+    """Normalize a CH ``CREATE TABLE`` into Spark DDL: drop the
+    ``ENGINE = …`` spec (and its ORDER BY/PARTITION BY/TTL tail — those
+    describe MergeTree physical layout; Spark's layout comes from the
+    writer), unwrap ``Nullable``/``LowCardinality``, and map CH column
+    types to Spark DDL types. Non-CREATE statements pass through."""
+    if not _CREATE_RE.match(sql or ""):
+        return sql
+    m_as = _AS_SELECT_RE.search(sql)
+    head, tail = (sql[: m_as.start()], sql[m_as.start() :]) if m_as else (sql, "")
+    m_e = _ENGINE_RE.search(head)
+    if m_e:
+        head = head[: m_e.start()].rstrip() + " "
+    # unwrap wrappers (repeat for nesting like LowCardinality(Nullable(T)))
+    for _ in range(3):
+        head2 = re.sub(r"\b(?:Nullable|LowCardinality)\(([^()]+)\)", r"\1", head)
+        if head2 == head:
+            break
+        head = head2
+    head = re.sub(r"\bFixedString\(\d+\)", "STRING", head)
+    head = re.sub(r"\bDateTime64\(\d+(?:\s*,\s*'[^']*')?\)", "TIMESTAMP", head)
+    head = re.sub(r"\bDateTime(?:\('[^']*'\))?\b", "TIMESTAMP", head)
+    head = re.sub(r"\bEnum(?:8|16)?\([^)]*\)", "STRING", head)
+    head = re.sub(r"\bDecimal32\((\d+)\)", r"DECIMAL(9,\1)", head)
+    head = re.sub(r"\bDecimal64\((\d+)\)", r"DECIMAL(18,\1)", head)
+    head = re.sub(r"\bDecimal128\((\d+)\)", r"DECIMAL(38,\1)", head)
+    for _ in range(3):  # Array(Array(T)) nesting
+        head2 = re.sub(r"\bArray\(([^()]+)\)", r"ARRAY<\1>", head)
+        if head2 == head:
+            break
+        head = head2
+    for ch, sp in _CH_DDL_TYPES.items():
+        head = re.sub(rf"\b{ch}\b", sp, head)
+    return head + tail
+
+
 _SETTINGS_RE = re.compile(
     r"\bSETTINGS\s+\w+\s*=\s*[^,;]+(?:\s*,\s*\w+\s*=\s*[^,;]+)*\s*;?\s*$",
     re.IGNORECASE,
@@ -625,6 +696,7 @@ def rewrite(sql: str) -> str:
     unconditionally in front of ``spark.sql``.
     """
     sql = _SETTINGS_RE.sub("", sql or "").rstrip()
+    sql = rewrite_ddl(sql)
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:

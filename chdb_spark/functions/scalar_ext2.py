@@ -966,3 +966,72 @@ register_many(
         ),
     },
 )
+
+
+# ---------------------------------------------------------------------------
+# registry completeness — the last 11 reference `clickhouse_name`s
+# (reference function_definitions.py; tests/test_functions_registry.py pins
+# full coverage so the set can't silently drift again)
+# ---------------------------------------------------------------------------
+
+register_many(
+    "STRING",
+    {
+        "ASCII": F.ascii,                       # reference :247-ish ASCII(s)
+        "replace": F.replace if hasattr(F, "replace") else (
+            lambda s, a, b: F.regexp_replace(s, F.lit(a), F.lit(b))
+        ),
+        "trim": F.trim,
+    },
+)
+
+register_many(
+    "TYPE_CONVERSION",
+    {
+        "CAST": lambda c, t: c.cast(t),
+        # trunc toward zero (CH numeric trunc; 2-arg form keeps N decimals)
+        "trunc": lambda c, n=0: (
+            c.cast("long") if n == 0
+            else (c * F.pow(F.lit(10.0), n)).cast("long") / F.pow(F.lit(10.0), n)
+        ),
+    },
+)
+
+register_many(
+    "DATETIME",
+    {
+        "date_add": lambda unit, n, d: F.timestamp_add(unit, n, d),
+        "date_trunc": F.date_trunc,
+        # Int64 nanosecond ticks; goes through unix_micros (exact to µs —
+        # Spark timestamps carry µs precision, so *1000 is lossless)
+        "toUnixTimestamp64Nano": lambda c: F.unix_micros(c) * F.lit(1000).cast("long"),
+    },
+)
+
+register_many(
+    "COMPARISON",
+    {
+        "equals": lambda a, b: a == b,
+    },
+)
+
+
+def _running_accumulate(c, order_by=None):
+    """runningAccumulate(agg, [order]) — cumulative sum in input order
+    (reference function_definitions.py:2696 maps cumsum/cummax/cummin here).
+    Single-partition ordering semantics, same caveat as CH's own
+    runningAccumulate; for grouped cumulatives use Window.partitionBy."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(order_by if order_by is not None else F.monotonically_increasing_id())
+    return F.sum(c).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+register("runningAccumulate", "WINDOW", kind="WINDOW")(_running_accumulate)
+
+register_many(
+    "MATH",
+    {
+        "ceil": F.ceil,
+    },
+)

@@ -13,15 +13,27 @@ _REGISTERED = False
 
 def _repartition_feature_pass(sel):
     """Round-robin a (id, payload) projection to full parallelism ahead of an
-    Arrow map pass. Unconditional by design: checking the current partition
-    count via ``df.rdd`` would force a driver-side plan→RDD conversion just
-    to maybe skip one exchange. Opt out with
-    ``spark.conf.set("spark.chdb.featurePass.repartition", "false")`` when
-    the scan's file splits already provide >= core parallelism."""
+    Arrow map pass — but only when the scan itself can't parallelize.
+
+    Metadata-conditional: ``inputFiles()`` is a file-index lookup (no
+    plan→RDD conversion, no job). When the source already has >= one file
+    per core — the normal case for a real multi-file dataset; a 100 TB
+    table is tens of thousands of splits — the exchange is pure overhead
+    and is skipped. The single-file/small-test case (one split feeding 32
+    cores) keeps the repartition so the Arrow pass uses every core. Opt
+    out entirely with
+    ``spark.conf.set("spark.chdb.featurePass.repartition", "false")``."""
     spark = sel.sparkSession
     if spark.conf.get("spark.chdb.featurePass.repartition", "true") == "false":
         return sel
-    return sel.repartition(spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(sel.inputFiles())
+    except Exception:
+        n_files = 0  # non-file-backed plan — no cheap metadata, repartition
+    if n_files >= par:
+        return sel
+    return sel.repartition(par)
 
 
 def register_operator_queries() -> None:

@@ -516,6 +516,7 @@ def cosine_neardup_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_rows: int = 200_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold over a bounded vector block.
 
@@ -528,16 +529,27 @@ def cosine_neardup_pairs_blocked(
 
     Scale contract: the BLOCK must fit in executor memory (here ≤ a few
     hundred MB); the unbounded-corpus path tiles blocks via IVF cells
-    (``knn_ivf``) so each cell's all-pairs stays bounded. The driver-side
-    collect materializes only the bounded block — by construction, not by
-    accident.
+    (``knn_ivf``) so each cell's all-pairs stays bounded. The contract is
+    ENFORCED, not assumed: a cheap count rejects blocks past
+    ``max_block_rows`` (200k x 64 doubles ≈ 100 MB broadcast) with a
+    pointer to the IVF path, so an unbounded corpus can never silently
+    stream through the driver. The block itself moves via Arrow
+    (``toPandas``), not row-by-row collect.
     """
     import numpy as np
 
     spark = emb.sparkSession
-    rows = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    block = emb.select(id_col, vec_col)
+    n = block.count()
+    if n > max_block_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs_blocked: block has {n} rows > "
+            f"max_block_rows={max_block_rows}; tile the corpus with knn_ivf "
+            "cells (or raise the bound if executor memory allows)"
+        )
+    pdf_block = block.toPandas()  # Arrow batch transfer, zero row-at-a-time cost
+    ids = pdf_block[id_col].to_numpy(dtype=np.int64)
+    M = np.array([list(v) for v in pdf_block[vec_col]], dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, M))
 

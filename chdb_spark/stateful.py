@@ -227,10 +227,17 @@ class Session:
         from chdb_spark.formats import format_result, split_format_suffix
         from chdb_spark.params import bind_params
 
+        from chdb_spark.dialect import resolve_table_functions, rewrite
+
         sql = bind_params(sql, params)
         sql, suffix_fmt = split_format_suffix(sql)
         if suffix_fmt is not None:
             fmt = suffix_fmt
+        # CH-dialect acceptance, same layer as session.query (DDL with
+        # ENGINE/CH types, CH function names, table functions)
+        sql = rewrite(sql)
+        if any(tf in sql for tf in ("file(", "url(", "sqlite(")):
+            sql = resolve_table_functions(self.spark, sql)
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
         try:

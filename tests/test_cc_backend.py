@@ -1,0 +1,91 @@
+"""clickhouse-connect-style client (chdb_spark/cc_backend.py) — mirrors the
+reference's tests/clickhouse_connect/test_cc_backend.py basic usage."""
+
+from __future__ import annotations
+
+import pytest
+
+from chdb_spark.cc_backend import get_client
+
+
+@pytest.fixture()
+def client(spark):
+    c = get_client("chdb://memory", spark=spark)
+    yield c
+    c.close()
+
+
+def test_ping_and_uri(client):
+    assert client.ping() is True
+    assert client.uri.startswith("chdb://")
+    assert client.server_version.split(".")[0].isdigit()
+    assert client.chdb_connection is not None
+
+
+def test_dsn_rejected():
+    with pytest.raises(ValueError):
+        get_client("http://localhost:8123")
+
+
+def test_command_returns_scalar(client):
+    assert client.command("SELECT 13") == 13
+    assert client.command("SELECT 'user_1'") == "user_1"
+    assert client.command("SELECT 79, 'user_2'") == ["79", "user_2"]
+
+
+def test_query_primitives(client):
+    r = client.query("SELECT toInt32(13) AS i, toString('user_1') AS s, toFloat64(3.14) AS f")
+    assert r.column_names == ("i", "s", "f")
+    assert r.result_rows == [(13, "user_1", 3.14)]
+    assert r.first_item() == 13
+    assert list(r.named_results()) == [{"i": 13, "s": "user_1", "f": 3.14}]
+
+
+def test_query_multi_row_numbers(client):
+    r = client.query("SELECT number FROM numbers(5)")
+    assert [row[0] for row in r.result_rows] == [0, 1, 2, 3, 4]
+    assert r.row_count == 5
+
+
+def test_query_empty(client):
+    r = client.query("SELECT 1 AS one WHERE 0 = 1")
+    assert r.result_rows == []
+
+
+def test_query_df_and_arrow(client):
+    df = client.query_df("SELECT number FROM numbers(3)")
+    assert list(df["number"]) == [0, 1, 2]
+    tbl = client.query_arrow("SELECT number FROM numbers(3)")
+    assert tbl.num_rows == 3
+
+
+def test_raw_query_pass_through(client):
+    body = client.raw_query("SELECT 13 AS x", fmt="TabSeparated")
+    assert body == b"13\n"
+
+
+def test_create_table_ch_ddl_and_insert(client):
+    # CH DDL with ENGINE = Memory + CH types goes through the dialect layer
+    client.command("CREATE TABLE row_insert_test (id UInt32, name String) ENGINE = Memory")
+    client.insert(
+        "row_insert_test",
+        [[13, "user_1"], [79, "user_2"]],
+        column_names=["id", "name"],
+    )
+    r = client.query("SELECT id, name FROM row_insert_test ORDER BY id")
+    assert r.result_rows == [(13, "user_1"), (79, "user_2")]
+
+
+def test_insert_dataframe_reordered_columns(client):
+    import pandas as pd
+
+    client.command("CREATE TABLE df_reorder (id UInt32, v Float64) ENGINE = Memory")
+    df = pd.DataFrame({"v": [9.5, 10.5], "id": [13, 79]})  # reversed order
+    client.insert_df("df_reorder", df)
+    r = client.query("SELECT id, v FROM df_reorder ORDER BY id")
+    assert r.result_rows == [(13, 9.5), (79, 10.5)]
+
+
+def test_query_with_parameters(client):
+    r = client.query("SELECT {n:Int64} * 2 AS x", parameters={"n": 21})
+    assert r.result_rows == [(42,)]
