@@ -481,3 +481,323 @@ def cb20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(10)
     )
+
+
+# ===========================================================================
+# cb21-cb33 — the remaining reference shapes (clickbench.py:33-54), completing
+# the 43-query map. Reference Q-index → repo query:
+#   Q19 point lookup → cb21      Q20/21 LIKE+group → cb22
+#   Q22 multi-LIKE + uniq → cb23  Q23 SELECT * LIKE ORDER LIMIT → cb24
+#   Q25 ORDER BY phrase → cb25    Q18 minute-extract group → cb26
+#   Q29 90-term sum chain → cb27  Q30-32 two-key wide agg → cb28
+#   Q33/34 value count topk → cb29  Q40 CASE src/dst group → cb30
+#   Q41 hash+date IN-list → cb31  Q42 numeric-pair group → cb32
+#   Q43 per-minute offset page → cb33
+# (Q0-Q17, Q24, Q26-Q28, Q35-Q39 were covered by cb1-cb20.)
+# All stay single-scan partial+final aggregates; ORDER BY carries explicit
+# tiebreakers so results are deterministic for the oracle hash.
+# ===========================================================================
+
+
+@defquery(
+    "cb21_point_lookup",
+    "SELECT user_id FROM events WHERE user_id = 42",
+    doc="Q19 `WHERE UserID = const` point lookup: pushed equality predicate, "
+        "single pruned column.",
+)
+def cb21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).filter(F.col("user_id") == 42).select("user_id")
+
+
+@defquery(
+    "cb22_like_group_min",
+    """
+    SELECT event_type, min(props) AS first_props, count(*) AS c
+    FROM events WHERE props LIKE '%9%'
+    GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10
+    """,
+    doc="Q21 `LIKE + MIN + GROUP BY + topk`: substring scan feeding a "
+        "per-key min/count.",
+)
+def cb22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props").like("%9%"))
+        .groupBy("event_type")
+        .agg(F.min("props").alias("first_props"), F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "event_type")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb23_multi_like_uniq",
+    """
+    SELECT event_type, min(props) AS mp, count(*) AS c,
+           count(DISTINCT user_id) AS u
+    FROM events
+    WHERE props LIKE '%1%' AND props NOT LIKE '%11%' AND event_type <> 'error'
+    GROUP BY event_type ORDER BY c DESC, event_type LIMIT 10
+    """,
+    doc="Q22 `LIKE AND NOT LIKE + COUNT(DISTINCT)`: conjunctive substring "
+        "predicates with a distinct-agg per key.",
+)
+def cb23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(
+            F.col("props").like("%1%")
+            & ~F.col("props").like("%11%")
+            & (F.col("event_type") != "error")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("props").alias("mp"),
+            F.count("*").alias("c"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .orderBy(F.desc("c"), "event_type")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb24_star_like_topn",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 2) AS value, props
+    FROM events WHERE props LIKE '%7%'
+    ORDER BY ts, event_id LIMIT 10
+    """,
+    doc="Q23 `SELECT * WHERE LIKE ORDER BY time LIMIT`: wide projection, "
+        "TakeOrdered — no global sort.",
+)
+def cb24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props").like("%7%"))
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            F.round("value", 2).alias("value"), "props",
+        )
+        .orderBy("ts", "event_id")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb25_order_by_value",
+    """
+    SELECT props FROM events WHERE props <> ''
+    ORDER BY props, event_id LIMIT 10
+    """,
+    doc="Q25 `ORDER BY SearchPhrase LIMIT`: top-k by string value, one "
+        "pruned column.",
+)
+def cb25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props") != "")
+        .orderBy("props", "event_id")
+        .select("props")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb26_minute_extract_group",
+    """
+    SELECT user_id, extract(minute FROM ts) AS m, event_type, count(*) AS c
+    FROM events
+    GROUP BY user_id, m, event_type
+    ORDER BY c DESC, user_id, m, event_type LIMIT 10
+    """,
+    doc="Q18 `GROUP BY UserID, minute(EventTime), SearchPhrase`: extracted "
+        "datetime part as a grouping key.",
+)
+def cb26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy(
+            "user_id",
+            F.minute("ts").cast("long").alias("m"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "user_id", "m", "event_type")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb27_wide_sum_chain",
+    "SELECT "
+    + ", ".join(f"round(sum(value + {i}), 2) AS s{i}" for i in range(90))
+    + " FROM events",
+    doc="Q29 the full 90-term `SUM(ResolutionWidth + N)` chain: 90 "
+        "expression aggregates in one stage — exercises codegen width "
+        "handling (janino splits, no interpreted fallback).",
+)
+def cb27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ev(spark, sf_dir).agg(
+        *[F.round(F.sum(F.col("value") + i), 2).alias(f"s{i}") for i in range(90)]
+    )
+
+
+@defquery(
+    "cb28_two_key_wide_agg",
+    """
+    SELECT event_id % 1000 AS wid, user_id,
+           count(*) AS c, round(sum(value), 2) AS sv,
+           round(avg(length(props)), 4) AS al
+    FROM events WHERE props <> ''
+    GROUP BY wid, user_id
+    ORDER BY c DESC, wid, user_id LIMIT 10
+    """,
+    doc="Q30-32 `GROUP BY WatchID, ClientIP` wide-agg family: high-"
+        "cardinality two-key grouping with mixed aggs.",
+)
+def cb28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("props") != "")
+        .groupBy(
+            (F.col("event_id") % 1000).alias("wid"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.round(F.sum("value"), 2).alias("sv"),
+            F.round(F.avg(F.length("props")), 4).alias("al"),
+        )
+        .orderBy(F.desc("c"), "wid", "user_id")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb29_value_count_topk",
+    """
+    SELECT props, count(*) AS c FROM events
+    GROUP BY props ORDER BY c DESC, props LIMIT 10
+    """,
+    doc="Q33 `SELECT URL, COUNT(*) ... LIMIT 10`: the classic heavy-hitter "
+        "top-k over a string key.",
+)
+def cb29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("props")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "props")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb30_case_src_dst",
+    """
+    SELECT event_type,
+           CASE WHEN user_id % 2 = 0 THEN props ELSE '' END AS src,
+           count(*) AS page_views
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-03'
+      AND CAST(ts AS DATE) <= DATE '2024-12-28'
+      AND event_type <> 'error'
+    GROUP BY event_type, src
+    ORDER BY page_views DESC, event_type, src
+    LIMIT 10 OFFSET 10
+    """,
+    doc="Q40 `CASE WHEN ... THEN Referer ELSE '' END AS Src` grouped "
+        "traffic-source shape with pagination offset.",
+)
+def cb30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(
+            (F.col("ts").cast("date") >= F.lit("2024-01-03").cast("date"))
+            & (F.col("ts").cast("date") <= F.lit("2024-12-28").cast("date"))
+            & (F.col("event_type") != "error")
+        )
+        .groupBy(
+            "event_type",
+            F.when(F.col("user_id") % 2 == 0, F.col("props"))
+            .otherwise(F.lit(""))
+            .alias("src"),
+        )
+        .agg(F.count("*").alias("page_views"))
+        .orderBy(F.desc("page_views"), "event_type", "src")
+        .offset(10)
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb31_inlist_date_group",
+    """
+    SELECT length(props) AS lp, CAST(ts AS DATE) AS d, count(*) AS page_views
+    FROM events
+    WHERE event_type IN ('click', 'view') AND user_id % 7 = 3
+    GROUP BY lp, d
+    ORDER BY page_views DESC, lp, d LIMIT 10
+    """,
+    doc="Q41 `URLHash, EventDate ... TraficSourceID IN (-1, 6)` shape: "
+        "IN-list + modulus predicate with derived grouping keys.",
+)
+def cb31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "view") & (F.col("user_id") % 7 == 3))
+        .groupBy(
+            F.length("props").cast("long").alias("lp"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .agg(F.count("*").alias("page_views"))
+        .orderBy(F.desc("page_views"), "lp", "d")
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb32_numeric_pair_group",
+    """
+    SELECT user_id % 32 AS w, user_id % 24 AS h, count(*) AS page_views
+    FROM events WHERE event_type <> 'error'
+    GROUP BY w, h ORDER BY page_views DESC, w, h
+    LIMIT 10 OFFSET 10
+    """,
+    doc="Q42 `WindowClientWidth, WindowClientHeight` numeric-pair group "
+        "with offset pagination.",
+)
+def cb32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .groupBy(
+            (F.col("user_id") % 32).alias("w"), (F.col("user_id") % 24).alias("h")
+        )
+        .agg(F.count("*").alias("page_views"))
+        .orderBy(F.desc("page_views"), "w", "h")
+        .offset(10)
+        .limit(10)
+    )
+
+
+@defquery(
+    "cb33_minute_histogram_page",
+    """
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m, count(*) AS page_views
+    FROM events WHERE event_type <> 'error'
+    GROUP BY m ORDER BY m LIMIT 10 OFFSET 100
+    """,
+    doc="Q43 `DATE_TRUNC('minute', EventTime) ... LIMIT 10 OFFSET 1000`: "
+        "per-minute histogram paged by offset.",
+)
+def cb33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .filter(F.col("event_type") != "error")
+        .groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").alias("page_views"))
+        .orderBy("m")
+        .offset(100)
+        .limit(10)
+    )
