@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -75,8 +76,23 @@ def main() -> None:
         "aggregation": "median",
         "load_1m_at_start": load_1m,
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_full.json")
     with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    # Per-round retention (VERDICT r3 item 7): snapshot the per-query map as
+    # BENCH_full_r{N}.json, N = the next round judging from the driver's
+    # BENCH_r{N}.json files, so a judge can diff per-query regressions
+    # instead of only suite totals. Overwritten within a round, kept across.
+    import glob as _glob
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    r_next = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(here, f"BENCH_full_r{r_next:02d}.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(

@@ -317,3 +317,41 @@ def test_py_reader_datasource_partitioned(spark):
     assert len(rows) == 100
     assert {r["part"] for r in rows} == {0, 1, 2, 3}
     assert sum(r["sq"] for r in rows) == sum(n * n for n in range(100))
+
+
+def test_multimodal_pil_path_when_codecs_present(spark):
+    """Real-codec switch: when PIL is installed the decode path must use it
+    for non-PPM payloads (exercised the moment the environment provides
+    codecs; skipped in codec-less containers)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from chdb_spark.multimodal import MEDIA_SCHEMA, _HAVE_CODECS, decode_images
+
+    assert _HAVE_CODECS is True
+    buf = io.BytesIO()
+    Image.fromarray(np.full((5, 9, 3), 100, dtype=np.uint8)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", buf.getvalue(), "image/png", {})], MEDIA_SCHEMA
+    )
+    r = decode_images(media).collect()[0]
+    assert (r.width, r.height) == (9, 5)
+    assert abs(r.mean_luma - 100.0) < 0.01
+
+
+def test_multimodal_fake_path_without_codecs():
+    """The deterministic fallback stays active when PIL is absent."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — fake path not reachable")
+    except ImportError:
+        pass
+    from chdb_spark.multimodal import _HAVE_CODECS, _fake_decode_image
+
+    assert _HAVE_CODECS is False
+    w, h, luma = _fake_decode_image(b"\x89PNG-fake")
+    assert w >= 64 and h >= 64 and luma >= 0.0
