@@ -687,6 +687,173 @@ _FUNCS["numbers"] = _numbers_tf
 _FUNCS["numbers_mt"] = _numbers_tf
 
 
+# ---------------------------------------------------------------------------
+# CH clause forms: LIMIT n BY cols, ARRAY JOIN ... AS alias
+# ---------------------------------------------------------------------------
+
+_LIMIT_BY_RE = re.compile(
+    r"\bLIMIT\s+(\d+)(?:\s*,\s*(\d+)|\s+OFFSET\s+(\d+))?\s+BY\s+(.+?)(\s+LIMIT\s+\d+)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
+_CLAUSE_STOP_RE = re.compile(
+    r"\b(WHERE|PREWHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|SETTINGS|WINDOW)\b"
+    r"|[,)]",
+    re.IGNORECASE,
+)
+
+
+def _last_top_level(sql: str, pattern: re.Pattern) -> int:
+    """Start index of the last match of ``pattern`` at paren depth 0, or -1."""
+    depth = 0
+    best = -1
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            i = _end_of_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(sql, i)
+            if m:
+                best = i
+                i = m.end()
+                continue
+        i += 1
+    return best
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """``… [ORDER BY o] LIMIT n [OFFSET k] BY cols [LIMIT m]`` → windowed
+    row_number filter (CH keeps the first n rows *per distinct BY value*).
+    Handles the trailing top-level form — the shape every CH example uses."""
+    m = _LIMIT_BY_RE.search(sql)
+    if not m:
+        return sql
+    # confirm the LIMIT ... BY is at top level (not inside a subquery)
+    depth = 0
+    i = 0
+    while i < m.start():
+        c = sql[i]
+        if c in "'\"`":
+            i = _end_of_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    if depth != 0:
+        return sql
+    n_rows = int(m.group(1))
+    # CH `LIMIT k, n BY` = offset k; `LIMIT n OFFSET k BY` equivalent
+    offset = int(m.group(3) or 0)
+    if m.group(2) is not None:
+        offset, n_rows = n_rows, int(m.group(2))
+    by_cols = m.group(4).strip()
+    final_limit = (m.group(5) or "").strip()
+    core = sql[: m.start()].rstrip()
+    # per-group ordering: the query's own ORDER BY if present (moved into
+    # the window + re-applied outside), else the BY cols for determinism
+    ob = _last_top_level(core, _ORDER_BY_RE)
+    if ob >= 0:
+        m_ob = _ORDER_BY_RE.match(core, ob)
+        order = core[m_ob.end() :].strip()
+        core = core[:ob].rstrip()
+    else:
+        order = by_cols
+    lo, hi = offset, offset + n_rows
+    out = (
+        f"SELECT * EXCEPT (_lb_rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {by_cols} ORDER BY {order}) AS _lb_rn FROM "
+        f"({core}) _lb_sub) WHERE _lb_rn > {lo} AND _lb_rn <= {hi}"
+    )
+    if ob >= 0:
+        out += f" ORDER BY {order}"
+    if final_limit:
+        out += " " + final_limit
+    return out
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """``[LEFT] ARRAY JOIN expr AS alias[, …]`` → ``LATERAL VIEW [OUTER]
+    explode(expr) _aj AS alias`` (requires the AS form — the bare CH form
+    shadows the source column, which Spark resolves as ambiguous)."""
+    counter = 0
+    while True:
+        # find a top-level-ish ARRAY JOIN outside string literals
+        i = 0
+        n = len(sql)
+        pos = -1
+        outer = False
+        while i < n:
+            c = sql[i]
+            if c in "'\"`":
+                i = _end_of_string(sql, i)
+                continue
+            m = _ARRAY_JOIN_RE.match(sql, i)
+            if m:
+                pos = i
+                outer = bool(m.group(1))
+                break
+            i += 1
+        if pos < 0:
+            return sql
+        m = _ARRAY_JOIN_RE.match(sql, pos)
+        # parse comma-separated `expr AS alias` items until a clause keyword
+        j = m.end()
+        items = []
+        start = j
+        depth = 0
+        while j <= n:
+            if j == n:
+                items.append(sql[start:j].strip())
+                break
+            c = sql[j]
+            if c in "'\"`":
+                j = _end_of_string(sql, j)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    items.append(sql[start:j].strip())
+                    break
+                depth -= 1
+            elif depth == 0:
+                if c == ",":
+                    items.append(sql[start:j].strip())
+                    start = j + 1
+                else:
+                    ms = _CLAUSE_STOP_RE.match(sql, j)
+                    if ms and ms.group(1):
+                        items.append(sql[start:j].strip())
+                        break
+            j += 1
+        end = start + len(sql[start:j])
+        views = []
+        for it in items:
+            if not it:
+                continue
+            ma = re.match(r"(.+?)\s+AS\s+([`\w]+)\s*$", it, re.IGNORECASE | re.DOTALL)
+            if not ma:
+                raise ValueError(
+                    f"ARRAY JOIN needs the `expr AS alias` form (got {it!r}); "
+                    "the bare form would shadow the source column"
+                )
+            expr, alias = ma.group(1).strip(), ma.group(2)
+            kw = "LATERAL VIEW OUTER" if outer else "LATERAL VIEW"
+            views.append(f"{kw} explode({expr}) _aj{counter} AS {alias}")
+            counter += 1
+        sql = sql[:pos] + " ".join(views) + " " + sql[end:]
+
+
 def rewrite(sql: str) -> str:
     """Rewrite ClickHouse-dialect SQL text into Spark SQL.
 
@@ -697,6 +864,9 @@ def rewrite(sql: str) -> str:
     """
     sql = _SETTINGS_RE.sub("", sql or "").rstrip()
     sql = rewrite_ddl(sql)
+    sql = _rewrite_limit_by(sql)
+    if _ARRAY_JOIN_RE.search(sql):
+        sql = _rewrite_array_join(sql)
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:

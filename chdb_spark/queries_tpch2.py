@@ -313,7 +313,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
         F.sum(_rev()).alias("__value")
     )
-    total = li.agg((F.sum(_rev()) * F.lit(0.011)).alias("__threshold"))
+    # threshold folds the per-supplier partials instead of re-scanning
+    # lineitem: the per_supp subplan appears twice, so ReuseExchange serves
+    # the second use from the first shuffle — one scan total, not two
+    total = per_supp.agg((F.sum("__value") * F.lit(0.011)).alias("__threshold"))
     return (
         per_supp.crossJoin(F.broadcast(total))
         .filter(F.col("__value") > F.col("__threshold"))

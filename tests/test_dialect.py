@@ -204,3 +204,60 @@ def test_e2e_quantile_and_uniq(spark, sf_dir):
 def test_python_table_function_missing_var(spark):
     with pytest.raises(NameError):
         chs.query(spark, "SELECT * FROM Python(no_such_var_xyz)", "Pandas")
+
+
+def test_limit_by_rewrite_and_execute(spark):
+    # CH `LIMIT n BY col`: top-2 orders per segment
+    import pandas as pd  # noqa: F401
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)], ["k", "v"]
+    )
+    df.createOrReplaceTempView("lb_t")
+    out = chs.query(
+        spark,
+        "SELECT k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY k",
+        "Pandas",
+    )
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == [("a", 2), ("a", 3), ("b", 8), ("b", 9)]
+    # offset form: LIMIT 1, 1 BY k → skip best, keep second-best
+    out = chs.query(
+        spark, "SELECT k, v FROM lb_t ORDER BY v DESC LIMIT 1, 1 BY k", "Pandas"
+    )
+    assert sorted(map(tuple, out.itertuples(index=False))) == [("a", 2), ("b", 8)]
+    # trailing total LIMIT applies after the per-group cut
+    out = chs.query(
+        spark, "SELECT k, v FROM lb_t ORDER BY v DESC LIMIT 2 BY k LIMIT 3", "Pandas"
+    )
+    assert len(out) == 3
+
+
+def test_limit_by_inside_subquery_untouched():
+    sql = "SELECT * FROM (SELECT k FROM t LIMIT 2 BY k) s"
+    assert rewrite(sql) == sql
+
+
+def test_array_join_rewrite_and_execute(spark):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30])], ["id", "vals"])
+    df.createOrReplaceTempView("aj_t")
+    out = chs.query(
+        spark,
+        "SELECT id, x FROM aj_t ARRAY JOIN vals AS x ORDER BY id, x",
+        "Pandas",
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [(1, 10), (1, 20), (2, 30)]
+    # LEFT ARRAY JOIN keeps rows with empty arrays
+    df2 = spark.createDataFrame([(1, [10]), (2, [])], ["id", "vals"])
+    df2.createOrReplaceTempView("aj_t2")
+    out = chs.query(
+        spark,
+        "SELECT id, x FROM aj_t2 LEFT ARRAY JOIN vals AS x ORDER BY id",
+        "Pandas",
+    )
+    assert len(out) == 2 and out["x"].isna().iloc[1]
+
+
+def test_array_join_bare_form_rejected(spark):
+    with pytest.raises(ValueError):
+        rewrite("SELECT id, vals FROM aj_t ARRAY JOIN vals")
