@@ -156,3 +156,61 @@ def ch4(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["part"],
     )
+
+
+@defquery(
+    "ch5_dialect_limit_by",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey <= 50
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE rn <= 2
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="CH `LIMIT 2 BY o_custkey` (per-group top-n clause) through the "
+        "rewrite layer — becomes one windowed row_number filter, no "
+        "per-group sub-sorts.",
+)
+def ch5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders WHERE o_custkey <= 50
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2 BY o_custkey
+        """,
+        ["orders"],
+    )
+
+
+@defquery(
+    "ch6_dialect_array_join",
+    """
+    SELECT p_brand, w AS word, count(*) AS n
+    FROM part, unnest(string_split(p_type, ' ')) t(w)
+    GROUP BY p_brand, w
+    ORDER BY n DESC, p_brand, word
+    LIMIT 20
+    """,
+    doc="CH `ARRAY JOIN splitByChar(...) AS word` through the rewrite "
+        "layer — LATERAL VIEW explode, grouped word counts.",
+)
+def ch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand, word, count(*) AS n
+        FROM part ARRAY JOIN splitByChar(' ', p_type) AS word
+        GROUP BY p_brand, word
+        ORDER BY n DESC, p_brand, word
+        LIMIT 20
+        """,
+        ["part"],
+    )

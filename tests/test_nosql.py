@@ -174,3 +174,52 @@ def test_uri_dispatch(spark):
         client_factory=_fake_mongo_factory([{"_id": 1}, {"_id": 2}]),
     )
     assert [r._id for r in df.orderBy("_id").collect()] == [1, 2]
+
+
+def test_url_table_function_loopback(spark, tmp_path):
+    """Real e2e for the url() source against a loopback HTTP server — no
+    external network needed, the full fetch→sniff→scan path executes."""
+    import http.server
+    import threading
+
+    import pandas as pd
+
+    root = tmp_path / "www"
+    root.mkdir()
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_parquet(root / "d.parquet")
+    (root / "d.csv").write_text("a,b\n5,p\n6,q\n")
+
+    handler = lambda *args, **kw: http.server.SimpleHTTPRequestHandler(
+        *args, directory=str(root), **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from chdb_spark.sources.uri import open_uri
+
+        df = open_uri(spark, f"http://127.0.0.1:{port}/d.parquet")
+        assert sorted(r.a for r in df.collect()) == [1, 2, 3]
+
+        df = open_uri(
+            spark,
+            f"http://127.0.0.1:{port}/d.csv",
+            fmt="csv",
+            header="true",
+            inferSchema="true",
+        )
+        assert sorted(r.a for r in df.collect()) == [5, 6]
+
+        # and through CH-dialect SQL text
+        import chdb_spark.session as chs
+
+        out = chs.query(
+            spark,
+            f"SELECT count(*) AS n FROM url('http://127.0.0.1:{port}/d.parquet', Parquet)",
+            "Pandas",
+        )
+        assert int(out["n"].iloc[0]) == 3
+    finally:
+        srv.shutdown()
+        srv.server_close()
