@@ -854,6 +854,37 @@ def _rewrite_array_join(sql: str) -> str:
         sql = sql[:pos] + " ".join(views) + " " + sql[end:]
 
 
+#: maintenance statements with no Spark analogue → harmless empty result
+#: (chdb returns an empty result for these; MergeTree part merges and
+#: server subsystems don't exist here)
+_NOOP_STMT_RE = re.compile(r"^\s*(OPTIMIZE\s+TABLE|SYSTEM)\b", re.IGNORECASE)
+_RENAME_RE = re.compile(
+    r"^\s*RENAME\s+TABLE\s+([`\w.]+)\s+TO\s+([`\w.]+)\s*;?\s*$", re.IGNORECASE
+)
+_SAMPLE_RE = re.compile(r"\bSAMPLE\s+(\d*\.?\d+)(?!\s*(?:\)|,|BY\b))", re.IGNORECASE)
+_DB_ENGINE_RE = re.compile(
+    r"^(\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`\w]+)\s+ENGINE\s*=\s*\w+\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_sample(sql: str) -> str:
+    """CH ``FROM t SAMPLE k`` (k<1: fraction; k>=1: ~row target, mapped to
+    a fraction-less TABLESAMPLE only for the fractional form — integer row
+    targets need table stats CH has and Spark doesn't, so they raise)."""
+
+    def repl(m: re.Match) -> str:
+        k = float(m.group(1))
+        if k < 1:
+            return f"TABLESAMPLE ({k * 100:g} PERCENT)"
+        raise ValueError(
+            f"SAMPLE {m.group(1)}: row-count sampling needs table statistics; "
+            "use the fractional form (SAMPLE 0.1) or df.sample(n/count)"
+        )
+
+    return _SAMPLE_RE.sub(repl, sql)
+
+
 def rewrite(sql: str) -> str:
     """Rewrite ClickHouse-dialect SQL text into Spark SQL.
 
@@ -863,10 +894,20 @@ def rewrite(sql: str) -> str:
     unconditionally in front of ``spark.sql``.
     """
     sql = _SETTINGS_RE.sub("", sql or "").rstrip()
+    if _NOOP_STMT_RE.match(sql):
+        return "SELECT '' AS status WHERE false"
+    m = _RENAME_RE.match(sql)
+    if m:
+        return f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}"
+    m = _DB_ENGINE_RE.match(sql)
+    if m:
+        return m.group(1)
     sql = rewrite_ddl(sql)
     sql = _rewrite_limit_by(sql)
     if _ARRAY_JOIN_RE.search(sql):
         sql = _rewrite_array_join(sql)
+    if _SAMPLE_RE.search(sql) and not _CREATE_RE.match(sql):
+        sql = _rewrite_sample(sql)
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:

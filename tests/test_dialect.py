@@ -261,3 +261,32 @@ def test_array_join_rewrite_and_execute(spark):
 def test_array_join_bare_form_rejected(spark):
     with pytest.raises(ValueError):
         rewrite("SELECT id, vals FROM aj_t ARRAY JOIN vals")
+
+
+def test_maintenance_statements(spark):
+    from chdb_spark.dialect import rewrite as rw
+
+    assert rw("OPTIMIZE TABLE t FINAL") == "SELECT '' AS status WHERE false"
+    assert rw("SYSTEM FLUSH LOGS") == "SELECT '' AS status WHERE false"
+    assert rw("RENAME TABLE a TO b") == "ALTER TABLE a RENAME TO b"
+    assert (
+        rw("CREATE DATABASE IF NOT EXISTS db1 ENGINE = Atomic")
+        == "CREATE DATABASE IF NOT EXISTS db1"
+    )
+    # executes to an empty result through query()
+    out = chs.query(spark, "OPTIMIZE TABLE whatever FINAL", "Pandas")
+    assert len(out) == 0
+
+
+def test_sample_clause(spark):
+    from chdb_spark.dialect import rewrite as rw
+
+    assert rw("SELECT count(*) FROM t SAMPLE 0.5") == (
+        "SELECT count(*) FROM t TABLESAMPLE (50 PERCENT)"
+    )
+    with pytest.raises(ValueError):
+        rw("SELECT * FROM t SAMPLE 1000")
+    # executes: sampled count is between 0 and the full count
+    spark.range(1000).createOrReplaceTempView("smp_t")
+    out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 0.5", "Pandas")
+    assert 0 <= int(out["n"].iloc[0]) <= 1000
