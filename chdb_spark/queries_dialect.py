@@ -214,3 +214,54 @@ def ch6(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["part"],
     )
+
+
+@defquery(
+    "sq1_sqlite_roundtrip",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= 1000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="sqlite() table function end-to-end: orders slice exported to a "
+        "SQLite file (driver-side, bounded), read back through the "
+        "rowid-partitioned Spark data source, aggregated — proving the "
+        "source against the same parquet-derived oracle.",
+)
+def sq1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import sqlite3
+    import tempfile
+
+    from chdb_spark.sources.sqlite import read_sqlite
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 1000")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()  # bounded by the o_orderkey predicate (≤1000 keys)
+    )
+    db = os.path.join(tempfile.gettempdir(), f"chdb_spark_sq1_{os.getpid()}.db")
+    if os.path.exists(db):
+        os.unlink(db)
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER, o_orderstatus TEXT, o_totalprice REAL)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        [(r.o_orderkey, r.o_orderstatus, float(r.o_totalprice)) for r in rows],
+    )
+    con.commit()
+    con.close()
+    from pyspark.sql import functions as F
+
+    return (
+        read_sqlite(spark, db, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
