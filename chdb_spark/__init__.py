@@ -43,6 +43,23 @@ from chdb_spark.udf import (
     create_function,
     drop_function,
 )
+from chdb_spark.cc_backend import get_client
+from chdb_spark.sources.python_source import PyReader
+
+
+def to_datastore(df):
+    """Wrap a pandas DataFrame in a DataStore (reference chdb/__init__.py:121)."""
+    from chdb_spark.datastore import DataStore
+
+    return DataStore(df)
+
+
+def engine_version() -> str:
+    """Engine version string (reference ``engine_version``, chdb/__init__.py:99)."""
+    from chdb_spark.cc_backend import SERVER_VERSION
+
+    return SERVER_VERSION
+
 
 __all__ = [
     "connect",
@@ -67,6 +84,13 @@ __all__ = [
     "ExceptionHandling",
     "to_df",
     "to_arrowTable",
+    "to_datastore",
     "ChdbError",
+    "PyReader",
+    "get_client",
+    "chdb_version",
+    "engine_version",
 ]
 __version__ = "0.1.0"
+#: reference chdb/__init__.py:104 — version as a tuple of components
+chdb_version = tuple(__version__.split("."))
