@@ -183,6 +183,7 @@ def query(
     params: dict | None = None,
     path: str = "",
     udf_path: str = "",
+    options: dict | None = None,
 ):
     """One-shot SQL — the analogue of ``chdb.query(sql, output_format,
     path=..., udf_path=..., params=...)`` (reference chdb/__init__.py:
@@ -199,8 +200,14 @@ def query(
 
     Format names ("Pretty", "CSV", "JSONEachRow", "Arrow", …) render the
     collected result — see chdb_spark.formats. ``params`` binds
-    ``{key:Type}`` placeholders (chdb_spark.params).
+    ``{key:Type}`` placeholders (chdb_spark.params). ``options`` (reference:
+    ClickHouse startup arguments) accepts the documented keys for drop-in
+    signature parity: ``udf_path`` loads a UDF dir; everything else
+    (verbose/log-level/progress/max_threads) configures engine startup the
+    Spark session already owns, and is accepted as a no-op.
     """
+    if options and options.get("udf_path") and not udf_path:
+        udf_path = options["udf_path"]
     from chdb_spark.formats import format_result
     from chdb_spark.params import bind_params
 
@@ -239,6 +246,8 @@ def query(
     sql_text, suffix_fmt = split_format_suffix(sql_text)
     if suffix_fmt is not None:
         fmt = suffix_fmt
+    if fmt == "Debug":  # reference: Debug = CSV + verbose engine logging
+        fmt = "CSV"
     try:
         bound = bind_params(sql_text, params)
         # CH-dialect acceptance (reference chdb/__init__.py:145-217 — every

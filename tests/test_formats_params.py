@@ -397,3 +397,14 @@ def test_chdb_error_on_reference_shape(spark):
     with pytest.raises(Exception) as ei:
         chs.query(spark, "SELECT * FROM no_such_table_xyz")
     assert not isinstance(ei.value, ChdbError)  # Spark shape: native error
+
+
+def test_query_options_and_debug_format(spark):
+    # reference signature parity: options= accepted (udf_path honored,
+    # engine-startup keys no-ops), Debug renders as CSV
+    out = chs.query(spark, "SELECT 1 AS x", "Debug", options={"verbose": ""})
+    assert out.strip() == "1"
+    out = chs.query(
+        spark, "SELECT 2 AS x", "CSV", options={"max_threads": 4, "progress": "off"}
+    )
+    assert out.strip() == "2"

@@ -45,6 +45,9 @@ NOT_COMPARABLE = {
     # dd7's oracle = the dd2 brute-force pair set + a recursive-CTE
     # transitive closure — a correctness device, not comparable work
     "dd7_dedup_clusters",
+    # sq1's Spark side round-trips through a SQLite file (source test);
+    # its oracle reads parquet directly — different work by design
+    "sq1_sqlite_roundtrip",
 }
 
 
