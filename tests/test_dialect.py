@@ -290,3 +290,43 @@ def test_sample_clause(spark):
     spark.range(1000).createOrReplaceTempView("smp_t")
     out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 0.5", "Pandas")
     assert 0 <= int(out["n"].iloc[0]) <= 1000
+
+
+# ---------------------------------------------------------------------------
+# property-based: valid Spark SQL passes through byte-identical
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True).filter(
+    # exclude words the dialect intentionally rewrites or SQL structure words
+    lambda s: s.lower()
+    not in {"prewhere", "final", "global", "limit", "by", "sample", "empty", "has",
+            "position", "match", "path", "domain", "protocol", "tuple", "trunc",
+            "median", "file", "url", "sqlite", "python", "numbers", "rand", "now",
+            "today", "yesterday", "version", "sign", "log1p"}
+)
+_spark_fn = st.sampled_from(
+    ["sum", "count", "avg", "min", "max", "length", "lower", "upper",
+     "abs", "round", "concat", "coalesce", "year", "month", "instr"]
+)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cols=st.lists(_ident, min_size=1, max_size=3, unique=True),
+    fn=_spark_fn,
+    tbl=_ident,
+    lit=st.text(alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="'\\"), max_size=12),
+    n=st.integers(min_value=0, max_value=10**9),
+)
+def test_spark_sql_identity_fuzz(cols, fn, tbl, lit, n):
+    """rewrite() must be the identity on plain Spark SQL: projections,
+    aggregates, literals (with arbitrary content), numbers, and clauses."""
+    sel = ", ".join([f"{fn}({c}) AS a_{i}" for i, c in enumerate(cols)])
+    sql = (
+        f"SELECT {sel}, '{lit}' AS s, {n} AS n FROM {tbl} "
+        f"WHERE {cols[0]} > {n} GROUP BY {cols[0]} ORDER BY 1 LIMIT 7"
+    )
+    assert rewrite(sql) == sql
