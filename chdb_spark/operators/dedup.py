@@ -949,3 +949,100 @@ def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level train/eval decontamination: flag every training
+    vector whose max cosine against ANY benchmark vector reaches
+    ``threshold`` — the semantic-overlap complement to the 13-gram rule
+    (``decontaminate``), catching paraphrased benchmark leakage that
+    token n-grams miss.
+
+    Scale shape: benchmark embeddings are eval-set-sized by definition →
+    broadcast as one (|B| x dim) float64 matrix; the training side is an
+    unbounded Arrow-batched scan — each batch computes one BLAS product
+    and reduces it to (max_cos, argmax) per row. No shuffle at all until
+    the final aggregation the caller chooses; the N x |B| score matrix
+    never materializes.
+    """
+    import numpy as np
+
+    spark = train.sparkSession
+    brows = benchmark.select(id_col, vec_col).collect()  # eval-set-sized
+    bids = np.array([r[0] for r in brows], dtype=np.int64)
+    B = np.array([list(r[1]) for r in brows], dtype=np.float64)
+    B /= np.linalg.norm(B, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((bids, B))
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        bids_b, Bb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+            A /= _np.linalg.norm(A, axis=1, keepdims=True)
+            S = A @ Bb.T  # (batch, |B|)
+            # argmax under (cos desc, benchmark id asc); cos rounded to 6
+            # decimals for the ORDER so float32-vs-float64 engine noise
+            # can't flip near-tied argmaxes against the oracle
+            best = _np.lexsort(
+                (_np.broadcast_to(bids_b, S.shape), -_np.round(S, 6)), axis=1
+            )[:, 0]
+            rows = _np.arange(len(A))
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "max_cos": S[rows, best],
+                    "nearest_benchmark_id": bids_b[best],
+                }
+            )
+
+    scored = train.select(id_col, vec_col).mapInPandas(
+        gen, "vec_id long, max_cos double, nearest_benchmark_id long"
+    )
+    return scored.select(
+        "vec_id",
+        F.round("max_cos", 4).alias("max_cos"),
+        "nearest_benchmark_id",
+        (F.col("max_cos") >= threshold).alias("contaminated"),
+    )
+
+
+@defquery(
+    "dd8_semantic_decontamination",
+    """
+    WITH bench AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 20),
+    train AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 20),
+    scored AS (
+      SELECT t.vec_id, b.vec_id AS bid,
+             list_cosine_similarity(t.v, b.v) AS cos
+      FROM train t CROSS JOIN bench b
+    ),
+    ranked AS (
+      SELECT vec_id, bid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(cos, 6) DESC, bid) AS rn
+      FROM scored
+    )
+    SELECT vec_id, round(cos, 4) AS max_cos, bid AS nearest_benchmark_id,
+           cos >= 0.45 AS contaminated
+    FROM ranked WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc="semantic train/eval decontamination: max-cosine of every training "
+        "embedding vs the benchmark set (broadcast BLAS pass, no shuffle), "
+        "flagging paraphrase-level leakage the 13-gram rule (dd6) misses.",
+)
+def dd8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20)
+    train = emb.filter(F.col("vec_id") >= 20)
+    return semantic_decontaminate(train, bench, threshold=0.45).orderBy("vec_id")

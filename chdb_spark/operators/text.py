@@ -687,3 +687,118 @@ def vocab_coverage(
 def t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return vocab_coverage(docs, top_k=50)
+
+
+def domain_mix_rates(
+    docs: DataFrame,
+    target_weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-reweighting plan: per-source sampling rates that hit a token
+    budget at target domain proportions — the mixing step every
+    multi-source pretraining pipeline runs (domain weights like those
+    published for The Pile / DoReMi-style mixes; rates, not materialized
+    samples, so the decision stays a metadata-sized table).
+
+    rate_s = min(1, budget·w_s / tokens_s): oversubscribed domains are
+    capped at 1.0 (can't sample more than exists — the shortfall is
+    reported, not silently redistributed). One hash agg keyed by source
+    (≤ thousands of rows at any corpus size); everything downstream can
+    `sample(fraction=rate)` per source from the plan.
+    """
+    tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per_src = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tok).cast("long").alias("n_tokens"),
+    )
+    w = F.create_map(
+        *[F.lit(x) for kv in target_weights.items() for x in kv]
+    )[F.col(source_col)]
+    total_w = sum(target_weights.values())
+    want = (F.lit(float(token_budget)) * F.coalesce(w, F.lit(0.0)) / F.lit(total_w))
+    return per_src.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(want, 1).alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), want / F.col("n_tokens")), 6).alias("sample_rate"),
+        F.round(
+            F.greatest(F.lit(0.0), want - F.col("n_tokens")), 1
+        ).alias("shortfall_tokens"),
+    )
+
+
+@defquery(
+    "t10_domain_mix",
+    """
+    WITH per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT * FROM (VALUES ('src1', 3.0), ('src2', 1.0), ('src3', 1.0)) t(source, wt))
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(50000.0 * coalesce(w.wt, 0) / 5.0, 1) AS target_tokens,
+           round(least(1.0, (50000.0 * coalesce(w.wt, 0) / 5.0) / p.n_tokens), 6) AS sample_rate,
+           round(greatest(0.0, 50000.0 * coalesce(w.wt, 0) / 5.0 - p.n_tokens), 1) AS shortfall_tokens
+    FROM per_src p LEFT JOIN w USING (source)
+    ORDER BY p.source
+    """,
+    doc="domain-mixing plan: per-source sampling rates hitting a token "
+        "budget at target weights (The Pile-style mix), oversubscription "
+        "capped and reported as shortfall; one source-keyed hash agg.",
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return domain_mix_rates(
+        docs, {"src1": 3.0, "src2": 1.0, "src3": 1.0}, token_budget=50_000
+    ).orderBy("source")
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Source/domain blocklist filtering (the URL-blocklist step of
+    RefinedWeb/CC pipeline front-ends): LEFT ANTI join against the
+    blocked-domain relation. The blocklist is dimension-sized →
+    broadcast; the corpus side never shuffles.
+    """
+    return docs.join(
+        F.broadcast(blocklist.select(F.col(blocklist.columns[0]).alias(source_col))),
+        on=source_col,
+        how="left_anti",
+    )
+
+
+@defquery(
+    "t11_blocklist_filter",
+    """
+    WITH blocked AS (SELECT * FROM (VALUES ('src4'), ('src7'), ('src11')) t(source))
+    SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d LEFT JOIN blocked b USING (source)
+    WHERE b.source IS NULL
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc="domain-blocklist filtering (RefinedWeb URL-filter front-end): "
+        "broadcast LEFT ANTI join against the blocked-source dim, then "
+        "per-language survivor stats; corpus side never shuffles for the "
+        "filter itself.",
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    blocked = docs.sparkSession.createDataFrame(
+        [("src4",), ("src7",), ("src11",)], ["source"]
+    )
+    return (
+        blocklist_filter(docs, blocked)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
