@@ -229,3 +229,49 @@ def test_all_queries_plan_hygiene(spark):
                     "partition it, route it through _bucketed_cumsum, or "
                     "document the bound and allowlist it here"
                 )
+
+
+def test_dd8_semantic_decontamination_is_map_only(spark):
+    """The scoring stage must be one Arrow pass over the training scan —
+    no shuffle exchange before the mapInPandas node, no join."""
+    plan = plan_of(spark, "dd8_semantic_decontamination")
+    assert "Join" not in plan  # benchmark travels as a numpy broadcast
+    score_part = plan.split("MapInPandas")[0]
+    assert "Exchange hashpartitioning" not in score_part
+
+
+def test_t11_blocklist_filter_broadcast_anti_join(spark):
+    plan = plan_of(spark, "t11_blocklist_filter")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus side must not exchange for the filter itself
+    anti_part = plan.split("LeftAnti")[0]
+    assert "Exchange hashpartitioning" not in anti_part
+
+
+def test_ch5_limit_by_single_window(spark):
+    """CH LIMIT n BY → one window over one hash exchange on the BY key
+    (plus the final ORDER BY range exchange), not per-group sub-plans."""
+    plan = plan_of(spark, "ch5_dialect_limit_by")
+    assert plan.count("Window (") == 1
+    assert plan.count("hashpartitioning(o_custkey") == 1
+
+
+def test_t10_domain_mix_single_agg_no_join_shuffle(spark):
+    """Mixing plan = one source-keyed hash agg; the weight map is a literal
+    (no join at all). Only the final ORDER BY adds a range exchange."""
+    plan = plan_of(spark, "t10_domain_mix")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(source") == 1  # the groupBy(source)
+
+
+def test_q11_reuses_one_lineitem_scan(spark):
+    """q11's threshold folds per-supplier partials — at runtime AQE must
+    serve the second use of the aggregate from ReusedExchange, not a
+    second scan pipeline (reuse is a runtime decision under AQE, so the
+    executed plan is the thing to assert on)."""
+    df = _QUERIES["q11_important_suppliers"].spark(spark, SF_CORRECT)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed or "ReusedSubquery" in executed
