@@ -228,6 +228,16 @@ def _interval_add(unit: str, sign: str = "+") -> Callable[[list[str]], str]:
     return lambda a: f"({a[0]} {sign} ({a[1]}) * INTERVAL '1' {unit})"
 
 
+def _ch_format(a: list[str]) -> str:
+    """CH ``format('{} x {}', a, b)`` → ``format_string('%s x %s', a, b)``.
+    Indexed placeholders (``{0}``) and non-literal formats pass through."""
+    lit = _str_lit(a[0])
+    if lit is None or re.search(r"\{\d", lit):
+        return f"format({', '.join(a)})"
+    fmt = lit.replace("%", "%%").replace("{}", "%s")
+    return f"format_string({_q(fmt)}, {', '.join(a[1:])})"
+
+
 def _replace_regexp(args: list[str]) -> str:
     # CH uses re2 \1 backrefs; Java wants $1
     pat = args[2]
@@ -268,6 +278,8 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "toUnixTimestamp64Micro": _t("(unix_timestamp({0}) * 1000000)"),
     "fromUnixTimestamp": _t("timestamp_seconds({0})"),
     "reinterpretAsUInt64": _t("CAST({0} AS BIGINT)"),
+    "toFixedString": _t("rpad({0}, {1}, chr(0))"),
+    "toTypeName": _t("typeof({0})"),
     "accurateCast": lambda a: f"CAST({a[0]} AS {_str_lit(a[1]) or a[1]})",
     # -- date parts ----------------------------------------------------------
     "toYear": _t("year({0})"),
@@ -317,6 +329,16 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "subtractSeconds": _interval_add("SECOND", "-"),
     "dateDiff": _date_diff,
     "date_diff": _date_diff,
+    "dateAdd": lambda a: (
+        f"timestampadd({(_str_lit(a[0]) or a[0]).upper()}, {a[1]}, {a[2]})"
+        if len(a) == 3
+        else f"date_add({a[0]}, {a[1]})"
+    ),
+    "dateSub": lambda a: (
+        f"timestampadd({(_str_lit(a[0]) or a[0]).upper()}, -({a[1]}), {a[2]})"
+        if len(a) == 3
+        else f"date_sub({a[0]}, {a[1]})"
+    ),
     "dateName": _t("date_format({0}, 'MMMM')"),
     "monthName": _t("date_format({0}, 'MMMM')"),
     "formatDateTime": _format_datetime,
@@ -343,6 +365,12 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "splitByString": _split_by_char,
     "arrayStringConcat": lambda a: f"array_join({a[0]}, {a[1] if len(a) > 1 else _q('')})",
     "replaceAll": _t("replace({0}, {1}, {2})"),
+    "replaceOne": _t(
+        "(CASE WHEN instr({0}, {1}) > 0 THEN concat("
+        "substr({0}, 1, instr({0}, {1}) - 1), {2}, "
+        "substr({0}, instr({0}, {1}) + length({1}))) ELSE {0} END)"
+    ),
+    "format": lambda a: _ch_format(a),
     "replaceRegexpAll": _replace_regexp,
     "replaceRegexpOne": _replace_regexp,
     "match": _t("({0} RLIKE {1})"),
@@ -493,6 +521,25 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "simpleJSONExtractFloat": _json_extract("DOUBLE"),
     "simpleJSONHas": lambda a: f"(get_json_object({a[0]}, {_json_path(a)}) IS NOT NULL)",
     "visitParamExtractString": _json_extract(None),
+    "JSONExtract": lambda a: (
+        # last arg is the CH result type: JSONExtract(j, k..., 'Int64')
+        f"CAST(get_json_object({a[0]}, {_json_path(a[:-1])}) AS "
+        f"{_CH_DDL_TYPES.get(_str_lit(a[-1]) or '', _str_lit(a[-1]) or 'STRING')})"
+    ),
+    "JSONExtractArrayRaw": lambda a: (
+        # array of raw JSON element strings (scalar elements lose their
+        # surrounding quotes vs CH — documented approximation)
+        f"from_json(get_json_object({a[0]}, {_json_path(a)}), 'array<string>')"
+    ),
+    "JSONType": lambda a: (
+        f"CASE WHEN get_json_object({a[0]}, {_json_path(a)}) IS NULL THEN 'Null' "
+        f"WHEN get_json_object({a[0]}, {_json_path(a)}) RLIKE '^\\\\{{' THEN 'Object' "
+        f"WHEN get_json_object({a[0]}, {_json_path(a)}) RLIKE '^\\\\[' THEN 'Array' "
+        f"WHEN get_json_object({a[0]}, {_json_path(a)}) IN ('true', 'false') THEN 'Bool' "
+        f"WHEN get_json_object({a[0]}, {_json_path(a)}) RLIKE '^-?[0-9]+$' THEN 'Int64' "
+        f"WHEN get_json_object({a[0]}, {_json_path(a)}) RLIKE '^-?[0-9.eE+-]+$' THEN 'Double' "
+        "ELSE 'String' END"
+    ),
     "toJSONString": _t("to_json({0})"),
     "JSONExtractKeys": _t("json_object_keys({0})"),
     "JSONLength": _t("json_array_length({0})"),
@@ -562,6 +609,13 @@ _PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "groupUniqArray": lambda p, a: f"slice(collect_set({a[0]}), 1, {p[0]})",
     "histogram": lambda p, a: f"histogram_numeric({a[0]}, {p[0]})",
+    "topK": lambda p, a: (_ for _ in ()).throw(
+        ValueError(
+            "topK(N)(x) has no Spark SQL aggregate equivalent; use the "
+            "DataFrame form: fn('topK') from chdb_spark.functions, or "
+            "GROUP BY x ORDER BY count(*) DESC LIMIT N"
+        )
+    ),
 }
 
 #: bare identifiers (no call parens) rewritten case-insensitively

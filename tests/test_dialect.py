@@ -330,3 +330,29 @@ def test_spark_sql_identity_fuzz(cols, fn, tbl, lit, n):
         f"WHERE {cols[0]} > {n} GROUP BY {cols[0]} ORDER BY 1 LIMIT 7"
     )
     assert rewrite(sql) == sql
+
+
+def test_doc_reference_functions(spark):
+    """Functions from the reference's SQL quick-reference doc (agent/skills/
+    chdb-sql/references/sql-functions.md) not covered elsewhere."""
+    out = chs.query(
+        spark,
+        "SELECT JSONExtract('{\"n\": 42}', 'n', 'Int64') AS je,"
+        " JSONType('{\"a\": 1}') AS jt,"
+        " JSONType('[1,2]', 'x') AS jt2,"
+        " replaceOne('aXaXa', 'X', '-') AS r1,"
+        " format('{} + {}', 'a', 'b') AS fmt,"
+        " dateSub('DAY', 3, toDate('2024-01-10')) AS ds,"
+        " toTypeName(1) AS tn",
+        "Pandas",
+    )
+    r = out.iloc[0]
+    assert r["je"] == 42
+    assert r["jt"] == "Object"
+    assert r["jt2"] == "Null"
+    assert r["r1"] == "a-aXa"
+    assert r["fmt"] == "a + b"
+    assert str(r["ds"]).startswith("2024-01-07")
+    assert r["tn"] == "int"
+    with pytest.raises(ValueError):
+        rewrite("SELECT topK(10)(x) FROM t")
