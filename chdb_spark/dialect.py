@@ -1045,7 +1045,11 @@ rewrite_expr = rewrite
 # table functions that need a SparkSession (file/url/Python)
 # ---------------------------------------------------------------------------
 
-_TF_RE = re.compile(r"\b(file|url|Python|sqlite)\s*\(", re.IGNORECASE)
+_TF_RE = re.compile(
+    r"\b(file|url|Python|sqlite|s3|gcs|hdfs|azureBlobStorage|mysql|postgresql"
+    r"|remote|remoteSecure|mongodb|iceberg|deltaLake|hudi)\s*\(",
+    re.IGNORECASE,
+)
 
 #: CH format name (lowercase) → Spark reader format + options
 _TF_FORMATS = {
@@ -1139,6 +1143,60 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
             else:
                 fmt, opts = infer_format(path), {}
             read_auto(spark, path, fmt=fmt, **opts).createOrReplaceTempView(view)
+        elif name.lower() in ("s3", "gcs", "hdfs", "azureblobstorage"):
+            # s3('url'[, access, secret][, 'Format']) — reference
+            # table_functions.py:316+. Credentials belong in cluster conf
+            # (the Hadoop FS layer); the URL + optional format are honored.
+            path = _tf_literal(args[0])
+            fmt_name = ""
+            for extra in args[1:]:
+                cand = (_tf_literal(extra) or "").lower()
+                if cand in _TF_FORMATS:
+                    fmt_name = cand
+            from chdb_spark.sources.uri import open_uri
+
+            fmt, opts = _TF_FORMATS.get(fmt_name, (None, {}))
+            open_uri(spark, path, fmt=fmt, **opts).createOrReplaceTempView(view)
+        elif name.lower() in ("mysql", "postgresql", "remote", "remotesecure"):
+            # mysql('host:port', 'db', 'table', 'user', 'password') —
+            # reference table_functions.py:570+. Routed to the JDBC reader
+            # (driver jar required; error message says which).
+            host = _tf_literal(args[0]) or ""
+            db = _tf_literal(args[1]) or "" if len(args) > 1 else ""
+            tbl = _tf_literal(args[2]) or "" if len(args) > 2 else ""
+            scheme = {"mysql": "mysql", "postgresql": "postgresql"}.get(
+                name.lower(), "clickhouse"
+            )
+            from chdb_spark.sources.files import read_jdbc
+
+            opts = {}
+            if len(args) > 3:
+                opts["user"] = _tf_literal(args[3]) or ""
+            if len(args) > 4:
+                opts["password"] = _tf_literal(args[4]) or ""
+            read_jdbc(
+                spark, f"jdbc:{scheme}://{host}/{db}", tbl, **opts
+            ).createOrReplaceTempView(view)
+        elif name.lower() == "mongodb":
+            # mongodb('host:port', 'db', 'collection', 'user', 'pass',
+            # 'structure') — reference table_functions.py:668
+            from chdb_spark.sources.nosql import mongodb as _mongo
+
+            _mongo(
+                spark,
+                host=_tf_literal(args[0]) or "",
+                database=_tf_literal(args[1]) or "",
+                collection=_tf_literal(args[2]) or "",
+                user=(_tf_literal(args[3]) or "") if len(args) > 3 else "",
+                password=(_tf_literal(args[4]) or "") if len(args) > 4 else "",
+                structure=(_tf_literal(args[5]) or "_id String")
+                if len(args) > 5
+                else "_id String",
+            ).createOrReplaceTempView(view)
+        elif name.lower() in ("iceberg", "deltalake", "hudi"):
+            fmtname = {"deltalake": "delta"}.get(name.lower(), name.lower())
+            path = _tf_literal(args[0])
+            spark.read.format(fmtname).load(path).createOrReplaceTempView(view)
         elif name.lower() == "sqlite":
             # sqlite('db_path', 'table') — reference table_functions.py:772
             db = _tf_literal(args[0])

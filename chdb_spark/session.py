@@ -255,7 +255,9 @@ def query(
         # Spark SQL, then materialize file()/url()/Python() table functions
         # as temp views. Pure Spark SQL passes through unchanged.
         translated = rewrite(bound)
-        if any(tf in translated for tf in ("file(", "url(", "Python(", "python(", "sqlite(")):
+        from chdb_spark.dialect import _TF_RE
+
+        if _TF_RE.search(translated):
             translated = resolve_table_functions(
                 spark, translated, namespace=_caller_namespace()
             )

@@ -236,7 +236,9 @@ class Session:
         # CH-dialect acceptance, same layer as session.query (DDL with
         # ENGINE/CH types, CH function names, table functions)
         sql = rewrite(sql)
-        if any(tf in sql for tf in ("file(", "url(", "sqlite(")):
+        from chdb_spark.dialect import _TF_RE
+
+        if _TF_RE.search(sql):
             sql = resolve_table_functions(self.spark, sql)
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)

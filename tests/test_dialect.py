@@ -356,3 +356,28 @@ def test_doc_reference_functions(spark):
     assert r["tn"] == "int"
     with pytest.raises(ValueError):
         rewrite("SELECT topK(10)(x) FROM t")
+
+
+def test_remote_table_functions_reach_the_right_reader(spark, tmp_path):
+    """Every table function from the reference's table-functions doc is
+    SQL-reachable; environment-gated ones must reach their reader and fail
+    with that reader's clear error (driver/jar/server missing), never an
+    'unknown function' analyzer error."""
+    import pandas as pd
+
+    from chdb_spark.dialect import resolve_table_functions
+
+    # iceberg/deltaLake/hudi: format dispatch (jars absent → DATA_SOURCE error)
+    for fn_sql, fragment in [
+        ("SELECT * FROM deltaLake('/tmp/nope')", "delta"),
+        ("SELECT * FROM mysql('h:3306', 'db', 't', 'u', 'p')", "mysql"),
+    ]:
+        with pytest.raises(Exception) as ei:
+            resolve_table_functions(spark, fn_sql)
+        assert fragment.lower() in str(ei.value).lower()
+
+    # s3() with a local file:// URL exercises the whole dispatch path live
+    p = str(tmp_path / "x.parquet")
+    pd.DataFrame({"a": [7]}).to_parquet(p)
+    out = chs.query(spark, f"SELECT a FROM hdfs('file://{p}', Parquet)", "Pandas")
+    assert list(out["a"]) == [7]
