@@ -435,6 +435,8 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "rand64": lambda a: "CAST(floor(rand() * 9.223372036854776e18) AS BIGINT)",
     "randCanonical": lambda a: "rand()",
     # -- aggregates ----------------------------------------------------------
+    # CH allows bare count() for count(*) (examples.md uses it throughout)
+    "count": lambda a: "count(*)" if not a else f"count({', '.join(a)})",
     "uniq": lambda a: f"approx_count_distinct({', '.join(a)})",
     "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "uniqCombined": lambda a: f"approx_count_distinct({', '.join(a)})",
@@ -1128,6 +1130,10 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
                 df = obj  # already a Spark DataFrame
             elif type(obj).__module__.startswith("pyarrow"):
                 df = from_arrow(spark, obj)
+            elif isinstance(obj, dict):  # column dict (reference examples.md §4)
+                import pandas as _pd
+
+                df = from_pandas(spark, _pd.DataFrame(obj))
             else:
                 df = from_pandas(spark, obj)
             df.createOrReplaceTempView(view)

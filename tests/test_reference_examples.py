@@ -1,0 +1,175 @@
+"""The reference's own runnable examples (agent/skills/chdb-sql/examples/
+examples.md) executed against this engine — the drop-in proof: each test
+keeps the example's SQL text verbatim (only file paths point at generated
+data; externals that need absent servers are covered by the dispatch tests
+in test_dialect.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import chdb_spark.session as chs
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("examples")
+    pd.DataFrame(
+        {"id": range(1, 21), "country": ["US", "DE", "FR", "US", "JP"] * 4}
+    ).to_parquet(root / "users.parquet")
+    pd.DataFrame(
+        {"user_id": [1, 2, 3, 1, 2], "product": list("abcde"),
+         "amount": [50.0, 150.0, 250.0, 300.0, 80.0]}
+    ).to_parquet(root / "orders.parquet")
+    pd.DataFrame(
+        {"revenue": [5000, 20000, 15000], "region": ["n", "s", "e"]}
+    ).to_csv(root / "sales.csv", index=False)
+    (root / "events.jsonl").write_text(
+        '{"event_type": "purchase", "v": 1}\n{"event_type": "view", "v": 2}\n'
+    )
+    pd.DataFrame(
+        {"department": ["eng", "eng", "ops"], "name": ["a", "b", "c"],
+         "salary": [100.0, 120.0, 90.0]}
+    ).to_parquet(root / "employees.parquet")
+    return str(root)
+
+
+def test_example1_query_any_file(spark, data):
+    out = chs.query(
+        spark,
+        f"""
+        SELECT country, count() AS cnt
+        FROM file('{data}/users.parquet', Parquet)
+        GROUP BY country
+        ORDER BY cnt DESC
+        LIMIT 10
+        """,
+        "Pretty",
+    )
+    assert "US" in out and "cnt" in out
+
+    df = chs.query(
+        spark,
+        f"""
+        SELECT * FROM file('{data}/sales.csv', CSVWithNames)
+        WHERE revenue > 10000
+        ORDER BY revenue DESC
+        """,
+        "Pandas",
+    )
+    assert list(df["revenue"]) == [20000, 15000]
+
+    df = chs.query(
+        spark,
+        f"""
+        SELECT * FROM file('{data}/events.jsonl', JSONEachRow)
+        WHERE event_type = 'purchase'
+        """,
+        "Pandas",
+    )
+    assert len(df) == 1
+
+
+def test_example2_cross_source_join(spark, data):
+    # the file+file variant of §2 (the mysql/s3 variants hit reader-gated
+    # errors covered in test_dialect.py)
+    df = chs.query(
+        spark,
+        f"""
+        SELECT u.country, o.product, o.amount
+        FROM file('{data}/users.parquet', Parquet) AS u
+        JOIN file('{data}/orders.parquet', Parquet) AS o ON u.id = o.user_id
+        WHERE o.amount > 100
+        ORDER BY o.amount DESC
+        LIMIT 20
+        """,
+        "Pandas",
+    )
+    assert list(df["amount"]) == [300.0, 250.0, 150.0]
+
+
+def test_example3_session_builds_tables(spark, tmp_path, data):
+    from chdb_spark.stateful import Session
+
+    with Session(str(tmp_path / "analytics_db"), spark=spark) as sess:
+        sess.query(
+            f"""
+            CREATE TABLE users ENGINE = MergeTree() ORDER BY id AS
+            SELECT * FROM file('{data}/users.parquet', Parquet)
+            """
+        )
+        out = sess.query("SELECT count() FROM users", fmt="CSV")
+        assert out.strip() == "20"
+        res = sess.query(
+            """
+            SELECT country, count() AS cnt, uniqExact(id) AS unique_users
+            FROM users GROUP BY country ORDER BY cnt DESC, country LIMIT 20
+            """,
+            fmt="Pandas",
+        )
+        assert res["cnt"].sum() == 20
+
+
+def test_example4_python_dict_as_table(spark):
+    scores = {  # noqa: F841 — referenced from SQL text via Python()
+        "student": ["Alice", "Bob", "Carol"],
+        "math": [95, 87, 92],
+        "science": [88, 91, 85],
+    }
+    df = chs.query(
+        spark,
+        "SELECT student, math + science AS total FROM Python(scores) "
+        "ORDER BY total DESC",
+        "Pandas",
+    )
+    # (the doc's expected-output comment lists Carol before Bob but also
+    # shows Bob=178 > Carol=177 — the sort order here is the correct one)
+    assert list(df["student"]) == ["Alice", "Bob", "Carol"]
+    assert list(df["total"]) == [183, 178, 177]
+
+
+def test_example5_parametrized_date_range(spark):
+    out = chs.query(
+        spark,
+        """
+        SELECT
+            toDate({start:String}) + number AS date
+        FROM numbers({days:UInt64})
+        """,
+        "Pandas",
+        params={"start": "2025-01-01", "days": 30},
+    )
+    assert len(out) == 30
+    assert str(out["date"].iloc[0]) == "2025-01-01"
+    assert str(out["date"].iloc[-1]) == "2025-01-30"
+
+
+def test_example6_window_functions(spark, data):
+    df = chs.query(
+        spark,
+        f"""
+        SELECT
+            department,
+            name,
+            salary,
+            rank() OVER (PARTITION BY department ORDER BY salary DESC) AS dept_rank,
+            salary - avg(salary) OVER (PARTITION BY department) AS diff_from_avg
+        FROM file('{data}/employees.parquet', Parquet)
+        ORDER BY department, dept_rank
+        """,
+        "Pandas",
+    )
+    assert list(df["dept_rank"]) == [1, 2, 1]
+    assert df["diff_from_avg"].iloc[0] == 10.0
+
+
+def test_example8_streaming_large_results(spark):
+    from chdb_spark.stateful import Session
+
+    with Session(spark=spark) as sess:
+        got = 0
+        with sess.send_query("SELECT number FROM numbers(200000)") as stream:
+            for chunk in stream:
+                got += len(chunk)
+        assert got == 200000
