@@ -173,3 +173,44 @@ def test_example8_streaming_large_results(spark):
             for chunk in stream:
                 got += len(chunk)
         assert got == 200000
+
+
+def test_example7_udf(spark, data):
+    from chdb_spark.udf import chdb_udf, create_function, drop_function
+
+    @chdb_udf(return_type="Float64")
+    def fahrenheit_to_celsius(f):
+        return (float(f) - 32) * 5.0 / 9.0
+
+    @chdb_udf()
+    def classify_age(age):
+        if int(age) < 18:
+            return "minor"
+        elif int(age) < 65:
+            return "adult"
+        else:
+            return "senior"
+
+    create_function(spark, fahrenheit_to_celsius)
+    create_function(spark, classify_age)
+    try:
+        out = chs.query(
+            spark,
+            "SELECT fahrenheit_to_celsius(212.0) AS c, classify_age(30) AS g",
+            "Pandas",
+        )
+        assert abs(out["c"].iloc[0] - 100.0) < 1e-9
+        assert out["g"].iloc[0] == "adult"
+        # in a file() query like the doc's weather example
+        out = chs.query(
+            spark,
+            f"SELECT classify_age(id + 10) AS grp, count() AS cnt "
+            f"FROM file('{data}/users.parquet', Parquet) "
+            f"GROUP BY grp ORDER BY cnt DESC",
+            "Pandas",
+        )
+        assert set(out["grp"]) <= {"minor", "adult", "senior"}
+        assert out["cnt"].sum() == 20
+    finally:
+        drop_function(spark, "fahrenheit_to_celsius")
+        drop_function(spark, "classify_age")
