@@ -192,6 +192,22 @@ class DateTimeAccessor(BaseAccessor):
     def strftime(self, fmt: str) -> ColumnExpr:
         return self._call("formatDateTime", fmt)
 
+    def normalize(self) -> ColumnExpr:
+        """Midnight-truncate (pandas ``dt.normalize``) — date_trunc to day."""
+        return wrap(F.date_trunc("day", self._col))
+
+    def tz_localize(self, tz: str) -> ColumnExpr:
+        """Interpret naive timestamps as wall-clock in ``tz`` (pandas
+        ``dt.tz_localize``). Spark timestamps are session-zone-naive, so
+        this is ``to_utc_timestamp`` — the instant is shifted to UTC;
+        Spark carries no per-value zone annotation (documented divergence)."""
+        return wrap(F.to_utc_timestamp(self._col, tz))
+
+    def tz_convert(self, tz: str) -> ColumnExpr:
+        """Render UTC instants as wall-clock in ``tz`` (pandas
+        ``dt.tz_convert``) — ``from_utc_timestamp``."""
+        return wrap(F.from_utc_timestamp(self._col, tz))
+
 
 class ArrayAccessor(BaseAccessor):
     """``.arr`` — reference accessors/array.py:16."""

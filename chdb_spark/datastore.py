@@ -86,6 +86,36 @@ class DataStore:
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
 
+    def to_sql(self) -> str:
+        """The generated-query view (reference ``DataStore.to_sql`` —
+        api-reference.md "View the generated SQL"): this engine compiles to
+        a Catalyst logical plan, not intermediate SQL text, so the
+        debugging artifact is the analyzed plan — same role, no execution."""
+        return self._df._jdf.queryExecution().analyzed().toString()
+
+    def info(self) -> None:
+        """Print column/dtype/row-count summary (pandas-style ``info()``,
+        reference api-reference.md:236). Triggers one count."""
+        n = self._df.count()
+        lines = [f"<class 'chdb_spark.datastore.DataStore'>", f"rows: {n}"]
+        lines.append(f"columns: {len(self.columns)}")
+        for name, dtype in self.dtypes:
+            lines.append(f"  {name}: {dtype}")
+        print("\n".join(lines))
+
+    def equals(self, other) -> bool:
+        """Multiset row equality with matching schema (reference
+        api-reference.md:240 ``.equals(other)``). Order-insensitive — the
+        engine is SQL-order-agnostic (SURVEY §1.4), unlike pandas' order-
+        sensitive equals; two exceptAll passes, no full collect."""
+        odf = other._df if isinstance(other, DataStore) else other
+        if [c for c, _ in self.dtypes] != [c for c, _ in odf.dtypes]:
+            return False
+        return (
+            self._df.exceptAll(odf).limit(1).count() == 0
+            and odf.exceptAll(self._df).limit(1).count() == 0
+        )
+
     # -- column access ------------------------------------------------------
 
     def __getitem__(self, key):

@@ -148,3 +148,36 @@ def test_accessor_chain_in_datastore_pipeline(docs):
         .agg({"n_chars": "mean"})
     )
     assert out.count() > 0
+
+
+def test_dt_normalize_tz_and_datastore_utils(spark):
+    import pandas as pd
+
+    from chdb_spark.datastore import from_df
+
+    ds = from_df(
+        spark,
+        pd.DataFrame(
+            {"t": pd.to_datetime(["2024-01-02 03:04:05"]), "v": [1.0]}
+        ),
+    )
+    out = ds.assign(
+        norm=ds["t"].dt.normalize(),
+        loc=ds["t"].dt.tz_localize("America/New_York"),
+        conv=ds["t"].dt.tz_convert("America/New_York"),
+    ).to_df()
+    assert str(out["norm"].iloc[0]) == "2024-01-02 00:00:00"
+    assert str(out["loc"].iloc[0]) == "2024-01-02 08:04:05"   # EST -> UTC
+    assert str(out["conv"].iloc[0]) == "2024-01-01 22:04:05"  # UTC -> EST
+
+    # to_sql / info / equals
+    assert "t#" in ds.to_sql()  # plan text names the columns
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ds.info()
+    assert "rows: 1" in buf.getvalue() and "t: timestamp" in buf.getvalue()
+    assert ds.equals(ds) is True
+    assert ds.equals(ds.assign(v=ds["v"] + 1)) is False
