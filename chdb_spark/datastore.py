@@ -45,8 +45,19 @@ from pyspark.sql.window import Window
 class DataStore:
     """Lazy fluent frame. Immutable: every method returns a new DataStore."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame | str = None, **target):
+        if isinstance(df, str):
+            # target-descriptor form (reference api-reference.md:264):
+            #   DataStore("file", path="out.parquet", format="Parquet")
+            # a write TARGET for the insert_into/select_from pattern — holds
+            # no data, only the sink description.
+            if df != "file":
+                raise ValueError(f"target kind {df!r} not supported (only 'file')")
+            self._df = None
+            self._target = dict(target)
+            return
         self._df = df
+        self._target = None
 
     # -- interop ------------------------------------------------------------
 
@@ -85,6 +96,186 @@ class DataStore:
 
     def explain(self, mode: str = "formatted") -> None:
         self._df.explain(mode)
+
+    # -- classmethod factories (reference api-reference.md connector forms) --
+
+    @classmethod
+    def from_file(cls, path: str, fmt: str | None = None, spark=None, **options):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import read_auto
+
+        return cls(read_auto(spark or get_spark(), path, fmt=fmt, **options))
+
+    @classmethod
+    def from_mysql(cls, host: str, database: str, table: str,
+                   user: str = "", password: str = "", spark=None, **options):
+        """reference connectors.md ``DataStore.from_mysql(host=..., ...)`` —
+        JDBC reader (driver jar required; its error says so)."""
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import read_jdbc
+
+        return cls(read_jdbc(
+            spark or get_spark(), f"jdbc:mysql://{host}/{database}", table,
+            user=user, password=password, **options,
+        ))
+
+    @classmethod
+    def from_postgresql(cls, host: str, database: str, table: str,
+                        user: str = "", password: str = "", spark=None, **options):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import read_jdbc
+
+        return cls(read_jdbc(
+            spark or get_spark(), f"jdbc:postgresql://{host}/{database}", table,
+            user=user, password=password, **options,
+        ))
+
+    @classmethod
+    def from_df(cls, pdf, spark=None):
+        from chdb_spark.session import get_spark
+
+        return cls((spark or get_spark()).createDataFrame(pdf))
+
+    @classmethod
+    def from_s3(cls, url: str, access_key_id=None, secret_access_key=None,
+                format=None, nosign=False, spark=None, **kwargs):
+        """reference connectors.md:49 — credentials belong in Hadoop conf on
+        a real cluster; per-call keys are set on this session when given."""
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import open_uri
+
+        spark = spark or get_spark()
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        if access_key_id:
+            hconf.set("fs.s3a.access.key", access_key_id)
+            hconf.set("fs.s3a.secret.key", secret_access_key or "")
+        if nosign:
+            hconf.set(
+                "fs.s3a.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+            )
+        return cls(open_uri(spark, url, fmt=format, **kwargs))
+
+    @classmethod
+    def from_gcs(cls, url: str, hmac_key=None, hmac_secret=None, format=None,
+                 nosign=False, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import open_uri
+
+        return cls(open_uri(spark or get_spark(), url, fmt=format, **kwargs))
+
+    @classmethod
+    def from_hdfs(cls, uri: str, format=None, structure=None, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import open_uri
+
+        return cls(open_uri(spark or get_spark(), uri, fmt=format, **kwargs))
+
+    @classmethod
+    def from_azure(cls, connection_string: str, container: str, path: str = "",
+                   format=None, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import open_uri
+
+        uri = f"abfss://{container}@{connection_string}/{path}".rstrip("/")
+        return cls(open_uri(spark or get_spark(), uri, fmt=format, **kwargs))
+
+    @classmethod
+    def from_url(cls, url: str, format=None, structure=None, headers=None,
+                 spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import open_uri
+
+        return cls(open_uri(spark or get_spark(), url, fmt=format, **kwargs))
+
+    @classmethod
+    def from_clickhouse(cls, host: str, database=None, table=None,
+                        user: str = "default", password: str = "",
+                        secure: bool = False, port=None, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import read_jdbc
+
+        hp = host if ":" in host or port is None else f"{host}:{port}"
+        proto = "https" if secure else "http"
+        return cls(read_jdbc(
+            spark or get_spark(),
+            f"jdbc:clickhouse:{proto}://{hp}/{database or 'default'}",
+            table or "", user=user, password=password, **kwargs,
+        ))
+
+    @classmethod
+    def from_mongodb(cls, host: str, database: str, collection: str,
+                     user: str = "", password: str = "", spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources.nosql import mongodb
+
+        return cls(mongodb(spark or get_spark(), host=host, database=database,
+                           collection=collection, user=user, password=password,
+                           **kwargs))
+
+    @classmethod
+    def from_sqlite(cls, database_path: str, table: str, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import read_sqlite
+
+        return cls(read_sqlite(spark or get_spark(), database_path, table, **kwargs))
+
+    @classmethod
+    def from_redis(cls, host: str, key: str, structure: str, password=None,
+                   db_index: int = 0, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources.nosql import redis_table
+
+        return cls(redis_table(spark or get_spark(), host, key, structure,
+                               password=password, db_index=db_index, **kwargs))
+
+    @classmethod
+    def from_numbers(cls, n: int, start: int = 0, spark=None):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import numbers
+
+        return cls(numbers(spark or get_spark(), n, start=start))
+
+    @classmethod
+    def from_random(cls, schema: dict, n: int, seed: int = 42, spark=None):
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import generate_random
+
+        return cls(generate_random(spark or get_spark(), schema, n, seed=seed))
+
+    @classmethod
+    def from_iceberg(cls, url: str, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+
+        return cls((spark or get_spark()).read.format("iceberg").load(url))
+
+    @classmethod
+    def from_delta(cls, url: str, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+
+        return cls((spark or get_spark()).read.format("delta").load(url))
+
+    @classmethod
+    def from_hudi(cls, url: str, spark=None, **kwargs):
+        from chdb_spark.session import get_spark
+
+        return cls((spark or get_spark()).read.format("hudi").load(url))
+
+    @classmethod
+    def uri(cls, uri_string: str, spark=None, **kwargs):
+        """reference connectors.md:224 — scheme-dispatched universal entry."""
+        from chdb_spark.session import get_spark
+        from chdb_spark.sources import open_uri
+
+        return cls(open_uri(spark or get_spark(), uri_string, **kwargs))
+
+    def insert_into(self, *cols: str) -> "_InsertBuilder":
+        """Writing pattern (reference api-reference.md:260-268):
+        ``target.insert_into(cols...).select_from(source_ds).execute()``.
+        Valid on a target-descriptor DataStore (``DataStore("file", ...)``)."""
+        if self._target is None:
+            raise ValueError("insert_into: this DataStore is not a write target")
+        return _InsertBuilder(self._target, list(cols))
 
     def to_sql(self) -> str:
         """The generated-query view (reference ``DataStore.to_sql`` —
@@ -722,6 +913,32 @@ class CaseWhen:
     def else_(self, value) -> Column:
         v = value if isinstance(value, Column) else F.lit(value)
         return self._expr.otherwise(v)
+
+
+class _InsertBuilder:
+    """``insert_into(...).select_from(ds).execute()`` — defers until
+    execute(), then writes via the auto-dispatch sink (one distributed
+    write job, no driver materialization)."""
+
+    def __init__(self, target: dict, cols: list[str]):
+        self._target = target
+        self._cols = cols
+        self._source: DataStore | None = None
+
+    def select_from(self, source: "DataStore") -> "_InsertBuilder":
+        self._source = source
+        return self
+
+    def execute(self) -> None:
+        if self._source is None:
+            raise ValueError("select_from(...) must be called before execute()")
+        from chdb_spark.sinks import write_auto
+
+        df = self._source._df
+        if self._cols:
+            df = df.select(*self._cols)
+        fmt = (self._target.get("format") or "parquet").lower()
+        write_auto(df, self._target["path"], fmt=fmt)
 
 
 # -- factories (reference entry points) --------------------------------------

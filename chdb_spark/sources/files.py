@@ -104,8 +104,17 @@ def generate_random(
     'bool','date'}; deterministic per seed. Generation is distributed:
     spark.range partitions the id space and each column derives from it.
     """
+    # accept ClickHouse type names too (the reference's generateRandom takes
+    # a CH structure string — 'UInt32', 'Float64', 'DateTime', …)
+    ch_alias = {
+        "int8": "int", "int16": "int", "int32": "int", "int64": "long",
+        "uint8": "int", "uint16": "int", "uint32": "long", "uint64": "long",
+        "float32": "double", "float64": "double", "datetime": "date",
+        "date32": "date", "boolean": "bool",
+    }
     df = spark.range(n)
     for i, (name, typ) in enumerate(schema.items()):
+        typ = ch_alias.get(str(typ).lower(), str(typ).lower())
         r = F.rand(seed + i)
         if typ == "int":
             col = (r * 2147483647).cast("int")
