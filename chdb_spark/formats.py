@@ -749,3 +749,28 @@ def format_result(df: DataFrame, fmt: str = "DataFrame") -> Any:
         return ""
     cols, types, rows, numeric = _collect(df)
     return renderer(cols, types, rows, numeric)
+
+
+def format_rows(schema, rows, fmt: str) -> bytes:
+    """Render already-collected rows in a ClickHouse output format —
+    the per-chunk encoder for streamed results (reference send_query with
+    ``format=``: each fetched chunk is format-encoded bytes). Accepts the
+    text formats and RowBinary*; driver-side string work on one chunk."""
+    key = FORMAT_ALIASES.get(fmt.lower(), fmt.lower())
+    cols = [f.name for f in schema.fields]
+    types = [ch_type_name(f.dataType, f.nullable) for f in schema.fields]
+    numeric = [isinstance(f.dataType, T.NumericType) for f in schema.fields]
+    tuples = [tuple(r) for r in rows]
+    if key in _ROWBINARY:
+        spark_types = [f.dataType.simpleString() for f in schema.fields]
+        return _render_rowbinary(
+            cols, spark_types, tuples,
+            names=key != "rowbinary",
+            with_types=key == "rowbinarywithnamesandtypes",
+            ch_types=types,
+        )
+    renderer = _TEXT_RENDERERS.get(key)
+    if renderer is None:
+        raise ValueError(f"format_rows: unsupported streaming format {fmt!r}")
+    out = renderer(cols, types, tuples, numeric)
+    return out.encode() if isinstance(out, str) else out

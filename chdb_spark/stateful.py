@@ -48,20 +48,30 @@ class StreamingResult:
     computation. Constant driver memory at any result size.
     """
 
-    def __init__(self, df: DataFrame, max_rows_per_chunk: int = 65536):
+    def __init__(
+        self, df: DataFrame, max_rows_per_chunk: int = 65536, fmt: str | None = None
+    ):
         from chdb_spark.streaming.core import stream_result
 
         self._it: Iterator | None = stream_result(df, max_rows_per_chunk)
         self.schema = df.schema
+        self._fmt = fmt
 
     def fetch(self):
         if self._it is None:
             return None
         try:
-            return next(self._it)
+            chunk = next(self._it)
         except StopIteration:
             self._it = None
             return None
+        if self._fmt is not None:
+            # format-encoded bytes per chunk (reference send_query(format=);
+            # examples.md §8 counts b'\n' in each chunk)
+            from chdb_spark.formats import format_rows
+
+            return format_rows(self.schema, chunk, self._fmt)
+        return chunk
 
     def close(self) -> None:
         self._it = None
@@ -254,9 +264,14 @@ class Session:
 
     sql = query
 
-    def send_query(self, sql: str, max_rows_per_chunk: int = 65536) -> StreamingResult:
-        """Streaming execution (reference docs/streaming.rst:20-75)."""
-        return StreamingResult(self.query(sql), max_rows_per_chunk)
+    def send_query(
+        self, sql: str, format: str | None = None, max_rows_per_chunk: int = 65536
+    ) -> StreamingResult:
+        """Streaming execution (reference docs/streaming.rst:20-75).
+        With ``format=`` each fetched chunk is format-encoded bytes
+        (reference examples.md §8: ``chunk.count(b'\n')``); without it,
+        chunks are lists of Rows."""
+        return StreamingResult(self.query(sql), max_rows_per_chunk, fmt=format)
 
     def close(self) -> None:
         """Detach; file-backed state persists (reference session.rst:66)."""

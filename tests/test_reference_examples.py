@@ -214,3 +214,21 @@ def test_example7_udf(spark, data):
     finally:
         drop_function(spark, "fahrenheit_to_celsius")
         drop_function(spark, "classify_age")
+
+
+def test_example8_streaming_format_bytes(spark):
+    # the doc's exact shape: format="CSV", chunks are bytes, count newlines
+    from chdb_spark.stateful import Session
+
+    with Session(spark=spark) as sess:
+        iterator = sess.send_query(
+            "SELECT * FROM numbers(200000)", format="CSV", max_rows_per_chunk=50000
+        )
+        row_count = 0
+        n_chunks = 0
+        for chunk in iterator:
+            assert isinstance(chunk, bytes)
+            row_count += chunk.count(b"\n")
+            n_chunks += 1
+        assert row_count == 200000
+        assert n_chunks >= 4
