@@ -184,6 +184,7 @@ def query(
     path: str = "",
     udf_path: str = "",
     options: dict | None = None,
+    progress_callback=None,
 ):
     """One-shot SQL — the analogue of ``chdb.query(sql, output_format,
     path=..., udf_path=..., params=...)`` (reference chdb/__init__.py:
@@ -262,6 +263,36 @@ def query(
                 spark, translated, namespace=_caller_namespace()
             )
         out = spark.sql(translated)
+        if progress_callback is not None:
+            # completion-style progress (reference api-reference.md:190:
+            # progress objects carry read_rows/read_bytes). Spark reports
+            # per-job metrics through its listener bus, not a per-row pull
+            # — so the callback fires once with the final counts, which is
+            # what a progress bar needs to terminate correctly.
+            import time as _time
+            from types import SimpleNamespace
+
+            t0 = _time.perf_counter()
+            rendered = format_result(out, fmt)
+            if fmt == "DataFrame":
+                n_rows = rendered.count()
+            elif isinstance(rendered, str):
+                n_rows = rendered.count("\n")
+            elif hasattr(rendered, "num_rows"):  # pyarrow Table
+                n_rows = rendered.num_rows
+            elif hasattr(rendered, "__len__") and not isinstance(rendered, bytes):
+                n_rows = len(rendered)
+            else:
+                n_rows = 0
+            progress_callback(
+                SimpleNamespace(
+                    read_rows=n_rows,
+                    read_bytes=0,
+                    total_rows_to_read=n_rows,
+                    elapsed=_time.perf_counter() - t0,
+                )
+            )
+            return rendered
         return format_result(out, fmt)
     except Exception as exc:
         if reference_shape and not isinstance(exc, (ValueError, KeyError)):

@@ -408,3 +408,27 @@ def test_query_options_and_debug_format(spark):
         spark, "SELECT 2 AS x", "CSV", options={"max_threads": 4, "progress": "off"}
     )
     assert out.strip() == "2"
+
+
+def test_progress_callback_and_nl_gating(spark, monkeypatch):
+    seen = []
+    out = chs.query(
+        spark,
+        "SELECT number FROM numbers(1000)",
+        "CSV",
+        progress_callback=lambda p: seen.append(p),
+    )
+    assert out.count("\n") == 1000
+    assert len(seen) == 1 and seen[0].read_rows == 1000 and seen[0].elapsed >= 0
+
+    # AI-assisted SQL: clear gate error without an LLM key
+    from chdb_spark import nl
+
+    for var in nl._KEY_VARS:
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(RuntimeError, match="LLM API key"):
+        nl.generate_sql("top 10 countries")
+    with pytest.raises(RuntimeError, match="LLM API key"):
+        nl.ask("what are the top products?", data="sales.parquet")
+    # fence stripping is pure and testable offline
+    assert nl._strip_fences("```sql\nSELECT 1\n```") == "SELECT 1"
