@@ -712,6 +712,24 @@ _SETTINGS_RE = re.compile(
     re.IGNORECASE,
 )
 
+
+def extract_settings(sql: str) -> tuple[str, dict[str, str]]:
+    """Split a trailing ``SETTINGS k=v, ...`` clause off the query text and
+    return it as a dict (reference sql_executor.py:2108 _append_settings —
+    engine settings ride on the SQL). The rewrite strips the clause anyway;
+    this entry point lets callers HONOR the settings that have a Spark-side
+    meaning (e.g. output_format_json_quote_64bit_integers → formats)."""
+    m = _SETTINGS_RE.search(sql or "")
+    if not m:
+        return sql, {}
+    body = m.group(0)
+    body = re.sub(r"^\s*SETTINGS\s+", "", body, flags=re.IGNORECASE).rstrip("; \n\t")
+    out: dict[str, str] = {}
+    for part in _split_args(body):
+        k, _, v = part.partition("=")
+        out[k.strip()] = v.strip().strip("'\"")
+    return sql[: m.start()].rstrip(), out
+
 _WORD_CHARS = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_")
 
 

@@ -333,8 +333,17 @@ def _render_markdown(cols, rows, numeric):
     return "\n".join(lines) + "\n"
 
 
+#: render-scope settings (set by format_result; CH query-level SETTINGS)
+_RENDER_SETTINGS: dict = {}
+
+
 def _i64_flags(types):
-    """Per-column: is the ClickHouse type (U)Int64, so JSON must quote it?"""
+    """Per-column: is the ClickHouse type (U)Int64, so JSON must quote it?
+    Honors ``SETTINGS output_format_json_quote_64bit_integers=0``."""
+    if str(_RENDER_SETTINGS.get("output_format_json_quote_64bit_integers", "1")) in (
+        "0", "false",
+    ):
+        return [False] * len(types or ())
     out = []
     for t in types or ():
         base = t[9:-1] if t.startswith("Nullable(") else t
@@ -686,15 +695,21 @@ def split_format_suffix(sql: str) -> tuple[str, str | None]:
     return sql[: m.start()].rstrip(), name
 
 
-def format_result(df: DataFrame, fmt: str = "DataFrame") -> Any:
+def format_result(
+    df: DataFrame, fmt: str = "DataFrame", settings: dict | None = None
+) -> Any:
     """Render a (lazy) result DataFrame in a ClickHouse output format.
 
     Returns: ``str`` for text formats, ``bytes`` for Arrow/Parquet, a lazy
     Spark DataFrame for ``DataFrame``, ``pandas.DataFrame`` for ``Pandas``,
     ``pyarrow.Table`` for ``ArrowTable``. Mirrors reference
     chdb/__init__.py:145-217 (everything beyond the Python objects is an
-    engine-rendered format string).
+    engine-rendered format string). ``settings`` carries CH query-level
+    SETTINGS with Spark-side render meaning (currently
+    output_format_json_quote_64bit_integers).
     """
+    global _RENDER_SETTINGS
+    _RENDER_SETTINGS = settings or {}
     key = FORMAT_ALIASES.get(fmt.lower(), fmt.lower())
 
     if key == "dataframe":

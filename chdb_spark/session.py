@@ -255,6 +255,9 @@ def query(
         # README example is CH SQL): rewrite CH function names/clauses onto
         # Spark SQL, then materialize file()/url()/Python() table functions
         # as temp views. Pure Spark SQL passes through unchanged.
+        from chdb_spark.dialect import extract_settings
+
+        bound, ch_settings = extract_settings(bound)
         translated = rewrite(bound)
         from chdb_spark.dialect import _TF_RE
 
@@ -273,7 +276,7 @@ def query(
             from types import SimpleNamespace
 
             t0 = _time.perf_counter()
-            rendered = format_result(out, fmt)
+            rendered = format_result(out, fmt, settings=ch_settings)
             if fmt == "DataFrame":
                 n_rows = rendered.count()
             elif isinstance(rendered, str):
@@ -293,7 +296,7 @@ def query(
                 )
             )
             return rendered
-        return format_result(out, fmt)
+        return format_result(out, fmt, settings=ch_settings)
     except Exception as exc:
         if reference_shape and not isinstance(exc, (ValueError, KeyError)):
             raise ChdbError(str(exc)) from exc

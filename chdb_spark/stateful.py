@@ -237,7 +237,7 @@ class Session:
         from chdb_spark.formats import format_result, split_format_suffix
         from chdb_spark.params import bind_params
 
-        from chdb_spark.dialect import resolve_table_functions, rewrite
+        from chdb_spark.dialect import extract_settings, resolve_table_functions, rewrite
 
         sql = bind_params(sql, params)
         sql, suffix_fmt = split_format_suffix(sql)
@@ -245,6 +245,7 @@ class Session:
             fmt = suffix_fmt
         # CH-dialect acceptance, same layer as session.query (DDL with
         # ENGINE/CH types, CH function names, table functions)
+        sql, ch_settings = extract_settings(sql)
         sql = rewrite(sql)
         from chdb_spark.dialect import _TF_RE
 
@@ -258,7 +259,7 @@ class Session:
                 self._snapshot()
             if fmt == "arrow":  # pre-round-3 alias: bytes were never returned
                 fmt = "ArrowTable"
-            return format_result(out, fmt or "DataFrame")
+            return format_result(out, fmt or "DataFrame", settings=ch_settings)
         finally:
             self.spark.catalog.setCurrentDatabase(prev)
 

@@ -432,3 +432,15 @@ def test_progress_callback_and_nl_gating(spark, monkeypatch):
         nl.ask("what are the top products?", data="sales.parquet")
     # fence stripping is pure and testable offline
     assert nl._strip_fences("```sql\nSELECT 1\n```") == "SELECT 1"
+
+
+def test_settings_json_quote_toggle(spark):
+    """SETTINGS output_format_json_quote_64bit_integers is honored — the
+    reference's query-level setting rides on the SQL text."""
+    q = "SELECT CAST(5 AS BIGINT) AS v"
+    assert json.loads(chs.query(spark, q + " FORMAT JSONEachRow")) == {"v": "5"}
+    out = chs.query(
+        spark,
+        q + " SETTINGS output_format_json_quote_64bit_integers=0 FORMAT JSONEachRow",
+    )
+    assert json.loads(out) == {"v": 5}
