@@ -56,6 +56,12 @@ class DataStore:
             self._df = None
             self._target = dict(target)
             return
+        if df is not None and type(df).__module__.startswith("pandas"):
+            # reference chdb/__init__.py:121 to_datastore(df): DataStore
+            # wraps a pandas frame directly (Arrow-accelerated ingest)
+            from chdb_spark.session import get_spark
+
+            df = get_spark().createDataFrame(df)
         self._df = df
         self._target = None
 
