@@ -275,3 +275,48 @@ def test_q11_reuses_one_lineitem_scan(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed or "ReusedSubquery" in executed
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """write_bucketed pre-pays the shuffle: a key-equi-join of two tables
+    bucketed on the join key must contain NO Exchange (the 100 TB
+    amortization story — SCALE.md Joins)."""
+    from pyspark.sql import functions as F
+
+    from chdb_spark.operators.skew import write_bucketed
+
+    prev_wh = spark.conf.get("spark.sql.warehouse.dir", None)
+    spark.sql("DROP TABLE IF EXISTS bk_orders")
+    spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+    orders = spark.range(1000).selectExpr("id AS o_orderkey", "id % 7 AS o_p")
+    items = spark.range(3000).selectExpr(
+        "id % 1000 AS l_orderkey", "id AS l_id", "CAST(id AS DOUBLE) AS l_v"
+    )
+    write_bucketed(orders, "bk_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(items, "bk_lineitem", ["l_orderkey"], n_buckets=8)
+    try:
+        joined = (
+            spark.table("bk_lineitem")
+            .join(
+                spark.table("bk_orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_p")
+            .agg(F.sum("l_v").alias("s"))
+        )
+        # defeat AQE's broadcast upgrade so the bucketed SMJ shape is visible
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # and the result is right
+        got = {r.o_p: r.s for r in joined.collect()}
+        assert len(got) == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_orders")
+        spark.sql("DROP TABLE IF EXISTS bk_lineitem")
