@@ -378,8 +378,15 @@ class DataStore:
     def drop(self, *cols) -> "DataStore":
         return DataStore(self._df.drop(*cols))
 
-    def rename(self, mapping: dict[str, str]) -> "DataStore":
-        return DataStore(self._df.withColumnsRenamed(mapping))
+    def rename(
+        self, mapping: dict[str, str] | None = None, columns: dict[str, str] | None = None
+    ) -> "DataStore":
+        """Both call shapes: ``rename({...})`` and the pandas-idiomatic
+        ``rename(columns={...})`` (reference pandas_api rename)."""
+        m = mapping if mapping is not None else columns
+        if m is None:
+            raise ValueError("rename: provide a mapping or columns=")
+        return DataStore(self._df.withColumnsRenamed(m))
 
     def add_prefix(self, prefix: str) -> "DataStore":
         return DataStore(self._df.toDF(*[f"{prefix}{c}" for c in self._df.columns]))
