@@ -120,3 +120,24 @@ def test_safety_helpers():
     for bad in ("", "a`b", "x; DROP TABLE y", None):
         with pytest.raises(InvalidIdentifier):
             quote_ident(bad)  # type: ignore[arg-type]
+
+
+def test_smolagents_adapter_import_gate():
+    """Without the smolagents package the module raises the reference's
+    descriptive ImportError (chdb/agents/smolagents.py contract)."""
+    try:
+        import smolagents  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if has:
+        from chdb_spark.smolagents_tools import chdb_smol_tools
+
+        tools = chdb_smol_tools()
+        assert any(t.name == "run_select_query" for t in tools)
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="smolagents"):
+            import chdb_spark.smolagents_tools  # noqa: F401
