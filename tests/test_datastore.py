@@ -425,3 +425,30 @@ def test_connector_factory_family(spark, tmp_path):
             raise
         except Exception:
             pass  # jar/server-gated: any reader-level failure is the contract
+
+
+def test_reference_limitations_resolved_here(spark):
+    """The reference's limitations tracker
+    (datastore/tests/test_chdb_limitations_tracker.py) documents engine
+    edge cases — categorical/timedelta ingestion, Nullable-Int64
+    comparisons, UTF-8 content. All four just work on the Arrow ingest
+    path here; this test pins that they stay working."""
+    import pandas as pd
+
+    from chdb_spark.datastore import DataStore
+
+    assert DataStore(
+        pd.DataFrame({"c": pd.Categorical(["a", "b", "a"])})
+    ).to_df()["c"].tolist() == ["a", "b", "a"]
+
+    tds = DataStore(
+        pd.DataFrame({"td": pd.to_timedelta(["1 days", "2 days"])})
+    ).to_df()["td"]
+    assert tds.iloc[1] == pd.Timedelta(days=2)
+
+    ds = DataStore(pd.DataFrame({"v": pd.array([1, pd.NA, 3], dtype="Int64")}))
+    assert len(ds.filter("v > 1").to_df()) == 1
+
+    assert DataStore(pd.DataFrame({"s": ["café", "汉字"]})).filter(
+        "s = 'café'"
+    ).to_df()["s"].tolist() == ["café"]
