@@ -588,15 +588,24 @@ class ChDBTool:
         Arrow-accelerated createDataFrame)."""
         import pandas as pd
 
+        views = []
         for name, pdf in dataframes.items():
             if isinstance(pdf, dict):  # conformance fixture: {col: [values]}
                 pdf = pd.DataFrame(pdf)
             view = quote_ident(name).strip("`")
             self.spark.createDataFrame(pdf).createOrReplaceTempView(view)
+            views.append(view)
             # Python(name) in the SQL resolves to the registered view (the
             # dialect's caller-frame lookup doesn't apply in tool dispatch)
             sql = re.sub(rf"\bPython\(\s*{re.escape(name)}\s*\)", view, sql)
-        return self.query(sql, max_rows=max_rows)
+        try:
+            return self.query(sql, max_rows=max_rows)
+        finally:
+            # transient per-query tables (reference Python() scope): a
+            # leftover temp view would SHADOW same-named database tables
+            # for every later user of the shared session
+            for view in views:
+                self.spark.catalog.dropTempView(view)
 
     def tool_specs(self, dialect: str = "anthropic") -> list[dict]:
         return tool_specs(dialect)
