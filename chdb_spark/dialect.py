@@ -1134,7 +1134,11 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
             continue  # inside a previously consumed call
         inner, end = _balanced(sql, paren)
         args = _split_args(inner)
-        view = f"_chsql_tf_{counter}"
+        # unique per resolution call: concurrent queries on one session
+        # must not overwrite each other's table-function views
+        import time as _time
+
+        view = f"_chsql_tf_{_time.monotonic_ns()}_{counter}"
         counter += 1
         if name.lower() == "python":
             var = args[0].strip()
