@@ -748,35 +748,29 @@ def decontaminate(
     Scale shape: benchmark gram hashes are small by definition (eval sets
     are thousands of docs) — distinct-reduced and LEFT SEMI joined against
     the training gram stream, so the corpus side never materializes pairs;
-    AQE broadcasts the benchmark side. Gram construction is posexplode +
-    lead window (codegen), keyed by doc_id.
+    AQE broadcasts the benchmark side. Gram construction reuses the
+    ZERO-SHUFFLE Arrow feature pass (``doc_features`` with n-token
+    shingles): per-doc distinct gram hashes come out of one map-only
+    stage — the posexplode+lead window formulation this replaces paid a
+    full doc_id shuffle before the join (round-4 change; the shared-gram
+    COUNTS are hash-function-agnostic, so the oracle is unchanged).
     """
-    from pyspark.sql.window import Window
-
-    from chdb_spark.operators.text import md5_prefix48, tokens
-
     def grams(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        feats = doc_features(
+            df, id_col=id_col, text_col=text_col, n=n,
+            with_minhash=False, with_simhash=False,
         )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        leads = [F.lead("tok", i).over(w) for i in range(1, n)]
-        return (
-            toks.select(
-                "doc_id",
-                F.concat_ws(" ", "tok", *leads).alias("gram"),
-                leads[-1].alias("_last"),
-            )
-            .filter(F.col("_last").isNotNull())
-            .select("doc_id", md5_prefix48(F.col("gram")).alias("h"))
+        return feats.select(
+            F.col("doc_id"), F.explode("hs").alias("h")
         )
 
     bench_hashes = grams(benchmark).select("h").distinct()
     hits = grams(train).join(bench_hashes, "h", "left_semi")
     return (
+        # hs arrays are distinct per doc, so count == count_distinct — the
+        # cheaper partial-aggregating form
         hits.groupBy("doc_id")
-        .agg(F.count_distinct("h").alias("n_shared_grams"))
+        .agg(F.count("h").alias("n_shared_grams"))
         .orderBy("doc_id")
     )
 
