@@ -802,3 +802,59 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashing-trick features: token unigrams hashed into
+    ``n_buckets`` counting buckets per document — the sparse input
+    representation quality classifiers (CCNet/fastText lang-quality
+    models) train on. Output is the sparse COO form (doc_id, bucket,
+    count): bounded by tokens, never by n_buckets x docs.
+
+    Scale shape: explode tokens → hash → per-(doc, bucket) count — one
+    shuffle keyed by (doc_id, bucket), partial-aggregated map-side. The
+    bucket hash is md5-prefix-based (engine-portable, same expression the
+    DuckDB oracle runs) rather than xxhash64 (which DuckDB lacks).
+    """
+    tok = F.explode(tokens(F.col(text_col))).alias("tok")
+    toks = docs.select(F.col(id_col).alias("doc_id"), tok).filter(
+        F.length("tok") > 0
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    return (
+        toks.select("doc_id", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@defquery(
+    "t12_hashed_features",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok FROM documents,
+             unnest(string_split_regex(trim(text), '\\s+')) t(tok)
+      WHERE length(t.tok) > 0
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS BIGINT) AS bucket,
+           count(*) AS count
+    FROM toks
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+    doc="hashing-trick feature matrix (fastText-style): tokens hashed into "
+        "64 counting buckets per doc, sparse COO output — the classifier-"
+        "input representation step; one (doc,bucket)-keyed partial agg.",
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return hashed_ngram_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
