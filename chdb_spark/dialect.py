@@ -708,7 +708,8 @@ def rewrite_ddl(sql: str) -> str:
 
 
 _SETTINGS_RE = re.compile(
-    r"\bSETTINGS\s+\w+\s*=\s*[^,;]+(?:\s*,\s*\w+\s*=\s*[^,;]+)*\s*;?\s*$",
+    r"\bSETTINGS\s+\w+\s*=\s*(?:'[^']*'|[^,;\s][^,;]*)"
+    r"(?:\s*,\s*\w+\s*=\s*(?:'[^']*'|[^,;\s][^,;]*))*\s*;?\s*$",
     re.IGNORECASE,
 )
 

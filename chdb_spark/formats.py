@@ -232,13 +232,22 @@ def _sep(names, sep_rows):
 
 
 def _render_csv(cols, types, rows, names=False, with_types=False):
+    # CH query-level format settings with render meaning here
+    sep = str(_RENDER_SETTINGS.get("format_csv_delimiter", ","))[:1] or ","
+    null_rep = _RENDER_SETTINGS.get("format_csv_null_representation", "\\N")
+
+    def val(v):
+        if _is_null(v):
+            return null_rep
+        return _csv_value(v)
+
     out = []
     if names:
-        out.append(",".join(_csv_value(c) for c in cols))
+        out.append(sep.join(_csv_value(c) for c in cols))
     if with_types:
-        out.append(",".join(_csv_value(t) for t in types))
+        out.append(sep.join(_csv_value(t) for t in types))
     for r in rows:
-        out.append(",".join(_csv_value(v) for v in r))
+        out.append(sep.join(val(v) for v in r))
     return "\n".join(out) + ("\n" if out else "")
 
 

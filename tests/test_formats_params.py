@@ -444,3 +444,16 @@ def test_settings_json_quote_toggle(spark):
         q + " SETTINGS output_format_json_quote_64bit_integers=0 FORMAT JSONEachRow",
     )
     assert json.loads(out) == {"v": 5}
+
+
+def test_settings_csv_delimiter_and_null(spark):
+    out = chs.query(
+        spark,
+        "SELECT 1 AS a, CAST(NULL AS INT) AS b, 3 AS c "
+        "SETTINGS format_csv_delimiter=';', format_csv_null_representation='NULL' "
+        "FORMAT CSV",
+    )
+    assert out.strip() == "1;NULL;3"
+    # defaults unchanged
+    out = chs.query(spark, "SELECT 1 AS a, CAST(NULL AS INT) AS b FORMAT CSV")
+    assert out.strip() == "1,\\N"
