@@ -128,6 +128,10 @@ class Session:
         self.db = _db_name(self.path)
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.db}`")
         self._restore()
+        #: session-scoped CH settings (``SET k = v``) — merged under each
+        #: query's own SETTINGS clause (query-level wins), reference
+        #: session semantics
+        self.settings: dict[str, str] = {}
         self._closed = False
 
     # -- internal: manifest-based persistence -----------------------------
@@ -245,7 +249,18 @@ class Session:
             fmt = suffix_fmt
         # CH-dialect acceptance, same layer as session.query (DDL with
         # ENGINE/CH types, CH function names, table functions)
+        # CH `SET key = value`: persist for the session (engine settings,
+        # not Spark confs — those go through spark.conf directly)
+        m_set = re.match(r"^\s*SET\s+(\w+)\s*=\s*('([^']*)'|\S+)\s*;?\s*$", sql, re.IGNORECASE)
+        if m_set and "." not in m_set.group(1):
+            self.settings[m_set.group(1)] = (
+                m_set.group(3) if m_set.group(3) is not None else m_set.group(2)
+            )
+            from chdb_spark.formats import format_result as _fr
+
+            return _fr(self.spark.sql("SELECT '' AS status WHERE false"), fmt or "DataFrame")
         sql, ch_settings = extract_settings(sql)
+        ch_settings = {**self.settings, **ch_settings}
         sql = rewrite(sql)
         from chdb_spark.dialect import _TF_RE
 

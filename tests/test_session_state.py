@@ -95,3 +95,24 @@ def test_closed_session_raises(spark):
     sess.close()
     with pytest.raises(RuntimeError):
         sess.query("SELECT 1")
+
+
+def test_session_level_set_settings(spark):
+    """CH `SET key = value` persists for the session and applies to later
+    queries' rendering; a query-level SETTINGS clause overrides it."""
+    from chdb_spark.stateful import Session
+
+    with Session(spark=spark) as sess:
+        out = sess.query("SET output_format_json_quote_64bit_integers = 0", fmt="CSV")
+        assert out == ""
+        got = sess.query("SELECT CAST(7 AS BIGINT) AS v", fmt="JSONEachRow")
+        import json as _json
+
+        assert _json.loads(got) == {"v": 7}  # unquoted per session setting
+        # query-level SETTINGS wins over the session value
+        got = sess.query(
+            "SELECT CAST(7 AS BIGINT) AS v "
+            "SETTINGS output_format_json_quote_64bit_integers=1",
+            fmt="JSONEachRow",
+        )
+        assert _json.loads(got) == {"v": "7"}
