@@ -195,11 +195,22 @@ class Cursor:
         return tuple(row)
 
     # -- PEP 249 ----------------------------------------------------------
+    def _sql(self, text: str):
+        """CH-dialect acceptance on the DB-API path too (the reference
+        cursor runs ClickHouse SQL — e.g. its own examples use
+        ``system.numbers`` and ``toString``)."""
+        from chdb_spark.dialect import _TF_RE, resolve_table_functions, rewrite
+
+        text = rewrite(text)
+        if _TF_RE.search(text):
+            text = resolve_table_functions(self.connection.spark, text)
+        return self.connection.spark.sql(text)
+
     def execute(self, operation: str, args=None) -> int:
         self._check()
         sql = _interpolate(operation, args)
         try:
-            df = self.connection.spark.sql(sql)
+            df = self._sql(sql)
             rows = df.collect()
         except Exception as exc:  # surface as DB-API error classes
             msg = str(exc)
@@ -223,7 +234,7 @@ class Cursor:
         """Constant-memory row iterator (``toLocalIterator``) — the analogue
         of the reference's ``send_query`` → StreamingResult chunk pull."""
         self._check()
-        df = self.connection.spark.sql(_interpolate(operation, args))
+        df = self._sql(_interpolate(operation, args))
         self._set_description(df)
         return (self._convert(r) for r in df.toLocalIterator())
 

@@ -325,3 +325,19 @@ def test_connection_query_and_session_alias(spark):
     from chdb_spark.stateful import Session
 
     assert session_mod.Session is Session
+
+
+def test_dbapi_accepts_clickhouse_dialect(spark):
+    """The reference's own DB-API example (README.md:228): CH SQL through
+    the cursor — system.numbers + toString."""
+    from chdb_spark import dbapi
+
+    conn = dbapi.connect(spark=spark)
+    cur = conn.cursor()
+    cur.execute("SELECT number, toString(number) AS str FROM system.numbers LIMIT 3")
+    got = cur.fetchall()
+    assert [r[0] for r in got] == [0, 1, 2]
+    assert [r[1] for r in got] == ["0", "1", "2"]
+    cur.execute("SELECT uniqExact(number) AS u FROM numbers(50)")
+    assert cur.fetchone()[0] == 50
+    cur.close(); conn.close()
