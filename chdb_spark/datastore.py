@@ -780,9 +780,14 @@ class DataStore:
 
     def sql(self, query: str, view_name: str = "__ds__") -> "DataStore":
         """Raw SQL over this frame (reference core.py:6622): the frame is
-        registered as ``__ds__``."""
+        registered as ``__ds__``. CH dialect accepted like every other SQL
+        entry point."""
+        from chdb_spark.dialect import rewrite
+
         self._df.createOrReplaceTempView(view_name)
-        return DataStore(self._df.sparkSession.sql(query))
+        return DataStore(self._df.sparkSession.sql(rewrite(query)))
+
+    run_sql = sql
 
 
 class GroupBy:

@@ -452,3 +452,20 @@ def test_reference_limitations_resolved_here(spark):
     assert DataStore(pd.DataFrame({"s": ["café", "汉字"]})).filter(
         "s = 'café'"
     ).to_df()["s"].tolist() == ["café"]
+
+
+def test_datastore_sql_accepts_ch_dialect(spark):
+    import pandas as pd
+
+    from chdb_spark.datastore import from_df
+
+    ds = from_df(spark, pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "x"]}))
+    out = ds.sql(
+        "SELECT b, uniqExact(a) AS u, countIf(a > 1) AS c "
+        "FROM __ds__ GROUP BY b ORDER BY b"
+    ).to_df()
+    assert out.to_dict("records") == [
+        {"b": "x", "u": 2, "c": 1},
+        {"b": "y", "u": 1, "c": 1},
+    ]
+    assert ds.run_sql("SELECT count() AS n FROM __ds__").to_df()["n"].iloc[0] == 3
