@@ -1040,3 +1040,91 @@ def dd8(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = emb.filter(F.col("vec_id") < 20)
     train = emb.filter(F.col("vec_id") >= 20)
     return semantic_decontaminate(train, bench, threshold=0.45).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (suffix-array dedup, approximated)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Cross-document exact-substring duplicate-span detection — the
+    distributed approximation of suffix-array dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove any
+    substring of >= 50 tokens that appears verbatim more than once in the
+    corpus). The reference ships the hash primitives this composes
+    (function_definitions.py:3059-3101 MD5/cityHash64 family).
+
+    Instead of a global suffix array (inherently sequential, memory-bound),
+    slide a fixed ``window`` with ``stride`` over every document, hash each
+    window, and count distinct documents per window hash. A window hash seen
+    in >= 2 documents is a verbatim duplicated span; the per-document
+    duplicated-window ratio approximates the duplicated-character fraction
+    within one stride of the suffix-array answer.
+
+    Scale shape (100 TB): window extraction is `explode(sequence(..))` +
+    `substring` + `md5` — whole-stage codegen, map-only, zero Python. Then
+    exactly two shuffles: (1) hash-agg by window hash (uniform 128-bit keys,
+    no skew), (2) hash-agg back by doc_id. The dup-hash set joins back as a
+    plain equi-join that AQE converts to broadcast when small. Nothing is
+    ever collected to the driver.
+    """
+    win_expr = F.expr(f"substring({text_col}, pos, {window})")
+    wins = (
+        docs.filter(F.length(text_col) >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length(text_col) - (window - 1),
+                    F.lit(stride),
+                )
+            ).alias("pos"),
+            text_col,
+        )
+        .select(id_col, F.md5(win_expr).alias("h"))
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    joined = wins.join(dup.withColumn("is_dup", F.lit(1)), "h", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_windows"),
+        F.count("is_dup").alias("n_dup_windows"),
+        F.round(F.count("is_dup") / F.count("*"), 4).alias("dup_ratio"),
+    )
+
+
+@defquery(
+    "dd9_substring_spans",
+    """
+    WITH wins AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 40)) AS h
+      FROM documents, LATERAL unnest(generate_series(1, length(text) - 39, 10)) AS t(i)
+      WHERE length(text) >= 40
+    ),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+    SELECT w.doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(count(d.h) AS BIGINT) AS n_dup_windows,
+           round(count(d.h)::DOUBLE / count(*), 4) AS dup_ratio
+    FROM wins w LEFT JOIN dup d USING (h)
+    GROUP BY w.doc_id ORDER BY w.doc_id
+    """,
+    doc="exact-substring duplicate spans (suffix-array dedup approximated by "
+        "strided 40-char window hashing): codegen window pass, two uniform "
+        "shuffles, no driver state.",
+)
+def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return substring_dup_spans(docs).orderBy("doc_id")

@@ -858,3 +858,113 @@ def hashed_ngram_features(
 def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return hashed_ngram_features(docs, n_buckets=64).orderBy("doc_id", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): model target
+    and raw corpora as bags of hashed n-gram buckets; each document's weight
+    is sum over its tokens of log(p_target(bucket) / p_raw(bucket)) with
+    Laplace smoothing. Documents scoring high look like the target
+    distribution and are preferentially sampled for training.
+
+    ``target_filter`` is a boolean Column selecting the in-corpus target
+    exemplar set (e.g. a trusted source or language).
+
+    Scale shape (100 TB): the two bucket-distribution aggregates group the
+    full token stream into only ``n_buckets`` keys — map-side partial
+    aggregation reduces every task's output to <= n_buckets rows, so the
+    shuffle is bytes, not data. The per-(doc, bucket) count shuffle is keyed
+    by doc_id (uniform). The bucket-weight table (<= n_buckets rows) joins
+    back broadcast. The driver never sees a row.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tb = toks.select(
+        id_col, "_is_target", (md5_prefix48(F.col("tok")) % n_buckets).alias("b")
+    )
+
+    raw = tb.groupBy("b").agg(F.count("*").alias("n_r"))
+    tgt = tb.filter(F.col("_is_target")).groupBy("b").agg(F.count("*").alias("n_t"))
+    # Spark SQL resolution is case-insensitive by default, so the totals
+    # must not collide with n_r/n_t.
+    n_raw = raw.agg(F.sum("n_r").alias("tot_r"))
+    n_tgt = tgt.agg(F.sum("n_t").alias("tot_t"))
+
+    bw = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"n_t": 0})
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "b",
+            F.round(
+                F.log((F.col("n_t") + 1) / (F.col("tot_t") + n_buckets))
+                - F.log((F.col("n_r") + 1) / (F.col("tot_r") + n_buckets)),
+                6,
+            ).alias("lw"),
+        )
+    )
+
+    dbc = tb.groupBy(id_col, "b").agg(F.count("*").alias("n"))
+    return (
+        dbc.join(F.broadcast(bw), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("lw")), 4).alias("dsir_logw"),
+        )
+    )
+
+
+@defquery(
+    "t13_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS _is_target,
+             unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, _is_target,
+             ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS b
+      FROM toks WHERE length(tok) > 0
+    ),
+    raw AS (SELECT b, count(*) AS n_r FROM tb GROUP BY b),
+    tgt AS (SELECT b, count(*) AS n_t FROM tb WHERE _is_target GROUP BY b),
+    bw AS (
+      SELECT raw.b,
+             round(ln((coalesce(n_t, 0) + 1)::DOUBLE
+                       / ((SELECT sum(n_t) FROM tgt) + 64))
+                   - ln((n_r + 1)::DOUBLE
+                       / ((SELECT sum(n_r) FROM raw) + 64)), 6) AS lw
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+    ),
+    dbc AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(sum(n * lw), 4) AS dsir_logw
+    FROM dbc JOIN bw USING (b)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="DSIR importance resampling log-weights (hashed token buckets, "
+        "target = lang='en' exemplars): bucket distributions collapse "
+        "map-side to 64 keys; weight table broadcasts back.",
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dsir_importance_weights(docs, F.col("lang") == "en").orderBy("doc_id")

@@ -274,3 +274,45 @@ def test_bucketed_running_sum_nan_rows_kept(spark):
     assert by_x[2.0] == 31
     assert by_x[3.0] == 61
     assert by_x["nan"] == 66
+
+
+def test_substring_dup_spans_flags_verbatim_copies(spark):
+    from chdb_spark.operators.dedup import substring_dup_spans
+
+    base = "x" * 5 + " the quick brown fox jumps over the lazy dog " + "y" * 20
+    rows = [
+        (1, base),
+        (2, base),                      # verbatim copy: every window duplicated
+        (3, "z" * 80),                  # unique long doc: zero dup windows
+        (4, "short"),                   # < window: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dup_spans(df).collect()}
+    assert 4 not in out
+    assert out[1]["dup_ratio"] == 1.0 and out[2]["dup_ratio"] == 1.0
+    assert out[3]["n_dup_windows"] == 0
+    assert out[1]["n_windows"] == out[2]["n_windows"]
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from chdb_spark.operators.dedup import tokens  # noqa: F401  (shared idiom)
+    from chdb_spark.operators.text import dsir_importance_weights
+
+    target_vocab = "alpha beta gamma delta epsilon"
+    other_vocab = "uno dos tres cuatro cinco"
+    rows = (
+        [(i, target_vocab, "en") for i in range(10)]
+        + [(100 + i, other_vocab, "xx") for i in range(10)]
+        + [(200, target_vocab, "xx")]   # target-like text, not in exemplar set
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_importance_weights(df, F.col("lang") == "en").collect()
+    }
+    # doc 200 shares the target vocabulary → higher importance than the
+    # off-target docs, comparable to the exemplars themselves
+    assert out[200] > out[100]
+    assert abs(out[200] - out[0]) < 1e-6
+    # token counts flow through
+    assert all(v is not None for v in out.values())
