@@ -1246,3 +1246,70 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
         i = end
     out.append(sql[i:])
     return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ... WITH FILL (gap filling)
+# ---------------------------------------------------------------------------
+
+_WITH_FILL_RE = re.compile(
+    r"\bWITH\s+FILL\b"
+    r"(?:\s+FROM\s+(?P<from>'[^']*'|[\w.+-]+))?"
+    r"(?:\s+TO\s+(?P<to>'[^']*'|[\w.+-]+))?"
+    r"(?:\s+STEP\s+(?P<step>[\w.+-]+))?",
+    re.IGNORECASE,
+)
+_ORDER_BY_KEY_RE = re.compile(
+    r"\bORDER\s+BY\s+(?P<key>`[^`]+`|[A-Za-z_]\w*)\s*(?P<dir>ASC|DESC)?\s*$",
+    re.IGNORECASE,
+)
+
+
+def extract_with_fill(sql: str) -> tuple[str, dict | None]:
+    """Split a trailing top-level ``ORDER BY k [ASC|DESC] WITH FILL [FROM a]
+    [TO b] [STEP s]`` (ClickHouse gap-filling ORDER BY modifier) from the
+    query text.
+
+    Returns ``(sql_without_with_fill, spec | None)`` where the ORDER BY
+    itself stays in the SQL and ``spec`` carries key/direction/bounds for
+    the executor to apply (session.query joins a generated key frame and
+    fills the gap rows with column defaults, the CH semantics). Text-level
+    rewriting cannot express the fill (it needs the result schema), hence
+    the split contract — same shape as ``extract_settings``.
+
+    Supported: single-key ORDER BY over an integer/date/timestamp column,
+    numeric or ``'...'``-quoted literal bounds, numeric STEP (default 1).
+    ``FROM`` is inclusive, ``TO`` exclusive (the CH contract); with no
+    bounds the observed min..max of the result is filled inclusively.
+    """
+    i = _last_top_level(sql, _WITH_FILL_RE)
+    if i < 0:
+        return sql, None
+    m = _WITH_FILL_RE.match(sql, i)
+    head, tail = sql[:i].rstrip(), sql[m.end():].strip().rstrip(";").strip()
+    km = _ORDER_BY_KEY_RE.search(head)
+    if not km:
+        raise ValueError(
+            "WITH FILL requires a trailing single-column ORDER BY "
+            f"(got: ...{head[-60:]!r})"
+        )
+
+    def _lit(s: str | None):
+        if s is None:
+            return None
+        if s.startswith("'"):
+            return s[1:-1]
+        try:
+            return int(s)
+        except ValueError:
+            return float(s)
+
+    spec = {
+        "key": km.group("key").strip("`"),
+        "desc": (km.group("dir") or "").upper() == "DESC",
+        "from": _lit(m.group("from")),
+        "to": _lit(m.group("to")),
+        "step": _lit(m.group("step")) or 1,
+    }
+    rest = (" " + tail) if tail else ""
+    return head + rest, spec

@@ -265,3 +265,37 @@ def sq1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@defquery(
+    "ch7_with_fill",
+    """
+    WITH agg AS (
+      SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+      FROM events
+      WHERE event_type = 'purchase' AND value > 90 AND user_id < 60
+      GROUP BY user_id
+    )
+    SELECT g.k AS user_id, coalesce(n, 0) AS n, coalesce(total, 0) AS total
+    FROM (SELECT unnest(generate_series(0, 59)) AS k) g
+    LEFT JOIN agg ON agg.user_id = g.k
+    ORDER BY user_id
+    """,
+    doc="CH `ORDER BY … WITH FILL FROM a TO b` gap filling end-to-end: the "
+        "dialect splits the fill spec, the executor joins a generated key "
+        "frame (sequence/explode, no driver materialization) and fills gap "
+        "rows with CH column defaults (0).",
+)
+def ch7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, count() AS n, round(sum(value), 2) AS total
+        FROM events
+        WHERE event_type = 'purchase' AND value > 90 AND user_id < 60
+        GROUP BY user_id
+        ORDER BY user_id WITH FILL FROM 0 TO 60
+        """,
+        ["events"],
+    )

@@ -176,6 +176,82 @@ def _caller_namespace() -> dict:
     return {}
 
 
+def _apply_with_fill(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
+    """Apply a ClickHouse ``ORDER BY … WITH FILL`` spec to a result frame.
+
+    Generates the key sequence (FROM inclusive → TO exclusive, STEP; with no
+    bounds, the observed min..max inclusively — the CH contract), full-outer
+    joins it with the result so out-of-range original rows survive, and
+    fills the gap rows with column defaults (0 / '' — CH columns are
+    non-Nullable, so defaults are what CH emits for fill rows).
+
+    Scale shape: the generated frame is |range|/step rows from
+    ``spark.range``/``sequence`` (no driver materialization); the join is a
+    plain equi-join AQE broadcasts when small. The only driver hop is the
+    1-row min/max lookup when bounds are omitted.
+    """
+    from pyspark.sql import functions as F
+
+    key = spec["key"]
+    key_col = next((c for c in df.columns if c.lower() == key.lower()), None)
+    if key_col is None:
+        raise ChdbError(f"WITH FILL key {key!r} is not an output column: {df.columns}")
+    dtype = dict(df.dtypes)[key_col]
+    step = spec["step"]
+    lo, hi = spec["from"], spec["to"]
+    to_exclusive = hi is not None
+    if lo is None or hi is None:
+        row = df.agg(F.min(key_col).alias("lo"), F.max(key_col).alias("hi")).first()
+        if row["lo"] is None:
+            return df  # empty result: nothing to fill
+        lo = lo if lo is not None else row["lo"]
+        hi = hi if hi is not None else row["hi"]
+        to_exclusive = to_exclusive and hi == spec["to"]
+
+    # DESC fill runs FROM(high) → TO(low): sequence needs a negative step
+    if isinstance(lo, (int, float)) and isinstance(hi, (int, float)) and lo > hi:
+        step = -abs(step)
+    if dtype in ("date",):
+        seq = F.sequence(
+            F.to_date(F.lit(str(lo))),
+            F.to_date(F.lit(str(hi))),
+            F.expr(f"interval {int(step)} day"),
+        )
+    elif dtype.startswith("timestamp"):
+        seq = F.sequence(
+            F.to_timestamp(F.lit(str(lo))),
+            F.to_timestamp(F.lit(str(hi))),
+            F.expr(f"interval {int(step)} second"),
+        )
+    else:
+        seq = F.sequence(F.lit(lo), F.lit(hi), F.lit(step))
+    frame = (
+        spark.range(1)
+        .select(F.explode(seq).alias(key_col))
+        .select(F.col(key_col).cast(dtype))
+    )
+    if to_exclusive:
+        frame = frame.filter(
+            F.col(key_col) > F.lit(hi)
+            if isinstance(step, (int, float)) and step < 0
+            else F.col(key_col) < F.lit(hi)
+        )
+    filled = frame.join(df, key_col, "full_outer")
+    num = {
+        c: 0
+        for c, t in filled.dtypes
+        if c != key_col
+        and (t in ("int", "bigint", "smallint", "tinyint", "double", "float") or t.startswith("decimal"))
+    }
+    txt = [c for c, t in filled.dtypes if c != key_col and t == "string"]
+    if num:
+        filled = filled.na.fill(num)
+    if txt:
+        filled = filled.na.fill("", subset=txt)
+    order = F.col(key_col).desc() if spec["desc"] else F.col(key_col).asc()
+    return filled.select(df.columns).orderBy(order)
+
+
 def query(
     spark_or_sql,
     sql_or_fmt: str | None = None,
@@ -258,6 +334,9 @@ def query(
         from chdb_spark.dialect import extract_settings
 
         bound, ch_settings = extract_settings(bound)
+        from chdb_spark.dialect import extract_with_fill
+
+        bound, fill_spec = extract_with_fill(bound)
         translated = rewrite(bound)
         from chdb_spark.dialect import _TF_RE
 
@@ -266,6 +345,8 @@ def query(
                 spark, translated, namespace=_caller_namespace()
             )
         out = spark.sql(translated)
+        if fill_spec is not None:
+            out = _apply_with_fill(spark, out, fill_spec)
         if progress_callback is not None:
             # completion-style progress (reference api-reference.md:190:
             # progress objects carry read_rows/read_bytes). Spark reports

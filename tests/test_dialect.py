@@ -381,3 +381,37 @@ def test_remote_table_functions_reach_the_right_reader(spark, tmp_path):
     pd.DataFrame({"a": [7]}).to_parquet(p)
     out = chs.query(spark, f"SELECT a FROM hdfs('file://{p}', Parquet)", "Pandas")
     assert list(out["a"]) == [7]
+
+
+def test_with_fill_variants(spark):
+    import chdb_spark.session as chs
+
+    spark.createDataFrame([(1, 5), (3, 7), (6, 2)], "k int, n int").createOrReplaceTempView(
+        "tfill"
+    )
+    # no bounds: observed min..max inclusive, gaps filled with defaults
+    rows = chs.query(spark, "SELECT k, n FROM tfill ORDER BY k WITH FILL", "DataFrame").collect()
+    assert [(r["k"], r["n"]) for r in rows] == [(1, 5), (2, 0), (3, 7), (4, 0), (5, 0), (6, 2)]
+    # FROM inclusive / TO exclusive / STEP, original out-of-step rows kept
+    rows = chs.query(
+        spark, "SELECT k, n FROM tfill ORDER BY k WITH FILL FROM 0 TO 9 STEP 2", "DataFrame"
+    ).collect()
+    assert [r["k"] for r in rows] == [0, 1, 2, 3, 4, 6, 8]
+    # DESC fill runs high → low, TO exclusive
+    rows = chs.query(
+        spark, "SELECT k, n FROM tfill ORDER BY k DESC WITH FILL FROM 8 TO 0", "DataFrame"
+    ).collect()
+    assert [r["k"] for r in rows] == [8, 7, 6, 5, 4, 3, 2, 1]
+    assert dict((r["k"], r["n"]) for r in rows)[6] == 2
+
+
+def test_with_fill_requires_single_order_key(spark):
+    import pytest as _pytest
+
+    from chdb_spark.dialect import extract_with_fill
+
+    with _pytest.raises(ValueError):
+        extract_with_fill("SELECT a, b FROM t ORDER BY a, b WITH FILL")
+    # plain SQL passes through untouched
+    sql = "SELECT a FROM t ORDER BY a"
+    assert extract_with_fill(sql) == (sql, None)
