@@ -978,6 +978,8 @@ def rewrite(sql: str) -> str:
     if m:
         return m.group(1)
     sql = rewrite_ddl(sql)
+    if _WITH_TOTALS_RE.search(sql):
+        sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)
     if _ARRAY_JOIN_RE.search(sql):
         sql = _rewrite_array_join(sql)
@@ -1313,3 +1315,45 @@ def extract_with_fill(sql: str) -> tuple[str, dict | None]:
     }
     rest = (" " + tail) if tail else ""
     return head + rest, spec
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY ... WITH TOTALS
+# ---------------------------------------------------------------------------
+
+_WITH_TOTALS_RE = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
+_GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+
+
+def _rewrite_with_totals(sql: str) -> str:
+    """``GROUP BY cols WITH TOTALS`` → ``GROUP BY GROUPING SETS ((cols), ())``.
+
+    The CH totals block is exactly the empty grouping set (one grand-total
+    row); key columns come back NULL where CH's formats print the column
+    default — the row content (the aggregates) is identical. Handles every
+    top-level occurrence (subqueries rewrite too since the scan tracks
+    strings, not depth — GROUP BY inside a derived table is still a GROUP BY
+    that can carry WITH TOTALS).
+    """
+    while True:
+        i = _last_top_level(sql, _WITH_TOTALS_RE)
+        if i < 0:
+            # also catch occurrences inside parens (derived tables)
+            m = None
+            depth_scan = _WITH_TOTALS_RE.search(sql)
+            if depth_scan is None:
+                return sql
+            i = depth_scan.start()
+        m = _WITH_TOTALS_RE.match(sql, i)
+        # find the GROUP BY that owns this WITH TOTALS: last GROUP BY before i
+        gb = None
+        for gm in _GROUP_BY_RE.finditer(sql, 0, i):
+            gb = gm
+        if gb is None:
+            raise ValueError("WITH TOTALS without a preceding GROUP BY")
+        cols = sql[gb.end():i].strip().rstrip(",")
+        sql = (
+            sql[: gb.start()]
+            + f"GROUP BY GROUPING SETS (({cols}), ())"
+            + sql[m.end():]
+        )

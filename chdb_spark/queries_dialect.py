@@ -299,3 +299,29 @@ def ch7(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["events"],
     )
+
+
+@defquery(
+    "ch8_with_totals",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), ())
+    ORDER BY o_orderstatus
+    """,
+    doc="CH `GROUP BY … WITH TOTALS` → empty grouping set (grand-total row); "
+        "single partial+final hash aggregate, no extra scan for the totals.",
+)
+def ch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderstatus, count() AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderstatus WITH TOTALS
+        ORDER BY o_orderstatus
+        """,
+        ["orders"],
+    )

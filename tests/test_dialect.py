@@ -415,3 +415,24 @@ def test_with_fill_requires_single_order_key(spark):
     # plain SQL passes through untouched
     sql = "SELECT a FROM t ORDER BY a"
     assert extract_with_fill(sql) == (sql, None)
+
+
+def test_with_totals_rewrite(spark):
+    from chdb_spark.dialect import rewrite
+
+    assert (
+        rewrite("SELECT g, sum(v) FROM t GROUP BY g WITH TOTALS ORDER BY g")
+        == "SELECT g, sum(v) FROM t GROUP BY GROUPING SETS ((g), ()) ORDER BY g"
+    )
+    assert (
+        rewrite("SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS")
+        == "SELECT a, b, count(*) FROM t GROUP BY GROUPING SETS ((a, b), ())"
+    )
+    rows = spark.sql(
+        rewrite(
+            "SELECT v % 2 AS g, count() AS n FROM (SELECT explode(sequence(1, 4)) v) "
+            "GROUP BY g WITH TOTALS"
+        )
+    ).collect()
+    by_g = {r["g"]: r["n"] for r in rows}
+    assert by_g == {0: 2, 1: 2, None: 4}
