@@ -968,3 +968,119 @@ def dsir_importance_weights(
 def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dsir_importance_weights(docs, F.col("lang") == "en").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity-proxy quality bucketing
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    trusted_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing_vocab: int = 256,
+) -> DataFrame:
+    """Per-document perplexity-proxy score + head/middle/tail bucket —
+    the CCNet quality-bucketing step (Wenzek et al. 2020: score web text
+    with a language model trained on trusted data; keep the low-perplexity
+    "head" tercile). The LM here is a character-bigram model with add-one
+    smoothing, trained in-corpus on ``trusted_filter`` rows — a
+    deterministic, engine-portable stand-in for KenLM with the identical
+    pipeline shape (train counts → broadcast model → score every doc).
+
+    Scale shape (100 TB): bigram extraction is explode(sequence)+substring
+    codegen. The model aggregates collapse map-side to the bigram vocabulary
+    (<= |alphabet|^2 keys — a few KB), so the train shuffle moves bytes; the
+    model joins back **broadcast**. Per-doc scoring aggregates by doc_id
+    (uniform). The tercile split is one ntile window over (score, doc_id) —
+    a single global sort of one small row per *document* (not per token);
+    for a trillion-doc corpus swap in approx percentile cutoffs.
+    """
+    from pyspark.sql.window import Window
+
+    grams = (
+        docs.filter(F.length(text_col) >= 2)
+        .select(
+            F.col(id_col),
+            trusted_filter.alias("_trusted"),
+            F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("i"),
+            text_col,
+        )
+        .select(
+            id_col,
+            "_trusted",
+            F.expr(f"substring({text_col}, i, 1)").alias("c1"),
+            F.expr(f"substring({text_col}, i, 2)").alias("bg"),
+        )
+    )
+    bg_counts = (
+        grams.filter("_trusted").groupBy("c1", "bg").agg(F.count("*").alias("n_bg"))
+    )
+    c1_counts = (
+        grams.filter("_trusted").groupBy("c1").agg(F.count("*").alias("n_c1"))
+    )
+    model = bg_counts.join(c1_counts, "c1").select(
+        "bg",
+        F.round(
+            -(F.log(F.col("n_bg") + 1) - F.log(F.col("n_c1") + smoothing_vocab)), 6
+        ).alias("nll"),
+    )
+    unseen = F.round(F.log(F.lit(float(smoothing_vocab))), 6)  # -ln(1/(0+V))
+
+    scored = (
+        grams.join(F.broadcast(model), "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.coalesce(F.col("nll"), unseen)), 4).alias("ppl_proxy"),
+        )
+    )
+    w = Window.orderBy("ppl_proxy", id_col)
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "ppl_proxy",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ).alias("bucket"),
+    )
+
+
+@defquery(
+    "t14_perplexity_buckets",
+    """
+    WITH grams AS (
+      SELECT doc_id, source = 'src0' AS _trusted,
+             substr(text, CAST(i AS INTEGER), 1) AS c1,
+             substr(text, CAST(i AS INTEGER), 2) AS bg
+      FROM documents, LATERAL unnest(generate_series(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 2
+    ),
+    bgc AS (SELECT c1, bg, count(*) AS n_bg FROM grams WHERE _trusted GROUP BY c1, bg),
+    c1c AS (SELECT c1, count(*) AS n_c1 FROM grams WHERE _trusted GROUP BY c1),
+    model AS (
+      SELECT bg, round(-(ln(n_bg + 1) - ln(n_c1 + 256)), 6) AS nll
+      FROM bgc JOIN c1c USING (c1)
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(coalesce(m.nll, round(ln(256.0), 6))), 4) AS ppl_proxy
+      FROM grams g LEFT JOIN model m USING (bg)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl_proxy,
+           ['head', 'middle', 'tail'][ntile(3) OVER (ORDER BY ppl_proxy, doc_id)] AS bucket
+    FROM scored ORDER BY doc_id
+    """,
+    doc="CCNet perplexity bucketing (char-bigram LM trained on the trusted "
+        "source, add-one smoothing): model shuffle collapses to the bigram "
+        "vocabulary, model joins back broadcast, one ntile window over "
+        "per-doc rows only.",
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, F.col("source") == "src0").orderBy("doc_id")

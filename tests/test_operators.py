@@ -316,3 +316,21 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert abs(out[200] - out[0]) < 1e-6
     # token counts flow through
     assert all(v is not None for v in out.values())
+
+
+def test_perplexity_buckets_separate_fluent_from_noise(spark):
+    from chdb_spark.operators.text import perplexity_buckets
+
+    fluent = "the cat sat on the mat and the dog sat on the log"
+    rows = (
+        [(i, fluent, "good") for i in range(6)]
+        + [(100, fluent, "web")]              # fluent but untrusted → low ppl
+        + [(200, "zq xv jk qz wx kj zzqq", "web")]  # off-model → high ppl
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in perplexity_buckets(df, F.col("source") == "good").collect()}
+    assert out[100]["ppl_proxy"] < out[200]["ppl_proxy"]
+    assert out[200]["bucket"] == "tail"
+    # doc 100 ties the trusted docs exactly (identical text, same model)
+    assert out[100]["ppl_proxy"] == out[0]["ppl_proxy"]
+    assert out[0]["bucket"] == "head"
