@@ -1037,14 +1037,33 @@ def perplexity_buckets(
             F.round(F.avg(F.coalesce(F.col("nll"), unseen)), 4).alias("ppl_proxy"),
         )
     )
-    w = Window.orderBy("ppl_proxy", id_col)
-    return scored.select(
+    # Exact ntile(3) without a global single-reducer window: global rank
+    # from the bucketed two-phase cumulative (integer counts — bit-exact),
+    # then the ANSI ntile arithmetic on (rank, N). Ties share a range
+    # bucket, so the doc_id tiebreak stays bucket-local.
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+
+    ranked = bucketed_running_sum(
+        scored.withColumn("_one", F.lit(1)),
+        order_col="ppl_proxy",
+        sum_cols=["_one"],
+        extra_order=[id_col],
+        inclusive=True,
+    ).withColumnRenamed("_cum__one", "_rank")
+    total = scored.agg(F.count("*").alias("_n"))
+    r, n, k = F.col("_rank"), F.col("_n"), F.lit(3)
+    big = F.floor(n / k) + 1
+    n_big = n % k
+    tile = F.when(r <= n_big * big, F.floor((r - 1) / big) + 1).otherwise(
+        n_big + F.floor((r - n_big * big - 1) / F.floor(n / k)) + 1
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
         id_col,
         "n_bigrams",
         "ppl_proxy",
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-            F.ntile(3).over(w),
+            tile.cast("int"),
         ).alias("bucket"),
     )
 
