@@ -1357,3 +1357,112 @@ def _rewrite_with_totals(sql: str) -> str:
             + f"GROUP BY GROUPING SETS (({cols}), ())"
             + sql[m.end():]
         )
+
+
+# ---------------------------------------------------------------------------
+# system.* introspection tables (reference agents/tool.py:501-553 queries
+# system.tables/system.functions; datastore/core.py:5919 system.tables)
+# ---------------------------------------------------------------------------
+
+_SYSTEM_VIEWS = {
+    "system.tables": "__system_tables",
+    "system.databases": "__system_databases",
+    "system.columns": "__system_columns",
+    "system.functions": "__system_functions",
+    "system.table_functions": "__system_table_functions",
+    "system.settings": "__system_settings",
+}
+_IDENTS.update(_SYSTEM_VIEWS)
+
+_SYS_VIEW_RE = re.compile(
+    r"\b__system_(tables|databases|columns|functions|table_functions|settings)\b"
+)
+
+#: names SQL text can call as table functions (the _TF_RE set + generators)
+_TABLE_FUNCTION_NAMES = (
+    "azureBlobStorage deltaLake file gcs generateRandom hdfs hudi iceberg "
+    "mongodb mysql numbers numbers_mt postgresql python redis remote "
+    "remoteSecure s3 sqlite url"
+).split()
+
+
+def resolve_system_tables(spark, sql: str) -> str:
+    """Materialize any referenced ``system.*`` introspection table as a temp
+    view (fresh catalog snapshot per query). ``rewrite`` has already mapped
+    ``system.X`` → ``__system_X``; this registers the view content.
+
+    Temp views surface under ``currentDatabase()`` with ``is_temporary=1``
+    (CH session tables live in a real database; Spark's catalog reports
+    them databaseless — folding them into the current database keeps the
+    reference's ``WHERE database = currentDatabase()`` introspection
+    working). Catalog sizes are small by nature — these never touch data.
+    """
+    kinds = set(_SYS_VIEW_RE.findall(sql))
+    for kind in kinds:
+        rows, schema = _system_view_rows(spark, kind)
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(
+            f"__system_{kind}"
+        )
+    return sql
+
+
+def _system_view_rows(spark, kind: str):
+    current = spark.catalog.currentDatabase()
+    if kind == "databases":
+        return (
+            [(db.name, "Memory") for db in spark.catalog.listDatabases()],
+            "name string, engine string",
+        )
+    if kind == "tables":
+        rows = []
+        for db in spark.catalog.listDatabases():
+            for t in spark.catalog.listTables(db.name):
+                is_tmp = 1 if t.isTemporary else 0
+                rows.append(
+                    (
+                        t.namespace[0] if t.namespace else current,
+                        t.name,
+                        "View" if t.tableType in ("VIEW", "TEMPORARY") else "MergeTree",
+                        is_tmp,
+                    )
+                )
+        return rows, "database string, name string, engine string, is_temporary int"
+    if kind == "columns":
+        from chdb_spark.formats import ch_type_name
+
+        rows = []
+        for t in spark.catalog.listTables(current):
+            ref = t.name if t.isTemporary else f"{t.namespace[0]}.{t.name}"
+            try:
+                schema = spark.table(ref).schema
+            except Exception:
+                continue
+            for pos, f in enumerate(schema.fields, start=1):
+                rows.append(
+                    (current, t.name, f.name, ch_type_name(f.dataType, f.nullable), pos)
+                )
+        return rows, "database string, table string, name string, type string, position int"
+    if kind == "functions":
+        from chdb_spark.functions.registry import all_functions
+
+        return (
+            [
+                (d.name, 1 if d.kind == "AGGREGATE" else 0)
+                for d in all_functions().values()
+            ],
+            "name string, is_aggregate int",
+        )
+    if kind == "table_functions":
+        return [(n,) for n in _TABLE_FUNCTION_NAMES], "name string"
+    if kind == "settings":
+        from chdb_spark.formats import _RENDER_SETTINGS
+
+        known = {
+            "max_threads": str(spark.sparkContext.defaultParallelism),
+            "output_format_json_quote_64bit_integers": "1",
+            "format_csv_delimiter": ",",
+        }
+        rows = [(k, v, 0) for k, v in known.items() if k not in _RENDER_SETTINGS]
+        rows += [(k, str(v), 1) for k, v in _RENDER_SETTINGS.items()]
+        return rows, "name string, value string, changed int"
+    raise ValueError(f"unknown system view: {kind}")

@@ -338,6 +338,10 @@ def query(
 
         bound, fill_spec = extract_with_fill(bound)
         translated = rewrite(bound)
+        if "__system_" in translated:
+            from chdb_spark.dialect import resolve_system_tables
+
+            resolve_system_tables(spark, translated)
         from chdb_spark.dialect import _TF_RE
 
         if _TF_RE.search(translated):

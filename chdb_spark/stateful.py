@@ -268,6 +268,12 @@ class Session:
             sql = resolve_table_functions(self.spark, sql)
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
+        if "__system_" in sql:
+            # snapshot AFTER switching to the session db so currentDatabase()
+            # introspection sees the session's tables
+            from chdb_spark.dialect import resolve_system_tables
+
+            resolve_system_tables(self.spark, sql)
         try:
             out = self.spark.sql(self._localize_create_table(sql))
             if _DDL_RE.match(sql):

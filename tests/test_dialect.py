@@ -436,3 +436,60 @@ def test_with_totals_rewrite(spark):
     ).collect()
     by_g = {r["g"]: r["n"] for r in rows}
     assert by_g == {0: 2, 1: 2, None: 4}
+
+
+def test_system_introspection_tables(spark):
+    import chdb_spark.session as chs
+
+    spark.createDataFrame([(1, "a")], "x int, s string").createOrReplaceTempView("sysdemo")
+    names = [
+        r["name"]
+        for r in chs.query(
+            spark,
+            "SELECT name FROM system.tables WHERE database = currentDatabase() "
+            "AND name = 'sysdemo'",
+            "DataFrame",
+        ).collect()
+    ]
+    assert names == ["sysdemo"]
+    cols = {
+        r["name"]: r["type"]
+        for r in chs.query(
+            spark, "SELECT name, type FROM system.columns WHERE table = 'sysdemo'", "DataFrame"
+        ).collect()
+    }
+    assert set(cols) == {"x", "s"}
+    assert "Int32" in cols["x"] and "String" in cols["s"]
+    fns = [
+        r["name"]
+        for r in chs.query(
+            spark,
+            "SELECT name FROM system.functions WHERE name LIKE 'uniq%' ORDER BY name",
+            "DataFrame",
+        ).collect()
+    ]
+    assert "uniq" in fns and "uniqExact" in fns
+    dbs = [r["name"] for r in chs.query(spark, "SELECT name FROM system.databases", "DataFrame").collect()]
+    assert "default" in dbs
+    tf = [r["name"] for r in chs.query(spark, "SELECT name FROM system.table_functions", "DataFrame").collect()]
+    assert "file" in tf and "sqlite" in tf
+    st = {
+        r["name"]: r["value"]
+        for r in chs.query(spark, "SELECT name, value FROM system.settings", "DataFrame").collect()
+    }
+    assert "max_threads" in st
+
+
+def test_system_tables_inside_stateful_session(tmp_path):
+    from chdb_spark.stateful import Session
+
+    sess = Session(str(tmp_path / "sysdb"))
+    try:
+        sess.query("CREATE TABLE st1 (a Int64) ENGINE = MergeTree ORDER BY a")
+        out = sess.query(
+            "SELECT name FROM system.tables WHERE database = currentDatabase() AND name = 'st1'",
+            fmt="Pandas",
+        )
+        assert list(out["name"]) == ["st1"]
+    finally:
+        sess.close()
