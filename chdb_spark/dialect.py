@@ -1258,7 +1258,8 @@ _WITH_FILL_RE = re.compile(
     r"\bWITH\s+FILL\b"
     r"(?:\s+FROM\s+(?P<from>'[^']*'|[\w.+-]+))?"
     r"(?:\s+TO\s+(?P<to>'[^']*'|[\w.+-]+))?"
-    r"(?:\s+STEP\s+(?P<step>[\w.+-]+))?",
+    r"(?:\s+STEP\s+(?P<step>[\w.+-]+))?"
+    r"(?:\s+INTERPOLATE\s*\((?P<interp>[^)]*)\))?",
     re.IGNORECASE,
 )
 _ORDER_BY_KEY_RE = re.compile(
@@ -1306,12 +1307,18 @@ def extract_with_fill(sql: str) -> tuple[str, dict | None]:
         except ValueError:
             return float(s)
 
+    interp = [
+        c.strip().strip("`")
+        for c in (m.group("interp") or "").split(",")
+        if c.strip()
+    ]
     spec = {
         "key": km.group("key").strip("`"),
         "desc": (km.group("dir") or "").upper() == "DESC",
         "from": _lit(m.group("from")),
         "to": _lit(m.group("to")),
         "step": _lit(m.group("step")) or 1,
+        "interpolate": interp,
     }
     rest = (" " + tail) if tail else ""
     return head + rest, spec

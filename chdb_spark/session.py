@@ -237,18 +237,34 @@ def _apply_with_fill(spark: SparkSession, df: DataFrame, spec: dict) -> DataFram
             else F.col(key_col) < F.lit(hi)
         )
     filled = frame.join(df, key_col, "full_outer")
+    order = F.col(key_col).desc() if spec["desc"] else F.col(key_col).asc()
+    interp = []
+    for want in spec.get("interpolate", []):
+        c = next((x for x in df.columns if x.lower() == want.lower()), None)
+        if c is None:
+            raise ChdbError(f"INTERPOLATE column {want!r} is not an output column")
+        interp.append(c)
+    if interp:
+        # CH INTERPOLATE (col): fill rows carry the previous row's value
+        # forward (in fill direction). The window is global but bounded by
+        # the fill frame (a report-shaped result, not corpus rows).
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+        for c in interp:
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
     num = {
         c: 0
         for c, t in filled.dtypes
         if c != key_col
+        and c not in interp
         and (t in ("int", "bigint", "smallint", "tinyint", "double", "float") or t.startswith("decimal"))
     }
-    txt = [c for c, t in filled.dtypes if c != key_col and t == "string"]
+    txt = [c for c, t in filled.dtypes if c != key_col and c not in interp and t == "string"]
     if num:
         filled = filled.na.fill(num)
     if txt:
         filled = filled.na.fill("", subset=txt)
-    order = F.col(key_col).desc() if spec["desc"] else F.col(key_col).asc()
     return filled.select(df.columns).orderBy(order)
 
 

@@ -493,3 +493,19 @@ def test_system_tables_inside_stateful_session(tmp_path):
         assert list(out["name"]) == ["st1"]
     finally:
         sess.close()
+
+
+def test_with_fill_interpolate_carries_previous_value(spark):
+    import chdb_spark.session as chs
+
+    spark.createDataFrame([(1, 5.0), (4, 8.0)], "k int, v double").createOrReplaceTempView(
+        "tinterp"
+    )
+    rows = chs.query(
+        spark,
+        "SELECT k, v FROM tinterp ORDER BY k WITH FILL FROM 1 TO 7 INTERPOLATE (v)",
+        "DataFrame",
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [
+        (1, 5.0), (2, 5.0), (3, 5.0), (4, 8.0), (5, 8.0), (6, 8.0),
+    ]
