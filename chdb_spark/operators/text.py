@@ -1000,7 +1000,13 @@ def perplexity_buckets(
     """
     from pyspark.sql.window import Window
 
-    grams = (
+    # Single pass over the exploded bigram stream: per-(doc, bigram) counts
+    # first (map-side combinable within doc locality), then BOTH the model
+    # counts and the per-doc scores derive from that one relation — the
+    # explode never runs twice. n(c1) == sum over bigrams of n(c1·) because
+    # every position contributes exactly one bigram, so the prefix counts
+    # need no separate scan either.
+    dbc = (
         docs.filter(F.length(text_col) >= 2)
         .select(
             F.col(id_col),
@@ -1011,17 +1017,21 @@ def perplexity_buckets(
         .select(
             id_col,
             "_trusted",
-            F.expr(f"substring({text_col}, i, 1)").alias("c1"),
             F.expr(f"substring({text_col}, i, 2)").alias("bg"),
         )
+        .groupBy(id_col, "_trusted", "bg")
+        .agg(F.count("*").alias("n"))
     )
     bg_counts = (
-        grams.filter("_trusted").groupBy("c1", "bg").agg(F.count("*").alias("n_bg"))
+        dbc.filter("_trusted").groupBy("bg").agg(F.sum("n").alias("n_bg"))
     )
     c1_counts = (
-        grams.filter("_trusted").groupBy("c1").agg(F.count("*").alias("n_c1"))
+        bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.sum("n_bg").alias("n_c1"))
     )
-    model = bg_counts.join(c1_counts, "c1").select(
+    model = bg_counts.withColumn("c1", F.substring("bg", 1, 1)).join(
+        c1_counts, "c1"
+    ).select(
         "bg",
         F.round(
             -(F.log(F.col("n_bg") + 1) - F.log(F.col("n_c1") + smoothing_vocab)), 6
@@ -1030,11 +1040,13 @@ def perplexity_buckets(
     unseen = F.round(F.log(F.lit(float(smoothing_vocab))), 6)  # -ln(1/(0+V))
 
     scored = (
-        grams.join(F.broadcast(model), "bg", "left")
+        dbc.join(F.broadcast(model), "bg", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.avg(F.coalesce(F.col("nll"), unseen)), 4).alias("ppl_proxy"),
+            F.sum("n").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * F.coalesce(F.col("nll"), unseen)) / F.sum("n"), 4
+            ).alias("ppl_proxy"),
         )
     )
     # Exact ntile(3) without a global single-reducer window: global rank
