@@ -176,6 +176,56 @@ def _caller_namespace() -> dict:
     return {}
 
 
+class QueryResult(str):
+    """Text query result with the reference's metrics surface
+    (docs/utils.rst:252-262: ``rows_read()/bytes_read()/elapsed()`` on the
+    object ``chdb.query`` returns). It IS the rendered string (a ``str``
+    subclass), so every existing text consumer keeps working; the metrics
+    ride along.
+
+    Divergence, documented: the reference counts storage rows/bytes read by
+    the engine; Spark reports scan metrics through its listener bus per
+    job, not per result — so ``rows_read``/``bytes_read`` here report the
+    *result* rows and rendered bytes, the numbers a progress display needs.
+    """
+
+    def __new__(cls, text: str, elapsed: float = 0.0, rows: int = 0):
+        obj = super().__new__(cls, text)
+        obj._elapsed = elapsed
+        obj._rows = rows
+        return obj
+
+    def bytes(self) -> bytes:
+        return self.encode()
+
+    def data(self) -> str:
+        return str(self)
+
+    def rows_read(self) -> int:
+        return self._rows
+
+    def bytes_read(self) -> int:
+        return len(self.encode())
+
+    def storage_rows_read(self) -> int:
+        return self._rows
+
+    def storage_bytes_read(self) -> int:
+        return len(self.encode())
+
+    def elapsed(self) -> float:
+        return self._elapsed
+
+    def has_error(self) -> bool:
+        return False
+
+    def error_message(self) -> str:
+        return ""
+
+    def show(self) -> None:
+        print(self)
+
+
 def _apply_with_fill(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
     """Apply a ClickHouse ``ORDER BY … WITH FILL`` spec to a result frame.
 
@@ -397,7 +447,23 @@ def query(
                 )
             )
             return rendered
-        return format_result(out, fmt, settings=ch_settings)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        rendered = format_result(out, fmt, settings=ch_settings)
+        elapsed = _time.perf_counter() - t0
+        from chdb_spark.utils import trace as _trace
+
+        if _trace.enabled or (reference_shape and isinstance(rendered, str)):
+            n_rows = rendered.count("\n") if isinstance(rendered, str) else (
+                rendered.count() if fmt == "DataFrame" else len(rendered)
+                if hasattr(rendered, "__len__") and not isinstance(rendered, bytes)
+                else 0
+            )
+            _trace._record(sql_text, elapsed, n_rows)
+            if reference_shape and isinstance(rendered, str):
+                return QueryResult(rendered, elapsed=elapsed, rows=n_rows)
+        return rendered
     except Exception as exc:
         if reference_shape and not isinstance(exc, (ValueError, KeyError)):
             raise ChdbError(str(exc)) from exc

@@ -1,0 +1,116 @@
+"""chdb.utils analogue — the docs/utils.rst examples run verbatim
+(flatten_dict / convert_to_columnar / infer_data_type(s) / types / trace),
+plus the query-result metrics surface (docs/utils.rst:252-262)."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from chdb_spark.utils import (
+    convert_to_columnar,
+    flatten_dict,
+    infer_data_type,
+    infer_data_types,
+    trace,
+    types,
+)
+
+
+def test_flatten_dict_docs_example():
+    nested = {
+        "user": {
+            "profile": {"name": "Alice", "age": 30},
+            "preferences": {"theme": "dark", "language": "en"},
+        },
+        "account": {"status": "active"},
+    }
+    assert flatten_dict(nested) == {
+        "user.profile.name": "Alice",
+        "user.profile.age": 30,
+        "user.preferences.theme": "dark",
+        "user.preferences.language": "en",
+        "account.status": "active",
+    }
+
+
+def test_flatten_dict_list_of_dicts_per_index():
+    assert flatten_dict({"a": [{"x": 1}, {"x": 2}], "b": [1, 2]}) == {
+        "a.0.x": 1,
+        "a.1.x": 2,
+        "b": [1, 2],
+    }
+
+
+def test_convert_to_columnar_docs_example():
+    rows = [
+        {"name": "Alice", "age": 30, "city": "NYC"},
+        {"name": "Bob", "age": 25, "city": "LA"},
+        {"name": "Charlie", "age": 35, "city": "Chicago"},
+    ]
+    assert convert_to_columnar(rows) == {
+        "name": ["Alice", "Bob", "Charlie"],
+        "age": [30, 25, 35],
+        "city": ["NYC", "LA", "Chicago"],
+    }
+    assert convert_to_columnar([]) == {}
+    # ragged rows pad with None
+    assert convert_to_columnar([{"a": 1}, {"b": 2}]) == {"a": [1, None], "b": [None, 2]}
+
+
+def test_infer_data_type_docs_examples():
+    assert infer_data_type([1, 2, 3, 4, 5]) == "UInt64"
+    assert infer_data_type(["hello", "world", "test"]) == "String"
+    assert infer_data_type([1.5, 2.7, 3.14]) == "Float64"
+    assert infer_data_type([True, False]) == "Bool"
+    assert infer_data_type([-1, 2]) == "Int64"
+    assert infer_data_type([1, 2.5]) == "Float64"
+    assert infer_data_type([None]) == "String"
+    assert infer_data_type([date(2024, 1, 1)]) == "Date"
+    assert infer_data_type([datetime(2024, 1, 1, 2)]) == "DateTime"
+    assert infer_data_types(
+        {"id": [1, 2, 3], "name": ["Alice"], "score": [85.5], "active": [True]}
+    ) == {"id": "UInt64", "name": "String", "score": "Float64", "active": "Bool"}
+
+
+def test_types_mapping_docs_examples():
+    assert types.python_to_clickhouse(int) == "Int64"
+    assert types.python_to_clickhouse(str) == "String"
+    assert types.python_to_clickhouse(float) == "Float64"
+    assert types.clickhouse_to_python("String") is str
+    assert types.clickhouse_to_python("UInt32") is int
+    assert types.clickhouse_to_python("Float64") is float
+    assert types.clickhouse_to_python("Nullable(String)") is str
+    assert types.clickhouse_to_python("Array(String)") is list
+    assert types.clickhouse_to_python("Tuple(String, UInt64)") is tuple
+    assert types.clickhouse_to_python("DateTime") is datetime
+    assert types.clickhouse_to_python("Date") is date
+    assert types.clickhouse_to_python("UUID") is str
+    import decimal
+
+    assert types.clickhouse_to_python("Decimal(10,2)") is decimal.Decimal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        types.clickhouse_to_python("NotAType")
+
+
+def test_trace_and_result_metrics(spark):
+    import chdb_spark as chdb
+
+    trace.enable_trace()
+    try:
+        res = chdb.query("SELECT number FROM numbers(5)")
+        assert str(res) == "0\n1\n2\n3\n4\n"
+        assert res.rows_read() == 5
+        assert res.bytes_read() == len(str(res).encode())
+        assert res.elapsed() >= 0
+        assert not res.has_error() and res.error_message() == ""
+        assert res.bytes() == str(res).encode()
+        events = trace.get_trace()
+        assert len(events) == 1 and "numbers(5)" in events[0]["sql"]
+        assert events[0]["rows"] == 5
+    finally:
+        trace.disable_trace()
+    # disabled: no recording
+    chdb.query("SELECT 1")
+    assert len(trace.get_trace()) == 1
