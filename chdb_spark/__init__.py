@@ -8,9 +8,12 @@ Top-level API (mirrors the reference's ``chdb.query`` / ``Session`` surface,
 reference: chdb/__init__.py:145-217 and docs/session.rst):
 
     import chdb_spark as cs
-    spark = cs.connect()                    # tuned SparkSession
+    spark = cs.get_spark()                  # tuned SparkSession
     cs.register_tables(spark, "/root/testdata/sf0.01")
     df = cs.query(spark, "SELECT count(*) AS n FROM lineitem")
+
+    conn = cs.connect(":memory:")           # reference connection shape
+    conn.query("SELECT 1", "CSV"); conn.cursor().execute("SELECT 2")
 
 Everything here is idiomatic Spark: queries are declared with the DataFrame /
 SQL API and Catalyst+Tungsten choose the physical plan. No dual-engine
@@ -19,7 +22,6 @@ planner, no SQL segmentation (SURVEY.md §7.8).
 
 from chdb_spark.session import (
     ChdbError,
-    connect,
     databases,
     get_spark,
     read_table,
@@ -31,6 +33,7 @@ from chdb_spark.session import (
 )
 from chdb_spark import functions as F
 from chdb_spark import dbapi
+from chdb_spark.dbapi import connect_str as connect  # reference chdb.connect shape
 from chdb_spark.stateful import Session, StreamingResult
 from chdb_spark import durable
 from chdb_spark import agents

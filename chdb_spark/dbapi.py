@@ -199,9 +199,18 @@ class Cursor:
         """CH-dialect acceptance on the DB-API path too (the reference
         cursor runs ClickHouse SQL — e.g. its own examples use
         ``system.numbers`` and ``toString``)."""
+        sess = getattr(self.connection, "_session", None)
+        if sess is not None:
+            # file-backed connection: execute inside the session's database
+            # so cursor DDL persists with the connection path
+            return sess.query(text, fmt="DataFrame")
         from chdb_spark.dialect import _TF_RE, resolve_table_functions, rewrite
 
         text = rewrite(text)
+        if "__system_" in text:
+            from chdb_spark.dialect import resolve_system_tables
+
+            resolve_system_tables(self.connection.spark, text)
         if _TF_RE.search(text):
             text = resolve_table_functions(self.connection.spark, text)
         return self.connection.spark.sql(text)
@@ -304,10 +313,20 @@ class Connection:
         sf_dir: str | None = None,
         spark: SparkSession | None = None,
         cursorclass: type[Cursor] = Cursor,
+        path: str = "",
     ):
         from chdb_spark.session import get_spark, register_tables
 
-        self.spark = spark or get_spark(app_name="chdb_spark_dbapi")
+        self._session = None
+        if path and path != ":memory:":
+            # file-backed connection string (reference chdb.connect("/db"))
+            # — DDL/data persist at the path via the stateful Session
+            from chdb_spark.stateful import Session as _Session
+
+            self._session = _Session(path)
+            self.spark = self._session.spark
+        else:
+            self.spark = spark or get_spark(app_name="chdb_spark_dbapi")
         if sf_dir:
             register_tables(self.spark, sf_dir)
         self.cursorclass = cursorclass
@@ -324,9 +343,23 @@ class Connection:
         one-shot execution in any output format, typed params bound."""
         if self._closed:
             raise InterfaceError("connection is closed")
+        if self._session is not None:
+            return self._session.query(sql, fmt=fmt, params=params)
         from chdb_spark.session import query as _query
 
         return _query(self.spark, sql, fmt, params=params)
+
+    def send_query(self, sql: str, format: str | None = None, **kw):
+        """Streaming execution (reference ``conn.send_query`` →
+        StreamingResult of chunks; docs/streaming.rst:20-75)."""
+        if self._closed:
+            raise InterfaceError("connection is closed")
+        if self._session is not None:
+            return self._session.send_query(sql, format=format, **kw)
+        from chdb_spark.session import query as _query
+        from chdb_spark.stateful import StreamingResult
+
+        return StreamingResult(_query(self.spark, sql, "DataFrame"), fmt=format, **kw)
 
     def commit(self):  # autocommit engine — PEP 249 requires the method
         pass
@@ -338,6 +371,8 @@ class Connection:
         # The SparkSession is shared process-wide (the reference's engine is
         # per-connection C++ state; ours is the JVM) — closing a connection
         # must not tear down the JVM for other users.
+        if self._session is not None:
+            self._session.close()  # file-backed state persists at the path
         self._closed = True
 
     def __enter__(self):
@@ -351,6 +386,25 @@ def connect(
     sf_dir: str | None = None,
     spark: SparkSession | None = None,
     cursorclass: type[Cursor] = Cursor,
+    path: str = "",
 ) -> Connection:
     """Open a DB-API connection (reference examples/dbapi.py:7)."""
-    return Connection(sf_dir=sf_dir, spark=spark, cursorclass=cursorclass)
+    return Connection(sf_dir=sf_dir, spark=spark, cursorclass=cursorclass, path=path)
+
+
+def connect_str(conn_str: str = ":memory:") -> Connection:
+    """Reference-shape ``chdb.connect(connection_string)`` (chdb/state:
+    ``:memory:``, a file path, or either with ``?udf_path=…&…`` options).
+    Exported as package-level ``chdb_spark.connect``."""
+    base, _, qs = (conn_str or ":memory:").partition("?")
+    if base.startswith("file:"):
+        base = base[5:]
+    opts = dict(
+        p.split("=", 1) if "=" in p else (p, "") for p in qs.split("&") if p
+    )
+    conn = Connection(path="" if base == ":memory:" else base)
+    if opts.get("udf_path"):
+        from chdb_spark.udf import load_udf_path
+
+        load_udf_path(conn.spark, opts["udf_path"])
+    return conn

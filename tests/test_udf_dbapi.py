@@ -341,3 +341,38 @@ def test_dbapi_accepts_clickhouse_dialect(spark):
     cur.execute("SELECT uniqExact(number) AS u FROM numbers(50)")
     assert cur.fetchone()[0] == 50
     cur.close(); conn.close()
+
+
+def test_connect_reference_shape_memory(spark):
+    import chdb_spark as chdb
+
+    conn = chdb.connect(":memory:")
+    try:
+        assert str(conn.query("SELECT 1 AS x", "CSV")) == "1\n"
+        cur = conn.cursor()
+        cur.execute("SELECT toString(number) AS s FROM system.numbers LIMIT 3")
+        assert cur.fetchall() == [("0",), ("1",), ("2",)]
+        chunks = [bytes(c) for c in conn.send_query("SELECT 5 AS v", format="CSV")]
+        assert b"".join(chunks) == b"5\n"
+    finally:
+        conn.close()
+
+
+def test_connect_reference_shape_file_persists(tmp_path):
+    import chdb_spark as chdb
+
+    p = str(tmp_path / "conndb")
+    c1 = chdb.connect(p)
+    try:
+        c1.query("CREATE TABLE ct (a Int64) ENGINE = MergeTree ORDER BY a")
+        c1.query("INSERT INTO ct VALUES (7)")
+        cur = c1.cursor()
+        cur.execute("SELECT a + 1 FROM ct")
+        assert cur.fetchall() == [(8,)]
+    finally:
+        c1.close()
+    c2 = chdb.connect(p)
+    try:
+        assert str(c2.query("SELECT a FROM ct", "CSV")).strip() == "7"
+    finally:
+        c2.close()
