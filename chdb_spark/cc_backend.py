@@ -79,6 +79,11 @@ class ChdbSparkClient:
     def chdb_connection(self):
         return self._session
 
+    @property
+    def chdb(self) -> "ChdbExtension":
+        """chDB-only extension namespace (reference cc_extension.py)."""
+        return ChdbExtension(self)
+
     # -- protocol ----------------------------------------------------------
     def ping(self) -> bool:
         return not self._closed
@@ -159,6 +164,74 @@ class ChdbSparkClient:
             aligned.write.insertInto(table)
         finally:
             self._session.spark.catalog.setCurrentDatabase(prev)
+
+
+class ChdbExtension:
+    """chDB-only API surface behind ``client.chdb`` (reference
+    cc_extension.py:1-126: Python() frames, UDF registration, the DB-API
+    cursor, and the session path live in a namespace that exists only on a
+    chdb client — never bolted onto the shared Client interface)."""
+
+    def __init__(self, client: "ChdbSparkClient"):
+        self._client = client
+
+    @property
+    def session_path(self) -> str:
+        return self._client._session.path
+
+    @property
+    def connection(self):
+        """The underlying DB-API connection (shared with the client — its
+        close() does not tear down the client's session)."""
+        from chdb_spark import dbapi
+
+        conn = dbapi.Connection(spark=self._client._session.spark)
+        conn._session = self._client._session
+        conn._owns_session = False
+        return conn
+
+    def cursor(self):
+        return self.connection.cursor()
+
+    def query_python(self, sql: str, fmt: str = "DataFrame", **frames):
+        """Run SQL referencing in-memory frames through the ``Python()``
+        table function: ``client.chdb.query_python("SELECT sum(a) FROM
+        Python(my_df)", my_df=df)`` (reference cc_extension.py:59-102 —
+        the reference publishes frames into module globals; here they bind
+        directly as the resolution namespace, no global state)."""
+        from chdb_spark.dialect import (
+            _TF_RE,
+            extract_settings,
+            resolve_table_functions,
+            rewrite,
+        )
+        from chdb_spark.formats import format_result
+
+        spark = self._client._session.spark
+        sql, settings = extract_settings(sql)
+        sql = rewrite(sql)
+        if _TF_RE.search(sql):
+            sql = resolve_table_functions(spark, sql, namespace=dict(frames))
+        out = spark.sql(sql)
+        if fmt in ("DataFrame", "dataframe"):
+            return out.toPandas()  # reference returns pandas for query_python
+        return format_result(out, fmt, settings=settings)
+
+    def register_function(self, func=None, *, return_type: str = "String"):
+        """Register a Python UDF on this client's session
+        (reference cc_extension.py:104-125): usable bare or with kwargs —
+
+        >>> @client.chdb.register_function(return_type="UInt64")
+        ... def plus_one(x): return int(x) + 1
+        """
+        from chdb_spark.udf import chdb_udf, create_function
+
+        def _wrap(fn):
+            udf_obj = chdb_udf(return_type=return_type)(fn)
+            create_function(self._client._session.spark, udf_obj)
+            return udf_obj
+
+        return _wrap(func) if func is not None else _wrap
 
 
 def get_client(dsn: str, spark=None, **_) -> ChdbSparkClient:

@@ -318,6 +318,7 @@ class Connection:
         from chdb_spark.session import get_spark, register_tables
 
         self._session = None
+        self._owns_session = True
         if path and path != ":memory:":
             # file-backed connection string (reference chdb.connect("/db"))
             # — DDL/data persist at the path via the stateful Session
@@ -371,7 +372,7 @@ class Connection:
         # The SparkSession is shared process-wide (the reference's engine is
         # per-connection C++ state; ours is the JVM) — closing a connection
         # must not tear down the JVM for other users.
-        if self._session is not None:
+        if self._session is not None and self._owns_session:
             self._session.close()  # file-backed state persists at the path
         self._closed = True
 

@@ -89,3 +89,33 @@ def test_insert_dataframe_reordered_columns(client):
 def test_query_with_parameters(client):
     r = client.query("SELECT {n:Int64} * 2 AS x", parameters={"n": 21})
     assert r.result_rows == [(42,)]
+
+
+def test_chdb_extension_namespace(spark):
+    import pandas as pd
+
+    from chdb_spark.cc_backend import get_client
+
+    c = get_client("chdb://memory", spark=spark)
+    try:
+        # Python() frames bind by kwarg name (reference cc_extension.py:59)
+        my_df = pd.DataFrame({"a": [1, 2, 3]})
+        out = c.chdb.query_python("SELECT sum(a) AS s FROM Python(my_df)", my_df=my_df)
+        assert out.to_dict("records") == [{"s": 6}]
+
+        # UDF registration through the namespace (reference :104-125)
+        @c.chdb.register_function(return_type="UInt64")
+        def cc_ext_plus_one(x):
+            return int(x) + 1
+
+        assert int(c.query("SELECT cc_ext_plus_one(41) AS v").result_rows[0][0]) == 42
+
+        # DB-API cursor rides the same session; closing it leaves the client up
+        cur = c.chdb.cursor()
+        cur.execute("SELECT 9")
+        assert cur.fetchall() == [(9,)]
+        c.chdb.connection.close()
+        assert c.query("SELECT 1").result_rows == [(1,)]
+        assert isinstance(c.chdb.session_path, str)
+    finally:
+        c.close()
