@@ -320,6 +320,11 @@ class DurableObject:
             raise
         return key
 
+    def suspend(self) -> None:
+        """Persist buffered writes without releasing the lease
+        (reference durable/object.py:348-349: suspend == flush)."""
+        self.flush()
+
     def close(self) -> None:
         if self.session is None:
             return

@@ -129,3 +129,18 @@ def test_head_structure(ns, tmp_path):
     wal, _ = ns.backend.get_with_etag(f"user-6/{wal_key}")
     stmts = [json.loads(l)["sql"] for l in wal.decode().splitlines()]
     assert any("CREATE TABLE h" in s for s in stmts)
+
+
+def test_suspend_flushes_but_keeps_lease(tmp_path, spark):
+    from chdb_spark import durable
+
+    ns = durable.Namespace(f"file://{tmp_path}/store", owner="w1", spark=spark)
+    obj = ns.open("doc1")
+    try:
+        obj.execute("CREATE TABLE s (a Int64) ENGINE = MergeTree ORDER BY a")
+        obj.execute("INSERT INTO s VALUES (3)")
+        obj.suspend()  # buffered writes persisted, lease retained
+        assert obj.query("SELECT a FROM s", fmt="Pandas")["a"].tolist() == [3]
+        obj.execute("INSERT INTO s VALUES (4)")  # still writable after suspend
+    finally:
+        obj.close()
