@@ -905,6 +905,10 @@ def dsir_importance_weights(
     n_raw = raw.agg(F.sum("n_r").alias("tot_r"))
     n_tgt = tgt.agg(F.sum("n_t").alias("tot_t"))
 
+    # Per-bucket log-ratio scaled to integer micro-units: the per-doc sum
+    # is then exact 64-bit arithmetic — associative, so partial-aggregation
+    # order can never flip a rounding boundary (cross-engine bit-equality;
+    # a float sum here flaked exactly once at a .xxxx5 boundary).
     bw = (
         raw.join(tgt, "b", "left")
         .na.fill({"n_t": 0})
@@ -913,10 +917,15 @@ def dsir_importance_weights(
         .select(
             "b",
             F.round(
-                F.log((F.col("n_t") + 1) / (F.col("tot_t") + n_buckets))
-                - F.log((F.col("n_r") + 1) / (F.col("tot_r") + n_buckets)),
-                6,
-            ).alias("lw"),
+                (
+                    F.log((F.col("n_t") + 1) / (F.col("tot_t") + n_buckets))
+                    - F.log((F.col("n_r") + 1) / (F.col("tot_r") + n_buckets))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("long")
+            .alias("lw_u"),
         )
     )
 
@@ -926,7 +935,10 @@ def dsir_importance_weights(
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.round(F.sum(F.col("n") * F.col("lw")), 4).alias("dsir_logw"),
+            # no decimal re-rounding: the micro-unit integer sum is identical
+            # in both engines, so this IEEE division is bit-identical too —
+            # a round() here can land on a decimal tie and flip per libm ulp
+            (F.sum(F.col("n") * F.col("lw_u")) / 1000000.0).alias("dsir_logw"),
         )
     )
 
@@ -948,16 +960,17 @@ def dsir_importance_weights(
     tgt AS (SELECT b, count(*) AS n_t FROM tb WHERE _is_target GROUP BY b),
     bw AS (
       SELECT raw.b,
-             round(ln((coalesce(n_t, 0) + 1)::DOUBLE
+             CAST(round((ln((coalesce(n_t, 0) + 1)::DOUBLE
                        / ((SELECT sum(n_t) FROM tgt) + 64))
                    - ln((n_r + 1)::DOUBLE
-                       / ((SELECT sum(n_r) FROM raw) + 64)), 6) AS lw
+                       / ((SELECT sum(n_r) FROM raw) + 64))) * 1000000, 0)
+                  AS BIGINT) AS lw_u
       FROM raw LEFT JOIN tgt ON raw.b = tgt.b
     ),
     dbc AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY doc_id, b)
     SELECT doc_id,
            CAST(sum(n) AS BIGINT) AS n_tokens,
-           round(sum(n * lw), 4) AS dsir_logw
+           sum(n * lw_u) / 1000000.0 AS dsir_logw
     FROM dbc JOIN bw USING (b)
     GROUP BY doc_id ORDER BY doc_id
     """,
@@ -1029,23 +1042,31 @@ def perplexity_buckets(
         bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
         .agg(F.sum("n_bg").alias("n_c1"))
     )
+    # nll in integer micro-units so the per-doc sum is exact 64-bit math —
+    # associative, immune to partial-agg order at rounding boundaries
     model = bg_counts.withColumn("c1", F.substring("bg", 1, 1)).join(
         c1_counts, "c1"
     ).select(
         "bg",
         F.round(
-            -(F.log(F.col("n_bg") + 1) - F.log(F.col("n_c1") + smoothing_vocab)), 6
-        ).alias("nll"),
+            -(F.log(F.col("n_bg") + 1) - F.log(F.col("n_c1") + smoothing_vocab))
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("nll_u"),
     )
-    unseen = F.round(F.log(F.lit(float(smoothing_vocab))), 6)  # -ln(1/(0+V))
+    unseen = F.round(F.log(F.lit(float(smoothing_vocab))) * 1000000, 0).cast("long")
 
     scored = (
         dbc.join(F.broadcast(model), "bg", "left")
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("n") * F.coalesce(F.col("nll"), unseen)) / F.sum("n"), 4
+            (
+                F.sum(F.col("n") * F.coalesce(F.col("nll_u"), unseen))
+                / 1000000.0
+                / F.sum("n")
             ).alias("ppl_proxy"),
         )
     )
@@ -1093,13 +1114,14 @@ def perplexity_buckets(
     bgc AS (SELECT c1, bg, count(*) AS n_bg FROM grams WHERE _trusted GROUP BY c1, bg),
     c1c AS (SELECT c1, count(*) AS n_c1 FROM grams WHERE _trusted GROUP BY c1),
     model AS (
-      SELECT bg, round(-(ln(n_bg + 1) - ln(n_c1 + 256)), 6) AS nll
+      SELECT bg, CAST(round(-(ln(n_bg + 1) - ln(n_c1 + 256)) * 1000000, 0) AS BIGINT) AS nll_u
       FROM bgc JOIN c1c USING (c1)
     ),
     scored AS (
       SELECT g.doc_id,
              CAST(count(*) AS BIGINT) AS n_bigrams,
-             round(avg(coalesce(m.nll, round(ln(256.0), 6))), 4) AS ppl_proxy
+             sum(coalesce(m.nll_u, CAST(round(ln(256.0) * 1000000, 0) AS BIGINT)))
+                   / 1000000.0 / count(*) AS ppl_proxy
       FROM grams g LEFT JOIN model m USING (bg)
       GROUP BY g.doc_id
     )
