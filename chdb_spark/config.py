@@ -54,3 +54,117 @@ def disable_debug() -> None:
 def enable_profiling() -> None:
     global profiling
     profiling = True
+
+
+def disable_profiling() -> None:
+    global profiling
+    profiling = False
+
+
+def is_profiling_enabled() -> bool:
+    return profiling
+
+
+def get_profiler() -> "Profiler":
+    """The module profiler (reference docs/PROFILING.md:28-33:
+    ``get_profiler().report()``). Backed by chdb_spark.utils.trace —
+    every ``session.query`` records (sql, elapsed, rows) while enabled."""
+    return _PROFILER
+
+
+class Profiler:
+    """Aggregates the trace events into the reference's report shape."""
+
+    def records(self) -> list[dict]:
+        from chdb_spark.utils import trace
+
+        return trace.get_trace()
+
+    def report(self) -> str:
+        rows = self.records()
+        total = sum(r["elapsed"] for r in rows)
+        lines = [f"{len(rows)} queries, {total:.4f}s total"]
+        for r in rows:
+            lines.append(f"  {r['elapsed']:.4f}s  rows={r['rows']}  {r['sql'][:70]}")
+        out = "\n".join(lines)
+        print(out)
+        return out
+
+    def reset(self) -> None:
+        from chdb_spark.utils import trace
+
+        was = trace.enabled
+        trace.enable_trace()  # clears the buffer
+        trace.enabled = was
+
+
+_PROFILER = Profiler()
+
+
+# -- compatibility mode (reference config.py CompatMode family) -------------
+
+#: 'performance' (engine-native semantics) vs 'pandas' (match pandas quirks)
+_compat_mode: str = "performance"
+
+
+class CompatMode:
+    PERFORMANCE = "performance"
+    PANDAS = "pandas"
+
+
+def set_compat_mode(mode: str) -> None:
+    global _compat_mode
+    if mode not in (CompatMode.PERFORMANCE, CompatMode.PANDAS):
+        raise ValueError(f"unknown compat mode: {mode!r}")
+    _compat_mode = mode
+
+
+def get_compat_mode() -> str:
+    return _compat_mode
+
+
+def is_performance_mode() -> bool:
+    return _compat_mode == CompatMode.PERFORMANCE
+
+
+def use_performance_mode() -> None:
+    set_compat_mode(CompatMode.PERFORMANCE)
+
+
+def use_pandas_compat() -> None:
+    set_compat_mode(CompatMode.PANDAS)
+
+
+# -- logging shims (reference config.py set_log_level/get_logger) -----------
+
+
+def get_logger():
+    import logging
+
+    return logging.getLogger("chdb_spark")
+
+
+def set_log_level(level) -> None:
+    get_logger().setLevel(level)
+
+
+def set_log_format(fmt: str) -> None:
+    import logging
+
+    for h in get_logger().handlers or [logging.StreamHandler()]:
+        h.setFormatter(logging.Formatter(fmt))
+
+
+class _ConfigNamespace:
+    """``datastore.config`` object access (reference exposes a module-like
+    config singleton alongside the functions)."""
+
+    def __getattr__(self, name):
+        import chdb_spark.config as m
+
+        if hasattr(m, name) and name != "config":
+            return getattr(m, name)
+        raise AttributeError(name)
+
+
+config = _ConfigNamespace()

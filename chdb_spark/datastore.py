@@ -976,3 +976,23 @@ def from_df(spark: SparkSession, pdf) -> DataStore:
 
 def from_spark(df: DataFrame) -> DataStore:
     return DataStore(df)
+
+
+def __getattr__(name: str):
+    """Module-level pandas API (``from chdb import datastore as pd`` —
+    reference datastore/__init__.py re-exports pandas_api + config here).
+    Lazy so importing DataStore never drags pandas in."""
+    from chdb_spark import config as _config
+    from chdb_spark import pandas_api as _papi
+
+    if hasattr(_papi, name):
+        return getattr(_papi, name)
+    if hasattr(_config, name):
+        return getattr(_config, name)
+    raise AttributeError(f"module 'chdb_spark.datastore' has no attribute {name!r}")
+
+
+# pyspark's DataFrame name must not shadow the module-level pandas-API
+# DataFrame (→ __getattr__ → pandas_api.DataFrame); annotations above are
+# strings (future import), so the class object itself is no longer needed.
+del DataFrame
