@@ -982,13 +982,14 @@ def __getattr__(name: str):
     """Module-level pandas API (``from chdb import datastore as pd`` —
     reference datastore/__init__.py re-exports pandas_api + config here).
     Lazy so importing DataStore never drags pandas in."""
+    from chdb_spark import accessors as _acc
     from chdb_spark import config as _config
+    from chdb_spark import exceptions as _exc
     from chdb_spark import pandas_api as _papi
 
-    if hasattr(_papi, name):
-        return getattr(_papi, name)
-    if hasattr(_config, name):
-        return getattr(_config, name)
+    for mod in (_papi, _config, _exc, _acc):
+        if hasattr(mod, name):
+            return getattr(mod, name)
     raise AttributeError(f"module 'chdb_spark.datastore' has no attribute {name!r}")
 
 

@@ -128,3 +128,12 @@ def test_compat_mode_toggles():
 
     with _pytest.raises(ValueError):
         cfg.set_compat_mode("nope")
+
+
+def test_exception_and_accessor_exports():
+    # reference datastore/__init__.py exposes the exception hierarchy and
+    # accessor classes at module level
+    assert issubclass(pd.QueryError, pd.DataStoreError)
+    assert issubclass(pd.ImmutableError, ValueError)
+    assert pd.ColumnNotFoundError and pd.UnsupportedOperationError
+    assert pd.StringAccessor and pd.DateTimeAccessor and pd.JsonAccessor
