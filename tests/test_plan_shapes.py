@@ -320,3 +320,32 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_orders")
         spark.sql("DROP TABLE IF EXISTS bk_lineitem")
+
+
+def test_t13_dsir_bucket_weights_broadcast(spark):
+    plan = plan_of(spark, "t13_dsir_weights")
+    # the <=64-row bucket-weight table must come back as a broadcast join,
+    # never a shuffle of the full per-doc relation
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t14_perplexity_model_broadcast_no_global_window(spark):
+    import re
+
+    plan = plan_of(spark, "t14_perplexity_buckets")
+    assert "BroadcastHashJoin" in plan  # char-bigram model joins broadcast
+    # tercile ranks come from the bucketed two-phase form: any sort-ordered
+    # window must be _bk-bucket-local, not a global single-reducer sort
+    for spec in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.group(1).split(",")[0].strip()
+        if "ASC" in head or "DESC" in head:
+            assert head.startswith("_bk"), f"global window over {head!r}"
+
+
+def test_dd9_substring_spans_single_scan_shape(spark):
+    plan = plan_of(spark, "dd9_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "Generate" in plan  # sequence explode
+    # no Python in the hot path: the window pass is pure codegen
+    assert "EvalPython" not in plan
