@@ -376,3 +376,14 @@ def test_connect_reference_shape_file_persists(tmp_path):
         assert str(c2.query("SELECT a FROM ct", "CSV")).strip() == "7"
     finally:
         c2.close()
+
+
+def test_state_module_connect(spark):
+    from chdb_spark.state import Connection, connect
+
+    conn = connect(":memory:")
+    try:
+        assert isinstance(conn, Connection)
+        assert str(conn.query("SELECT 3 AS v", "CSV")).strip() == "3"
+    finally:
+        conn.close()
