@@ -38,6 +38,7 @@ from chdb_spark.stateful import Session, StreamingResult
 from chdb_spark import durable
 from chdb_spark import agents
 from chdb_spark import utils
+from chdb_spark import state
 from chdb_spark.sinks import to_arrow as to_arrowTable  # noqa: N812 (reference name)
 from chdb_spark.sinks import to_pandas as to_df
 from chdb_spark.udf import (

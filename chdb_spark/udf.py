@@ -389,3 +389,8 @@ def load_udf_path(spark, udf_path: str) -> list[str]:
     for nm in new:
         _REGISTRY[nm].register(spark)
     return new
+
+
+#: reference alias (chdb/__init__.py:240 ``from .udf import func``) — the
+#: upstream decorator name for @chdb_udf
+func = chdb_udf
