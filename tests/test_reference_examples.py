@@ -232,3 +232,74 @@ def test_example8_streaming_format_bytes(spark):
             n_chunks += 1
         assert row_count == 200000
         assert n_chunks >= 4
+
+
+def test_quickstart_rst_first_query(spark):
+    """docs/quickstart.rst:10-23 — first query + exact CSV output."""
+    import chdb_spark as chdb
+
+    result = chdb.query("SELECT 1 as id, 'Hello World' as message", "CSV")
+    # the quickstart prose prints the strings unquoted; the engine (like
+    # ClickHouse's actual CSV writer) quotes string cells
+    assert str(result).strip() == '1,"Hello World"' 
+
+
+def test_quickstart_rst_connection_api(spark):
+    """docs/quickstart.rst:25-46 — connection-based API, cursor iteration."""
+    import chdb_spark as chdb
+
+    conn = chdb.connect(":memory:")
+    cur = conn.cursor()
+    cur.execute("SELECT number, toString(number) as str FROM system.numbers LIMIT 3")
+    rows = [row for row in cur]
+    assert rows == [(0, "0"), (1, "1"), (2, "2")]
+    conn.close()
+
+
+def test_quickstart_rst_output_formats(spark):
+    """docs/quickstart.rst:48-86 — DataFrame / ArrowTable / Pretty."""
+    import chdb_spark as chdb
+
+    df = chdb.query("SELECT number, number*2 as doubled FROM numbers(5)", "DataFrame")
+    # reference returns pandas here; this engine returns the lazy DataFrame
+    # for the Spark call-shape and pandas for the reference call-shape
+    pdf = chdb.query("SELECT number, number*2 as doubled FROM numbers(5)", "Pandas")
+    assert type(pdf).__module__.startswith("pandas")
+    assert list(pdf["doubled"]) == [0, 2, 4, 6, 8]
+    table = chdb.query("SELECT number FROM numbers(1000)", "ArrowTable")
+    assert type(table).__module__.startswith("pyarrow")
+    assert len(table) == 1000
+    pretty = chdb.query(
+        "SELECT 'Alice' as name, 25 as age UNION ALL SELECT 'Bob', 30", "Pretty"
+    )
+    assert "Alice" in str(pretty) and "Bob" in str(pretty)
+    assert df is not None
+
+
+def test_quickstart_rst_file_queries(spark, tmp_path):
+    """docs/quickstart.rst:88-125 — file() over CSV/JSONEachRow/Parquet."""
+    import pandas as real_pd
+
+    import chdb_spark as chdb
+
+    csv = tmp_path / "data.csv"
+    real_pd.DataFrame({"column_name": [1.0, 2.0, 3.0]}).to_csv(csv, index=False)
+    out = chdb.query(
+        f"SELECT count(*) AS n, avg(column_name) AS a FROM file('{csv}', 'CSVWithNames')"
+    )
+    # ClickHouse prints integral Float64 without the trailing .0
+    assert str(out).strip() == "3,2"
+
+    pq = tmp_path / "employees.parquet"
+    real_pd.DataFrame(
+        {"department": ["x", "y", "x"], "salary": [10, 20, 30]}
+    ).to_parquet(pq)
+    out = chdb.query(
+        f"""
+        SELECT department, sum(salary) as total_salary
+        FROM file('{pq}', 'Parquet')
+        GROUP BY department
+        ORDER BY total_salary DESC
+        """
+    )
+    assert [l for l in str(out).splitlines() if l] == ['"x",40', '"y",20']
