@@ -303,3 +303,52 @@ def test_quickstart_rst_file_queries(spark, tmp_path):
         """
     )
     assert [l for l in str(out).splitlines() if l] == ['"x",40', '"y",20']
+
+
+def test_quickstart_rst_python_df_and_persistence(spark, tmp_path):
+    """docs/quickstart.rst:135-205 — Python(df), persistent DDL via cursor,
+    error handling with chdb.ChdbError."""
+    import pandas as real_pd
+
+    import chdb_spark as chdb
+
+    df = real_pd.DataFrame(
+        {
+            "product": ["A", "B", "C", "A", "B"],
+            "sales": [100, 200, 150, 300, 250],
+            "region": ["North", "South", "North", "South", "North"],
+        }
+    )
+    result = chdb.query(
+        """
+        SELECT product, region, sum(sales) as total_sales, avg(sales) as avg_sales
+        FROM Python(df)
+        GROUP BY product, region
+        ORDER BY total_sales DESC
+        """,
+        "Pandas",
+    )
+    assert list(result["total_sales"]) == [300, 250, 200, 150, 100]
+
+    conn = chdb.connect(str(tmp_path / "my_database.chdb"))
+    cur = conn.cursor()
+    cur.execute(
+        """
+        CREATE TABLE IF NOT EXISTS users (
+            id UInt32, name String, email String
+        ) ENGINE = MergeTree() ORDER BY id
+        """
+    )
+    cur.execute("INSERT INTO users VALUES (1, 'Alice', 'alice@example.com')")
+    cur.execute("INSERT INTO users VALUES (2, 'Bob', 'bob@example.com')")
+    cur.execute("SELECT * FROM users ORDER BY id")
+    assert [row for row in cur] == [
+        (1, "Alice", "alice@example.com"),
+        (2, "Bob", "bob@example.com"),
+    ]
+    conn.close()
+
+    import pytest as _pytest
+
+    with _pytest.raises(chdb.ChdbError):
+        chdb.query("SELECT invalid_column FROM non_existent_table")
