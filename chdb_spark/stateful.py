@@ -39,6 +39,24 @@ _CT_RE = re.compile(
 )
 
 
+class _BytesChunk(bytes):
+    """Format-encoded chunk with the reference's ``rows_read()`` metric
+    (docs/streaming.rst:31 ``chunk.rows_read()``). A ``bytes`` subclass, so
+    ``chunk.count(b'\\n')``-style consumers keep working unchanged."""
+
+    _rows: int = 0
+
+    def rows_read(self) -> int:
+        return self._rows
+
+
+class _RowsChunk(list):
+    """Row-list chunk with ``rows_read()`` (reference chunk metric)."""
+
+    def rows_read(self) -> int:
+        return len(self)
+
+
 class StreamingResult:
     """Chunked pull-based result (reference docs/streaming.rst:20-75).
 
@@ -70,8 +88,10 @@ class StreamingResult:
             # examples.md §8 counts b'\n' in each chunk)
             from chdb_spark.formats import format_rows
 
-            return format_rows(self.schema, chunk, self._fmt)
-        return chunk
+            out = _BytesChunk(format_rows(self.schema, chunk, self._fmt))
+            out._rows = len(chunk)
+            return out
+        return _RowsChunk(chunk)
 
     def close(self) -> None:
         self._it = None

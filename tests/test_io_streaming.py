@@ -355,3 +355,44 @@ def test_multimodal_fake_path_without_codecs():
     assert _HAVE_CODECS is False
     w, h, luma = _fake_decode_image(b"\x89PNG-fake")
     assert w >= 64 and h >= 64 and luma >= 0.0
+
+
+def test_streaming_rst_examples_verbatim(spark):
+    """docs/streaming.rst:20-75 — context manager, fetch() loop, early
+    termination, chunk.rows_read()."""
+    from chdb_spark.stateful import Session
+
+    sess = Session(spark=spark)
+    try:
+        rows_cnt = 0
+        with sess.send_query("SELECT * FROM numbers(200000)", "CSV") as stream_result:
+            for chunk in stream_result:
+                rows_cnt += chunk.rows_read()
+        assert rows_cnt == 200000
+
+        rows_cnt = 0
+        stream_result = sess.send_query("SELECT * FROM numbers(200000)", "CSV")
+        while True:
+            chunk = stream_result.fetch()
+            if chunk is None:
+                break
+            rows_cnt += chunk.rows_read()
+        assert rows_cnt == 200000
+        stream_result.close()
+
+        # early termination: first chunk only, then close()
+        rows_cnt = 0
+        stream_result = sess.send_query("SELECT * FROM numbers(200000)", "CSV")
+        while True:
+            chunk = stream_result.fetch()
+            if chunk is None:
+                break
+            rows_cnt += chunk.rows_read()
+            if rows_cnt > 0:
+                stream_result.close()
+                break
+        assert 0 < rows_cnt < 200000
+        # rows_read matches the physical chunk payload
+        assert chunk.count(b"\n") == chunk.rows_read()
+    finally:
+        sess.close()
