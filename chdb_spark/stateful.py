@@ -49,6 +49,13 @@ class _BytesChunk(bytes):
     def rows_read(self) -> int:
         return self._rows
 
+    def data(self) -> str:
+        """Chunk payload as text (docs/streaming.rst:118 ``chunk.data()``)."""
+        return self.decode("utf-8", errors="replace")
+
+    def bytes(self) -> bytes:
+        return bytes(self)
+
 
 class _RowsChunk(list):
     """Row-list chunk with ``rows_read()`` (reference chunk metric)."""
@@ -95,6 +102,38 @@ class StreamingResult:
 
     def close(self) -> None:
         self._it = None
+
+    def record_batch(self, rows_per_batch: int = 10000):
+        """Arrow ``RecordBatchReader`` over the stream
+        (docs/streaming.rst:180-200: ``stream_result.record_batch(
+        rows_per_batch=...)``) — re-chunks the row stream into Arrow
+        batches of the requested size; constant driver memory."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(self.schema)
+        # whatever wire format send_query was given ("Arrow" in the doc
+        # example), batches are built from the row stream directly
+        self._fmt = None
+
+        def gen():
+            buf: list = []
+            while True:
+                chunk = self.fetch()
+                if chunk is None:
+                    break
+                buf.extend(chunk)
+                while len(buf) >= rows_per_batch:
+                    head, buf = buf[:rows_per_batch], buf[rows_per_batch:]
+                    yield pa.RecordBatch.from_pylist(
+                        [r.asDict() for r in head], schema=schema
+                    )
+            if buf:
+                yield pa.RecordBatch.from_pylist(
+                    [r.asDict() for r in buf], schema=schema
+                )
+
+        return pa.RecordBatchReader.from_batches(schema, gen())
 
     def __iter__(self):
         while True:

@@ -396,3 +396,30 @@ def test_streaming_rst_examples_verbatim(spark):
         assert chunk.count(b"\n") == chunk.rows_read()
     finally:
         sess.close()
+
+
+def test_streaming_rst_record_batch_reader(spark):
+    """docs/streaming.rst:175-205 — Arrow RecordBatchReader with custom
+    batch size over a streaming result."""
+    from chdb_spark.stateful import Session
+
+    sess = Session(spark=spark)
+    try:
+        stream_result = sess.send_query("SELECT * FROM numbers(100000)", "Arrow")
+        batch_reader = stream_result.record_batch(rows_per_batch=10000)
+        total_rows = 0
+        sizes = []
+        for batch in batch_reader:
+            total_rows += batch.num_rows
+            sizes.append(batch.num_rows)
+            assert batch.num_columns == 1
+        assert total_rows == 100000
+        assert max(sizes) <= 10000
+        stream_result.close()
+
+        # chunk.data() on a text stream (docs/streaming.rst:118)
+        with sess.send_query("SELECT number FROM numbers(3)", "CSV") as sr:
+            text = "".join(c.data() for c in sr)
+        assert text.strip().splitlines() == ["0", "1", "2"]
+    finally:
+        sess.close()
