@@ -501,6 +501,167 @@ class DataStore:
             self._df.groupBy(col).agg(F.count("*").alias("count")).orderBy(F.desc("count"), col)
         )
 
+    # -- elementwise math / summary (reference pandas_compat tier) ----------
+
+    _NUMERIC_T = ("int", "bigint", "smallint", "tinyint", "double", "float")
+
+    def _numeric_cols(self) -> list[str]:
+        return [
+            c
+            for c, t in self._df.dtypes
+            if t in self._NUMERIC_T or t.startswith("decimal")
+        ]
+
+    def abs(self) -> "DataStore":
+        """Elementwise absolute value on numeric columns (reference
+        pandas_compat abs — Column math, codegen)."""
+        num = set(self._numeric_cols())
+        return DataStore(
+            self._df.select(
+                *[
+                    F.abs(c).alias(c) if c in num else F.col(c)
+                    for c in self._df.columns
+                ]
+            )
+        )
+
+    def round(self, decimals: int = 0) -> "DataStore":
+        num = set(self._numeric_cols())
+        return DataStore(
+            self._df.select(
+                *[
+                    F.round(c, decimals).alias(c) if c in num else F.col(c)
+                    for c in self._df.columns
+                ]
+            )
+        )
+
+    def clip(self, lower=None, upper=None) -> "DataStore":
+        num = set(self._numeric_cols())
+
+        def _clip(c):
+            col = F.col(c)
+            if lower is not None:
+                col = F.greatest(col, F.lit(lower))
+            if upper is not None:
+                col = F.least(col, F.lit(upper))
+            return col.alias(c)
+
+        return DataStore(
+            self._df.select(
+                *[_clip(c) if c in num else F.col(c) for c in self._df.columns]
+            )
+        )
+
+    def nunique(self):
+        """Per-column distinct counts → pandas Series (one agg pass;
+        driver sees one row — reference returns a Series too)."""
+        row = self._df.agg(
+            *[F.countDistinct(c).alias(c) for c in self._df.columns]
+        ).first()
+        import pandas as pd
+
+        return pd.Series(row.asDict())
+
+    def quantile(self, q: float = 0.5):
+        """Exact per-column quantile → pandas Series (single agg;
+        `percentile` is the distributed exact path)."""
+        cols = self._numeric_cols()
+        row = self._df.agg(
+            *[F.expr(f"percentile(`{c}`, {q})").alias(c) for c in cols]
+        ).first()
+        import pandas as pd
+
+        return pd.Series(row.asDict())
+
+    def mode(self):
+        """Per-column most frequent value (ties → smallest, the pandas
+        order). One count-agg per column; each is a tiny result."""
+        import pandas as pd
+
+        out = {}
+        for c in self._df.columns:
+            r = (
+                self._df.groupBy(c)
+                .agg(F.count("*").alias("_n"))
+                .orderBy(F.desc("_n"), F.asc(c))
+                .first()
+            )
+            out[c] = None if r is None else r[0]
+        return pd.DataFrame([out])
+
+    def corr(self, method: str = "pearson"):
+        """Pairwise Pearson correlation matrix of numeric columns —
+        ALL pairs in ONE distributed agg pass; the k×k matrix lands on
+        the driver (reference returns a pandas frame too)."""
+        if method != "pearson":
+            raise ValueError("only pearson correlation is supported")
+        return self._pairwise(F.corr)
+
+    def cov(self):
+        """Pairwise sample covariance matrix (one agg pass)."""
+        return self._pairwise(F.covar_samp)
+
+    def _pairwise(self, fn):
+        import pandas as pd
+
+        cols = self._numeric_cols()
+        aggs = [
+            fn(a, b).alias(f"{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if j >= i
+        ]
+        row = self._df.agg(*aggs).first()
+        m = [[None] * len(cols) for _ in cols]
+        for i in range(len(cols)):
+            for j in range(len(cols)):
+                v = row[f"{min(i,j)}_{max(i,j)}"]
+                m[i][j] = v
+        return pd.DataFrame(m, index=cols, columns=cols)
+
+    def eval(self, expr: str) -> "DataStore":
+        """pandas ``eval``: ``"c = a + b"`` assigns a column; a bare
+        expression returns its values as a one-column DataStore. The
+        expression runs as a Spark SQL expression (codegen), not Python."""
+        import re as _re
+
+        m = _re.match(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", expr, _re.S)
+        if m:
+            return DataStore(self._df.withColumn(m.group(1), F.expr(m.group(2))))
+        return DataStore(self._df.select(F.expr(expr).alias(expr.strip())))
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def apply(self, func, axis: int = 0):
+        """pandas-tier apply (the reference executes apply pandas-side as
+        well — pandas_compat 'pandas-executed'). Materializes to the
+        driver: use Column expressions / ``assign`` for corpus-scale work."""
+        return self.to_df().apply(func, axis=axis)
+
+    def set_index(self, col: str) -> "DataStore":
+        """Record the index column (the engine has no row-index; the
+        column stays in the frame, reference §1.4 index emulation)."""
+        if col not in self._df.columns:
+            raise KeyError(col)
+        out = DataStore(self._df)
+        out._index_col = col
+        return out
+
+    def reset_index(self, drop: bool = False) -> "DataStore":
+        """With an index set: forget it (the column is already present).
+        Without one and ``drop=False``: add a deterministic 0-based
+        ``index`` column (row_number over the current order)."""
+        if getattr(self, "_index_col", None) is not None or drop:
+            return DataStore(self._df)
+        idx = F.row_number().over(
+            Window.orderBy(F.monotonically_increasing_id())
+        ) - 1
+        return DataStore(
+            self._df.select(idx.alias("index"), *self._df.columns)
+        )
+
     def describe(self, *cols) -> "DataStore":
         return DataStore(self._df.describe(*cols))
 

@@ -469,3 +469,51 @@ def test_datastore_sql_accepts_ch_dialect(spark):
         {"b": "y", "u": 1, "c": 1},
     ]
     assert ds.run_sql("SELECT count() AS n FROM __ds__").to_df()["n"].iloc[0] == 3
+
+
+def test_elementwise_math_mirror_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [-2.0, 3.5, None], "b": [1, -4, 9], "s": ["x", "y", "z"]})
+    ds = DataStore(spark.createDataFrame(pdf))
+    out = ds.abs().to_df().sort_values("b").reset_index(drop=True)
+    exp = pdf.copy()
+    exp[["a", "b"]] = exp[["a", "b"]].abs()
+    assert out["b"].tolist() == sorted(exp["b"].tolist())
+    clipped = ds.clip(lower=0, upper=4).to_df()
+    assert set(clipped["b"]) == {0, 1, 4}
+    rounded = DataStore(spark.createDataFrame(pd.DataFrame({"x": [1.26, 2.74]}))).round(1)
+    assert sorted(r["x"] for r in rounded.collect()) == [1.3, 2.7]
+
+
+def test_summary_methods_mirror_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 2.0, 4.0], "b": [10.0, 20.0, 20.0, 40.0]})
+    ds = DataStore(spark.createDataFrame(pdf))
+    assert ds.nunique()["a"] == 3
+    assert ds.quantile(0.5)["a"] == pdf["a"].quantile(0.5)
+    assert ds.mode()["a"][0] == 2.0
+    c = ds.corr()
+    assert abs(c.loc["a", "b"] - pdf.corr().loc["a", "b"]) < 1e-9
+    cv = ds.cov()
+    assert abs(cv.loc["a", "b"] - pdf.cov().loc["a", "b"]) < 1e-9
+
+
+def test_eval_pipe_apply_index(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": [10, 20]})
+    ds = DataStore(spark.createDataFrame(pdf))
+    out = ds.eval("c = a + b")
+    assert sorted(r["c"] for r in out.collect()) == [11, 22]
+    vals = ds.eval("a + b")
+    assert sorted(r[0] for r in vals.collect()) == [11, 22]
+    assert ds.pipe(lambda d: d.count()) == 2
+    s = ds.apply(lambda col: col.sum())
+    assert s["a"] == 3 and s["b"] == 30
+    withidx = ds.set_index("a").reset_index()
+    assert "a" in withidx.columns
+    fresh = ds.reset_index()
+    assert fresh.columns[0] == "index"
+    assert sorted(r["index"] for r in fresh.collect()) == [0, 1]
