@@ -823,6 +823,165 @@ class DataStore:
         w = self._cum_window(order_by, partition_by)
         return DataStore(self._df.withColumn(f"{col}_cummin", F.min(col).over(w)))
 
+    def cumprod(self, col: str, order_by: str | None = None,
+                partition_by: list[str] | None = None) -> "DataStore":
+        """Cumulative product (pandas cumprod): sign-aware exp/sum-of-logs
+        window — no product window aggregate exists; zeros propagate, the
+        sign is the running parity of negatives. Same frame convention as
+        cumsum."""
+        w = self._cum_window(order_by, partition_by)
+        logs = F.sum(F.log(F.abs(F.nullif(F.col(col), F.lit(0))))).over(w)
+        n_neg = F.sum(F.when(F.col(col) < 0, 1).otherwise(0)).over(w)
+        n_zero = F.sum(F.when(F.col(col) == 0, 1).otherwise(0)).over(w)
+        sign = F.when(n_neg % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        val = F.when(n_zero > 0, F.lit(0.0)).otherwise(sign * F.exp(logs))
+        return DataStore(self._df.withColumn(f"{col}_cumprod", val))
+
+    # -- frame-level reductions (→ pandas Series, one agg pass) -------------
+
+    def _reduce(self, fn, cols=None):
+        import pandas as pd
+
+        cols = list(cols) if cols else self._numeric_cols()
+        row = self._df.agg(*[fn(c).alias(c) for c in cols]).first()
+        return pd.Series(row.asDict())
+
+    def sum(self):
+        return self._reduce(F.sum)
+
+    def mean(self):
+        return self._reduce(F.avg)
+
+    def min(self):
+        return self._reduce(F.min, self._df.columns)
+
+    def max(self):
+        return self._reduce(F.max, self._df.columns)
+
+    def std(self):
+        return self._reduce(F.stddev_samp)
+
+    def var(self):
+        return self._reduce(F.var_samp)
+
+    def median(self):
+        return self._reduce(lambda c: F.expr(f"percentile(`{c}`, 0.5)"))
+
+    def skew(self):
+        # pandas reports the sample (bias-corrected G1) skewness; Spark's
+        # `skewness` is the population g1 — correct with n
+        import pandas as pd
+
+        cols = self._numeric_cols()
+        row = self._df.agg(
+            F.count("*").alias("_n"),
+            *[F.skewness(c).alias(c) for c in cols],
+        ).first()
+        n = row["_n"]
+        k = (n * (n - 1)) ** 0.5 / (n - 2) if n > 2 else float("nan")
+        return pd.Series({c: (row[c] * k if row[c] is not None else None) for c in cols})
+
+    def kurt(self):
+        # pandas G2 (sample-excess) from Spark's population g2
+        import pandas as pd
+
+        cols = self._numeric_cols()
+        row = self._df.agg(
+            F.count("*").alias("_n"),
+            *[F.kurtosis(c).alias(c) for c in cols],
+        ).first()
+        n = row["_n"]
+
+        def fix(g2):
+            if g2 is None or n < 4:
+                return None
+            return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+
+        return pd.Series({c: fix(row[c]) for c in cols})
+
+    def prod(self):
+        return self._reduce(F.product)
+
+    def all(self):
+        bools = [c for c, t in self._df.dtypes if t == "boolean"]
+        return self._reduce(F.bool_and, bools)
+
+    def any(self):
+        bools = [c for c, t in self._df.dtypes if t == "boolean"]
+        return self._reduce(F.bool_or, bools)
+
+    def isna(self) -> "DataStore":
+        return DataStore(
+            self._df.select(*[F.isnull(c).alias(c) for c in self._df.columns])
+        )
+
+    def notna(self) -> "DataStore":
+        return DataStore(
+            self._df.select(*[(~F.isnull(c)).alias(c) for c in self._df.columns])
+        )
+
+    def sort_index(self, ascending: bool = True) -> "DataStore":
+        """Sort by the set_index() column when one exists; otherwise the
+        frame has no index order to restore (returns self)."""
+        idx = getattr(self, "_index_col", None)
+        if idx is None:
+            return self
+        order = F.col(idx).asc() if ascending else F.col(idx).desc()
+        out = DataStore(self._df.orderBy(order))
+        out._index_col = idx
+        return out
+
+    def squeeze(self):
+        """1-column frame → pandas Series (driver-side, pandas contract)."""
+        if len(self._df.columns) == 1:
+            return self.to_df()[self._df.columns[0]]
+        return self
+
+    # -- driver-side exports / iteration (pandas compat tier) ---------------
+
+    def to_dict(self, orient: str = "dict"):
+        return self.to_df().to_dict(orient)
+
+    def to_numpy(self):
+        return self.to_df().to_numpy()
+
+    def to_records(self, index: bool = False):
+        return self.to_df().to_records(index=index)
+
+    def to_csv(self, path=None, index: bool = False, **kw):
+        """pandas contract: no path → CSV string; path → single CSV file
+        (driver-side). For a distributed multi-part write at corpus scale
+        use ``sinks.write_auto(ds.df, dir, fmt='csv')``."""
+        return self.to_df().to_csv(path, index=index, **kw)
+
+    def to_json(self, path=None, **kw):
+        return self.to_df().to_json(path, **kw)
+
+    def to_parquet(self, path, **kw):
+        """Distributed parquet write (the scale path — partitioned parts)."""
+        self._df.write.mode("overwrite").parquet(path)
+
+    def iterrows(self):
+        """(i, Series) per row from ``toLocalIterator`` — constant driver
+        memory at any result size (the reference iterates pandas-side)."""
+        import pandas as pd
+
+        for i, r in enumerate(self._df.toLocalIterator()):
+            yield i, pd.Series(r.asDict())
+
+    def itertuples(self, index: bool = True, name: str = "Row"):
+        from collections import namedtuple
+
+        nt = namedtuple(name, (["Index"] if index else []) + self._df.columns)
+        for i, r in enumerate(self._df.toLocalIterator()):
+            vals = ([i] if index else []) + list(r)
+            yield nt(*vals)
+
+    def items(self):
+        pdf = self.to_df()
+        for c in pdf.columns:
+            yield c, pdf[c]
+
     def rank(self, col: str, pct: bool = False, partition_by: list[str] | None = None) -> "DataStore":
         base = Window.partitionBy(*(partition_by or [])).orderBy(col)
         expr = F.percent_rank().over(base) if pct else F.rank().over(base)

@@ -517,3 +517,52 @@ def test_eval_pipe_apply_index(spark):
     fresh = ds.reset_index()
     assert fresh.columns[0] == "index"
     assert sorted(r["index"] for r in fresh.collect()) == [0, 1]
+
+
+def test_frame_reductions_mirror_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0, 10.0], "b": [2.0, 4.0, 6.0, 8.0, 1.0]})
+    ds = DataStore(spark.createDataFrame(pdf))
+    for name in ["sum", "mean", "std", "var", "median", "skew", "kurt", "prod"]:
+        got = getattr(ds, name)()
+        exp = getattr(pdf, name)()
+        for c in ["a", "b"]:
+            assert abs(got[c] - exp[c]) < 1e-9, (name, c, got[c], exp[c])
+    assert ds.min()["a"] == 1.0 and ds.max()["b"] == 8.0
+
+
+def test_bool_and_iteration_and_exports(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"f": [True, True, False], "g": [True, True, True]})
+    ds = DataStore(spark.createDataFrame(pdf))
+    assert ds.all().to_dict() == {"f": False, "g": True}
+    assert ds.any().to_dict() == {"f": True, "g": True}
+
+    nums = DataStore(spark.createDataFrame(pd.DataFrame({"x": [1, 2], "y": [3, 4]})))
+    rows = list(nums.iterrows())
+    assert rows[0][0] == 0 and set(rows[0][1].index) == {"x", "y"}
+    tups = list(nums.itertuples())
+    assert tups[0].Index == 0 and tups[0].x in (1, 2)
+    cols = dict(nums.items())
+    assert sorted(cols) == ["x", "y"]
+    assert "x,y" in nums.to_csv()
+    d = nums.to_dict("list")
+    assert sorted(d) == ["x", "y"]
+    assert nums.to_numpy().shape == (2, 2)
+
+
+def test_cumprod_and_sort_index(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"i": [0, 1, 2, 3], "v": [2.0, -3.0, 0.0, 4.0]})
+    ds = DataStore(spark.createDataFrame(pdf))
+    out = {r["i"]: r["v_cumprod"] for r in ds.cumprod("v", order_by="i").collect()}
+    exp = pdf.sort_values("i")["v"].cumprod().tolist()
+    for i, e in enumerate(exp):
+        assert abs(out[i] - e) < 1e-9, (i, out[i], e)
+    si = ds.set_index("i").sort_index(ascending=False)
+    assert [r["i"] for r in si.collect()] == [3, 2, 1, 0]
+    one = DataStore(spark.createDataFrame(pd.DataFrame({"x": [7, 8]})))
+    assert list(one.squeeze()) == [7, 8]
