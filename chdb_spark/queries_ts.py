@@ -312,3 +312,77 @@ def mo1_merge_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("event_value")
     )
     return DataStore(o).merge_ordered(DataStore(e), on="day", fill_method="ffill").df
+
+
+@defquery(
+    "ts6_ohlc_resample",
+    """
+    SELECT user_id,
+           time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+           round(arg_min(value, ts + to_microseconds(event_id)), 4)  AS open,
+           round(max(value), 4)   AS high,
+           round(min(value), 4)   AS low,
+           round(arg_max(value, ts + to_microseconds(event_id)), 4)  AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id < 5
+    GROUP BY user_id, bucket
+    ORDER BY user_id, bucket
+    """,
+    doc="OHLC/candlestick resample (pandas df.resample('1h').ohlc(), "
+        "reference pandas_compat resample family): open/close via "
+        "min_by/max_by over a composite (ts, event_id) tiebreak — one "
+        "partial+final hash aggregate keyed by (user, bucket); no window, "
+        "no sort of the raw stream.",
+)
+def ts6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    # deterministic within-bucket order: (ts, event_id) composite
+    tb = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    order = F.col("ts") + F.make_interval(secs=F.col("event_id") / 1_000_000)
+    return (
+        ev.groupBy("user_id", tb)
+        .agg(
+            F.round(F.min_by("value", order), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", order), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "bucket")
+    )
+
+
+@defquery(
+    "ts7_range_interval_frame",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT)      AS n_prev_10min,
+           round(sum(value) OVER w, 4)          AS sum_prev_10min
+    FROM events
+    WHERE user_id < 3
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="RANGE INTERVAL frame (time-based sliding window, SURVEY §2.6 "
+        "frames): per-user 10-minute trailing count/sum — partitioned by "
+        "user so no global sort; the frame is value-based (RangeFrame in "
+        "the plan), not row-counted.",
+)
+def ts7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_prev_10min"),
+        F.round(F.sum("value").over(w), 4).alias("sum_prev_10min"),
+    ).orderBy("user_id", "ts", "event_id")
