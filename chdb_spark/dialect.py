@@ -980,6 +980,8 @@ def rewrite(sql: str) -> str:
     sql = rewrite_ddl(sql)
     if _WITH_TOTALS_RE.search(sql):
         sql = _rewrite_with_totals(sql)
+    if _QUALIFY_RE.search(sql):
+        sql = _rewrite_qualify(sql)
     sql = _rewrite_limit_by(sql)
     if _ARRAY_JOIN_RE.search(sql):
         sql = _rewrite_array_join(sql)
@@ -1473,3 +1475,71 @@ def _system_view_rows(spark, kind: str):
         rows += [(k, str(v), 1) for k, v in _RENDER_SETTINGS.items()]
         return rows, "name string, value string, changed int"
     raise ValueError(f"unknown system view: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY (window-function filtering)
+# ---------------------------------------------------------------------------
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_STOP_RE = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|EXCEPT\s+SELECT|WINDOW)\b",
+    re.IGNORECASE,
+)
+_TOP_FROM_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """CH ``QUALIFY <cond>`` (filter on window results) → projected flag +
+    outer filter: the window expression becomes an inner column ``__q``,
+    the outer query keeps ``SELECT * EXCEPT (__q) WHERE __q`` — identical
+    semantics, ordinary Catalyst window + filter plan."""
+    i = _last_top_level(sql, _QUALIFY_RE)
+    if i < 0:
+        return sql
+    m = _QUALIFY_RE.match(sql, i)
+    # condition runs to the next top-level stop keyword (or end)
+    j = m.end()
+    stop = len(sql)
+    k = j
+    while k < len(sql):
+        c = sql[k]
+        if c in "'\"`":
+            k = _end_of_string(sql, k)
+            continue
+        if c == "(":
+            _, k = _balanced(sql, k)
+            continue
+        sm = _QUALIFY_STOP_RE.match(sql, k)
+        if sm:
+            stop = k
+            break
+        k += 1
+    cond = sql[j:stop].strip()
+    head, tail = sql[:i].rstrip(), sql[stop:].strip()
+    f = _last_top_level(head, _TOP_FROM_RE)
+    if f < 0:
+        raise ValueError("QUALIFY without a FROM clause")
+    # ...except the FROM we need is the FIRST top-level one (join ON clauses
+    # never contain a bare top-level FROM, so first == the table clause)
+    depth = 0
+    p = 0
+    first = -1
+    while p < len(head):
+        c = head[p]
+        if c in "'\"`":
+            p = _end_of_string(head, p)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            fm = _TOP_FROM_RE.match(head, p)
+            if fm and (p == 0 or head[p - 1] not in _WORD_CHARS):
+                first = p
+                break
+        p += 1
+    inner = f"{head[:first].rstrip()}, ({cond}) AS __q {head[first:]}"
+    out = f"SELECT * EXCEPT (__q) FROM ({inner}) __qualify WHERE __q"
+    return f"{out} {tail}" if tail else out

@@ -325,3 +325,31 @@ def ch8(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["orders"],
     )
+
+
+@defquery(
+    "ch9_qualify",
+    """
+    SELECT user_id, event_id, value
+    FROM events
+    WHERE user_id < 20
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+    ORDER BY user_id
+    """,
+    doc="CH QUALIFY clause (filter on window results) → projected flag + "
+        "outer filter; per-user top-1 stays a partitioned window, no "
+        "global sort. DuckDB's native QUALIFY is the oracle.",
+)
+def ch9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, event_id, value
+        FROM events
+        WHERE user_id < 20
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) = 1
+        ORDER BY user_id
+        """,
+        ["events"],
+    )

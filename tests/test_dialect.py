@@ -509,3 +509,29 @@ def test_with_fill_interpolate_carries_previous_value(spark):
     assert [(r["k"], r["v"]) for r in rows] == [
         (1, 5.0), (2, 5.0), (3, 5.0), (4, 8.0), (5, 8.0), (6, 8.0),
     ]
+
+
+def test_qualify_rewrite(spark):
+    from chdb_spark.dialect import rewrite
+
+    spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "v int, g string").createOrReplaceTempView(
+        "tqual"
+    )
+    out = spark.sql(
+        rewrite(
+            "SELECT v, g FROM tqual "
+            "QUALIFY row_number() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+            "ORDER BY g"
+        )
+    ).collect()
+    assert [(r["v"], r["g"]) for r in out] == [(2, "a"), (3, "b")]
+    # QUALIFY after GROUP BY: windows evaluate over the grouped result
+    out = spark.sql(
+        rewrite(
+            "SELECT g, count() AS n FROM tqual GROUP BY g "
+            "QUALIFY rank() OVER (ORDER BY count(*) DESC) = 1"
+        )
+    ).collect()
+    assert [(r["g"], r["n"]) for r in out] == [("a", 2)]
+    # plain SQL untouched
+    assert rewrite("SELECT 1") == "SELECT 1"
