@@ -262,3 +262,76 @@ def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("error_then_purchase").alias("pattern"), "n_users"
     )
     return r1.unionByName(r2).orderBy("pattern")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix — the product-analytics staple the
+    reference's retention() aggregate feeds (function family
+    function_definitions.py windowFunnel/retention): users grouped by
+    first-seen week (cohort), then per (cohort, week-offset) distinct
+    actives and the retention fraction of the cohort size.
+
+    Scale shape (100 TB): per-user first-seen is one hash agg keyed by
+    user; it joins back on the SAME key (no extra exchange of the event
+    stream beyond the user-keyed one AQE plans); the matrix agg collapses
+    to |cohorts| x |offsets| rows map-side. Cohort sizes re-join broadcast
+    (|cohorts| rows). No window over the raw stream anywhere.
+    """
+    week = F.date_trunc("week", F.col(ts_col).cast("timestamp")).cast("date")
+    ev = events.select(F.col(user_col).alias("u"), week.alias("wk"))
+    first = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    joined = ev.join(first, "u")
+    cells = (
+        joined.select(
+            "u",
+            "cohort_week",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+    sizes = first.groupBy("cohort_week").agg(F.countDistinct("u").alias("_cohort_n"))
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            F.round(F.col("n_users") / F.col("_cohort_n"), 4).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@defquery(
+    "e5_cohort_matrix",
+    """
+    WITH ev AS (
+      SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ),
+    first AS (SELECT u, min(wk) AS cohort_week FROM ev GROUP BY u),
+    cells AS (
+      SELECT cohort_week,
+             CAST(floor(date_diff('day', cohort_week, wk) / 7) AS INTEGER) AS week_offset,
+             CAST(count(DISTINCT e.u) AS BIGINT) AS n_users
+      FROM ev e JOIN first f ON e.u = f.u
+      GROUP BY cohort_week, week_offset
+    ),
+    sizes AS (SELECT cohort_week, count(DISTINCT u) AS n FROM first GROUP BY cohort_week)
+    SELECT c.cohort_week, c.week_offset, c.n_users,
+           round(c.n_users::DOUBLE / s.n, 4) AS retention_pct
+    FROM cells c JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="weekly cohort retention matrix: first-seen cohorts, per-offset "
+        "distinct actives, retention fraction — two user-keyed hash aggs, "
+        "matrix collapses map-side, cohort sizes broadcast back.",
+)
+def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(table(spark, sf_dir, "events"))
