@@ -535,3 +535,33 @@ def test_qualify_rewrite(spark):
     assert [(r["g"], r["n"]) for r in out] == [("a", 2)]
     # plain SQL untouched
     assert rewrite("SELECT 1") == "SELECT 1"
+
+
+def test_with_fill_property_fuzz(spark):
+    """Property: for any small int frame and bounds, WITH FILL emits
+    exactly (fill keys ∪ observed keys), fills with 0, keeps originals."""
+    import random
+
+    import chdb_spark.session as chs
+
+    rng = random.Random(7)
+    for trial in range(6):
+        keys = sorted(rng.sample(range(0, 30), rng.randint(1, 6)))
+        lo = rng.randint(0, 10)
+        hi = lo + rng.randint(1, 15)
+        step = rng.choice([1, 2, 3])
+        rows = [(k, k * 10) for k in keys]
+        spark.createDataFrame(rows, "k int, n int").createOrReplaceTempView("tfz")
+        got = chs.query(
+            spark,
+            f"SELECT k, n FROM tfz ORDER BY k WITH FILL FROM {lo} TO {hi} STEP {step}",
+            "DataFrame",
+        ).collect()
+        fill_keys = set(range(lo, hi, step))
+        expect_keys = sorted(fill_keys | set(keys))
+        assert [r["k"] for r in got] == expect_keys, (trial, lo, hi, step, keys)
+        by_k = {r["k"]: r["n"] for r in got}
+        for k in keys:
+            assert by_k[k] == k * 10
+        for k in fill_keys - set(keys):
+            assert by_k[k] == 0
