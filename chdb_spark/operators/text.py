@@ -1137,3 +1137,72 @@ def perplexity_buckets(
 def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return perplexity_buckets(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style rule filters
+# ---------------------------------------------------------------------------
+
+
+def c4_filters(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document C4 cleaning verdicts (Raffel et al. 2020, §2.2 of the
+    T5 paper): terminal-punctuation line ratio, boilerplate markers
+    ("lorem ipsum", "javascript", curly braces), minimum word count.
+    Complements the Gopher shape filters (t7) with the C4 rule family.
+
+    All per-row Column math (split/regexp/size) — scan-speed, zero
+    shuffles before the caller's aggregation."""
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    term_lines = F.size(F.filter(lines, lambda l: l.rlike(r"[.!?]\s*$")))
+    term_ratio = F.when(n_lines > 0, term_lines / n_lines).otherwise(F.lit(0.0))
+    low = F.lower(F.col(text_col))
+    n_words = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    return docs.select(
+        id_col,
+        F.round(term_ratio, 4).alias("terminal_punct_ratio"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        low.contains("javascript").alias("has_javascript"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        n_words.alias("n_words"),
+        (
+            (n_words >= 5)
+            & ~low.contains("lorem ipsum")
+            & ~low.contains("javascript")
+            & ~F.col(text_col).contains("{")
+        ).alias("keep"),
+    )
+
+
+@defquery(
+    "t15_c4_filters",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             lower(text) AS low,
+             text,
+             len(string_split(trim(text), ' ')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CASE WHEN len(lines) > 0
+                 THEN len(list_filter(lines, l -> regexp_matches(l, '[.!?]\\s*$')))::DOUBLE / len(lines)
+                 ELSE 0 END, 4) AS terminal_punct_ratio,
+           contains(low, 'lorem ipsum') AS has_lorem,
+           contains(low, 'javascript') AS has_javascript,
+           contains(text, '{') AS has_brace,
+           CAST(n_words AS INTEGER) AS n_words,
+           (n_words >= 5 AND NOT contains(low, 'lorem ipsum')
+            AND NOT contains(low, 'javascript') AND NOT contains(text, '{')) AS keep
+    FROM feats ORDER BY doc_id
+    """,
+    doc="C4 cleaning rules (T5 §2.2): terminal-punctuation line ratio, "
+        "boilerplate markers, min word count — per-row Column math at scan "
+        "speed, complementing the Gopher filters (t7).",
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return c4_filters(docs).orderBy("doc_id")

@@ -334,3 +334,22 @@ def test_perplexity_buckets_separate_fluent_from_noise(spark):
     # doc 100 ties the trusted docs exactly (identical text, same model)
     assert out[100]["ppl_proxy"] == out[0]["ppl_proxy"]
     assert out[0]["bucket"] == "head"
+
+
+def test_c4_filters_rules(spark):
+    from chdb_spark.operators.text import c4_filters
+
+    rows = [
+        (1, "This is fine. It ends well."),
+        (2, "contains lorem ipsum filler text here ok"),
+        (3, "enable javascript to view this page now"),
+        (4, "code { with braces } inside and words"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    assert out[1]["keep"] and out[1]["terminal_punct_ratio"] == 1.0
+    assert out[2]["has_lorem"] and not out[2]["keep"]
+    assert out[3]["has_javascript"] and not out[3]["keep"]
+    assert out[4]["has_brace"] and not out[4]["keep"]
+    assert out[5]["n_words"] == 2 and not out[5]["keep"]
