@@ -813,3 +813,158 @@ def km1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization + quantized kNN
+# ---------------------------------------------------------------------------
+
+
+def train_quantizer(emb: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus — the scalar-quantization
+    codebook (the IVF_SQ8 storage trick: 4x smaller vectors, integer dot
+    products). posexplode → hash agg keyed by dimension index collapses
+    map-side to d rows; the driver holds only the 2×d codebook (same
+    bounded-state contract as the k-means centroids)."""
+    dims = (
+        emb.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["mn"] for r in dims], [r["mx"] for r in dims]
+
+
+def quantize_expr(vec_col, mins: list, maxes: list) -> F.Column:
+    """float vector → int8-range codes: floor((x-mn)*255/(mx-mn)), clamped.
+    floor (not round) so both engines agree bit-for-bit — round's tie rule
+    differs across engines; floor of identical doubles cannot."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    rng = F.array(
+        *[F.lit(float(mx - mn_) if mx > mn_ else 1.0) for mn_, mx in zip(mins, maxes)]
+    )
+    return F.transform(
+        vec_col,
+        lambda x, i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (x - F.element_at(mn, i + 1)) * 255 / F.element_at(rng, i + 1)
+                ).cast("int"),
+            ),
+        ),
+    )
+
+
+def dequantize_expr(code_col, mins: list, maxes: list) -> F.Column:
+    """int8 codes → reconstructed float vector: x̂_i = mn_i + code_i·st_i
+    (st = range/255). Codes + the 2×d codebook are all that is stored —
+    4× smaller than float32 vectors."""
+    mn = F.array(*[F.lit(float(v)) for v in mins])
+    st = F.array(
+        *[
+            F.lit((mx - mn_) / 255.0 if mx > mn_ else 1.0 / 255.0)
+            for mn_, mx in zip(mins, maxes)
+        ]
+    )
+    return F.transform(
+        code_col,
+        lambda c, i: F.element_at(mn, i + 1) + c * F.element_at(st, i + 1),
+    )
+
+
+def quantized_knn(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors by DEQUANTIZED inner product — the SQ8 ANN pattern
+    (store int8 codes + a 2×d codebook; score against reconstructed
+    vectors). Ranking approximates the exact float MIP to quantization
+    error; ties break on neighbor id.
+
+    Determinism: codes are exact ints, the codebook is exact min/max, and
+    both engines evaluate the identical reconstruct-and-dot expression on
+    identical operands — IEEE doubles agree bit-for-bit.
+
+    Scale: quantization is a map-only transform; the query codes broadcast
+    (|Q|×d ints); scoring is per-row array math; top-k is a window
+    partitioned by query id."""
+    mins, maxes = train_quantizer(emb, vec_col)
+    q = quantize_expr(F.col(vec_col), mins, maxes)
+    coded = emb.select(F.col(id_col), q.alias("code"))
+    queries = coded.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("qcode")
+    )
+    pairs = coded.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    deq_a = dequantize_expr(F.col("code"), mins, maxes)
+    deq_b = dequantize_expr(F.col("qcode"), mins, maxes)
+    dot = F.aggregate(
+        F.zip_with(deq_a, deq_b, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dot, 4).alias("qdot"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "qdot")
+        .orderBy("query_id", "rk")
+    )
+
+
+@defquery(
+    "s4_quantized_knn",
+    """
+    WITH dims AS (
+      SELECT CAST(i AS INTEGER) AS i,
+             min(embedding[CAST(i AS INTEGER)]) AS mn,
+             max(embedding[CAST(i AS INTEGER)]) AS mx
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY 1
+    ),
+    mins AS (SELECT list(mn ORDER BY i) AS mn FROM dims),
+    rngs AS (SELECT list(CASE WHEN mx > mn THEN mx - mn ELSE 1 END ORDER BY i) AS rng FROM dims),
+    coded AS (
+      SELECT vec_id,
+             [least(255, greatest(0, CAST(floor((embedding[i] - mn[i]) * 255 / rng[i]) AS INTEGER)))
+              for i in range(1, len(embedding) + 1)] AS code
+      FROM embeddings, mins, rngs
+    ),
+    steps AS (SELECT list(CASE WHEN mx > mn THEN (mx - mn) / 255 ELSE 1.0/255 END ORDER BY i) AS st FROM dims),
+    queries AS (SELECT vec_id AS query_id, code AS qcode FROM coded WHERE vec_id IN (0, 1, 2, 3, 4)),
+    pairs AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_sum([(mn[i] + c.code[i] * st[i]) * (mn[i] + q.qcode[i] * st[i])
+                             for i in range(1, len(c.code) + 1)]), 4) AS qdot
+      FROM coded c CROSS JOIN queries q, mins, steps
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, qdot,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY qdot DESC, neighbor_id) AS INTEGER) AS rk
+      FROM pairs
+    )
+    SELECT query_id, rk, neighbor_id, qdot
+    FROM ranked WHERE rk <= 3 ORDER BY query_id, rk
+    """,
+    doc="int8 scalar-quantized kNN (SQ8 storage path): per-dim codebook "
+        "from one d-key hash agg, map-only quantization, broadcast query "
+        "codes, dequantized inner-product scoring (4x storage compression; "
+        "ranking within quantization error of exact MIP).",
+)
+def s4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return quantized_knn(emb, [0, 1, 2, 3, 4], k=3)

@@ -353,3 +353,41 @@ def test_c4_filters_rules(spark):
     assert out[3]["has_javascript"] and not out[3]["keep"]
     assert out[4]["has_brace"] and not out[4]["keep"]
     assert out[5]["n_words"] == 2 and not out[5]["keep"]
+
+
+def test_quantized_knn_matches_numpy_and_approximates_mip(spark):
+    import numpy as np
+
+    from chdb_spark.operators.similarity import quantized_knn, train_quantizer
+    from chdb_spark.queries import table
+    from tests.conftest import SF_CORRECT
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    qids = [0, 1, 2]
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in quantized_knn(emb, qids, k=3).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    mins, maxes = train_quantizer(emb)
+    mn = np.array(mins)
+    st = np.where(np.array(maxes) > mn, (np.array(maxes) - mn) / 255.0, 1 / 255.0)
+    codes = np.clip(np.floor((X - mn) * 255 / np.where(st == 1 / 255.0, 1.0, st * 255)), 0, 255)
+    deq = mn + codes * st
+
+    exact_mip_agree = 0
+    for q in qids:
+        qi = int(np.where(ids == q)[0][0])
+        scores = np.round(deq @ deq[qi], 4)
+        scores[qi] = -np.inf
+        order = np.lexsort((ids, -scores))[:3]
+        for rk, j in enumerate(order, start=1):
+            assert got[(q, rk)] == ids[j], (q, rk, got[(q, rk)], ids[j])
+        # loose sanity: dequantized top-3 overlaps the exact-float MIP top-3
+        ex = np.copy(X @ X[qi]); ex[qi] = -np.inf
+        top_exact = set(ids[np.argsort(-ex)[:3]])
+        exact_mip_agree += len(top_exact & set(ids[order]))
+    assert exact_mip_agree >= 6  # >= 2/3 overlap across the 3 queries
