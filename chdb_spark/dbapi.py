@@ -204,8 +204,14 @@ class Cursor:
             # file-backed connection: execute inside the session's database
             # so cursor DDL persists with the connection path
             return sess.query(text, fmt="DataFrame")
-        from chdb_spark.dialect import _TF_RE, resolve_table_functions, rewrite
+        from chdb_spark.dialect import (
+            _TF_RE,
+            extract_with_fill,
+            resolve_table_functions,
+            rewrite,
+        )
 
+        text, fill_spec = extract_with_fill(text)
         text = rewrite(text)
         if "__system_" in text:
             from chdb_spark.dialect import resolve_system_tables
@@ -213,7 +219,12 @@ class Cursor:
             resolve_system_tables(self.connection.spark, text)
         if _TF_RE.search(text):
             text = resolve_table_functions(self.connection.spark, text)
-        return self.connection.spark.sql(text)
+        out = self.connection.spark.sql(text)
+        if fill_spec is not None:
+            from chdb_spark.session import _apply_with_fill
+
+            out = _apply_with_fill(self.connection.spark, out, fill_spec)
+        return out
 
     def execute(self, operation: str, args=None) -> int:
         self._check()

@@ -320,6 +320,9 @@ class Session:
             return _fr(self.spark.sql("SELECT '' AS status WHERE false"), fmt or "DataFrame")
         sql, ch_settings = extract_settings(sql)
         ch_settings = {**self.settings, **ch_settings}
+        from chdb_spark.dialect import extract_with_fill
+
+        sql, fill_spec = extract_with_fill(sql)
         sql = rewrite(sql)
         from chdb_spark.dialect import _TF_RE
 
@@ -335,6 +338,10 @@ class Session:
             resolve_system_tables(self.spark, sql)
         try:
             out = self.spark.sql(self._localize_create_table(sql))
+            if fill_spec is not None:
+                from chdb_spark.session import _apply_with_fill
+
+                out = _apply_with_fill(self.spark, out, fill_spec)
             if _DDL_RE.match(sql):
                 self._snapshot()
             if fmt == "arrow":  # pre-round-3 alias: bytes were never returned

@@ -565,3 +565,27 @@ def test_with_fill_property_fuzz(spark):
             assert by_k[k] == k * 10
         for k in fill_keys - set(keys):
             assert by_k[k] == 0
+
+
+def test_with_fill_through_session_and_cursor(spark):
+    import chdb_spark as chdb
+    from chdb_spark.stateful import Session
+
+    sess = Session(spark=spark)
+    try:
+        out = sess.query(
+            "SELECT number AS k, count() AS n FROM numbers(3) GROUP BY k "
+            "ORDER BY k WITH FILL FROM 0 TO 6",
+            fmt="Pandas",
+        )
+        assert list(out["k"]) == [0, 1, 2, 3, 4, 5]
+        assert list(out["n"]) == [1, 1, 1, 0, 0, 0]
+    finally:
+        sess.close()
+    conn = chdb.connect(":memory:")
+    try:
+        cur = conn.cursor()
+        cur.execute("SELECT number AS k FROM numbers(2) ORDER BY k WITH FILL FROM 0 TO 4")
+        assert cur.fetchall() == [(0,), (1,), (2,), (3,)]
+    finally:
+        conn.close()
