@@ -56,6 +56,12 @@ class DataStore:
             self._df = None
             self._target = dict(target)
             return
+        if isinstance(df, dict):
+            # reference DataStore({"col": [...]}) literal-data constructor
+            # (skills verify_install.py: DataStore({'name': [...], ...}))
+            import pandas as _pd
+
+            df = _pd.DataFrame(df)
         if df is not None and type(df).__module__.startswith("pandas"):
             # reference chdb/__init__.py:121 to_datastore(df): DataStore
             # wraps a pandas frame directly (Arrow-accelerated ingest)

@@ -391,6 +391,11 @@ def query(
         fmt = suffix_fmt
     if fmt == "Debug":  # reference: Debug = CSV + verbose engine logging
         fmt = "CSV"
+    if reference_shape and fmt in ("DataFrame", "dataframe"):
+        # reference chdb.query(sql, "DataFrame") returns a *pandas* frame
+        # (chdb/__init__.py:205 query_df); the lazy Spark DataFrame is the
+        # Spark-call-shape default only
+        fmt = "Pandas"
     try:
         bound = bind_params(sql_text, params)
         # CH-dialect acceptance (reference chdb/__init__.py:145-217 — every

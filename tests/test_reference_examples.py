@@ -261,19 +261,17 @@ def test_quickstart_rst_output_formats(spark):
     import chdb_spark as chdb
 
     df = chdb.query("SELECT number, number*2 as doubled FROM numbers(5)", "DataFrame")
-    # reference returns pandas here; this engine returns the lazy DataFrame
-    # for the Spark call-shape and pandas for the reference call-shape
-    pdf = chdb.query("SELECT number, number*2 as doubled FROM numbers(5)", "Pandas")
-    assert type(pdf).__module__.startswith("pandas")
-    assert list(pdf["doubled"]) == [0, 2, 4, 6, 8]
+    # reference call-shape: "DataFrame" returns pandas (chdb query_df)
+    assert type(df).__module__.startswith("pandas")
+    assert list(df["doubled"]) == [0, 2, 4, 6, 8]
     table = chdb.query("SELECT number FROM numbers(1000)", "ArrowTable")
     assert type(table).__module__.startswith("pyarrow")
     assert len(table) == 1000
+    assert len(df) == 5 and "number" in df.columns
     pretty = chdb.query(
         "SELECT 'Alice' as name, 25 as age UNION ALL SELECT 'Bob', 30", "Pretty"
     )
     assert "Alice" in str(pretty) and "Bob" in str(pretty)
-    assert df is not None
 
 
 def test_quickstart_rst_file_queries(spark, tmp_path):
@@ -352,3 +350,31 @@ def test_quickstart_rst_python_df_and_persistence(spark, tmp_path):
 
     with _pytest.raises(chdb.ChdbError):
         chdb.query("SELECT invalid_column FROM non_existent_table")
+
+
+def test_skill_verify_install_checks(spark, tmp_path):
+    """The reference's own install-verification script
+    (agent/skills/chdb-sql/scripts/verify_install.py + the DataStore one),
+    adapted only in the import name."""
+    import chdb_spark as chdb
+
+    assert hasattr(chdb, "__version__")
+    assert "2" in chdb.query("SELECT 1 + 1 AS answer").data()
+    df = chdb.query("SELECT number FROM numbers(5)", "DataFrame")
+    assert len(df) == 5 and "number" in df.columns
+    from chdb_spark import session as chs
+
+    sess = chs.Session(str(tmp_path / "verifydb"))
+    sess.query("CREATE TABLE _verify_test (id UInt64) ENGINE = Memory")
+    sess.query("INSERT INTO _verify_test VALUES (1), (2), (3)")
+    assert "3" in str(sess.query("SELECT count() AS cnt FROM _verify_test", fmt="CSV"))
+    sess.close()
+    out = chdb.query(
+        "SELECT {x:UInt64} + {y:UInt64} AS sum", params={"x": 10, "y": 20}
+    )
+    assert "30" in out.data()
+
+    from chdb_spark.datastore import DataStore
+
+    ds = DataStore({"name": ["Alice", "Bob", "Carol"], "age": [25, 30, 35]})
+    assert ds[ds["age"] > 25].count() == 2
