@@ -387,3 +387,52 @@ def test_state_module_connect(spark):
         assert str(conn.query("SELECT 3 AS v", "CSV")).strip() == "3"
     finally:
         conn.close()
+
+
+def test_udf_rst_json_and_math_examples(spark):
+    """docs/udf.rst:103-200 — JSON-parsing and math UDF examples verbatim
+    (imports inside the body, string in/out contract, typed returns)."""
+    import math
+
+    from chdb_spark.udf import chdb_udf, create_function
+
+    @chdb_udf()
+    def parse_json_field(json_str, field_path):
+        import json
+
+        try:
+            data = json.loads(json_str)
+            fields = field_path.split(".")
+            current = data
+            for field in fields:
+                if isinstance(current, dict) and field in current:
+                    current = current[field]
+                else:
+                    return ""
+            return str(current)
+        except Exception:
+            return ""
+
+    @chdb_udf(return_type="Float64")
+    def haversine_distance(lat1, lon1, lat2, lon2):
+        import math
+
+        lat1, lon1, lat2, lon2 = map(
+            math.radians, [float(lat1), float(lon1), float(lat2), float(lon2)]
+        )
+        dlat = lat2 - lat1
+        dlon = lon2 - lon1
+        a = math.sin(dlat / 2) ** 2 + math.cos(lat1) * math.cos(lat2) * math.sin(dlon / 2) ** 2
+        return 2 * math.asin(math.sqrt(a)) * 6371
+
+    create_function(spark, parse_json_field)
+    create_function(spark, haversine_distance)
+    row = spark.sql(
+        """
+        SELECT parse_json_field('{"user": {"profile": {"name": "Ada"}}}',
+                                'user.profile.name') AS name,
+               haversine_distance(52.52, 13.405, 48.8566, 2.3522) AS km
+        """
+    ).first()
+    assert row["name"] == "Ada"
+    assert abs(float(row["km"]) - 878) < 10  # Berlin→Paris ≈ 878 km
