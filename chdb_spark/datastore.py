@@ -658,7 +658,12 @@ class DataStore:
     def reset_index(self, drop: bool = False) -> "DataStore":
         """With an index set: forget it (the column is already present).
         Without one and ``drop=False``: add a deterministic 0-based
-        ``index`` column (row_number over the current order)."""
+        ``index`` column (row_number over the current order).
+
+        Scale note: materializing a global row index is inherently a
+        total-order operation (one sort-reducer pass) — pandas index
+        semantics, meaningful for report-sized frames. Corpus-scale keys
+        come from data columns or monotonically_increasing_id, not here."""
         if getattr(self, "_index_col", None) is not None or drop:
             return DataStore(self._df)
         idx = F.row_number().over(
