@@ -223,3 +223,118 @@ def test_url_table_function_loopback(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# MySQL / PostgreSQL pure-Python path (sources/rdbms.py) — fake DB-API
+# client end-to-end, same strategy as the Mongo/Redis fakes above
+# ---------------------------------------------------------------------------
+
+
+# (classes live inside the factory closure so cloudpickle ships them by
+# value to executors — module-level classes would need this test module
+# importable on workers)
+
+
+def _fake_sql_factory():
+    tables = {
+        "users": (
+            ["id", "name", "score"],
+            [(i, f"user_{i}", float(i) * 1.5) for i in range(1, 101)],
+        )
+    }
+
+    def connect():
+        import re
+
+        class Cursor:
+            def __init__(self):
+                self._rows = []
+                self.description = None
+
+            def execute(self, sql):
+                m = re.match(r"SELECT min\((\w+)\), max\((\w+)\) FROM (\w+)", sql)
+                if m:
+                    col, _, tbl = m.groups()
+                    cols, rows = tables[tbl]
+                    i = cols.index(col)
+                    vals = [r[i] for r in rows]
+                    self._rows = [(min(vals), max(vals))]
+                    self.description = [(col,), (col,)]
+                    return
+                m = re.match(
+                    r"SELECT (.+?) FROM (\w+)(?: WHERE (.+?))?(?: LIMIT (\d+))?$", sql
+                )
+                assert m, sql
+                sel, tbl, where, limit = m.groups()
+                cols, rows = tables[tbl]
+                if where:
+                    for cond in where.split(" AND "):
+                        name, op, val = cond.split(" ")
+                        i = cols.index(name)
+                        rows = [
+                            r
+                            for r in rows
+                            if (r[i] >= int(val) if op == ">=" else r[i] < int(val))
+                        ]
+                if sel.strip() == "*":
+                    idx = list(range(len(cols)))
+                    self.description = [(c,) for c in cols]
+                else:
+                    names = [c.strip() for c in sel.split(",")]
+                    idx = [cols.index(n) for n in names]
+                    self.description = [(n,) for n in names]
+                out = [tuple(r[i] for i in idx) for r in rows]
+                if limit:
+                    out = out[: int(limit)]
+                self._rows = out
+
+            def fetchone(self):
+                return self._rows[0]
+
+            def fetchall(self):
+                return list(self._rows)
+
+            def fetchmany(self, n):
+                out, self._rows = self._rows[:n], self._rows[n:]
+                return out
+
+        class Conn:
+            def cursor(self):
+                return Cursor()
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    return connect
+
+
+def test_mysql_python_source_e2e(spark):
+    from chdb_spark.sources.rdbms import mysql
+
+    df = mysql(
+        spark, "db.example:3306", "shop", "users",
+        factory=_fake_sql_factory(), n_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() >= 2  # integer pk → range partitions
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert len(rows) == 100 and rows[7] == ("user_7", 10.5)
+    # schema inferred from the bounded probe
+    assert dict(df.dtypes)["id"] == "bigint"
+    assert dict(df.dtypes)["score"] == "double"
+    # pushdown of aggregation happens Spark-side over the partitioned scan
+    assert df.filter("id >= 50").count() == 51
+
+
+def test_postgresql_python_source_with_structure(spark):
+    from chdb_spark.sources.rdbms import postgresql
+
+    df = postgresql(
+        spark, "pg:5432", "shop", "users",
+        structure="id Int64, name String, score Float64",
+        factory=_fake_sql_factory(), n_partitions=1,
+    )
+    assert [c for c, _ in df.dtypes] == ["id", "name", "score"]
+    assert df.count() == 100
