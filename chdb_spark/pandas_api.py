@@ -52,6 +52,8 @@ __all__ = [
     "value_counts",
     "melt",
     "pivot_table",
+    "json_normalize",
+    "crosstab",
 ]
 
 
@@ -294,3 +296,21 @@ def pivot_table(data, values=None, index=None, columns=None, aggfunc="mean",
         return data.pivot_table(index, columns, values, aggfunc=aggfunc)
     return _pd().pivot_table(data, values=values, index=index,
                              columns=columns, aggfunc=aggfunc, **kw)
+
+
+def json_normalize(data, sep: str = "."):
+    """Nested dicts → flat DataStore columns (pandas.json_normalize shape,
+    built on chdb_spark.utils.flatten_dict — the same flattener the
+    reference documents in utils.rst)."""
+    from chdb_spark.utils import convert_to_columnar
+
+    if isinstance(data, dict):
+        data = [data]
+    cols = convert_to_columnar(list(data))
+    return DataFrame(cols)
+
+
+def crosstab(index, columns, values=None, aggfunc=None, **kw):
+    """pandas.crosstab for driver-side arrays; DataStore callers use
+    ``DataStore.pivot_table``/the r2 crosstab shape for distributed data."""
+    return _pd().crosstab(index, columns, values=values, aggfunc=aggfunc, **kw)

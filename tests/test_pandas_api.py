@@ -137,3 +137,16 @@ def test_exception_and_accessor_exports():
     assert issubclass(pd.ImmutableError, ValueError)
     assert pd.ColumnNotFoundError and pd.UnsupportedOperationError
     assert pd.StringAccessor and pd.DateTimeAccessor and pd.JsonAccessor
+
+
+def test_json_normalize_and_crosstab(spark):
+    nested = [
+        {"user": {"name": "Alice", "meta": {"age": 30}}, "active": True},
+        {"user": {"name": "Bob", "meta": {"age": 25}}, "active": False},
+    ]
+    ds = pd.json_normalize(nested)
+    assert set(ds.columns) == {"user.name", "user.meta.age", "active"}
+    got = {r["user.name"]: r["user.meta.age"] for r in ds.collect()}
+    assert got == {"Alice": 30, "Bob": 25}
+    ct = pd.crosstab(["a", "a", "b"], ["x", "y", "x"])
+    assert ct.loc["a", "x"] == 1 and ct.loc["a", "y"] == 1
