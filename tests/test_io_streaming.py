@@ -423,3 +423,29 @@ def test_streaming_rst_record_batch_reader(spark):
         assert text.strip().splitlines() == ["0", "1", "2"]
     finally:
         sess.close()
+
+
+def test_resize_images_real_nearest_neighbor(spark):
+    """multimodal.resize_images: genuinely downscales the P6 pixel plane
+    (numpy sampling), emits valid P6 the decoder round-trips."""
+    from chdb_spark.multimodal import decode_ppm, encode_ppm, resize_images
+
+    rows = [(i, "image", encode_ppm(i)) for i in range(40, 56)]  # up to 32px
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in resize_images(media, max_side=8).collect()}
+    assert len(out) == 16
+    for mid, r in out.items():
+        dec = decode_ppm(bytes(r["payload"]))
+        assert dec is not None, mid
+        w, h, luma = dec
+        assert (w, h) == (r["width"], r["height"])
+        assert max(w, h) <= 8
+        assert 0 <= luma <= 255
+    # at least some sources were bigger than 8px → actually resized
+    assert any(r["resized"] for r in out.values())
+    # non-P6 payloads pass through unresized
+    junk = spark.createDataFrame(
+        [(1, "image", b"\x00\x01\x02")], "media_id long, kind string, payload binary"
+    )
+    r = resize_images(junk).collect()[0]
+    assert r["resized"] is False and bytes(r["payload"]) == b"\x00\x01\x02"
