@@ -1257,7 +1257,9 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
 # ---------------------------------------------------------------------------
 
 _WITH_FILL_RE = re.compile(
-    r"\bWITH\s+FILL\b"
+    # (?!\s+AS\b): a CTE named `fill` (`WITH fill AS (...)`) is valid SQL,
+    # not the CH gap-filling modifier — the modifier is never followed by AS
+    r"\bWITH\s+FILL\b(?!\s+AS\b)"
     r"(?:\s+FROM\s+(?P<from>'[^']*'|[\w.+-]+))?"
     r"(?:\s+TO\s+(?P<to>'[^']*'|[\w.+-]+))?"
     r"(?:\s+STEP\s+(?P<step>[\w.+-]+))?"
@@ -1330,7 +1332,9 @@ def extract_with_fill(sql: str) -> tuple[str, dict | None]:
 # GROUP BY ... WITH TOTALS
 # ---------------------------------------------------------------------------
 
-_WITH_TOTALS_RE = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
+# (?!\s+AS\b): `WITH totals AS (...)` is a CTE named totals, not the
+# CH GROUP BY modifier — the modifier is never followed by AS
+_WITH_TOTALS_RE = re.compile(r"\bWITH\s+TOTALS\b(?!\s+AS\b)", re.IGNORECASE)
 _GROUP_BY_RE = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
 
 
@@ -1426,13 +1430,16 @@ def _system_view_rows(spark, kind: str):
         rows = []
         for db in spark.catalog.listDatabases():
             for t in spark.catalog.listTables(db.name):
-                is_tmp = 1 if t.isTemporary else 0
+                # listTables(db) repeats every temp view for each db iterated;
+                # fold temp views into the current database exactly once
+                if t.isTemporary and db.name != current:
+                    continue
                 rows.append(
                     (
                         t.namespace[0] if t.namespace else current,
                         t.name,
                         "View" if t.tableType in ("VIEW", "TEMPORARY") else "MergeTree",
-                        is_tmp,
+                        1 if t.isTemporary else 0,
                     )
                 )
         return rows, "database string, name string, engine string, is_temporary int"

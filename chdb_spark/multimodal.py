@@ -89,6 +89,24 @@ def encode_ppm(media_id: int) -> bytes:
     return header + pixels.tobytes()
 
 
+def parse_ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a P6 header and return (width, height, maxval, pixel_offset),
+    or None when the payload is not P6. The pixel offset is derived from
+    the actual maxval token position — never by searching for a literal
+    byte pattern, which a dims line ending in 255 would false-match."""
+    if not payload or not payload.startswith(b"P6"):
+        return None
+    try:
+        # header: magic, width, height, maxval — whitespace separated
+        parts = payload[:64].split(maxsplit=4)
+        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        # exact header length (separators may vary): find maxval token end
+        idx = payload.index(parts[3], len(parts[0]) + len(parts[1]) + len(parts[2]))
+        return w, h, maxval, idx + len(parts[3]) + 1
+    except (ValueError, IndexError):
+        return None
+
+
 def decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     """Minimal real P6/PPM codec (numpy-only): parse the text header
     (magic, dims, maxval), read the raw RGB plane, compute mean luma via
@@ -97,16 +115,11 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float] | None:
     payload is not a P6 image."""
     import numpy as np
 
-    if not payload or not payload.startswith(b"P6"):
+    hdr = parse_ppm_header(payload)
+    if hdr is None:
         return None
+    w, h, maxval, header_len = hdr
     try:
-        # header: magic, width, height, maxval — whitespace separated
-        parts = payload[:64].split(maxsplit=4)
-        w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-        header_len = len(b" ".join(parts[:4])) + 1  # +1 trailing whitespace
-        # re-derive exact header length (separators may vary): find maxval end
-        idx = payload.index(parts[3], len(parts[0]) + len(parts[1]) + len(parts[2]))
-        header_len = idx + len(parts[3]) + 1
         pixels = np.frombuffer(payload, dtype=np.uint8, offset=header_len)
         if maxval != 255 or pixels.size < 3 * w * h:
             return None
@@ -280,15 +293,15 @@ def resize_images(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload or b"")
-                decoded = decode_ppm(b)
-                if decoded is None:
+                hdr = parse_ppm_header(b)
+                if hdr is None or hdr[2] != 255 or len(b) - hdr[3] < 3 * hdr[0] * hdr[1]:
                     out["media_id"].append(mid)
                     out["payload"].append(b)
                     out["width"].append(None)
                     out["height"].append(None)
                     out["resized"].append(False)
                     continue
-                w, h, _ = decoded
+                w, h, _maxval, hdr_end = hdr
                 scale = max(w, h) / float(max_side)
                 if scale <= 1.0:
                     nw, nh = w, h
@@ -296,7 +309,6 @@ def resize_images(
                 else:
                     nw = max(1, int(w / scale))
                     nh = max(1, int(h / scale))
-                    hdr_end = b.index(b"255\n") + 4
                     rgb = np.frombuffer(b, np.uint8, offset=hdr_end)[
                         : 3 * w * h
                     ].reshape(h, w, 3)

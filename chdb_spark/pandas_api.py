@@ -306,7 +306,7 @@ def json_normalize(data, sep: str = "."):
 
     if isinstance(data, dict):
         data = [data]
-    cols = convert_to_columnar(list(data))
+    cols = convert_to_columnar(list(data), sep=sep)
     return DataFrame(cols)
 
 

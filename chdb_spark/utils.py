@@ -49,12 +49,12 @@ def flatten_dict(d: dict, parent_key: str = "", sep: str = ".") -> dict:
     return out
 
 
-def convert_to_columnar(rows: list[dict]) -> dict[str, list]:
+def convert_to_columnar(rows: list[dict], sep: str = ".") -> dict[str, list]:
     """Row dicts → column lists (docs/utils.rst:60-76). Rows are flattened
     first; missing keys become None so every column has equal length."""
     if not rows:
         return {}
-    flat = [flatten_dict(r) for r in rows]
+    flat = [flatten_dict(r, sep=sep) for r in rows]
     cols: list[str] = []
     for r in flat:
         for k in r:

@@ -438,6 +438,48 @@ def test_with_totals_rewrite(spark):
     assert by_g == {0: 2, 1: 2, None: 4}
 
 
+def test_cte_named_totals_or_fill_not_modifiers(spark):
+    """ADVICE r4 regression: CTEs named `totals` / `fill` are plain SQL —
+    they must not trigger the WITH TOTALS / WITH FILL rewrites."""
+    import chdb_spark as chs
+    from chdb_spark.dialect import extract_with_fill, rewrite
+
+    sql = "WITH totals AS (SELECT 1 AS x) SELECT * FROM totals"
+    assert rewrite(sql) == sql
+    assert chs.query(spark, sql, "DataFrame").collect()[0]["x"] == 1
+
+    sql2 = "WITH fill AS (SELECT 2 AS y) SELECT * FROM fill"
+    assert extract_with_fill(sql2) == (sql2, None)
+    assert chs.query(spark, sql2, "DataFrame").collect()[0]["y"] == 2
+
+    # the real modifiers still fire when a CTE shares the name
+    mixed = (
+        "WITH totals AS (SELECT explode(sequence(1, 4)) v) "
+        "SELECT v % 2 AS g, count() AS n FROM totals GROUP BY g WITH TOTALS"
+    )
+    by_g = {r["g"]: r["n"] for r in spark.sql(rewrite(mixed)).collect()}
+    assert by_g == {0: 2, 1: 2, None: 4}
+
+
+def test_system_tables_no_temp_view_dup(spark):
+    """ADVICE r4 regression: temp views must appear exactly once in
+    system.tables even when multiple databases exist."""
+    import chdb_spark as chs
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS systdupdb")
+    try:
+        spark.range(1).createOrReplaceTempView("sys_dup_probe")
+        rows = chs.query(
+            spark,
+            "SELECT count() AS n FROM system.tables WHERE name = 'sys_dup_probe'",
+            "DataFrame",
+        ).collect()
+        assert rows[0]["n"] == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS systdupdb")
+        spark.catalog.dropTempView("sys_dup_probe")
+
+
 def test_system_introspection_tables(spark):
     import chdb_spark.session as chs
 

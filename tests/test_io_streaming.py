@@ -449,3 +449,42 @@ def test_resize_images_real_nearest_neighbor(spark):
     )
     r = resize_images(junk).collect()[0]
     assert r["resized"] is False and bytes(r["payload"]) == b"\x00\x01\x02"
+
+
+def test_resize_images_header_edge_cases(spark):
+    """ADVICE r4: resize must derive the pixel offset from the parsed
+    header, not by searching for a literal b'255\\n' — a dims line ending
+    in 255 (height=255) false-matched, and space-separated headers (valid
+    P6, accepted by decode_ppm) crashed the whole job."""
+    import numpy as np
+
+    from chdb_spark.multimodal import decode_ppm, parse_ppm_header, resize_images
+
+    # (a) height=255: dims line ends in b"255\n" — literal search would
+    # find it 4 bytes early and shear every pixel row
+    w, h = 3, 255
+    px = (np.arange(3 * w * h) % 251).astype(np.uint8)
+    tall = b"P6\n" + f"{w} {h}\n255\n".encode() + px.tobytes()
+    assert parse_ppm_header(tall)[:2] == (w, h)
+    # (b) space-separated header — legal P6, decode_ppm accepts it
+    flat = b"P6 4 2 255 " + bytes(range(24))
+    assert decode_ppm(flat) is not None
+    media = spark.createDataFrame(
+        [(1, "image", tall), (2, "image", flat)],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, max_side=8).collect()}
+    # tall image resizes to max_side along height; decoder round-trips
+    r1 = out[1]
+    assert r1["resized"] and r1["height"] == 8
+    dec = decode_ppm(bytes(r1["payload"]))
+    assert dec is not None and dec[:2] == (r1["width"], r1["height"])
+    # first resized row must equal the first source row sampled at xs —
+    # proves the pixel offset was exact (no 4-byte shear)
+    hdr = parse_ppm_header(bytes(r1["payload"]))
+    got_row0 = bytes(r1["payload"])[hdr[3] : hdr[3] + 3 * r1["width"]]
+    xs = (np.arange(r1["width"]) * w) // r1["width"]
+    exp_row0 = px.reshape(h, w, 3)[0][xs].tobytes()
+    assert got_row0 == exp_row0
+    # small flat image passes through byte-identical (no resize needed)
+    assert bytes(out[2]["payload"]) == flat and out[2]["resized"] is False

@@ -150,3 +150,6 @@ def test_json_normalize_and_crosstab(spark):
     assert got == {"Alice": 30, "Bob": 25}
     ct = pd.crosstab(["a", "a", "b"], ["x", "y", "x"])
     assert ct.loc["a", "x"] == 1 and ct.loc["a", "y"] == 1
+    # ADVICE r4 regression: sep= must thread through to the flattener
+    ds2 = pd.json_normalize(nested, sep="_")
+    assert set(ds2.columns) == {"user_name", "user_meta_age", "active"}
