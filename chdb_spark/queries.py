@@ -55,12 +55,37 @@ def defquery(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+def _family(name: str) -> str:
+    """Leading alpha prefix: q1→q, cb21→cb, ch3→ch, dd2→dd, fx2→fx …"""
+    i = 0
+    while i < len(name) and name[i].isalpha():
+        i += 1
+    return name[:i] or name
+
+
 def all_queries() -> dict[str, QueryDef]:
     # import registers operator-backed queries too
     from chdb_spark.operators import register_operator_queries
 
     register_operator_queries()
-    return dict(_QUERIES)
+    # Round-robin interleave by family prefix. The driver's CORRECTNESS
+    # sample takes the FIRST 50 dict entries; plain registration order put
+    # ~all TPC-H/dedup first and left newer families (ch*, cb21+, st*,
+    # ts6/7, sk*, m*) formally unsampled (VERDICT r4 item 5). Interleaving
+    # one query per family per round makes any prefix representative.
+    buckets: dict[str, list[QueryDef]] = {}
+    for q in _QUERIES.values():
+        buckets.setdefault(_family(q.name), []).append(q)
+    out: dict[str, QueryDef] = {}
+    lanes = list(buckets.values())
+    i = 0
+    while any(lanes):
+        for lane in lanes:
+            if i < len(lane):
+                out[lane[i].name] = lane[i]
+        lanes = [ln for ln in lanes if len(ln) > i + 1]
+        i += 1
+    return out
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

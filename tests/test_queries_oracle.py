@@ -19,6 +19,16 @@ def test_query_matches_oracle(spark, oracle, name):
     assert_query_matches_oracle(spark, oracle, _QUERIES[name])
 
 
+def test_first_50_sample_covers_every_family():
+    """The driver's CORRECTNESS file samples the first 50 dict entries —
+    registration order must interleave so that prefix spans every query
+    family (VERDICT r4 item 5)."""
+    from chdb_spark.queries import _family
+
+    names = list(_QUERIES)
+    assert set(map(_family, names[:50])) == set(map(_family, names))
+
+
 def test_every_query_runs_at_smoke_sf(spark):
     """rows-only smoke for queries without an oracle (non-SQL-expressible)."""
     for name, q in _QUERIES.items():
