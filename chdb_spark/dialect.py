@@ -1190,16 +1190,29 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
 
             fmt, opts = _TF_FORMATS.get(fmt_name, (None, {}))
             open_uri(spark, path, fmt=fmt, **opts).createOrReplaceTempView(view)
-        elif name.lower() in ("mysql", "postgresql", "remote", "remotesecure"):
+        elif name.lower() in ("remote", "remotesecure"):
+            # remote('host:port', 'db', 'table'[, 'user', 'password']) —
+            # reference table_functions.py:808. Pure-Python HTTP-interface
+            # source (range-partitioned ArrowStream reads); host should be
+            # the server's HTTP(S) port (8123/8443), not native 9000.
+            from chdb_spark.sources.remote_ch import remote as _remote
+
+            _remote(
+                spark,
+                _tf_literal(args[0]) or "",
+                database=(_tf_literal(args[1]) or "default") if len(args) > 1 else "default",
+                table=(_tf_literal(args[2]) or "") if len(args) > 2 else "",
+                user=(_tf_literal(args[3]) or "default") if len(args) > 3 else "default",
+                password=(_tf_literal(args[4]) or "") if len(args) > 4 else "",
+                secure=name.lower() == "remotesecure",
+            ).createOrReplaceTempView(view)
+        elif name.lower() in ("mysql", "postgresql"):
             # mysql('host:port', 'db', 'table', 'user', 'password') —
             # reference table_functions.py:570+. Routed to the JDBC reader
             # (driver jar required; error message says which).
             host = _tf_literal(args[0]) or ""
             db = _tf_literal(args[1]) or "" if len(args) > 1 else ""
             tbl = _tf_literal(args[2]) or "" if len(args) > 2 else ""
-            scheme = {"mysql": "mysql", "postgresql": "postgresql"}.get(
-                name.lower(), "clickhouse"
-            )
             from chdb_spark.sources.files import read_jdbc
 
             opts = {}
@@ -1208,7 +1221,7 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
             if len(args) > 4:
                 opts["password"] = _tf_literal(args[4]) or ""
             read_jdbc(
-                spark, f"jdbc:{scheme}://{host}/{db}", tbl, **opts
+                spark, f"jdbc:{name.lower()}://{host}/{db}", tbl, **opts
             ).createOrReplaceTempView(view)
         elif name.lower() == "mongodb":
             # mongodb('host:port', 'db', 'collection', 'user', 'pass',

@@ -268,6 +268,55 @@ def sq1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "rc1_remote_clickhouse",
+    """
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer WHERE c_custkey <= 500
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="remote() table function end-to-end: customer slice served through "
+        "an in-process ClickHouse-HTTP stand-in (DESCRIBE/min-max/"
+        "ArrowStream protocol — sources/remote_ch.py, reference "
+        "table_functions.py:808), read back range-partitioned, aggregated "
+        "against the parquet-derived oracle. Fixture bounded by the "
+        "c_custkey predicate (≤500 keys).",
+)
+def rc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from chdb_spark.sources.remote_ch import fake_ch_post_factory, remote
+
+    rows = [
+        (r.c_custkey, r.c_mktsegment, float(r.c_acctbal))
+        for r in table(spark, sf_dir, "customer")
+        .filter("c_custkey <= 500")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()  # bounded by the c_custkey predicate (≤500 keys)
+    ]
+    cols = [
+        ("c_custkey", "UInt64"),
+        ("c_mktsegment", "String"),
+        ("c_acctbal", "Float64"),
+    ]
+    return (
+        remote(
+            spark,
+            "fake:8123",
+            "default",
+            "customer",
+            http_factory=fake_ch_post_factory(rows, cols),
+            n_partitions=4,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@defquery(
     "ch7_with_fill",
     """
     WITH agg AS (

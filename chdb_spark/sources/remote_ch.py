@@ -1,0 +1,310 @@
+"""remote() / remoteSecure() — pure-Python ClickHouse source over HTTP.
+
+Reference surface: ``remote('host:port', 'db', 'table', 'user', 'password')``
+(reference datastore/table_functions.py:808 RemoteTableFunction;
+core.py:2302) reads a remote ClickHouse server without a Distributed
+table. The JDBC route (`sources/files.py read_jdbc`) needs a driver jar
+this container lacks; this module is the executable path — a Spark 4
+Python data source speaking ClickHouse's public HTTP interface
+(``POST /?query=...`` with ``X-ClickHouse-User``/``X-ClickHouse-Key``),
+the same architecture as `sources/rdbms.py` for MySQL/Postgres.
+
+Scale design (mirrors rdbms.py):
+* Partition planning: one driver-side bounds query over ``partition_col``
+  (auto-picked: first integer column) cuts [lo, hi] into ``n_partitions``
+  half-open ranges; each executor task issues its own HTTP query with a
+  ``WHERE`` slice, so the remote server parallelizes the scan server-side
+  and no single task streams the whole table.
+* Transfer format: ``FORMAT ArrowStream`` — ClickHouse serializes columnar
+  Arrow batches, pyarrow deserializes them executor-side; no text parsing
+  on the row path. Probe queries (DESCRIBE / bounds) use TSV on the driver.
+* Schema: a declared CH ``structure`` wins; otherwise the driver runs
+  ``DESCRIBE TABLE`` and maps ClickHouse types → Spark types.
+* The HTTP POST callable travels cloudpickled in the reader options, so
+  tests inject an in-process fake server and drive the full executor path;
+  the default factory uses stdlib urllib (no client dependency at all).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from chdb_spark.sources.nosql import _decode_obj, _encode_obj
+
+#: ClickHouse type → Spark DDL type (wrappers unwrapped first)
+_CH_TO_SPARK = {
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int", "Int64": "bigint",
+    "UInt8": "smallint", "UInt16": "int", "UInt32": "bigint", "UInt64": "bigint",
+    "Float32": "float", "Float64": "double", "String": "string",
+    "FixedString": "string", "Bool": "boolean", "Date": "date",
+    "Date32": "date", "DateTime": "timestamp", "DateTime64": "timestamp",
+    "UUID": "string", "IPv4": "string", "IPv6": "string",
+}
+
+_INT_SPARK = ("tinyint", "smallint", "int", "bigint")
+
+
+def ch_type_to_spark(ch: str) -> str:
+    """``Nullable(LowCardinality(UInt32))`` → ``bigint``; arrays recurse."""
+    t = ch.strip()
+    for wrapper in ("Nullable", "LowCardinality"):
+        if t.startswith(wrapper + "(") and t.endswith(")"):
+            return ch_type_to_spark(t[len(wrapper) + 1 : -1])
+    if t.startswith("Array(") and t.endswith(")"):
+        return f"array<{ch_type_to_spark(t[6:-1])}>"
+    base = t.split("(")[0]
+    return _CH_TO_SPARK.get(base, "string")
+
+
+def _default_http_factory(
+    host: str, user: str, password: str, secure: bool
+) -> Callable[[], Callable[[str], bytes]]:
+    """Factory returning a ``post(sql) -> bytes`` callable over stdlib
+    urllib — the public ClickHouse HTTP interface, no client library."""
+
+    def make_post():
+        import urllib.request
+
+        h, _, port = host.partition(":")
+        scheme = "https" if secure else "http"
+        url = f"{scheme}://{h}:{port or (8443 if secure else 8123)}/"
+
+        def post(sql: str) -> bytes:
+            req = urllib.request.Request(
+                url, data=sql.encode(), method="POST",
+                headers={
+                    "X-ClickHouse-User": user or "default",
+                    "X-ClickHouse-Key": password or "",
+                },
+            )
+            with urllib.request.urlopen(req) as resp:
+                return resp.read()
+
+        return post
+
+    return make_post
+
+
+class _RemoteChPartition(InputPartition):
+    def __init__(self, lo, hi):
+        self.lo = lo
+        self.hi = hi
+
+
+class _RemoteChReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+
+    def partitions(self):
+        import json
+
+        ranges = json.loads(self.options.get("ranges") or "[[null, null]]")
+        return [_RemoteChPartition(lo, hi) for lo, hi in ranges]
+
+    def read(self, partition) -> Iterator:
+        import io
+        import json
+
+        import pyarrow as pa
+
+        post = _decode_obj(self.options["factory"])()
+        cols = json.loads(self.options["cols"])  # [(name, spark_type)]
+        ref = self.options["ref"]
+        pcol = self.options.get("partition_col") or ""
+        sel = ", ".join(c for c, _ in cols)
+        sql = f"SELECT {sel} FROM {ref}"
+        if pcol and (partition.lo is not None or partition.hi is not None):
+            conds = []
+            if partition.lo is not None:
+                conds.append(f"{pcol} >= {int(partition.lo)}")
+            if partition.hi is not None:
+                conds.append(f"{pcol} < {int(partition.hi)}")
+            sql += " WHERE " + " AND ".join(conds)
+        body = post(sql + " FORMAT ArrowStream")
+        if not body:
+            return
+        with pa.ipc.open_stream(io.BytesIO(body)) as rdr:
+            target = _arrow_schema(cols)
+            for batch in rdr:
+                # align column order/types to the declared schema; CH Arrow
+                # output uses unsigned/dictionary types Spark won't ingest
+                tbl = pa.Table.from_batches([batch]).select([c for c, _ in cols])
+                yield from tbl.cast(target).to_batches()
+
+
+def _arrow_schema(cols):
+    import pyarrow as pa
+
+    m = {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "boolean": pa.bool_(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+    }
+
+    def one(t: str):
+        if t.startswith("array<") and t.endswith(">"):
+            return pa.list_(one(t[6:-1]))
+        return m.get(t, pa.string())
+
+    return pa.schema([(c, one(t)) for c, t in cols])
+
+
+class _RemoteChSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "chdb_remote_ch"
+
+    def schema(self):
+        return self.options["ddl"]
+
+    def reader(self, schema):
+        return _RemoteChReader(dict(self.options))
+
+
+def _tsv_rows(body: bytes) -> list[list[str]]:
+    text = body.decode("utf-8", "replace").strip("\n")
+    return [line.split("\t") for line in text.split("\n")] if text else []
+
+
+def remote(
+    spark: SparkSession,
+    host: str,
+    database: str = "default",
+    table: str = "",
+    user: str = "default",
+    password: str = "",
+    secure: bool = False,
+    structure: str | None = None,
+    partition_col: str | None = None,
+    n_partitions: int = 8,
+    http_factory=None,
+) -> DataFrame:
+    """``remote('host:port', 'db', 'table', 'user', 'password')`` over the
+    ClickHouse HTTP interface (reference table_functions.py:808)."""
+    import json
+
+    if not host or not table:
+        raise ValueError("remote() requires host and table")
+    factory = http_factory or _default_http_factory(host, user, password, secure)
+    post = factory()
+    ref = f"{database}.{table}" if database else table
+    if structure:
+        cols = []
+        for part in structure.split(","):
+            name, _, ch = part.strip().partition(" ")
+            cols.append((name, ch_type_to_spark(ch)))
+    else:
+        desc = _tsv_rows(post(f"DESCRIBE TABLE {ref} FORMAT TSV"))
+        cols = [(r[0], ch_type_to_spark(r[1])) for r in desc]
+    if not cols:
+        raise ValueError(f"remote(): could not resolve schema for {ref}")
+    ddl = ", ".join(f"{n} {t}" for n, t in cols)
+    if partition_col is None:
+        ints = [n for n, t in cols if t in _INT_SPARK]
+        partition_col = ints[0] if ints else ""
+    ranges = [[None, None]]
+    if partition_col and n_partitions > 1:
+        mm = _tsv_rows(
+            post(
+                f"SELECT min({partition_col}), max({partition_col}) "
+                f"FROM {ref} FORMAT TSV"
+            )
+        )
+        if mm and mm[0][0] not in ("", "\\N") and mm[0][1] not in ("", "\\N"):
+            lo, hi = int(float(mm[0][0])), int(float(mm[0][1])) + 1
+            if hi > lo:
+                step = max(1, (hi - lo) // n_partitions)
+                ranges = [[b, b + step] for b in range(lo, hi, step)]
+                ranges[0][0] = None
+                ranges[-1][1] = None
+    try:
+        spark.dataSource.register(_RemoteChSource)
+    except Exception:
+        pass  # already registered
+    return (
+        spark.read.format("chdb_remote_ch")
+        .option("ddl", ddl)
+        .option("cols", json.dumps(cols))
+        .option("ref", ref)
+        .option("partition_col", partition_col or "")
+        .option("ranges", json.dumps(ranges))
+        .option("factory", _encode_obj(factory))
+        .load()
+    )
+
+
+def remote_secure(spark: SparkSession, host: str, **kw) -> DataFrame:
+    """``remoteSecure(...)`` — TLS variant (reference table_functions.py:820)."""
+    kw.setdefault("secure", True)
+    return remote(spark, host, **kw)
+
+
+def fake_ch_post_factory(rows: list[tuple], cols: list[tuple[str, str]]):
+    """Deterministic in-process stand-in for a ClickHouse HTTP endpoint —
+    no server in this container, so tests (and the rc1 oracle fixture)
+    inject this as ``http_factory``; ONLY the wire hop is faked. It answers
+    the exact queries the source issues (DESCRIBE → TSV, min/max → TSV,
+    SELECT … FORMAT ArrowStream → real Arrow IPC bytes), including WHERE
+    range slicing, so executor-side partition reads run the same parse/
+    filter/deserialize path a real server exercises.
+
+    ``rows``: value tuples; ``cols``: [(name, clickhouse_type)].
+    """
+
+    def factory():
+        import re
+
+        names = [n for n, _ in cols]
+
+        def post(sql: str) -> bytes:
+            sql = sql.strip()
+            if sql.upper().startswith("DESCRIBE"):
+                return "\n".join(f"{n}\t{t}" for n, t in cols).encode()
+            m = re.match(r"SELECT min\((\w+)\), max\((\w+)\) FROM", sql)
+            if m:
+                i = names.index(m.group(1))
+                vals = [r[i] for r in rows if r[i] is not None]
+                if not vals:
+                    return b"\\N\t\\N"
+                return f"{min(vals)}\t{max(vals)}".encode()
+            m = re.match(
+                r"SELECT (.+) FROM \S+(?: WHERE (.+?))? FORMAT ArrowStream$",
+                sql,
+                re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"fake CH server: unsupported query {sql!r}")
+            sel = [c.strip() for c in m.group(1).split(",")]
+            data = rows
+            for cond in (m.group(2) or "").split(" AND "):
+                cm = re.match(r"(\w+) (>=|<) (-?\d+)", cond.strip())
+                if not cm:
+                    continue
+                i, op, v = names.index(cm.group(1)), cm.group(2), int(cm.group(3))
+                data = [
+                    r
+                    for r in data
+                    if r[i] is not None
+                    and (r[i] >= v if op == ">=" else r[i] < v)
+                ]
+            import io
+
+            import pyarrow as pa
+
+            idx = [names.index(s) for s in sel]
+            tbl = pa.table(
+                {names[i]: [r[i] for r in data] for i in idx},
+                schema=_arrow_schema([(names[i], ch_type_to_spark(cols[i][1])) for i in idx]),
+            )
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+            return sink.getvalue()
+
+        return post
+
+    return factory

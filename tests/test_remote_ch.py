@@ -1,0 +1,160 @@
+"""remote() / remoteSecure() — pure-Python ClickHouse-over-HTTP source.
+
+No ClickHouse server in this container: the in-process fake answers the
+exact protocol queries the source issues (DESCRIBE TSV, min/max TSV,
+SELECT … FORMAT ArrowStream), so partition planning, executor-side range
+reads, Arrow deserialization, and type mapping all run for real — only
+the wire hop is faked. One test additionally spins a REAL localhost HTTP
+server to drive the default urllib transport end-to-end.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from chdb_spark.sources.remote_ch import (
+    ch_type_to_spark,
+    fake_ch_post_factory,
+    remote,
+    remote_secure,
+)
+
+ROWS = [
+    (1, "alice", 10.5),
+    (2, "bob", 20.0),
+    (3, None, 30.25),
+    (4, "dave", None),
+    (5, "eve", 50.0),
+    (6, "frank", 60.75),
+]
+COLS = [("id", "UInt64"), ("name", "Nullable(String)"), ("score", "Float64")]
+
+
+def test_ch_type_mapping():
+    assert ch_type_to_spark("UInt64") == "bigint"
+    assert ch_type_to_spark("Nullable(LowCardinality(UInt32))") == "bigint"
+    assert ch_type_to_spark("Array(Float32)") == "array<float>"
+    assert ch_type_to_spark("DateTime64(3)") == "timestamp"
+    assert ch_type_to_spark("FixedString(16)") == "string"
+    assert ch_type_to_spark("SomeExotic") == "string"
+
+
+def test_remote_fake_server_e2e(spark):
+    df = remote(
+        spark,
+        "fake:8123",
+        "default",
+        "t",
+        http_factory=fake_ch_post_factory(ROWS, COLS),
+        n_partitions=3,
+    )
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "id:bigint", "name:string", "score:double",
+    ]
+    got = sorted((r.id, r.name, r.score) for r in df.collect())
+    assert got == sorted(ROWS)
+    # range partitioning really split the scan (id spans 1..6, 3 slices)
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_remote_structure_and_aggregate(spark):
+    from pyspark.sql import functions as F
+
+    df = remote(
+        spark,
+        "fake:8123",
+        "default",
+        "t",
+        structure="id UInt64, name Nullable(String), score Float64",
+        http_factory=fake_ch_post_factory(ROWS, COLS),
+    )
+    row = df.agg(
+        F.count("*").alias("n"), F.round(F.sum("score"), 2).alias("s")
+    ).collect()[0]
+    assert (row.n, row.s) == (6, 171.5)
+
+
+def test_remote_secure_flag_and_validation(spark):
+    with pytest.raises(ValueError):
+        remote(spark, "", table="t")
+    with pytest.raises(ValueError):
+        remote(spark, "h:8123", table="")
+    # remote_secure threads secure=True into the default factory (we only
+    # check it constructs; no TLS endpoint here)
+    df = remote_secure(
+        spark,
+        "fake:8443",
+        database="default",
+        table="t",
+        http_factory=fake_ch_post_factory(ROWS, COLS),
+    )
+    assert df.count() == 6
+
+
+def _serve_fake_ch(handler_post):
+    """Real localhost HTTP server backed by the fake protocol logic."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            try:
+                out = handler_post(body.decode())
+            except Exception as e:  # pragma: no cover - debug aid
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+def test_remote_real_http_default_transport(spark):
+    """Default urllib transport against a REAL localhost HTTP server —
+    the full wire path (headers, POST body, response bytes)."""
+    srv = _serve_fake_ch(fake_ch_post_factory(ROWS, COLS)())
+    try:
+        df = remote(
+            spark,
+            f"127.0.0.1:{srv.server_address[1]}",
+            "default",
+            "t",
+            user="default",
+            password="",
+            n_partitions=2,
+        )
+        got = sorted((r.id, r.name, r.score) for r in df.collect())
+        assert got == sorted(ROWS)
+    finally:
+        srv.shutdown()
+
+
+def test_remote_sql_dialect_table_function(spark):
+    """`remote(...)` inside CH SQL text routes through the dialect to this
+    source (real localhost HTTP, default transport)."""
+    import chdb_spark as chs
+
+    srv = _serve_fake_ch(fake_ch_post_factory(ROWS, COLS)())
+    try:
+        host = f"127.0.0.1:{srv.server_address[1]}"
+        rows = chs.query(
+            spark,
+            f"SELECT count(*) AS n, round(sum(score), 2) AS s "
+            f"FROM remote('{host}', 'default', 't', 'default', '')",
+            "DataFrame",
+        ).collect()
+        assert (rows[0]["n"], rows[0]["s"]) == (6, 171.5)
+    finally:
+        srv.shutdown()
