@@ -55,6 +55,36 @@ class QueryResult:
             yield dict(zip(self.column_names, r))
 
 
+class StreamContext:
+    """clickhouse-connect's with-gated stream wrapper (driver.common.
+    StreamContext shape): iterate ONLY inside ``with`` — entering hands
+    back the generator, exiting closes the source (which abandons the
+    underlying ``toLocalIterator``, cancelling remaining partition
+    computation — the early-close contract large-result consumers rely
+    on)."""
+
+    def __init__(self, source, gen):
+        self.source = source
+        self.gen = gen
+        self._entered = False
+
+    def __enter__(self):
+        self._entered = True
+        return self.gen
+
+    def __exit__(self, *exc):
+        self._entered = False
+        self.source.close()
+
+    def __iter__(self):
+        if not self._entered:
+            raise RuntimeError(
+                "Stream should be used within a context (`with client."
+                "query_rows_stream(...) as stream:`)"
+            )
+        return self.gen
+
+
 class ChdbSparkClient:
     """The subset of clickhouse-connect's Client contract the reference's
     chdb backend exercises (reference tests/clickhouse_connect/
@@ -132,6 +162,76 @@ class ChdbSparkClient:
         if len(first) == 1 and len(rows) == 1:
             return first[0]
         return [str(v) for v in first]
+
+    # -- streaming surface (reference cc_backend.py:26-29 et seq.) ---------
+    def query_rows_stream(
+        self, sql: str, parameters: dict | None = None,
+        max_block_size: int = 65536, **_,
+    ) -> StreamContext:
+        """Row-at-a-time stream: ``with client.query_rows_stream(q) as s:
+        for row in s`` — rows are tuples; constant driver memory."""
+        sr = self._session.send_query(
+            sql, max_rows_per_chunk=max_block_size, params=parameters
+        )
+
+        def gen():
+            for chunk in sr:
+                for row in chunk:
+                    yield tuple(row)
+
+        return StreamContext(sr, gen())
+
+    def query_row_block_stream(
+        self, sql: str, parameters: dict | None = None,
+        max_block_size: int = 65536, **_,
+    ) -> StreamContext:
+        """Block stream, row-oriented: each item is a list of row tuples."""
+        sr = self._session.send_query(
+            sql, max_rows_per_chunk=max_block_size, params=parameters
+        )
+
+        def gen():
+            for chunk in sr:
+                yield [tuple(r) for r in chunk]
+
+        return StreamContext(sr, gen())
+
+    def query_column_block_stream(
+        self, sql: str, parameters: dict | None = None,
+        max_block_size: int = 65536, **_,
+    ) -> StreamContext:
+        """Block stream, column-oriented: each item is a list of column
+        sequences (clickhouse-connect's native block orientation)."""
+        sr = self._session.send_query(
+            sql, max_rows_per_chunk=max_block_size, params=parameters
+        )
+        width = len(sr.schema.fields)
+
+        def gen():
+            for chunk in sr:
+                yield (
+                    [list(c) for c in zip(*[tuple(r) for r in chunk])]
+                    if chunk
+                    else [[] for _ in range(width)]
+                )
+
+        return StreamContext(sr, gen())
+
+    def query_arrow_stream(
+        self, sql: str, parameters: dict | None = None,
+        max_block_size: int = 65536, **_,
+    ) -> StreamContext:
+        """Arrow RecordBatch stream (reference query_arrow_stream,
+        cc_backend.py:937-961)."""
+        sr = self._session.send_query(
+            sql, max_rows_per_chunk=max_block_size, params=parameters
+        )
+        reader = sr.record_batch(rows_per_batch=max_block_size)
+
+        def gen():
+            yield from reader
+
+        return StreamContext(sr, gen())
 
     # -- insert surface ----------------------------------------------------
     def insert(

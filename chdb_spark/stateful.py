@@ -353,13 +353,19 @@ class Session:
     sql = query
 
     def send_query(
-        self, sql: str, format: str | None = None, max_rows_per_chunk: int = 65536
+        self,
+        sql: str,
+        format: str | None = None,
+        max_rows_per_chunk: int = 65536,
+        params: dict | None = None,
     ) -> StreamingResult:
         """Streaming execution (reference docs/streaming.rst:20-75).
         With ``format=`` each fetched chunk is format-encoded bytes
         (reference examples.md §8: ``chunk.count(b'\n')``); without it,
         chunks are lists of Rows."""
-        return StreamingResult(self.query(sql), max_rows_per_chunk, fmt=format)
+        return StreamingResult(
+            self.query(sql, params=params), max_rows_per_chunk, fmt=format
+        )
 
     def close(self) -> None:
         """Detach; file-backed state persists (reference session.rst:66)."""
