@@ -972,6 +972,29 @@ class DataStore:
         """Distributed parquet write (the scale path — partitioned parts)."""
         self._df.write.mode("overwrite").parquet(path)
 
+    def to_feather(self, path, **kw):
+        """Driver-side feather file via Arrow (reference
+        pandas_compat.py:2164). Report-sized results only — the
+        distributed sibling is ``to_parquet``."""
+        return self.to_df().to_feather(path, **kw)
+
+    def to_html(self, buf=None, **kw):
+        """HTML table string / file (reference pandas_compat.py:2099).
+        Driver-side render — meant for report-sized results."""
+        return self.to_df().to_html(buf, **kw)
+
+    def to_markdown(self, buf=None, **kw):
+        """Markdown table (reference pandas_compat.py:2173). Needs the
+        ``tabulate`` package (pandas' own requirement) — ImportError
+        surfaces unchanged when absent."""
+        return self.to_df().to_markdown(buf, **kw)
+
+    def to_excel(self, excel_writer, sheet_name: str = "Sheet1", **kw):
+        """Excel sheet (reference pandas_compat.py:2019). Needs an Excel
+        engine (openpyxl/xlsxwriter — pandas' own requirement); the
+        ImportError surfaces unchanged when absent."""
+        return self.to_df().to_excel(excel_writer, sheet_name=sheet_name, **kw)
+
     def iterrows(self):
         """(i, Series) per row from ``toLocalIterator`` — constant driver
         memory at any result size (the reference iterates pandas-side)."""

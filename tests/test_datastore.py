@@ -566,3 +566,46 @@ def test_cumprod_and_sort_index(spark):
     assert [r["i"] for r in si.collect()] == [3, 2, 1, 0]
     one = DataStore(spark.createDataFrame(pd.DataFrame({"x": [7, 8]})))
     assert list(one.squeeze()) == [7, 8]
+
+
+def test_pandas_compat_sinks(spark, tmp_path):
+    """to_feather/to_html round-trip; to_markdown/to_excel are engine-gated
+    exactly like pandas (reference pandas_compat.py:2019-2173)."""
+    import pandas as pd
+
+    ds = DataStore(
+        spark.createDataFrame(pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}))
+    )
+    # feather: pyarrow-backed, real round-trip
+    fp = str(tmp_path / "out.feather")
+    ds.to_feather(fp)
+    back = pd.read_feather(fp)
+    assert back.sort_values("a").a.tolist() == [1, 2, 3]
+    assert back.b.tolist()[0] in ("x", "y", "z")
+    # html: string render contains cells
+    html = ds.to_html()
+    assert "<table" in html and ">x<" in html
+    buf = str(tmp_path / "t.html")
+    ds.to_html(buf)
+    assert "<table" in open(buf).read()
+    # markdown / excel: need tabulate / openpyxl — same gate as pandas
+    try:
+        import tabulate  # noqa: F401
+
+        assert "| a" in ds.to_markdown() or "a |" in ds.to_markdown()
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            ds.to_markdown()
+    try:
+        import openpyxl  # noqa: F401
+
+        xp = str(tmp_path / "o.xlsx")
+        ds.to_excel(xp)
+        assert pd.read_excel(xp).a.tolist() == [1, 2, 3]
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises((ImportError, ModuleNotFoundError)):
+            ds.to_excel(str(tmp_path / "o.xlsx"))
