@@ -83,6 +83,26 @@ def _balanced(s: str, i: int) -> tuple[str, int]:
     raise ValueError(f"unbalanced parentheses in SQL near: {s[i:i+40]!r}")
 
 
+def _balanced_brackets(s: str, i: int) -> tuple[str, int]:
+    """s[i] == '[' — return (inner_text, index_past_close)."""
+    depth = 0
+    j = i
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c in "'\"`":
+            j = _end_of_string(s, j)
+            continue
+        if c == "[":
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                return s[i + 1 : j], j + 1
+        j += 1
+    raise ValueError(f"unbalanced brackets in SQL near: {s[i:i+40]!r}")
+
+
 def _split_args(s: str) -> list[str]:
     """Split a call's argument text on top-level commas (paren/bracket/
     string aware). Empty input → []."""
@@ -587,6 +607,285 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
 _FUNCS["path"] = _FUNCS.pop("path_url")
 
 
+# ---------------------------------------------------------------------------
+# hand-written tail templates (VERDICT r4 item 1) — CH names the generated
+# pass (chdb_spark/dialect_gen.py) cannot derive mechanically: lambda-first
+# HOFs (CH puts the lambda argument FIRST; Spark puts the collection first),
+# literal type/unit parameters, and operator forms.
+# ---------------------------------------------------------------------------
+
+_CH_TYPE_SQL = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
+    "float32": "FLOAT", "float64": "DOUBLE", "string": "STRING", "bool": "BOOLEAN",
+    "date": "DATE", "date32": "DATE", "datetime": "TIMESTAMP",
+    "datetime64": "TIMESTAMP",
+}
+
+
+def _cast_2arg(fn: str) -> Callable[[list[str]], str]:
+    """CAST(x, 'Type') / accurateCastOrNull(x, 'Type') — CH's 2-arg cast
+    forms with a ClickHouse type-name literal. The native CAST(x AS T)
+    parses as ONE argument (contains ' AS ') and passes through."""
+
+    def render(a: list[str]) -> str:
+        if len(a) == 1:  # CAST(x AS T) — already Spark syntax
+            return f"CAST({a[0]})"
+        t = _str_lit(a[1]) or a[1]
+        spark_t = _CH_TYPE_SQL.get(t.strip().lower(), t)
+        if fn == "try":
+            return f"try_cast({a[0]} AS {spark_t})"
+        if fn == "default":
+            return f"coalesce(try_cast({a[0]} AS {spark_t}), {a[2]})"
+        return f"CAST({a[0]} AS {spark_t})"
+
+    return render
+
+
+def _array_reduce(a: list[str]) -> str:
+    """arrayReduce('aggName', arr) — the common agg names over an array."""
+    agg = (_str_lit(a[0]) or "").lower()
+    arr = a[1]
+    forms = {
+        "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "max": f"array_max({arr})",
+        "min": f"array_min({arr})",
+        "avg": f"(aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({arr}))",
+        "count": f"size({arr})",
+        "any": f"get({arr}, 0)",
+        "uniq": f"size(array_distinct({arr}))",
+        "uniqexact": f"size(array_distinct({arr}))",
+    }
+    if agg not in forms:
+        raise ValueError(f"arrayReduce: unsupported aggregate {agg!r}")
+    return forms[agg]
+
+
+def _ch_extract(a: list[str]) -> str:
+    # SQL EXTRACT(YEAR FROM ts) arrives as ONE arg containing FROM —
+    # passthrough; CH extract(haystack, re) is the 2-arg regex form
+    if len(a) == 1:
+        return f"extract({a[0]})"
+    return f"regexp_extract({a[0]}, {a[1]}, 0)"
+
+
+def _ch_transform(a: list[str]) -> str:
+    # CH transform(x, from_array, to_array[, default]) — value lookup, NOT
+    # Spark's transform(arr, lambda) (2 args, passthrough)
+    if len(a) == 2:
+        return f"transform({a[0]}, {a[1]})"
+    default = a[3] if len(a) > 3 else a[0]
+    return f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), {a[0]}), {default})"
+
+
+_FUNCS.update(
+    {
+        # operator forms
+        "like": _t("({0} LIKE {1})"),
+        "notLike": _t("({0} NOT LIKE {1})"),
+        "ilike": _t("({0} ILIKE {1})"),
+        "notILike": _t("(NOT ({0} ILIKE {1}))"),
+        # 2-arg cast family
+        "CAST": _cast_2arg("strict"),
+        "accurateCastOrNull": _cast_2arg("try"),
+        "accurateCastOrDefault": _cast_2arg("default"),
+        "reinterpret": _cast_2arg("strict"),
+        "toDecimal256": lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))",
+        "toDecimalString": lambda a: f"CAST(CAST({a[0]} AS DECIMAL(38, {a[1]})) AS STRING)",
+        # bit ops
+        "bitTest": _t("((CAST({0} AS BIGINT) >> CAST({1} AS INT)) & 1)"),
+        "bitRotateLeft": _t(
+            "(shiftleft(CAST({0} AS BIGINT), {1}) | shiftrightunsigned(CAST({0} AS BIGINT), 64 - ({1})))"
+        ),
+        "bitRotateRight": _t(
+            "(shiftrightunsigned(CAST({0} AS BIGINT), {1}) | shiftleft(CAST({0} AS BIGINT), 64 - ({1})))"
+        ),
+        # string search
+        "countSubstrings": _t(
+            "CAST((length({0}) - length(replace({0}, {1}, ''))) / length({1}) AS INT)"
+        ),
+        "multiMatchAny": _t("exists({1}, p -> {0} RLIKE p)"),
+        "multiMatchAnyIndex": _t(
+            "coalesce(nullif(array_position(transform({1}, p -> {0} RLIKE p), true), 0), 0)"
+        ),
+        "multiSearchAllPositions": _t(
+            "transform({1}, p -> CAST(locate(p, {0}) AS BIGINT))"
+        ),
+        "multiSearchFirstIndex": _t(
+            "coalesce(nullif(array_position(transform({1}, p -> locate(p, {0}) > 0), true), 0), 0)"
+        ),
+        "multiSearchFirstPosition": _t(
+            "coalesce(array_min(filter(transform({1}, p -> CAST(locate(p, {0}) AS BIGINT)), x -> x > 0)), 0)"
+        ),
+        "extract": _ch_extract,
+        "regexpExtract": lambda a: (
+            f"regexp_extract({a[0]}, {a[1]}, {a[2] if len(a) > 2 else 1})"
+        ),
+        # lambda-first HOFs (CH argument order: lambda, collection)
+        "arrayFirst": _t("get(filter({1}, {0}), 0)"),
+        "arrayLast": _t(
+            "(CASE WHEN size(filter({1}, {0})) > 0 THEN element_at(filter({1}, {0}), -1) END)"
+        ),
+        "arrayFirstIndex": _t(
+            "coalesce(nullif(array_position(transform({1}, {0}), true), 0), 0)"
+        ),
+        "arrayLastIndex": _t(
+            "(CASE WHEN array_position(reverse(transform({1}, {0})), true) IS NULL "
+            "OR array_position(reverse(transform({1}, {0})), true) = 0 THEN 0 "
+            "ELSE size({1}) - array_position(reverse(transform({1}, {0})), true) + 1 END)"
+        ),
+        "arrayFold": _t("aggregate({1}, {2}, {0})"),
+        "arrayReduce": _array_reduce,
+        "mapFilter": _t("map_filter({1}, {0})"),
+        "mapExists": _t("(cardinality(map_filter({1}, {0})) > 0)"),
+        "mapAll": _t("(cardinality(map_filter({1}, {0})) = cardinality({1}))"),
+        # CH transform = value remap (Spark's transform passes through at 2 args)
+        "transform": _ch_transform,
+        # JSON standard forms
+        "JSON_VALUE": _t("get_json_object({0}, {1})"),
+        "JSON_QUERY": _t("get_json_object({0}, {1})"),
+        "JSON_EXISTS": _t("(get_json_object({0}, {1}) IS NOT NULL)"),
+        "simpleJSONExtractRaw": _t("get_json_object({0}, concat('$.', {1}))"),
+        "simpleJSONExtractBool": _t(
+            "(get_json_object({0}, concat('$.', {1})) = 'true')"
+        ),
+        # datetime
+        "parseDateTimeInJodaSyntax": _t("to_timestamp({0}, {1})"),
+        "dateTrunc": _t("date_trunc({0}, {1})"),
+        "age": _date_diff,
+        "UTCTimestamp": lambda a: "to_utc_timestamp(current_timestamp(), current_timezone())",
+        "timezone": lambda a: "current_timezone()",
+        "timezoneOf": lambda a: "current_timezone()",
+        "generateUUIDv7": lambda a: "uuid()",
+        "toIntervalYear": _t("(({0}) * INTERVAL '1' YEAR)"),
+        "toIntervalQuarter": _t("(({0}) * INTERVAL '3' MONTH)"),
+        "toIntervalMonth": _t("(({0}) * INTERVAL '1' MONTH)"),
+        "toIntervalWeek": _t("(({0}) * INTERVAL '7' DAY)"),
+        "toIntervalMinute": _t("(({0}) * INTERVAL '1' MINUTE)"),
+        "toIntervalSecond": _t("(({0}) * INTERVAL '1' SECOND)"),
+        # misc
+        "roundDown": _t(
+            "coalesce(array_max(filter({1}, e -> e <= {0})), array_min({1}))"
+        ),
+        "throwIf": lambda a: (
+            f"(CASE WHEN {a[0]} THEN raise_error("
+            f"{a[1] if len(a) > 1 else _q('throwIf condition met')}) ELSE 0 END)"
+        ),
+        "lagInFrame": lambda a: f"lag({', '.join(a)})",
+        "leadInFrame": lambda a: f"lead({', '.join(a)})",
+        "product": _t(
+            "(CASE WHEN sum(CASE WHEN {0} = 0 THEN 1 ELSE 0 END) > 0 THEN 0.0D "
+            "ELSE exp(sum(ln(abs({0})))) * (CASE WHEN sum(CASE WHEN {0} < 0 THEN 1 ELSE 0 END) % 2 = 1 THEN -1 ELSE 1 END) END)"
+        ),
+    }
+)
+
+#: reference clickhouse_names DELIBERATELY not SQL-templated, with the
+#: reason — the dialect completeness test pins this split so the set
+#: cannot drift silently. Every name here still works through the
+#: registry's fn() DataFrame API.
+_DIALECT_LEDGER: dict[str, str] = {
+    # DataFrame-level (TABLE-kind) statistics operators
+    "contingency": "TABLE-kind: two-pass contingency matrix (fn() API)",
+    "cramersV": "TABLE-kind: two-pass statistic (fn() API)",
+    "theilsU": "TABLE-kind: two-pass statistic (fn() API)",
+    "rankCorr": "TABLE-kind: rank maps need two passes (fn() API)",
+    "kolmogorovSmirnovTest": "TABLE-kind: two-sample sort pass (fn() API)",
+    "mannWhitneyUTest": "TABLE-kind: two-sample rank pass (fn() API)",
+    "topKWeighted": "TABLE-kind: heavy-hitter sketch (fn() API)",
+    "stochasticLinearRegression": "iterative optimizer, not an expression",
+    "stochasticLogisticRegression": "iterative optimizer, not an expression",
+    # two-pass / window-context aggregates
+    "entropy": "nested aggregate (needs group total): two-pass fn() API",
+    "exponentialMovingAverage": "parametric ordered aggregate (fn() API)",
+    "windowFunnel": "parametric sequence aggregate — operators/events.py",
+    "neighbor": "block-relative offset needs an explicit window in Spark",
+    "runningDifferenceStartingWithFirstValue": "block-relative (window) form",
+    "lag": "window function — valid with OVER(...), passthrough",
+    "lead": "window function — valid with OVER(...), passthrough",
+    # pandas-UDF kernels (no pure-SQL closed form)
+    "jaroSimilarity": "pandas-UDF kernel (fn() API)",
+    "jaroWinklerSimilarity": "pandas-UDF kernel (fn() API)",
+    "damerauLevenshteinDistance": "pandas-UDF kernel (fn() API)",
+    "normalizeUTF8NFD": "pandas-UDF kernel (fn() API)",
+    "JSONAllPaths": "recursive JSON introspection — pandas-UDF kernel",
+    "JSONAllPathsWithTypes": "recursive JSON introspection — pandas-UDF kernel",
+    "JSONDynamicPaths": "recursive JSON introspection — pandas-UDF kernel",
+    "JSONDynamicPathsWithTypes": "recursive JSON introspection — pandas-UDF kernel",
+    "JSONSharedDataPaths": "recursive JSON introspection — pandas-UDF kernel",
+    "JSONSharedDataPathsWithTypes": "recursive JSON introspection — pandas-UDF kernel",
+    "JSONExtractArrayRawCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONExtractBoolCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONExtractFloatCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONExtractIntCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONExtractKeysCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONExtractRawCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONExtractStringCaseInsensitive": "case-insensitive key walk — pandas-UDF kernel",
+    "JSONMergePatch": "RFC 7386 deep merge — pandas-UDF kernel",
+    # CH lambda-first fill/split family — positional state machines
+    "arrayFill": "stateful fill scan — registry fn() API",
+    "arrayReverseFill": "stateful fill scan — registry fn() API",
+    "arraySplit": "stateful split scan — registry fn() API",
+    "arrayReverseSplit": "stateful split scan — registry fn() API",
+    "mapApply": "tuple-returning lambda: use transform_keys/transform_values",
+    "groupArraySample": "nondeterministic reservoir sample (fn() API)",
+    # system introspection / engine internals
+    "blockNumber": "engine block internals — no Spark analogue",
+    "blockSize": "engine block internals — no Spark analogue",
+    "rowNumberInBlock": "engine block internals — no Spark analogue",
+    "rowNumberInAllBlocks": "use row_number() OVER (...) explicitly",
+    "filesystemAvailable": "host introspection — not meaningful here",
+    "filesystemCapacity": "host introspection — not meaningful here",
+    "uptime": "host introspection — not meaningful here",
+    "sleep": "side-effect function — deliberately not executed",
+    "ignore": "engine no-op",
+    "isConstant": "analyzer introspection — no Spark analogue",
+    "randConstant": "per-block constant — no Spark block analogue",
+    "randBinomial": "no closed form over rand()",
+    "randPoisson": "no closed form over rand()",
+    # geo specials
+    "pointInEllipses": "multi-ellipse variadic geometry (fn() API)",
+    "pointInPolygon": "ray-casting over nested arrays (fn() API)",
+    "IPv4CIDRToRange": "tuple-returning range (fn() API)",
+    # format/render internals
+    "formatRow": "row formatter — use formats.format_result",
+    "formatRowNoNewline": "row formatter — use formats.format_result",
+}
+
+
+def _load_generated_templates() -> None:
+    """Wire the auto-derived templates (dialect_gen.TEMPLATES) into _FUNCS.
+    Hand-written entries above win; a generated template applies only at
+    the arities it was validated for — other arities pass through."""
+    import os
+
+    if os.environ.get("CHDB_SPARK_SKIP_GENERATED_TEMPLATES"):
+        return  # tools/gen_dialect_templates.py regenerating: avoid self-input
+    try:
+        from chdb_spark.dialect_gen import TEMPLATES
+    except ImportError:  # pragma: no cover — generated file always present
+        return
+
+    def make(by_arity: dict[int, str], name: str):
+        def render(args: list[str]) -> str:
+            tpl = by_arity.get(len(args))
+            if tpl is None:  # unvalidated arity: leave the call untouched
+                return f"{name}({', '.join(args)})"
+            out = tpl
+            for i, a in enumerate(args):
+                out = out.replace(f"__arg{i}__", a)
+            return out
+
+        return render
+
+    for name, by_arity in TEMPLATES.items():
+        if name not in _FUNCS and name not in _PARAMETRIC:
+            _FUNCS[name] = make(by_arity, name)
+
+
+# (called below, once _PARAMETRIC exists)
+
+
 def _parametric_quantile(fn: str) -> Callable[[list[str], list[str]], str]:
     def render(params: list[str], args: list[str]) -> str:
         if len(params) == 1:
@@ -619,6 +918,8 @@ _PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         )
     ),
 }
+
+_load_generated_templates()
 
 #: bare identifiers (no call parens) rewritten case-insensitively
 _KEYWORDS = {
@@ -960,6 +1261,14 @@ def _rewrite_sample(sql: str) -> str:
     return _SAMPLE_RE.sub(repl, sql)
 
 
+#: words after which a `[` must be an array literal, not indexing
+_PRE_LITERAL_KEYWORDS = frozenset(
+    "SELECT FROM WHERE AND OR NOT IN BY ON WHEN THEN ELSE CASE AS HAVING "
+    "LIMIT JOIN DISTINCT ALL UNION BETWEEN LIKE ILIKE IS VALUES SETTINGS "
+    "OFFSET RETURN USING ARRAY".split()
+)
+
+
 def rewrite(sql: str) -> str:
     """Rewrite ClickHouse-dialect SQL text into Spark SQL.
 
@@ -1009,6 +1318,29 @@ def rewrite(sql: str) -> str:
             j = n if j < 0 else j
             out.append(sql[i:j])
             i = j
+            continue
+        if c == "[":
+            # CH array literal `[1, 2]` → array(1, 2) — but `x[i]` /
+            # `m['k']` (prev token is an operand end) is indexing: untouched
+            p = i - 1
+            while p >= 0 and sql[p].isspace():
+                p -= 1
+            operand_end = p >= 0 and (sql[p].isalnum() or sql[p] in "_)]`'\"")
+            if operand_end and (sql[p].isalnum() or sql[p] == "_"):
+                # ...unless the word is a keyword (SELECT [1,2] / IN [..])
+                q = p
+                while q >= 0 and (sql[q].isalnum() or sql[q] == "_"):
+                    q -= 1
+                word_before = sql[q + 1 : p + 1].upper()
+                operand_end = word_before not in _PRE_LITERAL_KEYWORDS
+            if operand_end:
+                out.append(c)
+                i += 1
+                continue
+            inner, end = _balanced_brackets(sql, i)
+            args = [rewrite_expr(a) for a in _split_args(inner)]
+            out.append(f"array({', '.join(args)})")
+            i = end
             continue
         if c.isalpha() or c == "_":
             j = i

@@ -402,3 +402,188 @@ def ch9(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["events"],
     )
+
+
+# ---------------------------------------------------------------------------
+# ch10+ — the r5 dialect tail: names mapped by the generated/hand template
+# pass (VERDICT r4 item 1). Each query is CH SQL text through session.query.
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "ch10_vector_tail",
+    """
+    SELECT vec_id,
+           round(sqrt(list_inner_product(emb, emb)), 2) AS l2,
+           round(list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 2) AS linf,
+           round(list_inner_product(emb, emb), 2) AS dp
+    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings WHERE vec_id < 40)
+    ORDER BY vec_id
+    """,
+    doc="CH vector tail as SQL text: L2Norm / LinfNorm / dotProduct over "
+        "the embedding column — auto-derived HOF templates "
+        "(dialect_gen.py), JVM-side transform/aggregate, no Python.",
+)
+def ch10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT vec_id,
+               round(L2Norm(embedding), 2) AS l2,
+               round(LinfNorm(embedding), 2) AS linf,
+               round(dotProduct(embedding, embedding), 2) AS dp
+        FROM embeddings WHERE vec_id < 40
+        ORDER BY vec_id
+        """,
+        ["embeddings"],
+    )
+
+
+@defquery(
+    "ch11_string_search_tail",
+    """
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS INT) AS n_the,
+           coalesce(list_position(list_transform(['data', 'model', 'the'],
+                                                 p -> contains(text, p)), true), 0) AS first_ix
+    FROM documents WHERE doc_id < 40
+    ORDER BY doc_id
+    """,
+    doc="countSubstrings + multiSearchFirstIndex (bracket array literal) as "
+        "CH text — hand templates over replace/locate/HOFs, scan-speed.",
+)
+def ch11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id,
+               countSubstrings(text, 'the') AS n_the,
+               multiSearchFirstIndex(text, ['data', 'model', 'the']) AS first_ix
+        FROM documents WHERE doc_id < 40
+        ORDER BY doc_id
+        """,
+        ["documents"],
+    )
+
+
+@defquery(
+    "ch12_array_fold_tail",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS fold_sum,
+           round(sum(l_quantity), 2) AS plain_sum
+    FROM lineitem WHERE l_orderkey < 500
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="arrayFold (CH lambda-first, hand template -> aggregate()) over "
+        "arraySort(groupArray(x)) reproduces sum(x) exactly — proves the "
+        "fold path against the plain aggregate oracle.",
+)
+def ch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               round(arrayFold((acc, x) -> acc + x,
+                               arraySort(groupArray(l_quantity)),
+                               toFloat64(0)), 2) AS fold_sum,
+               round(sum(l_quantity), 2) AS plain_sum
+        FROM lineitem WHERE l_orderkey < 500
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        ["lineitem"],
+    )
+
+
+@defquery(
+    "ch13_json_tail",
+    """
+    SELECT o_orderkey,
+           json_extract_string(j, '$.status') AS status,
+           json_extract_string(j, '$.status') AS raw
+    FROM (SELECT o_orderkey, concat('{"status":"', o_orderstatus, '"}') AS j
+          FROM orders WHERE o_orderkey < 200)
+    ORDER BY o_orderkey
+    """,
+    doc="JSON_VALUE / simpleJSONExtractRaw as CH text — standard-form and "
+        "simpleJSON key templates over get_json_object.",
+)
+def ch13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               JSON_VALUE(j, '$.status') AS status,
+               simpleJSONExtractRaw(j, 'status') AS raw
+        FROM (SELECT o_orderkey, concat('{"status":"', o_orderstatus, '"}') AS j
+              FROM orders WHERE o_orderkey < 200)
+        ORDER BY o_orderkey
+        """,
+        ["orders"],
+    )
+
+
+@defquery(
+    "ch14_bit_ip_tail",
+    """
+    SELECT c_custkey,
+           concat_ws('.', ((k >> 24) & 255)::VARCHAR, ((k >> 16) & 255)::VARCHAR,
+                     ((k >> 8) & 255)::VARCHAR, (k & 255)::VARCHAR) AS ip,
+           (c_custkey >> 2) & 1 AS b2,
+           (c_custkey << 3) AS rot
+    FROM (SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS k
+          FROM customer WHERE c_custkey < 100)
+    ORDER BY c_custkey
+    """,
+    doc="IPv4NumToString (auto-derived bit-shift template) + bitTest + "
+        "bitRotateLeft (hand templates) as CH text; small keys keep the "
+        "rotate equal to a plain shift so DuckDB mirrors it exactly.",
+)
+def ch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               IPv4NumToString(toUInt32((c_custkey * 2654435761) % 4294967296)) AS ip,
+               bitTest(c_custkey, 2) AS b2,
+               bitRotateLeft(c_custkey, 3) AS rot
+        FROM customer WHERE c_custkey < 100
+        ORDER BY c_custkey
+        """,
+        ["customer"],
+    )
+
+
+@defquery(
+    "ch15_cast_transform_tail",
+    """
+    SELECT o_orderkey,
+           try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+           CAST(CAST(o_totalprice AS DECIMAL(38, 1)) AS VARCHAR) AS price_str,
+           CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done' ELSE '?' END AS st
+    FROM orders WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    doc="accurateCastOrNull / toDecimalString / CH transform() value remap "
+        "as SQL text — 2-arg cast family and lookup-map hand templates.",
+)
+def ch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               accurateCastOrNull(o_orderpriority, 'Int64') AS bad_cast,
+               toDecimalString(o_totalprice, 1) AS price_str,
+               transform(o_orderstatus, ['O', 'F'], ['open', 'done'], '?') AS st
+        FROM orders WHERE o_orderkey < 200
+        ORDER BY o_orderkey
+        """,
+        ["orders"],
+    )
