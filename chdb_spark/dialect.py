@@ -393,6 +393,9 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "format": lambda a: _ch_format(a),
     "replaceRegexpAll": _replace_regexp,
     "replaceRegexpOne": _replace_regexp,
+    # CH spells the alias in caps with re2 \1 backrefs (ClickBench Q28);
+    # Spark's native regexp_replace wants $1 — route through the converter
+    "REGEXP_REPLACE": _replace_regexp,
     "match": _t("({0} RLIKE {1})"),
     "extractAll": _t("regexp_extract_all({0}, {1}, 0)"),
     "countMatches": _t("size(regexp_extract_all({0}, {1}, 0))"),
