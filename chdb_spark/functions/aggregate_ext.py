@@ -368,6 +368,7 @@ def bucketed_running_sum(
     extra_order: list[str] | None = None,
     inclusive: bool = False,
     n_buckets: int = 1024,
+    cache_input: bool = False,
 ) -> DataFrame:
     """Distributed running sums over a value-ordered relation — the
     two-phase replacement for ``Window.orderBy(value)`` (global) or a
@@ -397,17 +398,21 @@ def bucketed_running_sum(
     group_cols = list(group_cols or [])
     extra_order = list(extra_order or [])
     frame_end = 0 if inclusive else -1
-    numeric = dict(df.dtypes)[order_col] not in ("string", "boolean", "date", "timestamp")
-    if not numeric:
+
+    def _plain_window(src: DataFrame) -> DataFrame:
         w = (
             Window.partitionBy(*group_cols)
             if group_cols
             else Window.partitionBy()
         ).orderBy(order_col, *extra_order).rowsBetween(Window.unboundedPreceding, frame_end)
-        out = df
+        out = src
         for c in sum_cols:
             out = out.withColumn(f"_cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)))
         return out
+
+    numeric = dict(df.dtypes)[order_col] not in ("string", "boolean", "date", "timestamp")
+    if not numeric:
+        return _plain_window(df)
 
     # Sampled-quantile bucket bounds (VERDICT r4 weak #1): the earlier
     # min/max-width buckets collapsed under one extreme outlier — all real
@@ -424,14 +429,30 @@ def bucketed_running_sum(
     # bucket-local); their concentration is bounded by the heavy value's
     # own frequency, which no value-based partitioner can beat.
     is_float = dict(df.dtypes)[order_col] in ("float", "double")
+    if cache_input:
+        # the bounds sketch is a SEPARATE action, so it re-runs the input
+        # lineage; when the caller's input is an already-reduced relation
+        # (distinct counts, per-doc scores — orders of magnitude below the
+        # raw data), caching it makes the sketch pass ~free. Deliberately
+        # opt-in: never cache a raw 100 TB scan for this.
+        df = df.persist()
+        # cost-based strategy pick (the AQE move): the cache makes count()
+        # ~free, and below a few million rows a single-reducer window is
+        # both faster than sketch+bucket machinery and memory-safe
+        # (~hundreds of MB on one task). Above it, the bucketed path is
+        # the only shape that scales.
+        if df.count() <= 4_000_000:
+            return _plain_window(df)
     vcol = F.col(order_col).cast("double")
     clean_rows = df.select(vcol.alias("_v")).where(F.col("_v").isNotNull())
     if is_float:
         clean_rows = clean_rows.where(~F.isnan("_v"))
     # driver-side quantile sketch (≤ n_buckets-1 doubles — bounds, never
-    # row data), exactly what Spark's range partitioner collects
+    # row data), exactly what Spark's range partitioner collects. Relative
+    # rank error 1/n_buckets keeps every bucket within 2× of N/n_buckets —
+    # ample for parallelism — at ~10× less sketch cost than a tight 1e-4.
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = clean_rows.stat.approxQuantile("_v", probs, 1.0e-4)
+    bounds = clean_rows.stat.approxQuantile("_v", probs, 1.0 / n_buckets)
     splits = sorted({b for b in bounds if b == b})  # dedupe; drop NaN
     c = df.withColumn(
         "_v",
@@ -492,9 +513,12 @@ def _bucketed_cumsum(
 ) -> DataFrame:
     """Global (ungrouped) distinct-value form of ``bucketed_running_sum``
     — see there for the scale rationale. Count arithmetic is exact longs,
-    so results are bit-identical to the single-window form."""
+    so results are bit-identical to the single-window form. The input is
+    a distinct-value reduction (≪ raw data), so it is cached across the
+    bounds-sketch and main passes."""
     return bucketed_running_sum(
-        counts, col, sum_cols, inclusive=inclusive, n_buckets=n_buckets
+        counts, col, sum_cols, inclusive=inclusive, n_buckets=n_buckets,
+        cache_input=True,
     )
 
 

@@ -1082,6 +1082,9 @@ def perplexity_buckets(
         sum_cols=["_one"],
         extra_order=[id_col],
         inclusive=True,
+        # scored is one row per doc (id, n, score) — tiny next to the
+        # exploded-bigram lineage above it; cache across sketch+main passes
+        cache_input=True,
     ).withColumnRenamed("_cum__one", "_rank")
     total = scored.agg(F.count("*").alias("_n"))
     r, n, k = F.col("_rank"), F.col("_n"), F.lit(3)
