@@ -801,7 +801,6 @@ _DIALECT_LEDGER: dict[str, str] = {
     # two-pass / window-context aggregates
     "entropy": "nested aggregate (needs group total): two-pass fn() API",
     "exponentialMovingAverage": "parametric ordered aggregate (fn() API)",
-    "windowFunnel": "parametric sequence aggregate — operators/events.py",
     "neighbor": "block-relative offset needs an explicit window in Spark",
     "runningDifferenceStartingWithFirstValue": "block-relative (window) form",
     "lag": "window function — valid with OVER(...), passthrough",
@@ -889,6 +888,91 @@ def _load_generated_templates() -> None:
 # (called below, once _PARAMETRIC exists)
 
 
+def _window_funnel_sql(params: list[str], args: list[str]) -> str:
+    """``windowFunnel(window)(ts, cond1, …, condK)`` → a sort-fold
+    aggregate: collect (t, flags) per group, sort by time, fold a struct
+    of per-level chain anchors (each anchor carries the chain's step-1
+    timestamp, greedy-latest — the same exactness argument as
+    operators/events.py funnel_levels). Window is in seconds (the CH
+    DateTime contract); timestamps fold as epoch doubles."""
+    w = params[0]
+    ts, conds = args[0], args[1:]
+    k_n = len(conds)
+    if k_n < 1:
+        raise ValueError("windowFunnel needs at least one condition")
+    # double-cast via TIMESTAMP: TIMESTAMP_NTZ sources have no direct
+    # numeric cast, TIMESTAMP → DOUBLE is epoch seconds with fraction
+    ev_fields = ", ".join(
+        [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
+        + [f"({c}) AS c{i}" for i, c in enumerate(conds, 1)]
+    )
+    zero = ", ".join(f"CAST(NULL AS DOUBLE) AS s{i}" for i in range(1, k_n + 1))
+    upd = ["CASE WHEN e.c1 THEN e.t ELSE acc.s1 END AS s1"]
+    for k in range(2, k_n + 1):
+        upd.append(
+            f"CASE WHEN e.c{k} AND acc.s{k-1} IS NOT NULL "
+            f"AND e.t <= acc.s{k-1} + ({w}) THEN acc.s{k-1} ELSE acc.s{k} END AS s{k}"
+        )
+    whens = " ".join(
+        f"WHEN acc.s{k} IS NOT NULL THEN {k}" for k in range(k_n, 0, -1)
+    )
+    return (
+        f"aggregate(array_sort(collect_list(struct({ev_fields}))), "
+        f"struct({zero}), (acc, e) -> struct({', '.join(upd)}), "
+        f"acc -> CASE {whens} ELSE 0 END)"
+    )
+
+
+def _seq_pattern_arity(pattern: str, n_conds: int) -> int:
+    """Validate a ``(?1)(?2)…(?K)`` sequence pattern (optionally with
+    ``.*`` separators — the default semantics anyway) and return K."""
+    body = pattern.replace(".*", "")
+    refs = re.findall(r"\(\?(\d+)\)", body)
+    if re.sub(r"\(\?\d+\)", "", body).strip():
+        raise ValueError(
+            f"sequenceMatch pattern {pattern!r}: only plain '(?1)(?2)…' "
+            "chains (with optional .*) are SQL-expressible; time-bound "
+            "patterns need the DataFrame operator (operators/events.py)"
+        )
+    if [int(r) for r in refs] != list(range(1, len(refs) + 1)) or len(refs) > n_conds:
+        raise ValueError(
+            f"sequenceMatch pattern {pattern!r} must reference conditions "
+            "1..K in order"
+        )
+    return len(refs)
+
+
+def _sequence_match_sql(params: list[str], args: list[str]) -> str:
+    """``sequenceMatch('(?1)(?2)')(ts, cond1, cond2)`` → 1 iff an ordered
+    chain exists (no time bound): the windowFunnel fold with an infinite
+    window, checked at the final level."""
+    k_n = _seq_pattern_arity(_str_lit(params[0]) or "", len(args) - 1)
+    inner = _window_funnel_sql(["CAST(1e18 AS DOUBLE)"], args[: 1 + k_n])
+    return f"(CASE WHEN ({inner}) >= {k_n} THEN 1 ELSE 0 END)"
+
+
+def _sequence_count_sql(params: list[str], args: list[str]) -> str:
+    """``sequenceCount('(?1)(?2)')(ts, cond1, cond2)`` → number of
+    NON-OVERLAPPING ordered chains: a sort-fold advancing a progress level
+    and counting + resetting on completion (the CH greedy scan)."""
+    k_n = _seq_pattern_arity(_str_lit(params[0]) or "", len(args) - 1)
+    ts, conds = args[0], args[1 : 1 + k_n]
+    ev_fields = ", ".join(
+        [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
+        + [f"({c}) AS c{i}" for i, c in enumerate(conds, 1)]
+    )
+    adv = [f"WHEN acc.lvl = {k_n - 1} AND e.c{k_n} THEN 0"]
+    for k in range(k_n - 1):
+        adv.append(f"WHEN acc.lvl = {k} AND e.c{k + 1} THEN {k + 1}")
+    return (
+        f"aggregate(array_sort(collect_list(struct({ev_fields}))), "
+        f"struct(0 AS lvl, 0L AS cnt), "
+        f"(acc, e) -> struct(CASE {' '.join(adv)} ELSE acc.lvl END AS lvl, "
+        f"acc.cnt + CASE WHEN acc.lvl = {k_n - 1} AND e.c{k_n} THEN 1 ELSE 0 END AS cnt), "
+        f"acc -> acc.cnt)"
+    )
+
+
 def _parametric_quantile(fn: str) -> Callable[[list[str], list[str]], str]:
     def render(params: list[str], args: list[str]) -> str:
         if len(params) == 1:
@@ -900,6 +984,9 @@ def _parametric_quantile(fn: str) -> Callable[[list[str], list[str]], str]:
 
 #: parametric aggregates: name(params)(args)
 _PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "windowFunnel": _window_funnel_sql,
+    "sequenceMatch": _sequence_match_sql,
+    "sequenceCount": _sequence_count_sql,
     "quantile": _parametric_quantile("percentile_approx"),
     "quantiles": _parametric_quantile("percentile_approx"),
     "quantileExact": _parametric_quantile("percentile"),
