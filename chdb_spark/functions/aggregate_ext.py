@@ -359,6 +359,28 @@ register_many(
 # Tier 3 — DataFrame-level helpers (need a window or sub-aggregation)
 # ---------------------------------------------------------------------------
 
+# Cost-based small-input switch (the AQE move): below this many rows a
+# single-reducer window is both faster than the sketch+bucket machinery and
+# memory-safe (~hundreds of MB on one task); above it, the bucketed path is
+# the only shape that scales. Configurable so plan tests can pin the bucketed
+# shape with the switch OFF (set the conf to 0) while production keeps the
+# adaptive pick.
+SMALL_INPUT_ROWS_CONF = "spark.chdb_spark.bucketedRunningSum.smallInputRows"
+SMALL_INPUT_ROWS_DEFAULT = 4_000_000
+
+
+def _small_input_threshold(df: DataFrame, override: int | None) -> int:
+    if override is not None:
+        return int(override)
+    try:
+        return int(
+            df.sparkSession.conf.get(
+                SMALL_INPUT_ROWS_CONF, str(SMALL_INPUT_ROWS_DEFAULT)
+            )
+        )
+    except Exception:
+        return SMALL_INPUT_ROWS_DEFAULT
+
 
 def bucketed_running_sum(
     df: DataFrame,
@@ -369,6 +391,8 @@ def bucketed_running_sum(
     inclusive: bool = False,
     n_buckets: int = 1024,
     cache_input: bool = False,
+    small_input_rows: int | None = None,
+    sketch_fraction: float | None = None,
 ) -> DataFrame:
     """Distributed running sums over a value-ordered relation — the
     two-phase replacement for ``Window.orderBy(value)`` (global) or a
@@ -394,6 +418,12 @@ def bucketed_running_sum(
     fall back to the single-window form.
 
     Adds ``_cum_<c>`` for each c in ``sum_cols``.
+
+    ``small_input_rows`` (default: the
+    ``spark.chdb_spark.bucketedRunningSum.smallInputRows`` conf, 4M) is the
+    cost-based switch to a plain window on cached small inputs; set the conf
+    (or arg) to 0 to force the bucketed shape. ``sketch_fraction`` samples
+    the bounds sketch for raw-table inputs that must not be cached.
     """
     group_cols = list(group_cols or [])
     extra_order = list(extra_order or [])
@@ -433,27 +463,42 @@ def bucketed_running_sum(
         # the bounds sketch is a SEPARATE action, so it re-runs the input
         # lineage; when the caller's input is an already-reduced relation
         # (distinct counts, per-doc scores — orders of magnitude below the
-        # raw data), caching it makes the sketch pass ~free. Deliberately
+        # raw data), materializing it once makes the sketch pass ~free.
+        # localCheckpoint (not persist): blocks are released by the
+        # ContextCleaner when the plan is GC'd, so 172-query sessions don't
+        # accumulate never-unpersisted cache entries (r5 leak), and the
+        # truncated lineage keeps downstream plans small. Deliberately
         # opt-in: never cache a raw 100 TB scan for this.
-        df = df.persist()
-        # cost-based strategy pick (the AQE move): the cache makes count()
-        # ~free, and below a few million rows a single-reducer window is
-        # both faster than sketch+bucket machinery and memory-safe
-        # (~hundreds of MB on one task). Above it, the bucketed path is
-        # the only shape that scales.
-        if df.count() <= 4_000_000:
+        df = df.localCheckpoint(eager=True)
+        threshold = _small_input_threshold(df, small_input_rows)
+        # cost-based strategy pick — see SMALL_INPUT_ROWS_CONF above. Only
+        # taken on the cached path, where count() reads block metadata.
+        if threshold > 0 and df.count() <= threshold:
             return _plain_window(df)
     vcol = F.col(order_col).cast("double")
     clean_rows = df.select(vcol.alias("_v")).where(F.col("_v").isNotNull())
     if is_float:
         clean_rows = clean_rows.where(~F.isnan("_v"))
+    if sketch_fraction is not None and 0 < sketch_fraction < 1:
+        # for RAW-table inputs (where cache_input would pin a 100 TB scan)
+        # the bounds sketch would otherwise re-scan the order column in
+        # full. A Bernoulli sample before the sketch bounds that cost;
+        # bounds only steer partitioning (results are bound-independent),
+        # and sampling noise only widens bucket-population variance — with
+        # m sampled rows the per-boundary rank error is ~0.5/sqrt(m), so
+        # 100k+ samples keep the max bucket within a few × of target
+        # (property-tested). Fixed seed: deterministic plans.
+        clean_rows = clean_rows.sample(fraction=sketch_fraction, seed=42)
     # driver-side quantile sketch (≤ n_buckets-1 doubles — bounds, never
     # row data), exactly what Spark's range partitioner collects. Relative
     # rank error 1/n_buckets keeps every bucket within 2× of N/n_buckets —
     # ample for parallelism — at ~10× less sketch cost than a tight 1e-4.
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = clean_rows.stat.approxQuantile("_v", probs, 1.0 / n_buckets)
-    splits = sorted({b for b in bounds if b == b})  # dedupe; drop NaN
+    # dedupe; drop NaN and ±inf (ADVICE r5: an infinite bound would make
+    # the Bucketizer splits non-strictly-increasing and fail the query —
+    # rows beyond the last finite bound share the edge buckets instead)
+    splits = sorted({b for b in bounds if b == b and abs(b) != float("inf")})
     c = df.withColumn(
         "_v",
         F.coalesce(F.nanvl(vcol, F.lit(0.0)) if is_float else vcol, F.lit(0.0)),
@@ -557,7 +602,11 @@ def contingency(df: DataFrame, a: str, b: str) -> DataFrame:
 def _chi2_frame(df: DataFrame, a: str, b: str) -> DataFrame:
     """One groupBy for cell counts; broadcast marginals back in — a single
     shuffle on (a,b), then map-side joins (cells ≪ rows at scale)."""
-    cells = df.groupBy(a, b).agg(F.count("*").alias("o")).cache()
+    # eager checkpoint, not cache(): four branches read the cells, and the
+    # blocks are ContextCleaner-released after the plan is GC'd (no leak)
+    cells = (
+        df.groupBy(a, b).agg(F.count("*").alias("o")).localCheckpoint(eager=True)
+    )
     row_m = cells.groupBy(a).agg(F.sum("o").alias("ra"))
     col_m = cells.groupBy(b).agg(F.sum("o").alias("cb"))
     n = cells.agg(F.sum("o").alias("n"))

@@ -439,8 +439,7 @@ def minhash_lsh_dedup(
     # lazily-populated cache would race and recompute per branch.
     feats = doc_features(
         docs, id_col, text_col, n=n, k=k, bands=bands, with_simhash=False
-    ).persist()
-    feats.count()
+    ).localCheckpoint(eager=True)  # ContextCleaner-released (no persist leak)
     banded = feats.select(
         "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
@@ -464,8 +463,7 @@ def simhash_dedup(
     """
     feats = doc_features(
         docs, id_col, text_col, n=3, with_minhash=False, with_simhash=True
-    ).persist()
-    feats.count()  # eager: see minhash_lsh_dedup
+    ).localCheckpoint(eager=True)  # eager multi-branch reuse; auto-released
     fp = feats.select("doc_id", "fp")
     banded = fp.select(
         "doc_id",
@@ -621,8 +619,7 @@ def ngram_jaccard_pairs(
     )
     feats = doc_features(
         docs, id_col, text_col, n=n, with_minhash=False, with_simhash=False
-    ).persist()
-    feats.count()  # eager: see minhash_lsh_dedup
+    ).localCheckpoint(eager=True)  # eager multi-branch reuse; auto-released
     hashes = feats.select("doc_id", F.explode("hs").alias("h"))
     sizes = feats.select("doc_id", F.size("hs").alias("sz"))
     ex = hashes.join(meta, "doc_id").join(sizes, "doc_id")

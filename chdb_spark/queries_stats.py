@@ -211,6 +211,11 @@ def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["l_returnflag"],
         extra_order=["l_quantity"],
         inclusive=True,
+        # the input is a RAW-table projection — caching it would pin a
+        # 100 TB scan, and an unsampled sketch re-scans the price column
+        # in full (r5 perf weak). Bounds only steer partitioning, so a
+        # 10% sample changes nothing in the result.
+        sketch_fraction=0.1,
     )
     totals = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
     return (

@@ -459,3 +459,117 @@ def test_quantized_knn_matches_numpy_and_approximates_mip(spark):
         top_exact = set(ids[np.argsort(-ex)[:3]])
         exact_mip_agree += len(top_exact & set(ids[order]))
     assert exact_mip_agree >= 6  # >= 2/3 overlap across the 3 queries
+
+
+def test_small_input_switch_plans_plain_window(spark):
+    """The cost-based small-input switch (SMALL_INPUT_ROWS_CONF): on a
+    cached input below the threshold the operator legitimately plans a
+    single plain window (faster and memory-safe at that size); with the
+    threshold forced to 0 the bucketed two-phase shape must come back.
+    Results must be identical either way."""
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+
+    rows = [(float(i % 97), 1, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "x double, w int, id long")
+
+    fast = bucketed_running_sum(
+        df, "x", ["w"], extra_order=["id"], inclusive=True, cache_input=True
+    )
+    plan_fast = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bk" not in plan_fast  # took the plain-window shortcut
+
+    forced = bucketed_running_sum(
+        df, "x", ["w"], extra_order=["id"], inclusive=True,
+        cache_input=True, small_input_rows=0,
+    )
+    plan_forced = forced._jdf.queryExecution().optimizedPlan().toString()
+    assert "_bk" in plan_forced  # bucketed shape retained when pinned off
+
+    got_fast = {r.id: r["_cum_w"] for r in fast.collect()}
+    got_forced = {r.id: r["_cum_w"] for r in forced.collect()}
+    assert got_fast == got_forced
+
+
+def test_small_input_switch_conf_override(spark):
+    """Setting the conf to 0 (what test_plan_shapes does suite-wide) must
+    force the bucketed shape without touching call sites."""
+    from chdb_spark.functions.aggregate_ext import (
+        SMALL_INPUT_ROWS_CONF,
+        bucketed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i), 1) for i in range(100)], "x double, w int"
+    )
+    spark.conf.set(SMALL_INPUT_ROWS_CONF, "0")
+    try:
+        out = bucketed_running_sum(df, "x", ["w"], inclusive=True, cache_input=True)
+        assert "_bk" in out._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.unset(SMALL_INPUT_ROWS_CONF)
+
+
+def test_sketch_fraction_exact_and_balanced(spark):
+    """Sampling the bounds sketch (raw-input path, r5 perf weak st5) must
+    not change ANY result value — bounds only steer partitioning — and
+    bucket populations must stay within a few × of target."""
+    import bisect
+    import random
+
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+
+    rng = random.Random(7)
+    rows = [(rng.gauss(0, 1000.0), rng.randint(1, 5), i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "x double, w int, id long")
+
+    full = bucketed_running_sum(
+        df, "x", ["w"], extra_order=["id"], inclusive=True, n_buckets=32
+    )
+    sampled = bucketed_running_sum(
+        df, "x", ["w"], extra_order=["id"], inclusive=True, n_buckets=32,
+        sketch_fraction=0.2,
+    )
+    got_full = {r.id: r["_cum_w"] for r in full.collect()}
+    got_sampled = {r.id: r["_cum_w"] for r in sampled.collect()}
+    assert got_full == got_sampled
+
+    # balance under sampling: max bucket ≤ 4× the uniform target (noise
+    # from a 20%/20k sample is ~1 bucket width at 32 buckets)
+    probs = [i / 32 for i in range(1, 32)]
+    bounds = sorted(
+        set(
+            df.sample(fraction=0.2, seed=42)
+            .stat.approxQuantile("x", probs, 1 / 32)
+        )
+    )
+    sizes = {}
+    for x, _, _ in rows:
+        b = bisect.bisect_right(bounds, x)
+        sizes[b] = sizes.get(b, 0) + 1
+    assert max(sizes.values()) <= 4 * (20000 // 32)
+
+
+def test_infinite_order_values_survive_bucketing(spark):
+    """ADVICE r5: ±inf in the order column must not produce an infinite
+    quantile bound (Bucketizer would reject non-increasing splits) — the
+    infinite rows ride the edge buckets and the cumulative stays exact."""
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+
+    # 25% -inf / 25% +inf: quantile boundaries land ON the infinities, so
+    # without the finiteness filter the splits list would contain ±inf
+    rows = (
+        [(float("-inf"), 1, i) for i in range(100)]
+        + [(float(i), 1, 100 + i) for i in range(200)]
+        + [(float("inf"), 1, 300 + i) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "x double, w int, id long")
+    out = bucketed_running_sum(
+        df, "x", ["w"], extra_order=["id"], inclusive=True, n_buckets=8
+    )
+    got = {r.id: r["_cum_w"] for r in out.collect()}
+    assert got[0] == 1            # first -inf row
+    assert got[99] == 100         # last -inf row (id tiebreak)
+    assert got[100] == 101        # smallest finite
+    assert got[299] == 300        # largest finite
+    assert got[399] == 400        # last +inf row
+    assert len(got) == 400

@@ -18,10 +18,26 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
+
 from chdb_spark.queries import all_queries
 from tests.conftest import SF_CORRECT
 
 _QUERIES = all_queries()
+
+
+@pytest.fixture(autouse=True)
+def _pin_bucketed_shape(spark):
+    """Plan-shape tests assert the AT-SCALE plan: disable the cost-based
+    small-input switch (which would legitimately plan a plain window on
+    test-scale inputs) so the bucketed two-phase shape is what we pin.
+    The switch itself is pinned separately in
+    tests/test_aggregate_ext.py::test_small_input_switch*."""
+    from chdb_spark.functions.aggregate_ext import SMALL_INPUT_ROWS_CONF
+
+    spark.conf.set(SMALL_INPUT_ROWS_CONF, "0")
+    yield
+    spark.conf.unset(SMALL_INPUT_ROWS_CONF)
 
 
 def plan_of(spark, name: str, mode: str = "formatted") -> str:
