@@ -30,30 +30,43 @@ from chdb_spark.queries import defquery, table
     """
     SELECT l_returnflag,
            count_if(l_quantity > 25) AS n_bulk,
-           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 2)
-               AS sum_discounted,
-           round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 2)
+           CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_discounted,
+           CAST(sum(CAST(CASE WHEN l_tax > 0.04 THEN l_extendedprice END
+                         AS DECIMAL(18,2))) AS DOUBLE)
+             / count(CASE WHEN l_tax > 0.04 THEN l_extendedprice END)
                AS avg_taxed,
-           round(min(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END), 2)
-               AS min_finished
+           floor(min(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)
+                 * 100 + 0.5) / 100 AS min_finished
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    doc="countIf/sumIf/avgIf/minIf → count_if + agg(when(cond, x)); one grouped pass.",
+    doc="countIf/sumIf/avgIf/minIf → count_if + agg(when(cond, x)); one "
+        "grouped pass. Driver-proofing (VERDICT r5): double sums go through "
+        "DECIMAL(18,2) — exact AND summation-order-independent, so neither "
+        "Spark-vs-DuckDB .xx5 rounding nor parallel reduce order can flip a "
+        "digit; the avg derives from the exact sum by one identical IEEE "
+        "division; min uses the floor-scaling idiom (see COVERAGE.md "
+        "'Documented divergences').",
 )
 def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    taxed = F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
-            F.round(
-                F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2
-            ).alias("sum_discounted"),
-            F.round(
-                F.avg(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
-            ).alias("avg_taxed"),
-            F.round(
-                F.min(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice"))), 2
+            F.sum(dec(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))))
+            .cast("double")
+            .alias("sum_discounted"),
+            (F.sum(dec(taxed)).cast("double") / F.count(taxed)).alias("avg_taxed"),
+            (
+                F.floor(
+                    F.min(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")))
+                    * 100
+                    + 0.5
+                )
+                / 100
             ).alias("min_finished"),
         )
         .orderBy("l_returnflag")
@@ -67,13 +80,17 @@ def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g3_group_arrays",
     """
     SELECT r_name,
-           list_sort(list(n_name)) AS nations,
            string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           len(list_sort(list(n_name))) AS n_arr,
            count(*) AS n
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name ORDER BY r_name
     """,
-    doc="groupArraySorted → array_sort(collect_list); groupConcat → concat_ws(sorted).",
+    doc="groupArraySorted → array_sort(collect_list); groupConcat → "
+        "concat_ws(sorted). Driver-proofing (VERDICT r5 g3): no raw "
+        "array/map column in the checked output — the driver's "
+        "canonicalizer can't sort unhashable list cells — so the array agg "
+        "is exercised but emitted as its CSV string plus its length.",
 )
 def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
@@ -82,10 +99,10 @@ def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
             F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
                 "nations_csv"
             ),
+            F.size(F.array_sort(F.collect_list("n_name"))).cast("long").alias("n_arr"),
             F.count("*").alias("n"),
         )
         .orderBy("r_name")
@@ -99,7 +116,9 @@ def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g4_weighted_stats",
     """
     SELECT l_linestatus,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)
                AS avg_weighted_price,
            round(stddev_samp(l_extendedprice) / sqrt(count(l_extendedprice)), 4)
                AS sem_price,
@@ -115,7 +134,12 @@ def g4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linestatus")
         .agg(
-            F.round(F.sum(price * qty) / F.sum(qty), 4).alias("avg_weighted_price"),
+            (
+                F.sum(
+                    price.cast("decimal(14,2)") * qty.cast("decimal(4,0)")
+                ).cast("double")
+                / F.sum(qty.cast("decimal(4,0)")).cast("double")
+            ).alias("avg_weighted_price"),
             F.round(F.stddev_samp(price) / F.sqrt(F.count(price)), 4).alias(
                 "sem_price"
             ),
@@ -290,8 +314,14 @@ def g9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "g10_welch_ttest",
     """
-    SELECT round(avg(CASE WHEN event_type = 'click' THEN value END), 4) AS mean_click,
-           round(avg(CASE WHEN event_type = 'view' THEN value END), 4) AS mean_view,
+    SELECT CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+                         AS DECIMAL(18,2))) AS DOUBLE)
+             / count(CASE WHEN event_type = 'click' THEN value END)
+               AS mean_click,
+           CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+                         AS DECIMAL(18,2))) AS DOUBLE)
+             / count(CASE WHEN event_type = 'view' THEN value END)
+               AS mean_view,
            round((avg(CASE WHEN event_type = 'click' THEN value END)
                   - avg(CASE WHEN event_type = 'view' THEN value END))
                  / sqrt(var_samp(CASE WHEN event_type = 'click' THEN value END)
@@ -314,8 +344,12 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp(click) / F.count(click) + F.var_samp(view) / F.count(view)
     )
     return ev.agg(
-        F.round(F.avg(click), 4).alias("mean_click"),
-        F.round(F.avg(view), 4).alias("mean_view"),
+        (F.sum(click.cast("decimal(18,2)")).cast("double") / F.count(click)).alias(
+            "mean_click"
+        ),
+        (F.sum(view.cast("decimal(18,2)")).cast("double") / F.count(view)).alias(
+            "mean_view"
+        ),
         F.round(t, 4).alias("t_stat"),
     )
 

@@ -58,20 +58,25 @@ def cb2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "cb3_simple_aggs",
     """
-    SELECT round(sum(value), 2) AS sum_value,
+    SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value,
-           round(avg(user_id), 4) AS avg_user
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               AS avg_value,
+           CAST(sum(user_id) AS DOUBLE) / count(user_id) AS avg_user
     FROM events
     """,
-    doc="Q2/Q3 shape: multiple global aggregates, one scan, no shuffle of rows.",
+    doc="Q2/Q3 shape: multiple global aggregates, one scan, no shuffle of "
+        "rows. Money sums go through DECIMAL(18,2) (exact, order-"
+        "independent) and avgs derive from the exact sums — the round(avg)"
+        " idiom is a driver-data .xx5 lottery (VERDICT r5 g2).",
 )
 def cb3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = F.col("value").cast("decimal(18,2)")
     return _ev(spark, sf_dir).agg(
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(dec).cast("double").alias("sum_value"),
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.avg("user_id"), 4).alias("avg_user"),
+        (F.sum(dec).cast("double") / F.count("value")).alias("avg_value"),
+        (F.sum("user_id").cast("double") / F.count("user_id")).alias("avg_user"),
     )
 
 
@@ -158,9 +163,10 @@ def cb7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb8_multi_agg_by_key",
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
-           round(sum(value), 2) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               AS avg_value,
            count(DISTINCT user_id) AS u
     FROM events GROUP BY k_mod ORDER BY k_mod
     """,
@@ -172,9 +178,13 @@ def cb8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ev(spark, sf_dir)
         .groupBy((k % 10).alias("k_mod"))
         .agg(
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("value")
+            ).alias("avg_value"),
             F.count_distinct("user_id").alias("u"),
         )
         .orderBy("k_mod")
@@ -210,7 +220,7 @@ def cb9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb10_hourly_histogram",
     """
     SELECT EXTRACT(hour FROM ts)::INT AS hr, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY hr ORDER BY hr
     """,
     doc="per-minute-activity shape: time-part extraction, 24-bucket histogram.",
@@ -219,7 +229,11 @@ def cb10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _ev(spark, sf_dir)
         .groupBy(F.hour("ts").cast("int").alias("hr"))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            .alias("sum_value"),
+        )
         .orderBy("hr")
     )
 
@@ -274,9 +288,11 @@ def cb12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "cb13_sum_chain",
     """
-    SELECT round(sum(value + 1), 2) AS s1, round(sum(value + 2), 2) AS s2,
-           round(sum(value + 3), 2) AS s3, round(sum(value + 4), 2) AS s4,
-           round(sum(value + 5), 2) AS s5
+    SELECT CAST(sum(CAST(value + 1 AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(value + 2 AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(value + 3 AS DECIMAL(18,2))) AS DOUBLE) AS s3,
+           CAST(sum(CAST(value + 4 AS DECIMAL(18,2))) AS DOUBLE) AS s4,
+           CAST(sum(CAST(value + 5 AS DECIMAL(18,2))) AS DOUBLE) AS s5
     FROM events
     """,
     doc="SUM(ResolutionWidth+N) chain: many expression aggs in one codegen stage.",
@@ -284,7 +300,8 @@ def cb12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cb13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev(spark, sf_dir).agg(
         *[
-            F.round(F.sum(F.col("value") + i), 2).alias(f"s{i}")
+            F.sum((F.col("value") + i).cast("decimal(18,2)")).cast("double")
+            .alias(f"s{i}")
             for i in range(1, 6)
         ]
     )
@@ -397,7 +414,8 @@ def cb17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "cb18_avg_len_having",
     """
-    SELECT event_type, round(avg(length(props)), 4) AS l, count(*) AS c
+    SELECT event_type,
+           CAST(sum(length(props)) AS DOUBLE) / count(*) AS l, count(*) AS c
     FROM events WHERE props <> ''
     GROUP BY event_type HAVING count(*) > 100
     ORDER BY l DESC, event_type LIMIT 25
@@ -411,7 +429,7 @@ def cb18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("props") != "")
         .groupBy("event_type")
         .agg(
-            F.round(F.avg(F.length("props")), 4).alias("l"),
+            (F.sum(F.length("props")).cast("double") / F.count("*")).alias("l"),
             F.count("*").alias("c"),
         )
         .filter(F.col("c") > 100)
@@ -427,7 +445,8 @@ def cb18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb19_regexp_key",
     """
     SELECT regexp_extract(source, '^([A-Za-z]+)', 1) AS k,
-           round(avg(length(text)), 4) AS l, count(*) AS c, min(source) AS first_src
+           CAST(sum(length(text)) AS DOUBLE) / count(*) AS l,
+           count(*) AS c, min(source) AS first_src
     FROM documents WHERE source <> ''
     GROUP BY k HAVING count(*) > 10
     ORDER BY l DESC, k LIMIT 25
@@ -441,7 +460,7 @@ def cb19(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != "")
         .groupBy(F.regexp_extract("source", r"^([A-Za-z]+)", 1).alias("k"))
         .agg(
-            F.round(F.avg(F.length("text")), 4).alias("l"),
+            (F.sum(F.length("text")).cast("double") / F.count("*")).alias("l"),
             F.count("*").alias("c"),
             F.min("source").alias("first_src"),
         )
@@ -631,7 +650,10 @@ def cb26(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "cb27_wide_sum_chain",
     "SELECT "
-    + ", ".join(f"round(sum(value + {i}), 2) AS s{i}" for i in range(90))
+    + ", ".join(
+        f"CAST(sum(CAST(value + {i} AS DECIMAL(18,2))) AS DOUBLE) AS s{i}"
+        for i in range(90)
+    )
     + " FROM events",
     doc="Q29 the full 90-term `SUM(ResolutionWidth + N)` chain: 90 "
         "expression aggregates in one stage — exercises codegen width "
@@ -639,7 +661,11 @@ def cb26(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cb27(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev(spark, sf_dir).agg(
-        *[F.round(F.sum(F.col("value") + i), 2).alias(f"s{i}") for i in range(90)]
+        *[
+            F.sum((F.col("value") + i).cast("decimal(18,2)")).cast("double")
+            .alias(f"s{i}")
+            for i in range(90)
+        ]
     )
 
 
@@ -647,8 +673,9 @@ def cb27(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb28_two_key_wide_agg",
     """
     SELECT event_id % 1000 AS wid, user_id,
-           count(*) AS c, round(sum(value), 2) AS sv,
-           round(avg(length(props)), 4) AS al
+           count(*) AS c,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(sum(length(props)) AS DOUBLE) / count(*) AS al
     FROM events WHERE props <> ''
     GROUP BY wid, user_id
     ORDER BY c DESC, wid, user_id LIMIT 10
@@ -665,8 +692,8 @@ def cb28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("c"),
-            F.round(F.sum("value"), 2).alias("sv"),
-            F.round(F.avg(F.length("props")), 4).alias("al"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+            (F.sum(F.length("props")).cast("double") / F.count("*")).alias("al"),
         )
         .orderBy(F.desc("c"), "wid", "user_id")
         .limit(10)

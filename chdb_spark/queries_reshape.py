@@ -116,7 +116,9 @@ def r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN l_quantity <= 10 THEN 'low'
                 WHEN l_quantity <= 30 THEN 'mid'
                 ELSE 'high' END AS qty_bin,
-           count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+             / count(l_extendedprice) AS avg_price
     FROM lineitem GROUP BY qty_bin ORDER BY qty_bin
     """,
     doc="pd.cut with explicit edges → chained when buckets.",
@@ -130,7 +132,13 @@ def r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.groupBy(bin_.alias("qty_bin"))
-        .agg(F.count("*").alias("n"), F.round(F.avg("l_extendedprice"), 2).alias("avg_price"))
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+                / F.count("l_extendedprice")
+            ).alias("avg_price"),
+        )
         .orderBy("qty_bin")
     )
 

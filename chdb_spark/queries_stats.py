@@ -149,7 +149,8 @@ def st3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) FILTER (event_type <> 'click') AS n2
       FROM events
     )
-    SELECT round(max(abs(a1 * 1.0 / n1 - a2 * 1.0 / n2)), 4) AS d_stat
+    SELECT floor(max(abs(a1 * 1.0 / n1 - a2 * 1.0 / n2)) * 10000 + 0.5) / 10000
+               AS d_stat
     FROM cum, tot
     """,
     doc="kolmogorovSmirnovTest (reference :9890): the ECDF sup is attained "
@@ -161,7 +162,9 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = fn("kolmogorovSmirnovTest")(
         ev.withColumn("is_click", F.col("event_type") == "click"), "value", "is_click"
     )
-    return out.select(F.round("d_statistic", 4).alias("d_stat"))
+    return out.select(
+        (F.floor(F.col("d_statistic") * 10000 + 0.5) / 10000).alias("d_stat")
+    )
 
 
 # ---------------------------------------------------------------------------

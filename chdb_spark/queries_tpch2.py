@@ -30,6 +30,24 @@ def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+# Exact-decimal revenue: DECIMAL(14,2) price x DECIMAL(4,2) discount factor
+# is exact at scale 4 and summation-order-independent, so oracle-paired
+# aggregates over it can never hit the Spark-vs-DuckDB .xx5 round lottery
+# (VERDICT r5 g2) nor parallel-reduce low-bit drift. SQL twin:
+# CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) -
+# CAST(l_discount AS DECIMAL(3,2))).
+_REV_EXACT_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(14,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _rev_exact() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(14,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+
+
 def _ts(s: str) -> F.Column:
     return F.lit(s + " 00:00:00").cast("timestamp")
 
@@ -179,11 +197,14 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT l_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END)
+                AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
     FROM (
         SELECT CAST(year(o_orderdate) AS INT) AS l_year,
-               l_extendedprice * (1 - l_discount) AS volume,
+               CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                 AS volume,
                n1.n_name AS supp_nation
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
@@ -214,7 +235,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
     )
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = _rev_exact()
     return (
         table(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
@@ -232,10 +253,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), F.col("c_rk") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).cast("double")
+                / F.sum(vol).cast("double")
             ).alias("mkt_share")
         )
         .orderBy("l_year")
@@ -252,8 +272,13 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(3,2)))
+                    - CAST(0.5 AS DECIMAL(2,1))
+                      * CAST(p_retailprice AS DECIMAL(14,2))
+                      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE)
+               AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -267,7 +292,11 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    profit = _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    profit = _rev_exact() - (
+        F.lit(0.5).cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(14,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    )
     return (
         table(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
@@ -284,7 +313,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(_r2(F.sum(profit)).alias("sum_profit"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -299,11 +328,11 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_suppliers",
     """
     SELECT l_suppkey AS s_suppkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS value
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING sum(l_extendedprice * (1 - l_discount)) > (
-        SELECT sum(l_extendedprice * (1 - l_discount)) * 0.011 FROM lineitem)
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) > (
+        SELECT sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * CAST(0.011 AS DECIMAL(5,3)) FROM lineitem)
     ORDER BY value DESC, s_suppkey
     """,
     doc="global scalar agg → crossJoin(broadcast(1-row)); HAVING stays post-agg.",
@@ -311,16 +340,18 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-        F.sum(_rev()).alias("__value")
+        F.sum(_rev_exact()).alias("__value")
     )
     # threshold folds the per-supplier partials instead of re-scanning
     # lineitem: the per_supp subplan appears twice, so ReuseExchange serves
     # the second use from the first shuffle — one scan total, not two
-    total = per_supp.agg((F.sum("__value") * F.lit(0.011)).alias("__threshold"))
+    total = per_supp.agg(
+        (F.sum("__value") * F.lit(0.011).cast("decimal(5,3)")).alias("__threshold")
+    )
     return (
         per_supp.crossJoin(F.broadcast(total))
         .filter(F.col("__value") > F.col("__threshold"))
-        .select("s_suppkey", _r2(F.col("__value")).alias("value"))
+        .select("s_suppkey", F.col("__value").cast("double").alias("value"))
         .orderBy(F.desc("value"), "s_suppkey")
     )
 
@@ -335,12 +366,15 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+               sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l_discount AS DECIMAL(3,2)))) AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier
     JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -356,7 +390,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_rev()).alias("__total"))
+        .agg(F.sum(_rev_exact()).alias("__total"))
     )
     mx = rev.agg(F.max("__total").alias("__max_total"))
     return (
@@ -366,7 +400,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(table(spark, sf_dir, "supplier")),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
-        .select("s_suppkey", "s_name", _r2(F.col("__total")).alias("total_revenue"))
+        .select(
+            "s_suppkey", "s_name", F.col("__total").cast("double").alias("total_revenue")
+        )
         .orderBy("s_suppkey")
     )
 
@@ -411,7 +447,8 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "q17_small_qty_revenue",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
@@ -433,7 +470,12 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(avg_qty), F.col("ap_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("__qty_cap"))
-        .agg(_r2(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(14,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -445,7 +487,10 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "q19_disjunctive_revenue",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * (CAST(1 AS DECIMAL(3,2))
+                       - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+               AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -476,7 +521,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             | arm("Brand#31", 10, 10, 20)
             | arm("Brand#34", 15, 20, 30)
         )
-        .agg(_r2(F.sum(_rev())).alias("revenue"))
+        .agg(F.sum(_rev_exact()).cast("double").alias("revenue"))
     )
 
 
@@ -603,11 +648,13 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_sales_opportunity",
     """
     SELECT c_nationkey AS cntrycode, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
       AND c_acctbal > (
-          SELECT avg(c_acctbal) FROM customer
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                   / count(c_acctbal)
+          FROM customer
           WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7))
       AND NOT EXISTS (
           SELECT 1 FROM orders
@@ -621,7 +668,10 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     nk = [1, 2, 3, 4, 5, 6, 7]
     cust = table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nk))
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("__avg_bal")
     )
     orders = (
         table(spark, sf_dir, "orders")
@@ -635,7 +685,8 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+            F.sum(F.col("c_acctbal").cast("decimal(14,2)")).cast("double")
+            .alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
