@@ -63,28 +63,67 @@ def _family(name: str) -> str:
     return name[:i] or name
 
 
+def _driver_check_history() -> dict[str, int]:
+    """Map query name → most recent round whose CORRECTNESS_r{N}.json
+    sampled it (never sampled → absent). Reads the driver-written files at
+    the repo root; tolerant of absence (fresh clone, tests)."""
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                for name in json.load(f):
+                    last[name] = max(last.get(name, -1), rnd)
+        except Exception:
+            continue
+    return last
+
+
 def all_queries() -> dict[str, QueryDef]:
     # import registers operator-backed queries too
     from chdb_spark.operators import register_operator_queries
 
     register_operator_queries()
-    # Round-robin interleave by family prefix. The driver's CORRECTNESS
-    # sample takes the FIRST 50 dict entries; plain registration order put
-    # ~all TPC-H/dedup first and left newer families (ch*, cb21+, st*,
-    # ts6/7, sk*, m*) formally unsampled (VERDICT r4 item 5). Interleaving
-    # one query per family per round makes any prefix representative.
-    buckets: dict[str, list[QueryDef]] = {}
-    for q in _QUERIES.values():
-        buckets.setdefault(_family(q.name), []).append(q)
+    # Round-robin interleave by family prefix, each family's lane ordered
+    # by "rounds since last driver check". The driver's CORRECTNESS sample
+    # takes the FIRST 50 dict entries; plain registration order put ~all
+    # TPC-H/dedup first and left newer families formally unsampled
+    # (VERDICT r4 item 5 → interleave), and a FIXED interleave re-samples
+    # the same 50 forever, leaving ~half the suite never driver-checked
+    # (VERDICT r5 next-round #3 → rotate). Sorting each lane by
+    # least-recently-checked (never-checked first, stable on registration
+    # order) makes each round's prefix drain the unchecked backlog while
+    # staying family-representative.
+    history = _driver_check_history()
     out: dict[str, QueryDef] = {}
-    lanes = list(buckets.values())
-    i = 0
-    while any(lanes):
-        for lane in lanes:
-            if i < len(lane):
-                out[lane[i].name] = lane[i]
-        lanes = [ln for ln in lanes if len(ln) > i + 1]
-        i += 1
+
+    def _interleave(qdefs: list[QueryDef]) -> None:
+        buckets: dict[str, list[QueryDef]] = {}
+        for q in qdefs:
+            buckets.setdefault(_family(q.name), []).append(q)
+        lanes = list(buckets.values())
+        i = 0
+        while any(lanes):
+            for lane in lanes:
+                if i < len(lane):
+                    out[lane[i].name] = lane[i]
+            lanes = [ln for ln in lanes if len(ln) > i + 1]
+            i += 1
+
+    # tier 1: everything the driver has NEVER checked (family-interleaved),
+    # tier 2: already-checked queries, least-recently-checked first
+    qs = list(_QUERIES.values())
+    _interleave([q for q in qs if q.name not in history])
+    _interleave(sorted((q for q in qs if q.name in history),
+                       key=lambda q: history[q.name]))
     return out
 
 
