@@ -666,10 +666,18 @@ def _array_reduce(a: list[str]) -> str:
 
 def _ch_extract(a: list[str]) -> str:
     # SQL EXTRACT(YEAR FROM ts) arrives as ONE arg containing FROM —
-    # passthrough; CH extract(haystack, re) is the 2-arg regex form
+    # passthrough; CH extract(haystack, re) is the 2-arg regex form.
+    # CH returns the FIRST capture group when the pattern has one
+    # (extract(s, 'id=(\\d+)') → '123', not 'id=123'), else the whole
+    # match — inspect the pattern literal for an unescaped '(' that is
+    # not a non-capturing '(?' (ADVICE r5).
     if len(a) == 1:
         return f"extract({a[0]})"
-    return f"regexp_extract({a[0]}, {a[1]}, 0)"
+    group = 0
+    lit = _str_lit(a[1])
+    if lit is not None and re.search(r"(?<!\\)\((?!\?)", lit):
+        group = 1
+    return f"regexp_extract({a[0]}, {a[1]}, {group})"
 
 
 def _ch_transform(a: list[str]) -> str:

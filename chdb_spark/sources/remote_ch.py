@@ -47,6 +47,34 @@ _CH_TO_SPARK = {
 _INT_SPARK = ("tinyint", "smallint", "int", "bigint")
 
 
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and quotes — CH type params
+    (``Decimal(18, 2)``, ``Enum8('a'=1,'b'=2)``) carry both."""
+    out, buf, depth, quote = [], [], 0, ""
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = ""
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def ch_type_to_spark(ch: str) -> str:
     """``Nullable(LowCardinality(UInt32))`` → ``bigint``; arrays recurse."""
     t = ch.strip()
@@ -55,6 +83,10 @@ def ch_type_to_spark(ch: str) -> str:
             return ch_type_to_spark(t[len(wrapper) + 1 : -1])
     if t.startswith("Array(") and t.endswith(")"):
         return f"array<{ch_type_to_spark(t[6:-1])}>"
+    if t.startswith("Decimal(") and t.endswith(")"):
+        ps = [p.strip() for p in t[8:-1].split(",")]
+        if len(ps) == 2 and all(p.isdigit() for p in ps):
+            return f"decimal({ps[0]},{ps[1]})"
     base = t.split("(")[0]
     return _CH_TO_SPARK.get(base, "string")
 
@@ -122,7 +154,13 @@ class _RemoteChReader(DataSourceReader):
                 conds.append(f"{pcol} >= {int(partition.lo)}")
             if partition.hi is not None:
                 conds.append(f"{pcol} < {int(partition.hi)}")
-            sql += " WHERE " + " AND ".join(conds)
+            pred = " AND ".join(conds)
+            if partition.lo is None:
+                # the partition column can be Nullable; NULL fails every
+                # range predicate, so (mirroring Spark's JDBC reader) the
+                # first partition carries the NULL lane (ADVICE r5)
+                pred = f"(({pred}) OR {pcol} IS NULL)"
+            sql += " WHERE " + pred
         body = post(sql + " FORMAT ArrowStream")
         if not body:
             return
@@ -148,6 +186,9 @@ def _arrow_schema(cols):
     def one(t: str):
         if t.startswith("array<") and t.endswith(">"):
             return pa.list_(one(t[6:-1]))
+        if t.startswith("decimal(") and t.endswith(")"):
+            p, s = t[8:-1].split(",")
+            return pa.decimal128(int(p), int(s))
         return m.get(t, pa.string())
 
     return pa.schema([(c, one(t)) for c, t in cols])
@@ -193,8 +234,10 @@ def remote(
     post = factory()
     ref = f"{database}.{table}" if database else table
     if structure:
+        # paren-aware split: parameterized CH types carry commas —
+        # Decimal(18, 2), DateTime64(3, 'UTC'), Enum8('a'=1,'b'=2) (ADVICE r5)
         cols = []
-        for part in structure.split(","):
+        for part in _split_top_level(structure):
             name, _, ch = part.strip().partition(" ")
             cols.append((name, ch_type_to_spark(ch)))
     else:
@@ -279,18 +322,30 @@ def fake_ch_post_factory(rows: list[tuple], cols: list[tuple[str, str]]):
             if not m:
                 raise ValueError(f"fake CH server: unsupported query {sql!r}")
             sel = [c.strip() for c in m.group(1).split(",")]
-            data = rows
-            for cond in (m.group(2) or "").split(" AND "):
+            where = (m.group(2) or "").strip()
+            # first-partition predicates carry the NULL lane:
+            # ((pcol < hi) OR pcol IS NULL)
+            null_col = None
+            wm = re.match(r"\(\((.+)\) OR (\w+) IS NULL\)$", where)
+            if wm:
+                where, null_col = wm.group(1), wm.group(2)
+            conds = []
+            for cond in where.split(" AND "):
                 cm = re.match(r"(\w+) (>=|<) (-?\d+)", cond.strip())
-                if not cm:
-                    continue
-                i, op, v = names.index(cm.group(1)), cm.group(2), int(cm.group(3))
-                data = [
-                    r
-                    for r in data
-                    if r[i] is not None
-                    and (r[i] >= v if op == ">=" else r[i] < v)
-                ]
+                if cm:
+                    conds.append(
+                        (names.index(cm.group(1)), cm.group(2), int(cm.group(3)))
+                    )
+
+            def keep(r):
+                if null_col is not None and r[names.index(null_col)] is None:
+                    return True
+                for i, op, v in conds:
+                    if r[i] is None or not (r[i] >= v if op == ">=" else r[i] < v):
+                        return False
+                return True
+
+            data = [r for r in rows if keep(r)] if (conds or null_col) else rows
             import io
 
             import pyarrow as pa

@@ -631,3 +631,27 @@ def test_with_fill_through_session_and_cursor(spark):
         assert cur.fetchall() == [(0,), (1,), (2,), (3,)]
     finally:
         conn.close()
+
+
+def test_extract_capture_group_semantics(spark):
+    """ADVICE r5: CH extract(s, re) returns the FIRST capture group when
+    the pattern has one, else the whole match."""
+    from chdb_spark.dialect import rewrite as rw
+
+    assert rw(r"SELECT extract(s, 'id=(\d+)') FROM t") == (
+        r"SELECT regexp_extract(s, 'id=(\d+)', 1) FROM t"
+    )
+    assert rw(r"SELECT extract(s, '\d+') FROM t") == (
+        r"SELECT regexp_extract(s, '\d+', 0) FROM t"
+    )
+    # escaped paren is NOT a capture group; non-capturing (?: ...) neither
+    assert ", 0)" in rw(r"SELECT extract(s, 'a\(b') FROM t")
+    assert ", 0)" in rw(r"SELECT extract(s, '(?:ab)+') FROM t")
+    # EXTRACT(unit FROM ts) passthrough untouched
+    assert rw("SELECT EXTRACT(YEAR FROM ts) FROM t") == (
+        "SELECT EXTRACT(YEAR FROM ts) FROM t"
+    )
+    # end-to-end value check
+    spark.sql("SELECT 'id=123' AS s").createOrReplaceTempView("ext_t")
+    out = chs.query(spark, "SELECT extract(s, 'id=(\\\\d+)') AS g FROM ext_t", "Pandas")
+    assert out["g"].iloc[0] == "123"

@@ -158,3 +158,42 @@ def test_remote_sql_dialect_table_function(spark):
         assert (rows[0]["n"], rows[0]["s"]) == (6, 171.5)
     finally:
         srv.shutdown()
+
+
+def test_remote_null_partition_col_rows_kept(spark):
+    """ADVICE r5 (high): rows whose partition column is NULL fail every
+    range predicate — the first partition must carry the NULL lane, or a
+    partitioned remote() read silently drops rows."""
+    rows = [(1, "a", 1.0), (None, "null-key", 2.0), (2, "b", 3.0),
+            (None, "null-key-2", 4.0), (3, "c", 5.0), (4, "d", 6.0)]
+    cols = [("id", "Nullable(UInt64)"), ("name", "String"), ("v", "Float64")]
+    df = remote(
+        spark, "fake:8123", "default", "t",
+        http_factory=fake_ch_post_factory(rows, cols),
+        n_partitions=3,
+    )
+    got = sorted((r.name, r.v) for r in df.collect())
+    assert got == sorted((n, v) for _, n, v in rows)  # nothing dropped
+    assert df.count() == 6  # and nothing duplicated
+
+
+def test_structure_with_parameterized_types(spark):
+    """ADVICE r5: declared structure with comma-carrying types must not be
+    split into bogus columns."""
+    rows = [(1, "3.50"), (2, "7.25")]
+    cols = [("id", "UInt64"), ("amt", "Decimal(18, 2)")]
+    df = remote(
+        spark, "fake:8123", "default", "t",
+        structure="id UInt64, amt Decimal(18, 2)",
+        http_factory=fake_ch_post_factory(
+            [(1, "3.50"), (2, "7.25")], cols
+        ),
+        n_partitions=1,
+    )
+    assert len(df.schema.fields) == 2
+    assert df.schema["amt"].dataType.simpleString() == "decimal(18,2)"
+
+
+def test_ch_decimal_type_mapping():
+    assert ch_type_to_spark("Decimal(18, 2)") == "decimal(18,2)"
+    assert ch_type_to_spark("Nullable(Decimal(10,4))") == "decimal(10,4)"
