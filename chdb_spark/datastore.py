@@ -995,6 +995,25 @@ class DataStore:
         ImportError surfaces unchanged when absent."""
         return self.to_df().to_excel(excel_writer, sheet_name=sheet_name, **kw)
 
+    def to_clickhouse(self, name: str, host: str, user: str = "default",
+                      password: str = "", secure: bool = False,
+                      if_exists: str = "fail", engine: str = "MergeTree",
+                      order_by: str = "tuple()", database: str = "default",
+                      **kw) -> int:
+        """Write to a remote ClickHouse table over the public HTTP
+        interface — the executable counterpart of the reference's
+        DataFrame-upload leg (core.py:5523-5562), no driver jar. Each
+        executor POSTs its partition as ``INSERT ... FORMAT ArrowStream``;
+        row data never passes through the Spark driver. Returns rows
+        written."""
+        from chdb_spark.sources.remote_ch import to_clickhouse
+
+        return to_clickhouse(
+            self._df, host, database, name, user=user, password=password,
+            secure=secure, if_exists=if_exists, engine=engine,
+            order_by=order_by, **kw,
+        )
+
     def iterrows(self):
         """(i, Series) per row from ``toLocalIterator`` — constant driver
         memory at any result size (the reference iterates pandas-side)."""

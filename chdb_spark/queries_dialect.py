@@ -317,6 +317,54 @@ def rc1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "rc2_remote_clickhouse_write",
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="to_clickhouse() write path end-to-end (reference core.py:5523-5562 "
+        "DataFrame-upload leg): an orders slice is written over REAL "
+        "localhost HTTP as per-partition INSERT ... FORMAT ArrowStream "
+        "(sources/remote_ch.py to_clickhouse), read back with remote() "
+        "range-partitioned, and aggregated against the parquet oracle. "
+        "Executor tasks POST their own partitions — row data never passes "
+        "through the driver on the write.",
+)
+def rc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from chdb_spark.sources.remote_ch import FakeChServer, remote, to_clickhouse
+
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 2000")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(4)
+    )
+    server = FakeChServer()
+    host, httpd = server.serve()
+    try:
+        to_clickhouse(src, host, "default", "orders_rc2", if_exists="replace")
+        back = remote(spark, host, "default", "orders_rc2", n_partitions=3)
+        rows = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .orderBy("o_orderstatus")
+            .collect()  # materialize before the localhost server goes away
+        )
+    finally:
+        httpd.shutdown()
+    return spark.createDataFrame(rows)
+
+
+@defquery(
     "ch7_with_fill",
     """
     WITH agg AS (

@@ -98,15 +98,24 @@ def _default_http_factory(
     urllib — the public ClickHouse HTTP interface, no client library."""
 
     def make_post():
+        import urllib.parse
         import urllib.request
 
         h, _, port = host.partition(":")
         scheme = "https" if secure else "http"
         url = f"{scheme}://{h}:{port or (8443 if secure else 8123)}/"
 
-        def post(sql: str) -> bytes:
+        def post(sql: str, data: bytes | None = None) -> bytes:
+            # reads ship the SQL as the body; binary uploads (INSERT ...
+            # FORMAT ArrowStream) put the SQL in the query param and the
+            # payload in the body — both public CH HTTP conventions
+            target = url
+            body = sql.encode()
+            if data is not None:
+                target = url + "?query=" + urllib.parse.quote(sql)
+                body = data
             req = urllib.request.Request(
-                url, data=sql.encode(), method="POST",
+                target, data=body, method="POST",
                 headers={
                     "X-ClickHouse-User": user or "default",
                     "X-ClickHouse-Key": password or "",
@@ -363,3 +372,201 @@ def fake_ch_post_factory(rows: list[tuple], cols: list[tuple[str, str]]):
         return post
 
     return factory
+
+
+# ---------------------------------------------------------------------------
+# Write path — to_clickhouse() over HTTP INSERT ... FORMAT ArrowStream
+# (reference datastore/core.py:5523-5562 "DataFrame upload" leg; same wire
+# interface as the read path above, so no driver jar is required)
+# ---------------------------------------------------------------------------
+
+#: Spark DDL type → ClickHouse type (inverse of _CH_TO_SPARK, lossy where
+#: Spark is narrower — UInt* all read back as signed widenings)
+_SPARK_TO_CH = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32", "bigint": "Int64",
+    "float": "Float32", "double": "Float64", "string": "String",
+    "boolean": "Bool", "date": "Date32", "timestamp": "DateTime64(6)",
+}
+
+
+def spark_type_to_ch(t: str) -> str:
+    """``array<bigint>`` → ``Array(Int64)``; unknown types ship as String."""
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"Array({spark_type_to_ch(t[6:-1])})"
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[8:-1].split(",")
+        return f"Decimal({int(p)}, {int(s)})"
+    return _SPARK_TO_CH.get(t, "String")
+
+
+def to_clickhouse(
+    df: DataFrame,
+    host: str,
+    database: str = "default",
+    table: str = "",
+    user: str = "default",
+    password: str = "",
+    secure: bool = False,
+    if_exists: str = "fail",
+    engine: str = "MergeTree",
+    order_by: str = "tuple()",
+    http_factory=None,
+) -> int:
+    """Write ``df`` to a remote ClickHouse table over the HTTP interface —
+    the executable counterpart of the reference's ``to_clickhouse``
+    DataFrame-upload leg (core.py:5523-5562), jar-free.
+
+    Scale shape: the driver issues only DDL probes (EXISTS / CREATE /
+    DROP); row data never passes through it. Each executor task POSTs its
+    partition as ``INSERT INTO ... FORMAT ArrowStream`` — one request per
+    Arrow batch (``spark.sql.execution.arrow.maxRecordsPerBatch`` rows),
+    so task memory stays batch-bounded and a 1000-executor write fans out
+    to the server as parallel inserts.
+
+    ``if_exists``: 'fail' | 'append' | 'replace'. Returns rows written.
+    """
+    if not host or not table:
+        raise ValueError("to_clickhouse() requires host and table")
+    if if_exists not in ("fail", "append", "replace"):
+        raise ValueError(f"if_exists must be fail|append|replace, got {if_exists!r}")
+    factory = http_factory or _default_http_factory(host, user, password, secure)
+    post = factory()
+    ref = f"{database}.{table}" if database else table
+    cols = [(f.name, spark_type_to_ch(f.dataType.simpleString())) for f in df.schema.fields]
+
+    exists = post(f"EXISTS TABLE {ref} FORMAT TSV").strip() == b"1"
+    if exists and if_exists == "fail":
+        raise ValueError(f"to_clickhouse: table {ref} exists (if_exists='fail')")
+    if exists and if_exists == "replace":
+        post(f"DROP TABLE IF EXISTS {ref}")
+        exists = False
+    if not exists:
+        ddl_cols = ", ".join(f"{n} {t}" for n, t in cols)
+        post(
+            f"CREATE TABLE {ref} ({ddl_cols}) ENGINE = {engine} "
+            f"ORDER BY {order_by}"
+        )
+
+    names = ", ".join(n for n, _ in cols)
+    insert_sql = f"INSERT INTO {ref} ({names}) FORMAT ArrowStream"
+    enc = _encode_obj(factory)
+
+    def _write_partition(batches):
+        import io
+
+        import pyarrow as pa
+
+        total = 0
+        p = None
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if p is None:
+                p = _decode_obj(enc)()
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_batch(batch)
+            p(insert_sql, sink.getvalue())
+            total += batch.num_rows
+        yield pa.RecordBatch.from_pydict({"n": pa.array([total], pa.int64())})
+
+    counts = df.mapInArrow(_write_partition, "n long").collect()
+    return sum(r.n for r in counts)
+
+
+class FakeChServer:
+    """Stateful in-process ClickHouse-HTTP stand-in covering the protocol
+    subset BOTH paths use: DESCRIBE / EXISTS / CREATE / DROP / min-max /
+    range-sliced ``SELECT ... FORMAT ArrowStream`` (read) and
+    ``INSERT ... FORMAT ArrowStream`` (write). Only the wire hop is fake;
+    DDL parsing, Arrow (de)serialization and predicate evaluation are the
+    same work a real server performs. ``serve()`` exposes it on a real
+    localhost HTTP port so executor processes reach it over TCP exactly
+    like a production endpoint."""
+
+    def __init__(self):
+        self.tables: dict[str, tuple[list, list]] = {}  # ref -> (rows, cols)
+
+    def add_table(self, ref: str, rows: list, cols: list) -> None:
+        self.tables[ref] = (list(rows), list(cols))
+
+    def post(self, sql: str, data: bytes | None = None) -> bytes:
+        import io
+        import re
+
+        import pyarrow as pa
+
+        sql = sql.strip()
+        u = sql.upper()
+        if u.startswith("EXISTS TABLE"):
+            ref = sql.split()[2]
+            return b"1" if ref in self.tables else b"0"
+        if u.startswith("DROP TABLE"):
+            self.tables.pop(sql.split()[-1], None)
+            return b""
+        if u.startswith("CREATE TABLE"):
+            m = re.match(r"CREATE TABLE (\S+)\s*\((.*)\)\s*ENGINE", sql, re.DOTALL)
+            if not m:
+                raise ValueError(f"FakeChServer: unparseable DDL {sql!r}")
+            cols = []
+            for part in _split_top_level(m.group(2)):
+                name, _, ch = part.strip().partition(" ")
+                cols.append((name, ch.strip()))
+            self.tables[m.group(1)] = ([], cols)
+            return b""
+        if u.startswith("INSERT INTO"):
+            m = re.match(r"INSERT INTO (\S+)", sql)
+            rows, cols = self.tables[m.group(1)]
+            with pa.ipc.open_stream(io.BytesIO(data or b"")) as rdr:
+                tbl = rdr.read_all()
+            incoming = {c: tbl.column(c).to_pylist() for c in tbl.column_names}
+            n = tbl.num_rows
+            rows.extend(
+                tuple(incoming.get(name, [None] * n)[i] for name, _ in cols)
+                for i in range(n)
+            )
+            return b""
+        m = re.match(r"DESCRIBE TABLE (\S+)", sql) or re.search(r"FROM (\S+)", sql)
+        if not m or m.group(1) not in self.tables:
+            raise ValueError(f"FakeChServer: unknown table in {sql!r}")
+        rows, cols = self.tables[m.group(1)]
+        return fake_ch_post_factory(rows, cols)()(sql)
+
+    def serve(self):
+        """Start a real localhost HTTP server; returns (host:port, httpd).
+        Query arrives as the body (reads) or as the ``query=`` URL param
+        with a binary body (inserts) — the same dual convention the real
+        ClickHouse HTTP interface accepts."""
+        import threading
+        import urllib.parse
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            def do_POST(self):
+                body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                qs = urllib.parse.urlparse(self.path).query
+                params = urllib.parse.parse_qs(qs)
+                try:
+                    if params.get("query"):
+                        out = outer.post(params["query"][0], body)
+                    else:
+                        out = outer.post(body.decode())
+                except Exception as e:
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return f"127.0.0.1:{srv.server_address[1]}", srv
