@@ -43,11 +43,14 @@ class QueryResult:
     def row_count(self) -> int:
         return len(self.result_rows)
 
+    @property
     def first_row(self):
+        # property, matching clickhouse-connect's QueryResult surface
         return self.result_rows[0] if self.result_rows else None
 
+    @property
     def first_item(self):
-        r = self.first_row()
+        r = self.first_row
         return r[0] if r else None
 
     def named_results(self):

@@ -464,11 +464,15 @@ def bucketed_running_sum(
         # lineage; when the caller's input is an already-reduced relation
         # (distinct counts, per-doc scores — orders of magnitude below the
         # raw data), materializing it once makes the sketch pass ~free.
-        # localCheckpoint (not persist): blocks are released by the
-        # ContextCleaner when the plan is GC'd, so 172-query sessions don't
-        # accumulate never-unpersisted cache entries (r5 leak), and the
-        # truncated lineage keeps downstream plans small. Deliberately
-        # opt-in: never cache a raw 100 TB scan for this.
+        # localCheckpoint, not persist: blocks are ContextCleaner-released
+        # when the plan is GC'd (fixes the r5 never-unpersisted leak) and
+        # the truncated lineage makes the sketch + main passes read blocks.
+        # A weakref-finalizer persist() variant was tried (r6) and measured
+        # WORSE: the finalizer fires as soon as the caller derives a new
+        # DataFrame from the returned one, unpersisting mid-build. Callers
+        # that reuse their INPUT separately should checkpoint it themselves
+        # (see operators/text.py perplexity_buckets). Deliberately opt-in:
+        # never cache a raw 100 TB scan for this.
         df = df.localCheckpoint(eager=True)
         threshold = _small_input_threshold(df, small_input_rows)
         # cost-based strategy pick — see SMALL_INPUT_ROWS_CONF above. Only
@@ -602,8 +606,8 @@ def contingency(df: DataFrame, a: str, b: str) -> DataFrame:
 def _chi2_frame(df: DataFrame, a: str, b: str) -> DataFrame:
     """One groupBy for cell counts; broadcast marginals back in — a single
     shuffle on (a,b), then map-side joins (cells ≪ rows at scale)."""
-    # eager checkpoint, not cache(): four branches read the cells, and the
-    # blocks are ContextCleaner-released after the plan is GC'd (no leak)
+    # eager checkpoint: four branches read the cells from block storage;
+    # ContextCleaner releases the blocks when the plan is GC'd (no leak)
     cells = (
         df.groupBy(a, b).agg(F.count("*").alias("o")).localCheckpoint(eager=True)
     )

@@ -437,9 +437,13 @@ def minhash_lsh_dedup(
     """
     # eager materialize: the features are read by three branches of one job —
     # lazily-populated cache would race and recompute per branch.
+    # eager checkpoint: three branches of one job read the features from
+    # block storage; ContextCleaner releases the blocks on GC (measured
+    # FASTER than persist here — lineage truncation saves re-analysis of
+    # the wide minhash expressions; no r5-style cache leak)
     feats = doc_features(
         docs, id_col, text_col, n=n, k=k, bands=bands, with_simhash=False
-    ).localCheckpoint(eager=True)  # ContextCleaner-released (no persist leak)
+    ).localCheckpoint(eager=True)
     banded = feats.select(
         "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )

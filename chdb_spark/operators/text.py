@@ -1083,10 +1083,15 @@ def perplexity_buckets(
         extra_order=[id_col],
         inclusive=True,
         # scored is one row per doc (id, n, score) — tiny next to the
-        # exploded-bigram lineage above it; cache across sketch+main passes
+        # exploded-bigram lineage above it; checkpointed across the
+        # sketch+main passes inside
         cache_input=True,
     ).withColumnRenamed("_cum__one", "_rank")
-    total = scored.agg(F.count("*").alias("_n"))
+    # N from the checkpoint-backed ranked relation, NOT from `scored`:
+    # scored's own lineage is the full exploded-bigram pipeline, and
+    # re-aggregating it here would recompute all of it (measured 3x on
+    # the whole query, r6) — ranked reads checkpoint blocks instead
+    total = ranked.agg(F.count("*").alias("_n"))
     r, n, k = F.col("_rank"), F.col("_n"), F.lit(3)
     big = F.floor(n / k) + 1
     n_big = n % k

@@ -314,12 +314,12 @@ def g9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "g10_welch_ttest",
     """
-    SELECT CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
-                         AS DECIMAL(18,2))) AS DOUBLE)
+    SELECT CAST(sum(CAST(floor(CASE WHEN event_type = 'click' THEN value END
+                               * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              / count(CASE WHEN event_type = 'click' THEN value END)
                AS mean_click,
-           CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
-                         AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(sum(CAST(floor(CASE WHEN event_type = 'view' THEN value END
+                               * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              / count(CASE WHEN event_type = 'view' THEN value END)
                AS mean_view,
            round((avg(CASE WHEN event_type = 'click' THEN value END)
@@ -344,12 +344,12 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp(click) / F.count(click) + F.var_samp(view) / F.count(view)
     )
     return ev.agg(
-        (F.sum(click.cast("decimal(18,2)")).cast("double") / F.count(click)).alias(
-            "mean_click"
-        ),
-        (F.sum(view.cast("decimal(18,2)")).cast("double") / F.count(view)).alias(
-            "mean_view"
-        ),
+        (
+            F.sum(F.floor(click * 100 + 0.5)).cast("double") / 100.0 / F.count(click)
+        ).alias("mean_click"),
+        (
+            F.sum(F.floor(view * 100 + 0.5)).cast("double") / 100.0 / F.count(view)
+        ).alias("mean_view"),
         F.round(t, 4).alias("t_stat"),
     )
 

@@ -58,24 +58,27 @@ def cb2(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "cb3_simple_aggs",
     """
-    SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+    SELECT CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
-               AS avg_value,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             / count(value) AS avg_value,
            CAST(sum(user_id) AS DOUBLE) / count(user_id) AS avg_user
     FROM events
     """,
     doc="Q2/Q3 shape: multiple global aggregates, one scan, no shuffle of "
-        "rows. Money sums go through DECIMAL(18,2) (exact, order-"
-        "independent) and avgs derive from the exact sums — the round(avg)"
-        " idiom is a driver-data .xx5 lottery (VERDICT r5 g2).",
+        "rows. value is 2-dp money: summed as exact CENTS-longs (order-"
+        "independent, codegen-vectorized long agg — decimal sums measured "
+        "2-20x slower; value<=~1e2 so cents sums stay <2^53 even at 100 TB)"
+        " and avgs derive from the exact sums — the round(avg) idiom is a "
+        "driver-data .xx5 lottery (VERDICT r5 g2).",
 )
 def cb3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dec = F.col("value").cast("decimal(18,2)")
+    cents = F.floor(F.col("value") * 100 + 0.5)
     return _ev(spark, sf_dir).agg(
-        F.sum(dec).cast("double").alias("sum_value"),
+        (F.sum(cents).cast("double") / 100.0).alias("sum_value"),
         F.count("*").alias("n"),
-        (F.sum(dec).cast("double") / F.count("value")).alias("avg_value"),
+        (F.sum(cents).cast("double") / 100.0 / F.count("value")).alias("avg_value"),
         (F.sum("user_id").cast("double") / F.count("user_id")).alias("avg_user"),
     )
 
@@ -163,10 +166,11 @@ def cb7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb8_multi_agg_by_key",
     """
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value,
            count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
-               AS avg_value,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             / count(value) AS avg_value,
            count(DISTINCT user_id) AS u
     FROM events GROUP BY k_mod ORDER BY k_mod
     """,
@@ -178,11 +182,12 @@ def cb8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ev(spark, sf_dir)
         .groupBy((k % 10).alias("k_mod"))
         .agg(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            (F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double") / 100.0)
             .alias("sum_value"),
             F.count("*").alias("n"),
             (
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double")
+                / 100.0
                 / F.count("value")
             ).alias("avg_value"),
             F.count_distinct("user_id").alias("u"),
@@ -220,7 +225,8 @@ def cb9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb10_hourly_histogram",
     """
     SELECT EXTRACT(hour FROM ts)::INT AS hr, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
     FROM events GROUP BY hr ORDER BY hr
     """,
     doc="per-minute-activity shape: time-part extraction, 24-bucket histogram.",
@@ -231,7 +237,7 @@ def cb10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.hour("ts").cast("int").alias("hr"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            (F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double") / 100.0)
             .alias("sum_value"),
         )
         .orderBy("hr")
@@ -288,11 +294,11 @@ def cb12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "cb13_sum_chain",
     """
-    SELECT CAST(sum(CAST(value + 1 AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-           CAST(sum(CAST(value + 2 AS DECIMAL(18,2))) AS DOUBLE) AS s2,
-           CAST(sum(CAST(value + 3 AS DECIMAL(18,2))) AS DOUBLE) AS s3,
-           CAST(sum(CAST(value + 4 AS DECIMAL(18,2))) AS DOUBLE) AS s4,
-           CAST(sum(CAST(value + 5 AS DECIMAL(18,2))) AS DOUBLE) AS s5
+    SELECT CAST(sum(CAST(floor((value + 1) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s1,
+           CAST(sum(CAST(floor((value + 2) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s2,
+           CAST(sum(CAST(floor((value + 3) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s3,
+           CAST(sum(CAST(floor((value + 4) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s4,
+           CAST(sum(CAST(floor((value + 5) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s5
     FROM events
     """,
     doc="SUM(ResolutionWidth+N) chain: many expression aggs in one codegen stage.",
@@ -300,7 +306,7 @@ def cb12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cb13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ev(spark, sf_dir).agg(
         *[
-            F.sum((F.col("value") + i).cast("decimal(18,2)")).cast("double")
+            (F.sum(F.floor((F.col("value") + i) * 100 + 0.5)).cast("double") / 100.0)
             .alias(f"s{i}")
             for i in range(1, 6)
         ]
@@ -651,19 +657,20 @@ def cb26(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cb27_wide_sum_chain",
     "SELECT "
     + ", ".join(
-        f"CAST(sum(CAST(value + {i} AS DECIMAL(18,2))) AS DOUBLE) AS s{i}"
-        for i in range(90)
+        f"CAST(sum(vc + {i * 100}) AS DOUBLE) / 100.0 AS s{i}" for i in range(90)
     )
-    + " FROM events",
+    + " FROM (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc FROM events)",
     doc="Q29 the full 90-term `SUM(ResolutionWidth + N)` chain: 90 "
         "expression aggregates in one stage — exercises codegen width "
         "handling (janino splits, no interpreted fallback).",
 )
 def cb27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ev(spark, sf_dir).agg(
+    base = _ev(spark, sf_dir).select(
+        F.floor(F.col("value") * 100 + 0.5).alias("vc")  # cents, once
+    )
+    return base.agg(
         *[
-            F.sum((F.col("value") + i).cast("decimal(18,2)")).cast("double")
-            .alias(f"s{i}")
+            (F.sum(F.col("vc") + i * 100).cast("double") / 100.0).alias(f"s{i}")
             for i in range(90)
         ]
     )
@@ -674,7 +681,8 @@ def cb27(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id % 1000 AS wid, user_id,
            count(*) AS c,
-           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sv,
            CAST(sum(length(props)) AS DOUBLE) / count(*) AS al
     FROM events WHERE props <> ''
     GROUP BY wid, user_id
@@ -692,7 +700,8 @@ def cb28(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("c"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5)).cast("double") / 100.0)
+            .alias("sv"),
             (F.sum(F.length("props")).cast("double") / F.count("*")).alias("al"),
         )
         .orderBy(F.desc("c"), "wid", "user_id")

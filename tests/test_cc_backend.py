@@ -37,7 +37,7 @@ def test_query_primitives(client):
     r = client.query("SELECT toInt32(13) AS i, toString('user_1') AS s, toFloat64(3.14) AS f")
     assert r.column_names == ("i", "s", "f")
     assert r.result_rows == [(13, "user_1", 3.14)]
-    assert r.first_item() == 13
+    assert r.first_item == 13
     assert list(r.named_results()) == [{"i": 13, "s": "user_1", "f": 3.14}]
 
 
