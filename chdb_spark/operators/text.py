@@ -1214,3 +1214,155 @@ def c4_filters(
 def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return c4_filters(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson/Sparck-Jones; the standard k1/b form)
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed query term set.
+
+    Scale shape: doc lengths come from ``size(split(...))`` at scan speed
+    (no explode); the explode is filtered to the query terms BEFORE the
+    (doc, term) hash agg, so the shuffled relation is |matching tokens|,
+    not |all tokens|; per-term document frequencies and the global
+    (N, avgdl) stats are tiny aggregates broadcast back. One shuffle on
+    (doc, term), everything else map-side.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    dl = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n")
+    )
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    per_term = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+@defquery(
+    "t16_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('table', 'spark', 'join') GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id,
+           round(sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+               AS bm25
+    FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 top-k retrieval over the corpus (k1=1.2, b=0.75) — the "
+        "classic sparse-retrieval scorer a training-data pipeline uses for "
+        "query-based corpus selection. Explode filtered to query terms "
+        "BEFORE the (doc,term) agg; df/avgdl/N broadcast back.",
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["table", "spark", "join"])
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (multilingual-corpus balancing)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    budget: int = 10_000,
+    by: str = "source",
+) -> DataFrame:
+    """Sampling weights p_i^alpha / sum_j p_j^alpha per group — the
+    standard temperature-resampling scheme for balancing corpus sources
+    (alpha<1 upsamples the tail). One hash agg to group counts (tiny),
+    then broadcast scalar normalizers; the downstream per-row sampler is
+    ``df.sampleBy(by, fractions)`` fed from this table."""
+    c = docs.groupBy(by).agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("_tot"))
+    w = c.crossJoin(F.broadcast(tot)).select(
+        by, "n", F.pow(F.col("n") / F.col("_tot"), alpha).alias("w")
+    )
+    z = w.agg(F.sum("w").alias("_z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            by,
+            "n",
+            F.round(F.col("w") / F.col("_z"), 6).alias("mix_weight"),
+            F.floor(F.lit(budget) * F.col("w") / F.col("_z"))
+            .cast("long")
+            .alias(f"docs_at_{budget}"),
+        )
+        .orderBy(by)
+    )
+
+
+@defquery(
+    "t17_temperature_mix",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n,
+             pow(n / (SELECT sum(n)::DOUBLE FROM c), 0.7) AS w
+      FROM c
+    )
+    SELECT source, n,
+           round(w / (SELECT sum(w) FROM w), 6) AS mix_weight,
+           CAST(floor(10000 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+               AS docs_at_10000
+    FROM w ORDER BY source
+    """,
+    doc="Temperature-scaled source mixing weights (p^0.7 renormalized) — "
+        "the multilingual-balancing scheme (mBERT/XLM-R style). Group "
+        "counts are a tiny hash agg; normalizers broadcast; the sampler "
+        "consumes the weights via sampleBy fractions.",
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return temperature_mix(docs, alpha=0.7, budget=10_000)

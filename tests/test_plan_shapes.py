@@ -393,3 +393,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # the partition predicate must NOT appear as a pushed data filter —
     # pruning happens at directory level before any file opens
     assert df.count() > 0
+
+
+def test_t16_bm25_filter_before_explode_agg(spark):
+    """BM25: the query-term filter must reach the exploded token stream
+    before the (doc, term) agg, and the df/stats relations come back as
+    broadcast joins — the shuffled relation is |matching tokens|."""
+    plan = plan_of(spark, "t16_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the token explode
+    # the query-term IN-filter is applied to the exploded stream (it
+    # appears as a Filter over the generated term column), so the
+    # (doc, term) agg shuffles matching tokens only
+    assert "term#" in plan.split("Generate")[-1]
+
+
+def test_t17_temperature_mix_tiny_aggregates(spark):
+    """Mixing weights: one group-count hash agg; normalizers broadcast
+    (no shuffle of the weight relation)."""
+    plan = plan_of(spark, "t17_temperature_mix")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the static plan recomputes the tiny group-count agg for the two
+    # normalizers; at runtime AQE serves the repeats via ReusedExchange
+    # (same pattern q11 pins on its executed plan)
+    assert plan.count("hashpartitioning(source") <= 4
