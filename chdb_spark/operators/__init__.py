@@ -56,4 +56,5 @@ def register_operator_queries() -> None:
     from chdb_spark import queries_ts  # noqa: F401
     from chdb_spark import queries_funcs2  # noqa: F401
     from chdb_spark import queries_dialect  # noqa: F401
+    from chdb_spark import queries_sources  # noqa: F401
     from chdb_spark.operators import skew  # noqa: F401

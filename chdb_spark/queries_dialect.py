@@ -365,6 +365,76 @@ def rc2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "u1_url_table",
+    """
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+    """,
+    doc="url() table function end-to-end (reference table_functions.py:208 "
+        "URLTableFunction): region.parquet served over REAL localhost HTTP, "
+        "fetched by sources/uri.py _read_url (driver-side bootstrap "
+        "download -> parquet scan), compared to the direct-file oracle. "
+        "Flips the §2.1 URL row from plumbing-tested to driver-formal; "
+        "non-localhost networking remains environment-gated.",
+)
+def u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import http.server
+    import os
+    import threading
+
+    from chdb_spark.sources import open_uri
+
+    serve_dir = os.path.abspath(sf_dir)
+
+    def handler(*a, **kw):
+        return http.server.SimpleHTTPRequestHandler(*a, directory=serve_dir, **kw)
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        df = open_uri(
+            spark, f"http://127.0.0.1:{httpd.server_address[1]}/region.parquet"
+        )
+        # the URL route downloads to a driver tmp file; the scan is lazy on
+        # that local copy, so the server can go away after this returns
+        return df.select("r_regionkey", "r_name").orderBy("r_regionkey")
+    finally:
+        httpd.shutdown()
+
+
+@defquery(
+    "py1_python_source",
+    """
+    SELECT n_regionkey, count(*) AS n, string_agg(n_name, ',' ORDER BY n_name)
+               AS names
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="Python()/from_df in-memory source end-to-end (reference "
+        "table_functions.py:1143; cc_extension zero-copy): the nation rows "
+        "travel pandas -> Arrow-accelerated createDataFrame -> Spark agg, "
+        "compared to the direct-parquet oracle. Flips the §2.1 in-memory "
+        "DF/Arrow row to driver-formal.",
+)
+def py1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from chdb_spark.sources.files import from_pandas
+
+    pdf = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    df = from_pandas(spark, pdf)
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("names"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@defquery(
     "ch7_with_fill",
     """
     WITH agg AS (

@@ -349,3 +349,58 @@ def redis_table(
         .option("factory_pickle", _encode_obj(factory))
         .load()
     )
+
+
+def fake_mongo_client_factory(docs: list[dict]):
+    """Minimal pymongo-shaped client over a doc list — the mongodb()
+    analogue of ``fake_sql_connection_factory`` (no server in this
+    container; only the wire hop is faked — sampling probe, _id-range
+    find(), BSON-ish doc decode all run for real). Closure-defined so
+    cloudpickle ships it by value to executors."""
+
+    def connect():
+        class Coll:
+            def aggregate(self, pipeline):
+                size = pipeline[0]["$sample"]["size"]
+                return sorted(docs, key=lambda d: d["_id"])[:size]
+
+            def find(self, flt):
+                lo = flt.get("_id", {}).get("$gte")
+                hi = flt.get("_id", {}).get("$lt")
+                for d in sorted(docs, key=lambda d: d["_id"]):
+                    if lo is not None and d["_id"] < lo:
+                        continue
+                    if hi is not None and d["_id"] >= hi:
+                        continue
+                    yield d
+
+        class DB(dict):
+            def __getitem__(self, name):
+                return Coll()
+
+        class Client(dict):
+            def __getitem__(self, name):
+                return DB()
+
+        return Client()
+
+    return connect
+
+
+def fake_redis_client_factory(kv: dict[str, dict]):
+    """Minimal redis-py-shaped client over a hash dict — scan_iter +
+    hgetall, byte-encoded like the real client."""
+
+    def connect():
+        class Client:
+            def scan_iter(self, match="*"):
+                for k in sorted(kv):
+                    yield k.encode()
+
+            def hgetall(self, k):
+                key = k.decode() if isinstance(k, bytes) else k
+                return {f.encode(): str(v).encode() for f, v in kv[key].items()}
+
+        return Client()
+
+    return connect

@@ -253,3 +253,82 @@ def postgresql(
     return _read_sql_table(
         spark, factory, table, structure, partition_col, n_partitions
     )
+
+
+def fake_sql_connection_factory(tables: dict[str, tuple[list[str], list[tuple]]]):
+    """Deterministic in-process stand-in for a DB-API connection — no
+    MySQL/PostgreSQL server in this container, so tests and the my1/pg1
+    oracle fixtures inject this as ``factory``; ONLY the wire hop is
+    faked. It answers exactly the queries the source issues (bounds probe,
+    schema probe, range-sliced SELECT), so partition planning and
+    executor-side reads run the real parse/slice path.
+
+    ``tables``: name -> (column names, row tuples).
+    """
+
+    def connect():
+        import re
+
+        class Cursor:
+            def __init__(self):
+                self._rows = []
+                self.description = None
+
+            def execute(self, sql):
+                m = re.match(r"SELECT min\((\w+)\), max\((\w+)\) FROM (\w+)", sql)
+                if m:
+                    col, _, tbl = m.groups()
+                    cols, rows = tables[tbl]
+                    i = cols.index(col)
+                    vals = [r[i] for r in rows]
+                    self._rows = [(min(vals), max(vals))]
+                    self.description = [(col,), (col,)]
+                    return
+                m = re.match(
+                    r"SELECT (.+?) FROM (\w+)(?: WHERE (.+?))?(?: LIMIT (\d+))?$",
+                    sql,
+                )
+                assert m, sql
+                sel, tbl, where, limit = m.groups()
+                cols, rows = tables[tbl]
+                if where:
+                    for cond in where.split(" AND "):
+                        name, op, val = cond.split(" ")
+                        i = cols.index(name)
+                        rows = [
+                            r
+                            for r in rows
+                            if (r[i] >= int(val) if op == ">=" else r[i] < int(val))
+                        ]
+                if sel.strip() == "*":
+                    idx = list(range(len(cols)))
+                    self.description = [(c,) for c in cols]
+                else:
+                    names = [c.strip() for c in sel.split(",")]
+                    idx = [cols.index(n) for n in names]
+                    self.description = [(n,) for n in names]
+                out = [tuple(r[i] for i in idx) for r in rows]
+                if limit:
+                    out = out[: int(limit)]
+                self._rows = out
+
+            def fetchone(self):
+                return self._rows[0]
+
+            def fetchall(self):
+                return list(self._rows)
+
+            def fetchmany(self, n):
+                out, self._rows = self._rows[:n], self._rows[n:]
+                return out
+
+        class Conn:
+            def cursor(self):
+                return Cursor()
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    return connect

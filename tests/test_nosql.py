@@ -63,37 +63,9 @@ def test_plan_mongo_ranges():
 # ---------------------------------------------------------------------------
 
 
-def _fake_mongo_factory(docs):
-    """Factory building a minimal pymongo-shaped client over a doc list.
-    Defined via closures so cloudpickle ships it by value to executors."""
-
-    def connect():
-        class Coll:
-            def aggregate(self, pipeline):
-                size = pipeline[0]["$sample"]["size"]
-                return sorted(docs, key=lambda d: d["_id"])[:size]
-
-            def find(self, flt):
-                lo = flt.get("_id", {}).get("$gte")
-                hi = flt.get("_id", {}).get("$lt")
-                for d in sorted(docs, key=lambda d: d["_id"]):
-                    if lo is not None and d["_id"] < lo:
-                        continue
-                    if hi is not None and d["_id"] >= hi:
-                        continue
-                    yield d
-
-        class DB(dict):
-            def __getitem__(self, name):
-                return Coll()
-
-        class Client(dict):
-            def __getitem__(self, name):
-                return DB()
-
-        return Client()
-
-    return connect
+from chdb_spark.sources.nosql import (
+    fake_mongo_client_factory as _fake_mongo_factory,
+)
 
 
 def test_mongodb_read_partitioned(spark):
@@ -116,20 +88,9 @@ def test_mongodb_read_partitioned(spark):
     assert df.rdd.getNumPartitions() == 4
 
 
-def _fake_redis_factory(kv):
-    def connect():
-        class Client:
-            def scan_iter(self, match="*"):
-                for k in sorted(kv):
-                    yield k.encode()
-
-            def hgetall(self, k):
-                key = k.decode() if isinstance(k, bytes) else k
-                return {f.encode(): str(v).encode() for f, v in kv[key].items()}
-
-        return Client()
-
-    return connect
+from chdb_spark.sources.nosql import (
+    fake_redis_client_factory as _fake_redis_factory,
+)
 
 
 def test_redis_read(spark):
@@ -237,78 +198,16 @@ def test_url_table_function_loopback(spark, tmp_path):
 
 
 def _fake_sql_factory():
-    tables = {
-        "users": (
-            ["id", "name", "score"],
-            [(i, f"user_{i}", float(i) * 1.5) for i in range(1, 101)],
-        )
-    }
+    from chdb_spark.sources.rdbms import fake_sql_connection_factory
 
-    def connect():
-        import re
-
-        class Cursor:
-            def __init__(self):
-                self._rows = []
-                self.description = None
-
-            def execute(self, sql):
-                m = re.match(r"SELECT min\((\w+)\), max\((\w+)\) FROM (\w+)", sql)
-                if m:
-                    col, _, tbl = m.groups()
-                    cols, rows = tables[tbl]
-                    i = cols.index(col)
-                    vals = [r[i] for r in rows]
-                    self._rows = [(min(vals), max(vals))]
-                    self.description = [(col,), (col,)]
-                    return
-                m = re.match(
-                    r"SELECT (.+?) FROM (\w+)(?: WHERE (.+?))?(?: LIMIT (\d+))?$", sql
-                )
-                assert m, sql
-                sel, tbl, where, limit = m.groups()
-                cols, rows = tables[tbl]
-                if where:
-                    for cond in where.split(" AND "):
-                        name, op, val = cond.split(" ")
-                        i = cols.index(name)
-                        rows = [
-                            r
-                            for r in rows
-                            if (r[i] >= int(val) if op == ">=" else r[i] < int(val))
-                        ]
-                if sel.strip() == "*":
-                    idx = list(range(len(cols)))
-                    self.description = [(c,) for c in cols]
-                else:
-                    names = [c.strip() for c in sel.split(",")]
-                    idx = [cols.index(n) for n in names]
-                    self.description = [(n,) for n in names]
-                out = [tuple(r[i] for i in idx) for r in rows]
-                if limit:
-                    out = out[: int(limit)]
-                self._rows = out
-
-            def fetchone(self):
-                return self._rows[0]
-
-            def fetchall(self):
-                return list(self._rows)
-
-            def fetchmany(self, n):
-                out, self._rows = self._rows[:n], self._rows[n:]
-                return out
-
-        class Conn:
-            def cursor(self):
-                return Cursor()
-
-            def close(self):
-                pass
-
-        return Conn()
-
-    return connect
+    return fake_sql_connection_factory(
+        {
+            "users": (
+                ["id", "name", "score"],
+                [(i, f"user_{i}", float(i) * 1.5) for i in range(1, 101)],
+            )
+        }
+    )
 
 
 def test_mysql_python_source_e2e(spark):
