@@ -170,3 +170,47 @@ def rd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("k"), ":").getItem(1).cast("long").alias("r_regionkey"),
         "r_name",
     ).orderBy("r_regionkey")
+
+
+@defquery(
+    "sm1_streaming_window",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM events GROUP BY day, event_type ORDER BY day, event_type
+    """,
+    doc="Structured Streaming end-to-end, driver-formal (SURVEY §2.9): the "
+        "events table is re-ingested through a file-source readStream "
+        "(streaming/core.py read_events_stream), aggregated with the "
+        "event-time window operator (windowed_counts: watermark + 1-day "
+        "tumbling windows), run to completion with trigger(availableNow) "
+        "into a memory sink, and the final table must equal the batch "
+        "oracle — the streaming-equals-batch consistency contract.",
+)
+def sm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.streaming.core import read_events_stream, windowed_counts
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    agg = windowed_counts(
+        stream, window="1 day", watermark="1 day", keys=["event_type"]
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sm1_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("sm1_mem")
+        .select(
+            F.col("win_start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("day", "event_type")
+    )

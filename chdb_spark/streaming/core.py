@@ -119,7 +119,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     # infers TIMESTAMP_NTZ, which event-time ops reject — normalize both.
     for f in static.schema.fields:
         if f.name == "ts" and str(stream.schema["ts"].dataType) == "LongType()":
-            stream = stream.withColumn("ts", (F.col("ts") / 1_000_000_000).cast("timestamp"))
+            # INTEGER division to micros (float /1e9 loses precision above
+            # 2^53 ns and can flip a microsecond at window boundaries)
+            stream = stream.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
     return _ensure_event_time(stream, "ts")
 
 
