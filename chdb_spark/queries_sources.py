@@ -214,3 +214,129 @@ def sm1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@defquery(
+    "sm2_incremental_mv",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Incremental MATERIALIZED VIEW end-to-end (reference core.py:5952; "
+        "SURVEY §2.2): the orders table is folded into a parquet MV by the "
+        "checkpointed file-source stream (streaming/core.py "
+        "materialized_view_stream — AvailableNow processes the backlog and "
+        "stops; a second refresh call folds ZERO new files, proving the "
+        "checkpoint makes it incremental), then the MV is read back and "
+        "aggregated against the batch oracle.",
+)
+def sm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from chdb_spark.streaming.core import materialized_view_stream
+
+    work = tempfile.mkdtemp(prefix="chdb_spark_sm2_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "mv")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "orders.parquet"), src)
+
+    def transform(batch: DataFrame) -> DataFrame:
+        return batch.select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+    materialized_view_stream(spark, src, transform, out, ckpt)
+    # refresh with no new files: the checkpoint must fold nothing new
+    materialized_view_stream(spark, src, transform, out, ckpt)
+    mv = spark.read.parquet(out)
+    return (
+        mv.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@defquery(
+    "uf1_chdb_udf",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 97)
+                AS BIGINT) AS checksum,
+           count(*) AS n
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="chdb_udf surface end-to-end, driver-formal (SURVEY §2.10; "
+        "reference docs/udf.rst:26-60 string contract): a "
+        "@chdb_udf(return_type='UInt64') cents-mod-97 checksum is "
+        "registered via create_function and invoked BY NAME from "
+        "spark.sql; the Arrow-batched pandas_udf bridge must reproduce "
+        "the oracle's pure-SQL arithmetic exactly. UDFs stay the slow "
+        "path (row math here is trivial by design) — this pins the "
+        "CONTRACT: CH type mapping, string in/out, per-batch vectorized "
+        "dispatch.",
+)
+def uf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table
+    from chdb_spark.udf import chdb_udf, create_function
+
+    @chdb_udf(return_type="UInt64", name="uf1_cents_mod97")
+    def uf1_cents_mod97(price):
+        import math
+
+        return int(math.floor(float(price) * 100 + 0.5)) % 97
+
+    create_function(spark, uf1_cents_mod97)
+    table(spark, sf_dir, "orders").filter("o_orderkey <= 2000").createOrReplaceTempView(
+        "__uf1_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(sum(uf1_cents_mod97(o_totalprice)) AS BIGINT) AS checksum,
+               count(*) AS n
+        FROM __uf1_orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+@defquery(
+    "db1_dbapi_session",
+    """
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer WHERE c_acctbal > 0
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="DB-API 2.0 + stateful Session surface end-to-end, driver-formal "
+        "(SURVEY §2.11; reference examples/dbapi.py): cursor.execute runs "
+        "CH-dialect SQL (file() table function + countIf-free filter) "
+        "through a file-backed Session, fetchall() returns the rows, and "
+        "the result re-enters Spark via createDataFrame for the oracle "
+        "hash-compare — cursor description/typing must survive the round "
+        "trip.",
+)
+def db1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.dbapi import connect
+
+    con = connect(spark=spark)
+    try:
+        cur = con.cursor()
+        cur.execute(
+            f"SELECT c_mktsegment, count() AS n "
+            f"FROM file('{sf_dir}/customer.parquet', Parquet) "
+            f"WHERE c_acctbal > 0 GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        )
+        rows = cur.fetchall()
+        cols = [d[0] for d in cur.description]
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        [tuple(r) for r in rows], f"{cols[0]} string, {cols[1]} long"
+    )
