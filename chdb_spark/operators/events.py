@@ -335,3 +335,63 @@ def cohort_retention(
 )
 def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(table(spark, sf_dir, "events"))
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order journey transition counts + conditional probabilities.
+
+    Scale shape: one window pass (lag over the per-user event order — one
+    shuffle keyed by user) then a hash agg on the (from, to) pair — the
+    |types|² matrix is tiny at any corpus size. The Markov-chain view of
+    user journeys (what follows what) that funnels (e1) and sessionization
+    (e3) don't cover.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    pairs = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@defquery(
+    "e6_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM pairs ORDER BY from_type, to_type
+    """,
+    doc="first-order user-journey Markov transition matrix: per-user lag "
+        "window (one user-keyed shuffle) → (from, to) hash agg → row-"
+        "normalized probabilities over the tiny |types|² matrix. The "
+        "probability is an exact-count ratio — identical integer inputs, "
+        "one identical IEEE division per cell on both sides.",
+)
+def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_matrix(table(spark, sf_dir, "events"))
