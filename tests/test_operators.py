@@ -573,3 +573,44 @@ def test_infinite_order_values_survive_bucketing(spark):
     assert got[299] == 300        # largest finite
     assert got[399] == 400        # last +inf row
     assert len(got) == 400
+
+
+def test_topk_exact_global_and_grouped(spark):
+    """Exact top-k: deterministic value-asc tiebreak; grouped form keeps
+    only k rows per group and never crosses group boundaries."""
+    from chdb_spark.operators.topk import top_k_by_frequency
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 5 + [("a", "z")] * 2 + [
+        ("b", "y")
+    ] * 3 + [("b", "z")] * 1
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    top = top_k_by_frequency(df, "v", k=2).collect()
+    assert [(r.v, r.freq) for r in top] == [("y", 8), ("x", 5)]
+
+    grouped = top_k_by_frequency(df, "v", k=1, by=["g"]).collect()
+    assert [(r.g, r.v, r.freq) for r in grouped] == [("a", "x", 5), ("b", "y", 3)]
+
+
+def test_topk_misra_gries_guarantee(spark):
+    """Any value with frequency > N/capacity must survive the MG merge and
+    its merged count must be a lower bound within N/capacity of truth."""
+    from chdb_spark.operators.topk import approx_heavy_hitters
+
+    # 10k rows: 'hot' 30%, 'warm' 20%, tail of 500 distinct cold values
+    rows = (
+        [("hot",)] * 3000
+        + [("warm",)] * 2000
+        + [(f"cold_{i % 500}",) for i in range(5000)]
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    out = {r.v: (r.count_lb, r.err_ub) for r in
+           approx_heavy_hitters(df, "v", k=5, capacity=64).collect()}
+    n = 10000
+    assert "hot" in out and "warm" in out
+    for name, true in (("hot", 3000), ("warm", 2000)):
+        lb, err = out[name]
+        assert lb <= true
+        # merge over 8 partitions: per-partition undercount <= N_p/capacity
+        assert true - lb <= n // 64 + 8
+    assert all(lb <= n for lb, _ in out.values())
