@@ -614,3 +614,48 @@ def test_topk_misra_gries_guarantee(spark):
         # merge over 8 partitions: per-partition undercount <= N_p/capacity
         assert true - lb <= n // 64 + 8
     assert all(lb <= n for lb, _ in out.values())
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Closed [lo, hi] bounds, overlapping intervals multiply matches,
+    left join preserves unmatched points, and the physical plan contains
+    an equi-join — never BroadcastNestedLoopJoin/CartesianProduct."""
+    from chdb_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 10), (4, 15), (5, 99)], "pid long, x long"
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0, 10), ("b", 5, 20), ("c", 50, 60)], "iv string, lo long, hi long"
+    )
+    got = {
+        (r.pid, r.iv)
+        for r in range_join(pts, ivs, "x", "lo", "hi", bucket_width=4).collect()
+    }
+    assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "b")}
+
+    left = range_join(pts, ivs, "x", "lo", "hi", bucket_width=4, how="left")
+    rows = left.collect()
+    assert {(r.pid, r.iv) for r in rows} == got | {(5, None)}
+
+    # auto width (median interval length) gives identical matches
+    auto = {
+        (r.pid, r.iv) for r in range_join(pts, ivs, "x", "lo", "hi").collect()
+    }
+    assert auto == got
+
+    plan = range_join(pts, ivs, "x", "lo", "hi", bucket_width=4)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s and "BroadcastNestedLoop" not in s
+
+
+def test_range_join_rejects_overlap_and_bad_how(spark):
+    from chdb_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame([(1, 1)], "x long, lo long")
+    ivs = spark.createDataFrame([(1, 2)], "lo long, hi long")
+    with pytest.raises(ValueError, match="overlapping"):
+        range_join(pts, ivs, "x", "lo", "hi")
+    pts2 = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(ValueError, match="inner|left"):
+        range_join(pts2, ivs, "x", "lo", "hi", how="full")
