@@ -1129,3 +1129,125 @@ def substring_dup_spans(
 def dd9(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return substring_dup_spans(docs).orderBy("doc_id")
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.45,
+    max_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then find
+    cosine near-duplicates WITHIN each cluster only.
+
+    Scale shape: clustering is the map-only Lloyd's pass from
+    :func:`~chdb_spark.operators.similarity.kmeans` (no shuffle, driver
+    holds (k, dim)); the quadratic step is confined to one BLAS
+    ``M @ M.T`` per cluster inside ``applyInPandas`` — one shuffle keyed
+    by cluster, O(n_c²) work bounded per task by the ENFORCED
+    ``max_cluster_rows`` contract (a task whose cluster exceeds it raises
+    with a pointer to raising k). This is the linear-cost semantic
+    analogue of exact dedup: total work O(N²/k), not O(N²).
+
+    Returns one row per duplicate pair ``(cluster, id_a, id_b)`` with
+    ``id_a < id_b``; the keep-lowest-representative flag set is
+    ``distinct id_b`` (a doc is flagged iff a lower-id near-duplicate
+    shares its cluster — same keep-first rule as exact_dedup).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from chdb_spark.operators.similarity import kmeans
+
+    _, assignments = kmeans(
+        emb, k=k, max_iters=max_iters, id_col=id_col, vec_col=vec_col
+    )
+    tagged = emb.select(id_col, vec_col).join(assignments, on=id_col)
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semdedup: cluster of {n} rows exceeds max_cluster_rows="
+                f"{max_cluster_rows}; raise k so clusters stay task-sized"
+            )
+        if n < 2:
+            return pd.DataFrame({"cluster": [], "id_a": [], "id_b": []}).astype(
+                {"cluster": "int64", "id_a": "int64", "id_b": "int64"}
+            )
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        ia, ib = np.triu_indices(n, 1)
+        hit = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(hit.sum()), int(pdf["cluster"].iloc[0])),
+                "id_a": ids[ia[hit]],
+                "id_b": ids[ib[hit]],
+            }
+        )
+
+    return tagged.groupBy("cluster").applyInPandas(
+        pairs, "cluster long, id_a long, id_b long"
+    )
+
+
+def _dd10_oracle_sql(threshold: float = 0.45) -> str:
+    """dd10 oracle: the km1 k-means SQL replay (same deterministic init and
+    5 Lloyd iterations — margins re-verified in test_s2_oracle_margins)
+    extended with a within-cluster pairwise cosine join and the
+    keep-lowest-id flag count. All-integer output, no float columns."""
+    from chdb_spark.operators.similarity import _km1_oracle_sql
+
+    base = _km1_oracle_sql()
+    # strip the km1 SELECT tail; keep the CTE chain ending at `final`
+    body = base[: base.rindex("\n    SELECT CAST(cluster AS BIGINT)")]
+    return (
+        body
+        + f""",
+    tagged AS (
+      SELECT f.vec_id, f.cluster, c.v FROM final f JOIN corpus c USING (vec_id)
+    ),
+    dpairs AS (
+      SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM tagged x JOIN tagged y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= {threshold}
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT id_b) AS BIGINT) AS n_flagged
+    FROM dpairs GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+@defquery(
+    "dd10_semdedup",
+    _dd10_oracle_sql(),
+    doc="SemDeDup: deterministic k-means (k=8) partitions the embedding "
+        "space, then near-duplicate pairs (cos >= 0.45) are found within "
+        "clusters only — one cluster-keyed shuffle, per-task BLAS bounded "
+        "by the enforced cluster-size contract; O(N^2/k) total vs the s3 "
+        "block's O(N^2). Oracle = km1's SQL k-means replay + within-"
+        "cluster pairwise cosine; integer-only output.",
+)
+def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = semdedup(emb, k=8, threshold=0.45)
+    return (
+        pairs.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("id_b").alias("n_flagged"),
+        )
+        .orderBy("cluster")
+    )

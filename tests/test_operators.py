@@ -659,3 +659,34 @@ def test_range_join_rejects_overlap_and_bad_how(spark):
     pts2 = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError, match="inner|left"):
         range_join(pts2, ivs, "x", "lo", "hi", how="full")
+
+
+def test_semdedup_equals_within_cluster_bruteforce(spark):
+    """semdedup must return EXACTLY the brute-force cosine pairs whose two
+    ends share a k-means cluster — no extra pairs, none missed — and the
+    cluster-size contract must raise rather than run an oversized task."""
+    import numpy as np
+
+    from chdb_spark.operators.dedup import semdedup
+    from chdb_spark.operators.similarity import kmeans
+    from chdb_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    _, assign = kmeans(emb, k=8, max_iters=5)
+    cl = {r.vec_id: r.cluster for r in assign.collect()}
+    expected = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if S[i, j] >= 0.45 and cl[a] == cl[b]:
+                expected.add((min(a, b), max(a, b)))
+    got = {(r.id_a, r.id_b) for r in semdedup(emb, k=8, threshold=0.45).collect()}
+    assert got == expected and len(expected) > 0
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(emb, k=2, threshold=0.45, max_cluster_rows=10).count()
