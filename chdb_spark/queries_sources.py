@@ -340,3 +340,41 @@ def db1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [tuple(r) for r in rows], f"{cols[0]} string, {cols[1]} long"
     )
+
+
+@defquery(
+    "sm3_stream_dedup",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming exact deduplication (SURVEY §2.9): events re-ingested "
+        "file-by-file through readStream, dropDuplicates on (user_id, "
+        "event_type) — keyed state store, one row per distinct pair, "
+        "arrival-order independent because only the keys survive — run to "
+        "completion with availableNow into a memory sink, then counted per "
+        "type against the batch COUNT(DISTINCT) oracle. The unbounded-"
+        "time production variant is dropDuplicatesWithinWatermark, which "
+        "expires state; exact distinct here keeps state = |distinct keys|.",
+)
+def sm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.streaming.core import read_events_stream
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sm3_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("sm3_mem")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
