@@ -78,8 +78,6 @@ def main() -> None:
     }
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "BENCH_full.json")
-    with open(full_path, "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
     # Per-round retention (VERDICT r3 item 7): snapshot the per-query map as
     # BENCH_full_r{N}.json, N = the next round judging from the driver's
     # BENCH_r{N}.json files, so a judge can diff per-query regressions
@@ -92,6 +90,27 @@ def main() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
     ]
     r_next = (max(rounds) + 1) if rounds else 1
+    # Per-query outlier flags (VERDICT r5 item 5: a 3x single-query jump
+    # must surface in the artifact, not vanish into the suite total).
+    # Compared against the PREVIOUS round's per-query map at the same sf;
+    # >=2.5x AND >=0.5 s absolute slower is flagged. Host drift between
+    # sessions is uniform (~1.3x measured) — a per-query 2.5x is real.
+    prev_path = os.path.join(here, f"BENCH_full_r{r_next - 1:02d}.json")
+    outliers = {}
+    if os.path.exists(prev_path):
+        try:
+            with open(prev_path) as f:
+                prev = json.load(f)
+            if prev.get("sf") == sf_val:
+                for name, t in timings.items():
+                    p = prev.get("queries", {}).get(name)
+                    if p and t >= 2.5 * p and t - p >= 0.5:
+                        outliers[name] = {"prev": p, "now": t}
+        except (ValueError, OSError):
+            pass
+    full["outliers_vs_prev_round"] = outliers
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
     with open(os.path.join(here, f"BENCH_full_r{r_next:02d}.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])

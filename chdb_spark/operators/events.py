@@ -395,3 +395,77 @@ def transition_matrix(
 )
 def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(table(spark, sf_dir, "events"))
+
+
+def funnel_levels_strict_order(
+    events: DataFrame,
+    steps: list[str],
+    window_expr: str = "INTERVAL 12 HOURS",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """windowFunnel 'strict_order' mode (CH function_definitions.py:9778):
+    ANY intervening event breaks the chain, so a level-k match is k
+    CONSECUTIVE rows of the user's stream typed steps[0..k-1] with the
+    span inside the window.
+
+    One (user, ts) window sort total: row r reaches level k iff
+    lag(type, k-1..1) == steps[0..k-2], type(r) == steps[k-1], and
+    ts(r) - ts(lag(k-1)) <= window — len(steps) lag columns, no joins.
+    Exactly mirrored by the SQL oracle's lag() chain, so unlike the
+    EXISTS-mode funnel this variant carries no documented divergence.
+    """
+    w = F.expr(window_expr)
+    win = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    df = events.select(user_col, type_col, ts_col, tiebreak)
+    flags = [F.max(F.when(F.col(type_col) == steps[0], 1))]
+    for k in range(2, len(steps) + 1):
+        cond = F.col(type_col) == steps[k - 1]
+        for j in range(1, k):
+            cond = cond & (F.lag(type_col, j).over(win) == steps[k - 1 - j])
+        cond = cond & (F.col(ts_col) <= F.lag(ts_col, k - 1).over(win) + w)
+        df = df.withColumn(f"_s{k}", F.when(cond, k))
+        flags.append(F.max(F.col(f"_s{k}")))
+    return (
+        df.groupBy(user_col)
+        .agg(F.greatest(*flags).alias("funnel_level"))
+        .filter(F.col("funnel_level").isNotNull())
+    )
+
+
+@defquery(
+    "e7_strict_order_funnel",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2,
+             lag(ts, 1) OVER w AS ts1,
+             lag(ts, 2) OVER w AS ts2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    lv AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND t1 = 'click'
+                       AND t2 = 'view' AND ts <= ts2 + INTERVAL 12 HOUR THEN 3
+                      WHEN event_type = 'click' AND t1 = 'view'
+                       AND ts <= ts1 + INTERVAL 12 HOUR THEN 2
+                      WHEN event_type = 'view' THEN 1 END) AS funnel_level
+      FROM seq GROUP BY user_id
+    )
+    SELECT funnel_level, count(*) AS n_users
+    FROM lv WHERE funnel_level IS NOT NULL
+    GROUP BY funnel_level ORDER BY funnel_level
+    """,
+    doc="windowFunnel 'strict_order' mode: consecutive-row chains only "
+        "(any intervening event breaks the funnel) — len(steps) lag "
+        "columns over ONE (user, ts) window sort, no self-joins; the "
+        "oracle replays the identical lag chain, zero semantic gap.",
+)
+def e7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    lv = funnel_levels_strict_order(ev, ["view", "click", "purchase"], "INTERVAL 12 HOURS")
+    return lv.groupBy("funnel_level").agg(F.count("*").alias("n_users")).orderBy("funnel_level")

@@ -145,3 +145,47 @@ def test_journey_orders_users_join(spark):
     got["total"] = got["total"].round(6)
     want["total"] = want["total"].round(6)
     _cmp(got, want[got.columns.tolist()])
+
+
+def test_strict_order_funnel_breaks_on_intervening_event(spark):
+    """strict_order: any event between steps breaks the chain; the default
+    EXISTS-mode funnel tolerates it — both checked on the same stream."""
+    from pyspark.sql import functions as F
+
+    from chdb_spark.operators.events import funnel_levels, funnel_levels_strict_order
+
+    rows = [
+        # u1: view,click,purchase consecutive → strict level 3
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:10:00"),
+        (3, 1, "purchase", "2024-01-01 10:20:00"),
+        # u2: view, OTHER, click, purchase → strict breaks at OTHER (level 1),
+        # default EXISTS-mode still reaches 3
+        (4, 2, "view", "2024-01-01 10:00:00"),
+        (5, 2, "scroll", "2024-01-01 10:05:00"),
+        (6, 2, "click", "2024-01-01 10:10:00"),
+        (7, 2, "purchase", "2024-01-01 10:20:00"),
+        # u3: consecutive but span outside the window → strict level 2
+        (8, 3, "view", "2024-01-01 10:00:00"),
+        (9, 3, "click", "2024-01-01 10:10:00"),
+        (10, 3, "purchase", "2024-01-02 10:00:01"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    strict = {
+        r.user_id: r.funnel_level
+        for r in funnel_levels_strict_order(
+            df, ["view", "click", "purchase"], "INTERVAL 12 HOURS"
+        ).collect()
+    }
+    assert strict == {1: 3, 2: 1, 3: 2}
+
+    default = {
+        r.user_id: r.funnel_level
+        for r in funnel_levels(
+            df, ["view", "click", "purchase"], "INTERVAL 12 HOURS"
+        ).collect()
+    }
+    assert default == {1: 3, 2: 3, 3: 2}
