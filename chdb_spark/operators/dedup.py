@@ -1251,3 +1251,103 @@ def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def cluster_representatives(
+    comp: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick the keeper for each duplicate cluster: highest quality score,
+    ties to the lowest id (deterministic on both engines because the
+    score is the ROUNDED column both sides emit).
+
+    The quality-aware upgrade of keep-lowest-id dedup — RefinedWeb/FineWeb
+    keep the best-scoring member of each near-dup cluster, not an
+    arbitrary one. Scale shape: the cluster relation is |dup docs| rows
+    (not corpus-sized); one cluster-keyed window over it picks keepers.
+    """
+    from pyspark.sql.window import Window
+
+    scored = comp.join(quality.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy(cluster_col)))
+        .where(F.col("_rk") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("kept_doc"),
+            F.col(score_col).alias("kept_quality"),
+            "n_docs",
+        )
+    )
+
+
+@defquery(
+    "dd11_cluster_representatives",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    q AS (
+      SELECT doc_id,
+        round(greatest(
+          1.0
+          - least(1.0, abs(len(list_filter(string_split(trim(text), ' '),
+              t -> list_contains(['the','a','of','and','is','in','to'], t)))::DOUBLE
+              / len(string_split(trim(text), ' ')) - 0.08) * 5)
+          - least(0.5, length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+              / length(text) * 5)
+          - least(0.5, length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+              / length(text) * 2), 0.0), 4) AS quality_score
+      FROM documents
+    ),
+    sel AS (
+      SELECT c.cluster_id, c.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality_score DESC, c.doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS kept_doc, quality_score AS kept_quality,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM sel WHERE rk = 1 ORDER BY cluster_id
+    """,
+    doc="quality-aware dup-cluster representative selection (RefinedWeb/"
+        "FineWeb keep-best rule): near-dup pairs → connected components → "
+        "per-cluster argmax of the rounded Gopher/C4 quality score, ties "
+        "to lowest doc_id. The window runs over the |dup docs| cluster "
+        "relation, never the corpus. Oracle replays components (recursive "
+        "CTE) + the identical score formula.",
+)
+def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators.text import quality_features
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.8)
+    comp = connected_components(pairs)
+    q = quality_features(docs)
+    return cluster_representatives(comp, q).orderBy("cluster_id")
