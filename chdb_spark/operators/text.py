@@ -1366,3 +1366,63 @@ def temperature_mix(
 def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return temperature_mix(docs, alpha=0.7, budget=10_000)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent hash.
+
+    The split must be (a) stable across reruns and cluster sizes — no
+    sample()/rand(), which reshuffle with partitioning — and (b) portable
+    across engines for audits. md5(salt || id) mod 10_000 gives both:
+    a pure per-row codegen expression (no shuffle, no state), re-salting
+    yields an independent re-split, and holding out by ID (not position)
+    keeps a doc's split stable as the corpus grows — the property that
+    stops eval-set leakage when shards are re-packed.
+    """
+    bucket = md5_prefix48(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % 10_000
+    t_hi = int(fractions[0] * 10_000)
+    v_hi = t_hi + int(fractions[1] * 10_000)
+    return df.withColumn(
+        "split",
+        F.when(bucket < t_hi, "train")
+        .when(bucket < v_hi, "val")
+        .otherwise("test"),
+    )
+
+
+@defquery(
+    "t18_split_assign",
+    """
+    WITH s AS (
+      SELECT source,
+             CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT source,
+               CAST(('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                    % 10000 AS BIGINT) AS b
+        FROM documents
+      )
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY source, split ORDER BY source, split
+    """,
+    doc="deterministic 90/5/5 train-val-test split by salted md5 of the "
+        "doc id — pure per-row codegen, no shuffle/state, stable across "
+        "reruns and corpus growth (ID-keyed, not position-keyed); the "
+        "oracle computes the identical hash bucket, so assignment parity "
+        "is checked doc-by-doc through the per-source counts.",
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        split_assign(docs)
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
+    )
