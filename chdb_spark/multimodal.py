@@ -335,3 +335,29 @@ def resize_images(
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(_resize, schema)
+
+
+def pcm_len(media_id: int) -> int:
+    """Deterministic synthetic PCM payload length for ``media_id``."""
+    return 2000 + (media_id % 5) * 400
+
+
+def encode_pcm(media_id: int) -> bytes:
+    """Deterministic fake 16kHz-mono PCM payload: byte[i] = (id*7 + i*13)
+    mod 256 — closed-form, so an SQL oracle can recompute every feature
+    the stub kernel emits without any audio library."""
+    n = pcm_len(media_id)
+    return bytes((media_id * 7 + i * 13) % 256 for i in range(n))
+
+
+def synthesize_pcm(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Attach a synthesized binary PCM payload per id (audio analogue of
+    synthesize_ppm) — executor-side pandas_udf, payloads never transit the
+    driver."""
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf(T.BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_pcm(int(i)))
+
+    return df.withColumn("payload", _synth(F.col(id_col)))

@@ -257,3 +257,46 @@ def m1_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height", "n_bytes",
         F.round("mean_luma", 4).alias("mean_luma"),
     ).orderBy("media_id")
+
+
+@defquery(
+    "m2_audio_pipeline",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 2000 + (doc_id % 5) * 400 AS n_bytes
+      FROM documents WHERE doc_id < 200
+    ),
+    r AS (
+      SELECT media_id, n_bytes,
+             (SELECT sum((media_id * 7 + i * 13) % 256)
+              FROM generate_series(0, 1023) t(i)) AS s
+      FROM m
+    )
+    SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           round(n_bytes / 32000.0, 6) AS est_duration_s,
+           round((s % 1000) / 1000.0, 4) AS rms_energy
+    FROM r ORDER BY media_id
+    """,
+    doc="audio-column pipeline (m1's audio sibling): synthesize a "
+        "deterministic binary PCM payload per id executor-side, flow it "
+        "as an opaque binary column, extract features (byte length, "
+        "estimated duration at 16kHz 16-bit mono, stub RMS over the first "
+        "1024 bytes) through the mapInPandas audio kernel. The payload "
+        "formula is closed-form, so the oracle recomputes every feature "
+        "in SQL — full value check with no audio libs "
+        "(chdb_spark/multimodal.py encode_pcm/audio_features).",
+)
+def m2_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.multimodal import audio_features, synthesize_pcm
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_pcm(
+        docs.select(F.col("doc_id").alias("media_id"), F.lit("audio").alias("kind"))
+    )
+    feats = audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round("est_duration_s", 6).alias("est_duration_s"),
+        F.round("rms_energy", 4).alias("rms_energy"),
+    ).orderBy("media_id")
