@@ -300,3 +300,40 @@ def m2_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_duration_s", 6).alias("est_duration_s"),
         F.round("rms_energy", 4).alias("rms_energy"),
     ).orderBy("media_id")
+
+
+@defquery(
+    "m3_video_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 2.0 + (doc_id % 20) AS duration_s
+      FROM documents WHERE doc_id < 100
+    ),
+    f AS (
+      SELECT media_id, i AS frame_idx, i * 1.0 AS ts_offset_s
+      FROM m, LATERAL unnest(generate_series(0, CAST(least(16, floor(duration_s / 1.0)) AS INTEGER) - 1)) AS t(i)
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, ts_offset_s
+    FROM f ORDER BY media_id, frame_idx
+    """,
+    doc="video frame-sampling plumbing (multimodal trio part 3): per-video "
+        "metadata carries a deterministic duration, the mapInPandas "
+        "sampler explodes media -> one row per sampled frame (1 fps, cap "
+        "16) — the decode stays a stub (no ffmpeg in container) but the "
+        "explode shape, schema, and batch path are real; the oracle "
+        "replays the frame arithmetic via generate_series.",
+)
+def m3_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.multimodal import sample_video_frames
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.create_map(
+            F.lit("duration_s"),
+            (F.lit(2.0) + (F.col("doc_id") % 20)).cast("string"),
+        ).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_n_seconds=1.0, max_frames=16)
+    return frames.orderBy("media_id", "frame_idx")
