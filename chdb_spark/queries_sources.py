@@ -378,3 +378,53 @@ def sm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+@defquery(
+    "sm4_stateful_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Custom stateful streaming operator end-to-end (SURVEY §2.9 "
+        "superset): events re-ingested through readStream feed "
+        "applyInPandasWithState (streaming/core.py stateful_running_totals "
+        "— per-key (count, total) state sharded by the groupBy hash, "
+        "timeout-evicted), run to completion with availableNow; the final "
+        "update per key must equal the batch GROUP BY oracle. Values fold "
+        "as integer cents (exact, associative) so state merge order can't "
+        "drift the totals.",
+)
+def sm4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.streaming.core import read_events_stream, stateful_running_totals
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    cents = stream.select(
+        "user_id", F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value")
+    )
+    out = stateful_running_totals(cents, key="user_id", timeout_minutes=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sm4_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per key = the accumulated state (n_events is monotone)
+    sink = spark.table("sm4_mem")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("total") / 100.0).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

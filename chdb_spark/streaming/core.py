@@ -132,7 +132,7 @@ def stateful_running_totals(
     ts_col: str = "ts",
     key: str = "user_id",
     value: str = "value",
-    timeout_minutes: int = 30,
+    timeout_minutes: "int | None" = 30,
 ) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState — per-key running
     totals that survive across micro-batches (the reference has no streaming
@@ -140,7 +140,10 @@ def stateful_running_totals(
 
     State per key is one (count, total) pair — O(keys) state store, sharded
     across executors by the groupBy hash. Timeout evicts idle keys so state
-    is bounded on unbounded key domains.
+    is bounded on unbounded key domains. Pass ``timeout_minutes=None`` for
+    NoTimeout — required for Trigger.AvailableNow backfills, where a pending
+    processing-time timeout makes the MultiBatchExecutor keep scheduling
+    empty state-cleanup batches and the query never terminates.
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -157,11 +160,17 @@ def stateful_running_totals(
             n += len(pdf)
             total += float(pdf[value].sum())
         state.update((n, total))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         import pandas as pd
 
         yield pd.DataFrame({"user_id": [key_tuple[0]], "n_events": [n], "total": [total]})
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.groupBy(key)
         .applyInPandasWithState(
@@ -169,7 +178,7 @@ def stateful_running_totals(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 
