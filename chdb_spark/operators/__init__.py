@@ -60,3 +60,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import skew  # noqa: F401
     from chdb_spark.operators import topk  # noqa: F401
     from chdb_spark.operators import rangejoin  # noqa: F401
+    from chdb_spark.operators import linkage  # noqa: F401

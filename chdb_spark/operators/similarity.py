@@ -968,3 +968,151 @@ def quantized_knn(
 def s4(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return quantized_knn(emb, [0, 1, 2, 3, 4], k=3)
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dims: int = 8,
+    quant: int = 1000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection, exact-arithmetic form.
+
+    Dimensionality reduction before ANN/clustering: project d-dim float
+    vectors to ``out_dims`` with a ±1 matrix (Achlioptas 2003 — sign
+    projections preserve pairwise distances with the same JL guarantee as
+    Gaussians, public result). The sign matrix is never materialized:
+    entry (j, k) is derived from a tiny LCG on the flat index, so every
+    executor regenerates it locally — nothing to broadcast, map-only at
+    scan speed, and the projection is reproducible across engines.
+
+    Values are quantized to 1/quant units first so each output component
+    is an exact integer dot product — summation-order-free, which makes
+    the result bit-identical between Spark's partial aggregation and any
+    sequential replay (the oracle). Output is tall: (id, k, proj).
+    """
+    k_cols = []
+    for k in range(out_dims):
+        sign = (
+            # bigint math throughout: the LCG product overflows int32
+            f"(case when (1103515245L * (cast(j as bigint) * {out_dims} + {k}) "
+            f"+ 12345L) % 2147483648L < 1073741824L then 1 else -1 end)"
+        )
+        k_cols.append(
+            F.expr(
+                f"aggregate(transform({vec_col}, (x, j) -> "
+                f"cast(floor(cast(x as double) * {quant} + 0.5) as bigint) * {sign}), "
+                f"cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias(f"_p{k}")
+        )
+    wide = df.select(F.col(id_col), *k_cols)
+    stack_args = ", ".join(f"{k}, _p{k}" for k in range(out_dims))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({out_dims}, {stack_args}) as (k, _pi)"),
+    ).select(
+        F.col(id_col),
+        F.col("k").cast("int").alias("k"),
+        (F.col("_pi").cast("double") / float(quant)).alias("proj"),
+    )
+
+
+@defquery(
+    "rp1_random_projection",
+    """
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS j,
+             CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS e_int
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+    ), ks AS (SELECT unnest(range(0, 8)) AS k)
+    SELECT vec_id, CAST(k AS INT) AS k,
+           CAST(sum(e_int * (CASE WHEN (1103515245 * (j * 8 + k) + 12345)
+                                       % 2147483648 < 1073741824
+                                  THEN 1 ELSE -1 END)) AS DOUBLE) / 1000.0 AS proj
+    FROM ex CROSS JOIN ks
+    GROUP BY vec_id, k ORDER BY vec_id, k
+    """,
+    doc="JL sign random projection 64→8 dims: the ±1 matrix is an LCG "
+        "function of the flat index (regenerated per executor, nothing "
+        "broadcast), inputs quantized to milli-units so each component is "
+        "an exact integer dot product — order-free, bit-reproducible. "
+        "Map-only transform/aggregate built-ins; the oracle replays the "
+        "identical integer algebra via unnest + the same LCG.",
+)
+def rp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return random_project(emb).orderBy("vec_id", "k")
+
+
+def standardize_dims(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_dims: int = 8,
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column.
+
+    Two passes, both shuffle-light: (1) per-dimension moment aggregation
+    over quantized integers — exact sums, so mean/std are identical
+    doubles regardless of partial-agg order; at most ``n_dims`` rows come
+    out, broadcast back for (2) a map-side join + per-row normalize.
+    Output is tall (id, dim, z); population std (divide by n).
+    """
+    tall = (
+        df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "_e"))
+        .where(F.col("dim") < n_dims)
+        .withColumn(
+            "e_int",
+            F.expr(f"cast(floor(cast(_e as double) * {quant} + 0.5) as bigint)"),
+        )
+    )
+    stats = tall.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("e_int").alias("s"),
+        F.sum(F.col("e_int") * F.col("e_int")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    enriched = tall.join(F.broadcast(stats), on="dim")
+    return enriched.select(
+        F.col(id_col),
+        F.col("dim").cast("int").alias("dim"),
+        F.round((F.col("e_int").cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@defquery(
+    "nm1_standardize_dims",
+    """
+    WITH tall AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS e_int
+      FROM (SELECT vec_id, unnest(embedding) AS e,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      WHERE i <= 8
+    ), stats AS (
+      SELECT dim, count(*) AS n, sum(e_int) AS s, sum(e_int * e_int) AS ss
+      FROM tall GROUP BY dim
+    )
+    SELECT t.vec_id, CAST(t.dim AS INT) AS dim,
+           round((CAST(t.e_int AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt(CAST(ss AS DOUBLE) / n
+                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                 6) AS z
+    FROM tall t JOIN stats USING (dim)
+    ORDER BY vec_id, dim
+    """,
+    doc="per-dimension z-score standardization of embeddings (first 8 "
+        "dims): moments aggregated over exact quantized integers (order-"
+        "free), 8-row stats broadcast back for a map-side normalize — "
+        "identical IEEE ops both sides make every z bit-reproducible; "
+        "population std, tall output.",
+)
+def nm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return standardize_dims(emb).orderBy("vec_id", "dim")

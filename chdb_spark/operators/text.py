@@ -1426,3 +1426,73 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split every document into
+    fixed-size character windows with overlap (``size - stride`` chars).
+
+    Chunk count is ``1 + ceil(max(len - size, 0) / stride)`` — the last
+    window always starts inside the text (``stride <= size`` invariant),
+    so no empty chunks. Pure built-ins (sequence → explode → substring):
+    per-row codegen, map-only, zero shuffle — at 100 TB this runs at scan
+    speed and the output inherits the input's partitioning, which is what
+    a downstream embed/index stage wants. Each chunk carries a
+    whitespace-token estimate for budget-aware packing (see
+    :func:`pack_documents`).
+    """
+    if stride > size or stride <= 0:
+        raise ValueError("chunk_documents: need 0 < stride <= size")
+    n_chunks = F.expr(
+        f"1 + (greatest(length({text_col}) - {size}, 0) + {stride - 1}) div {stride}"
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_ix"),
+    )
+    chunk = F.expr(f"substring({text_col}, chunk_ix * {stride} + 1, {size})")
+    return (
+        exploded.withColumn("chunk_text", chunk)
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+        .withColumn(
+            "n_tokens",
+            F.size(F.split(F.trim(F.col("chunk_text")), r"\s+")).cast("long"),
+        )
+        .drop(text_col)
+    )
+
+
+@defquery(
+    "ck1_chunk_documents",
+    """
+    WITH ex AS (
+      SELECT doc_id, text,
+             unnest(range(0, 1 + (greatest(length(text) - 200, 0) + 149) // 150))
+               AS chunk_ix
+      FROM documents
+    )
+    SELECT doc_id, CAST(chunk_ix AS BIGINT) AS chunk_ix,
+           substr(text, CAST(chunk_ix * 150 + 1 AS BIGINT), 200) AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_ix * 150 + 1 AS BIGINT), 200)) AS BIGINT)
+             AS chunk_len,
+           CAST(len(regexp_split_to_array(
+                  trim(substr(text, CAST(chunk_ix * 150 + 1 AS BIGINT), 200)), '\\s+'))
+             AS BIGINT) AS n_tokens
+    FROM ex ORDER BY doc_id, chunk_ix
+    """,
+    doc="RAG sliding-window chunking (200-char windows, 150 stride) over "
+        "documents — sequence/explode/substring built-ins only, map-only "
+        "at scan speed; the oracle replays the identical window algebra "
+        "with DuckDB range/unnest/substr, checking every chunk's text, "
+        "length and whitespace-token estimate verbatim.",
+)
+def ck1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs).orderBy("doc_id", "chunk_ix")

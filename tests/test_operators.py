@@ -690,3 +690,101 @@ def test_semdedup_equals_within_cluster_bruteforce(spark):
 
     with pytest.raises(Exception, match="max_cluster_rows"):
         semdedup(emb, k=2, threshold=0.45, max_cluster_rows=10).count()
+
+
+def test_fuzzy_self_join_semantics_and_plan(spark):
+    """Deletion-1 blocking is exact vs the brute-force definition on a
+    hand-built set covering substitution / insertion / deletion /
+    distance-2 misses; the plan must stay equi-joined (no BNLJ)."""
+    from chdb_spark.operators.linkage import fuzzy_self_join
+
+    rows = [
+        (1, "alpha"),   # base
+        (2, "alpka"),   # substitution  -> dist 1 to alpha
+        (3, "alpha1"),  # insertion     -> dist 1 to alpha
+        (4, "alph"),    # deletion      -> dist 1 to alpha / 2 to alpka
+        (5, "aXpXa"),   # dist 2 to alpha -> must NOT match
+        (6, "alpha"),   # duplicate     -> dist 0 to alpha
+    ]
+    df = spark.createDataFrame(rows, "k long, name string")
+    got = {
+        (r.k_a, r.k_b, r.dist)
+        for r in fuzzy_self_join(df, "k", "name").collect()
+    }
+    want = {
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 6, 0),
+        (2, 6, 1), (3, 6, 1), (4, 6, 1),
+        # (3,4) is dist 2, (5,*) all dist >= 2 — correctly absent
+    }
+    assert got == want
+    plan = fuzzy_self_join(df, "k", "name")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        fuzzy_self_join(df, "k", "name", max_dist=2)
+
+
+def test_chunk_documents_windows(spark):
+    """Window algebra: exact cover with overlap, short docs -> one chunk,
+    boundary doc (len == size) -> one chunk, len == size+1 -> two."""
+    from chdb_spark.operators.text import chunk_documents
+
+    rows = [(1, "a" * 10), (2, "b" * 4), (3, "c" * 11)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, size=10, stride=5)
+    got = {(r.doc_id, r.chunk_ix, r.chunk_text) for r in out.collect()}
+    assert got == {
+        (1, 0, "a" * 10),
+        (2, 0, "b" * 4),
+        (3, 0, "c" * 10),
+        (3, 1, "c" * 6),  # starts at 5+1, runs to end
+    }
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=5, stride=6)
+
+
+def test_random_project_preserves_distance_order(spark):
+    """JL property smoke: identical vectors project identically; an
+    orthogonal far vector stays far after 64→8 sign projection."""
+    from chdb_spark.operators.similarity import random_project
+
+    base = [0.5] * 32 + [-0.5] * 32
+    far = [-0.5] * 32 + [0.5] * 32
+    df = spark.createDataFrame(
+        [(1, base), (2, list(base)), (3, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = random_project(df)
+    rows = {(r.vec_id, r.k): r.proj for r in out.collect()}
+    assert len(rows) == 24
+    v1 = [rows[(1, k)] for k in range(8)]
+    v2 = [rows[(2, k)] for k in range(8)]
+    v3 = [rows[(3, k)] for k in range(8)]
+    assert v1 == v2                      # deterministic
+    assert v3 == [-x for x in v1]        # sign projection is linear
+    d_same = sum((a - b) ** 2 for a, b in zip(v1, v2))
+    d_far = sum((a - b) ** 2 for a, b in zip(v1, v3))
+    assert d_same == 0.0 and d_far > 0.0
+
+
+def test_standardize_dims_moments(spark):
+    """Standardized output has per-dim mean ~0 and population std ~1."""
+    from chdb_spark.operators.similarity import standardize_dims
+
+    import random
+
+    rng = random.Random(7)
+    data = [
+        (i, [rng.uniform(-1, 1) * (d + 1) for d in range(8)])
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    stats = (
+        standardize_dims(df, n_dims=8)
+        .groupBy("dim")
+        .agg(F.avg("z").alias("m"), F.stddev_pop("z").alias("sd"))
+        .collect()
+    )
+    assert len(stats) == 8
+    for r in stats:
+        assert abs(r.m) < 1e-6, f"dim {r.dim} mean {r.m}"
+        assert abs(r.sd - 1.0) < 1e-3, f"dim {r.dim} std {r.sd}"
