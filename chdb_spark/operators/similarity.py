@@ -80,6 +80,7 @@ def knn_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -96,21 +97,30 @@ def knn_bruteforce(
 
     Scale contract: |queries| must fit broadcast (matrix of |Q| x dim
     float64); corpus is unbounded.
+
+    ``exclude_label_col``: when set, candidate pairs whose label equals the
+    query's label are masked out BEFORE the top-k selection — hard-negative
+    mining for contrastive training (nearest cross-class neighbors). The
+    masking happens inside the same BLAS pass, so the local-top-k
+    monotonicity argument is unchanged on the filtered score matrix.
     """
     import numpy as np
 
     spark = corpus.sparkSession
-    qrows = queries.select(id_col, vec_col).collect()
+    label = exclude_label_col
+    qcols = [id_col, vec_col] + ([label] if label else [])
+    qrows = queries.select(*qcols).collect()
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((qids, Q))
+    qlabels = np.array([r[2] for r in qrows], dtype=np.int64) if label else None
+    bc = spark.sparkContext.broadcast((qids, Q, qlabels))
 
     def gen(batches):
         import numpy as _np
         import pandas as _pd
 
-        qids_b, Qb = bc.value
+        qids_b, Qb, qlabels_b = bc.value
         nq = len(qids_b)
         for pdf in batches:
             if not len(pdf):
@@ -120,6 +130,9 @@ def knn_bruteforce(
             S = A @ Qb.T  # (batch, nq)
             nids = pdf[id_col].to_numpy()
             S[nids[:, None] == qids_b[None, :]] = -_np.inf  # exclude self
+            if qlabels_b is not None:
+                clabels = pdf[label].to_numpy()
+                S[clabels[:, None] == qlabels_b[None, :]] = -_np.inf
             # per-query local top-k under the EXACT global order
             # (cos desc, id asc) — makes the local selection monotone, so
             # the global top-k is provably inside the candidate union
@@ -140,7 +153,8 @@ def knn_bruteforce(
 
     from chdb_spark.operators import _repartition_feature_pass
 
-    sel = _repartition_feature_pass(corpus.select(id_col, vec_col))
+    ccols = [id_col, vec_col] + ([label] if label else [])
+    sel = _repartition_feature_pass(corpus.select(*ccols))
     scored = sel.mapInPandas(gen, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -605,6 +619,41 @@ def cosine_neardup_pairs_blocked(
 def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return knn_bruteforce(emb, emb.filter(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+@defquery(
+    "hn1_hard_negatives",
+    """
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id != c.vec_id AND q.label != c.label
+      WHERE q.vec_id < 20
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE), 4) AS cos, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+    doc="hard-negative mining for contrastive training: the 3 nearest "
+        "cross-class neighbors per anchor — same broadcast-queries x "
+        "BLAS-batched corpus scan as s1, with same-label pairs masked "
+        "inside the score matrix before the monotone local top-k; the "
+        "oracle is the brute-force cross-label definition.",
+)
+def hn1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=3,
+        exclude_label_col="label",
+    ).orderBy("query_id", "rank")
 
 
 def _s2_oracle_sql(

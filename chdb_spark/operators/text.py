@@ -1496,3 +1496,98 @@ def chunk_documents(
 def ck1(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return chunk_documents(docs).orderBy("doc_id", "chunk_ix")
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top TF-IDF terms per group — corpus keyword extraction.
+
+    tf is the term count within the group; idf is document-level
+    (``ln((1+N_docs)/(1+df_docs))``, smoothed), so corpus-wide stopwords
+    sink even when every group contains them. The idf is quantized to
+    integer micro-units before scoring, making the ranking key
+    ``tf * idf_micro`` a bigint — summation-order-free and replayable
+    bit-for-bit by any engine (same discrete inputs → same ln argument →
+    same quantized idf).
+
+    Shape at scale: one token explode (map-only), two hash aggregations
+    (term×group, term×doc — both map-side partial), a broadcast-sized
+    term→idf join only if vocab is small (here it joins on term via hash
+    join; vocab tables are dimension-sized in practice), and a per-group
+    top-k window. No collect, no cartesian.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tokens.groupBy(group_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tokens.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df_docs")
+    )
+    from pyspark.sql.window import Window
+
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf_micro = F.expr(
+        "cast(floor(ln((1.0 + n_docs) / (1.0 + df_docs)) * 1000000 + 0.5) as bigint)"
+    )
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_micro", F.col("tf") * idf_micro)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select(
+            group_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            "score_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@defquery(
+    "tf1_tfidf_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+      FROM documents
+    ), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT source, term, count(*) AS tf FROM toks2 GROUP BY source, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df_docs FROM toks2 GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT source, term, tf,
+             tf * CAST(floor(ln((1.0 + n_docs) / (1.0 + df_docs)) * 1000000 + 0.5)
+                       AS BIGINT) AS score_micro
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT source, term, tf, score_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_micro DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, score_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY source, rk
+    """,
+    doc="top-3 TF-IDF keywords per source: token explode + two hash aggs "
+        "(group-term tf, doc-level df) + integer-quantized idf so the "
+        "ranking key is an exact bigint — engine-portable; per-group "
+        "top-k via partitioned window.",
+)
+def tf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs).orderBy("source", "rk")

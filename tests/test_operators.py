@@ -788,3 +788,34 @@ def test_standardize_dims_moments(spark):
     for r in stats:
         assert abs(r.m) < 1e-6, f"dim {r.dim} mean {r.m}"
         assert abs(r.sd - 1.0) < 1e-3, f"dim {r.dim} std {r.sd}"
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """With exclude_label_col set, every neighbor has a different label
+    than its query, and the result equals the brute-force definition."""
+    from chdb_spark.operators.similarity import knn_bruteforce
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_bruteforce(emb, queries, k=3, exclude_label_col="label")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert labels[r.query_id] != labels[r.neighbor_id]
+    # brute force replay in python
+    import numpy as np
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for q in range(5):
+        qv = vecs[q] / np.linalg.norm(vecs[q])
+        cand = sorted(
+            (
+                (-float(qv @ (v / np.linalg.norm(v))), i)
+                for i, v in vecs.items()
+                if i != q and labels[i] != labels[q]
+            ),
+        )[:3]
+        got = [r.neighbor_id for r in rows if r.query_id == q]
+        assert got == [i for _, i in cand]
