@@ -972,6 +972,20 @@ class DataStore:
         """Distributed parquet write (the scale path — partitioned parts)."""
         self._df.write.mode("overwrite").parquet(path)
 
+    def to_orc(self, path, **kw):
+        """Distributed ORC write (reference pandas_compat.py to_orc) —
+        Spark-native, partitioned parts like to_parquet."""
+        self._df.write.mode("overwrite").orc(path)
+
+    def to_iceberg(self, table: str, mode: str = "append", **kw):
+        """Iceberg table write (reference table_functions.py Iceberg leg) —
+        passthrough to the Spark Iceberg connector; requires the iceberg
+        runtime jar + catalog conf (jar-gated like the read path,
+        tests/test_lakehouse_gated.py)."""
+        self._df.writeTo(table).append() if mode == "append" else (
+            self._df.writeTo(table).createOrReplace()
+        )
+
     def to_feather(self, path, **kw):
         """Driver-side feather file via Arrow (reference
         pandas_compat.py:2164). Report-sized results only — the
@@ -1370,3 +1384,10 @@ def __getattr__(name: str):
 # DataFrame (→ __getattr__ → pandas_api.DataFrame); annotations above are
 # strings (future import), so the class object itself is no longer needed.
 del DataFrame
+
+# pandas-compat tail (arith/compare operators, alignment, indexers,
+# exports): driver-side delegation, the reference's own strategy —
+# see chdb_spark/pandas_compat_ext.py for the contract and ledger.
+from chdb_spark.pandas_compat_ext import install as _install_pandas_compat  # noqa: E402
+
+_install_pandas_compat(DataStore)

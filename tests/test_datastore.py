@@ -609,3 +609,53 @@ def test_pandas_compat_sinks(spark, tmp_path):
 
         with _pytest.raises((ImportError, ModuleNotFoundError)):
             ds.to_excel(str(tmp_path / "o.xlsx"))
+
+
+def test_pandas_compat_delegation_tail(spark):
+    """The reference implements its pandas-compat tail by materializing and
+    delegating (pandas_compat.py:2513 add, :2782 ffill, :588 iloc...);
+    pandas_compat_ext mirrors that. Spot-check every category against
+    pandas ground truth on the same frame."""
+    import pandas as pd
+    from pandas.testing import assert_frame_equal
+
+    from chdb_spark.datastore import DataStore
+
+    pdf = pd.DataFrame({"a": [1.0, None, 3.0], "b": [4, 5, 6]})
+    ds = DataStore(pdf.copy())
+
+    # arithmetic + comparison (scalar and frame other, DataStore unwrap)
+    assert_frame_equal(ds.add(1).to_df(), pdf.add(1))
+    assert_frame_equal(ds.radd(1).to_df(), pdf.radd(1))
+    assert_frame_equal(ds.mul(2).to_df(), pdf.mul(2))
+    assert_frame_equal(ds.le(3).to_df(), pdf.le(3))
+    assert_frame_equal(ds.add(ds).to_df(), pdf.add(pdf))
+    # missing data
+    assert ds.ffill().to_df()["a"].tolist() == [1.0, 1.0, 3.0]
+    assert ds.bfill().to_df()["a"].tolist() == [1.0, 3.0, 3.0]
+    assert ds.isnull().to_df()["a"].tolist() == [False, True, False]
+    # reductions / index ops (Series pass-through, reference _wrap_result)
+    assert dict(ds.idxmax()) == {"a": 2, "b": 2}
+    assert ds.first_valid_index() == 0
+    # label gymnastics
+    assert ds.take([2, 0]).to_df()["b"].tolist() == [6, 4]
+    assert list(ds.keys()) == ["a", "b"]
+    assert ds.get("b").tolist() == [4, 5, 6]
+    # properties
+    assert ds.ndim == 2 and not ds.empty
+    assert ds.values.shape == (3, 2)
+    assert list(ds.iloc[1])[1] == 5
+    # pandas-2-removed members the reference still exposes
+    assert len(ds.append(ds).to_df()) == 6
+    assert abs(ds.mad()["b"] - pdf["b"].sub(pdf["b"].mean()).abs().mean()) < 1e-12
+    assert [k for k, _ in ds.iteritems()] == ["a", "b"]
+    # constructors
+    assert DataStore.from_dict({"x": [1, 2]}).to_df()["x"].tolist() == [1, 2]
+    assert DataStore.from_records([(1, "u")]).to_df().shape == (1, 2)
+    # a meaningful result index folds back into columns (SURVEY §1.4 note)
+    piv = DataStore(
+        pd.DataFrame({"r": ["x", "x", "y"], "c": ["p", "q", "p"], "v": [1, 2, 3]})
+    ).pivot(index="r", columns="c", values="v")
+    assert "r" in piv.to_df().columns
+    # the Spark-style alias is NOT shadowed: where == filter
+    assert ds.where("b >= 5").count() == 2
