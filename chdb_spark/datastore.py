@@ -1373,8 +1373,10 @@ def __getattr__(name: str):
     from chdb_spark import config as _config
     from chdb_spark import exceptions as _exc
     from chdb_spark import pandas_api as _papi
+    from chdb_spark import table_functions as _tf
+    from chdb_spark.functions import registry as _freg
 
-    for mod in (_papi, _config, _exc, _acc):
+    for mod in (_papi, _config, _exc, _acc, _tf, _freg):
         if hasattr(mod, name):
             return getattr(mod, name)
     raise AttributeError(f"module 'chdb_spark.datastore' has no attribute {name!r}")

@@ -314,3 +314,118 @@ def crosstab(index, columns, values=None, aggfunc=None, **kw):
     """pandas.crosstab for driver-side arrays; DataStore callers use
     ``DataStore.pivot_table``/the r2 crosstab shape for distributed data."""
     return _pd().crosstab(index, columns, values=values, aggfunc=aggfunc, **kw)
+
+
+# ---------------------------------------------------------------------------
+# module-level tail (reference datastore/pandas_api.py:532-2290): driver-side
+# pandas readers/reshapers/config — the reference delegates every one of
+# these straight to pandas and wraps frames; identical contract here.
+# Optional engines (openpyxl, lxml, pyreadstat, tables…) raise their own
+# ImportError unchanged, exactly as the reference's do.
+# ---------------------------------------------------------------------------
+
+
+def _wrap_pd_reader(name):
+    def reader(*a, **kw):
+        res = getattr(_pd(), name)(*a, **kw)
+        import pandas as pd
+
+        if isinstance(res, pd.DataFrame):
+            return make_datastore(res)
+        if isinstance(res, list):  # read_html returns [DataFrame, ...]
+            return [make_datastore(x) if isinstance(x, pd.DataFrame) else x
+                    for x in res]
+        return res
+
+    reader.__name__ = name
+    reader.__doc__ = (
+        f"pandas ``{name}`` → DataStore (reference pandas_api.py delegation;"
+        " driver-side, report-sized inputs — columnar formats use the"
+        " distributed read_parquet/read_orc path)."
+    )
+    return reader
+
+
+read_excel = _wrap_pd_reader("read_excel")
+read_fwf = _wrap_pd_reader("read_fwf")
+read_hdf = _wrap_pd_reader("read_hdf")
+read_html = _wrap_pd_reader("read_html")
+read_pickle = _wrap_pd_reader("read_pickle")
+read_sas = _wrap_pd_reader("read_sas")
+read_spss = _wrap_pd_reader("read_spss")
+read_stata = _wrap_pd_reader("read_stata")
+read_xml = _wrap_pd_reader("read_xml")
+
+
+def read_sql_table(table_name, con, schema=None, **kw):
+    """pandas read_sql_table → DataStore (reference pandas_api.py:986).
+    For the distributed path use sources.rdbms (range-partitioned)."""
+    return make_datastore(_pd().read_sql_table(table_name, con, schema=schema, **kw))
+
+
+def read_iceberg(table: str, spark=None, **kw):
+    """Iceberg table scan → DataStore (reference read_iceberg) — Spark-native
+    DISTRIBUTED read via the iceberg connector; jar-gated like the write
+    path (tests/test_lakehouse_gated.py)."""
+    from chdb_spark.session import get_spark
+
+    return DataStore((spark or get_spark()).read.format("iceberg").load(table))
+
+
+def pivot(data, *, columns, index=None, values=None):
+    """module-level pivot (reference pandas_api.py:1933) — DataStore goes
+    through the materialize-and-delegate compat tail, raw frames straight
+    to pandas."""
+    if _is_ds(data):
+        return data.pivot(columns=columns, index=index, values=values)
+    return make_datastore(_pd().pivot(data, columns=columns, index=index, values=values))
+
+
+def wide_to_long(df, stubnames, i, j, sep="", suffix=r"\d+"):
+    """pandas wide_to_long → DataStore (reference pandas_api.py:2078)."""
+    pdf = df.to_df() if _is_ds(df) else df
+    res = _pd().wide_to_long(pdf, stubnames, i, j, sep=sep, suffix=suffix)
+    return make_datastore(res.reset_index())
+
+
+def interval_range(*a, **kw):
+    return _pd().interval_range(*a, **kw)
+
+
+def infer_freq(index):
+    return _pd().infer_freq(index)
+
+
+def array(data, dtype=None, copy=True):
+    return _pd().array(data, dtype=dtype, copy=copy)
+
+
+def set_option(pat, value):
+    """pandas display/config option passthrough (reference
+    pandas_api.py:2175)."""
+    _pd().set_option(pat, value)
+
+
+def get_option(pat):
+    return _pd().get_option(pat)
+
+
+def reset_option(pat):
+    _pd().reset_option(pat)
+
+
+def describe_option(pat="", _print_desc=True):
+    return _pd().describe_option(pat)
+
+
+def option_context(*args):
+    return _pd().option_context(*args)
+
+
+def show_versions(as_json=False):
+    """Version report: pandas' own, plus the Spark runtime this engine
+    executes on (reference pandas_api.py:2258 prints its engine block)."""
+    import pyspark
+
+    print(f"chdb_spark engine: pyspark {pyspark.__version__}")
+    return _pd().show_versions(as_json=as_json)
