@@ -1993,3 +1993,172 @@ def _rewrite_qualify(sql: str) -> str:
     inner = f"{head[:first].rstrip()}, ({cond}) AS __q {head[first:]}"
     out = f"SELECT * EXCEPT (__q) FROM ({inner}) __qualify WHERE __q"
     return f"{out} {tail}" if tail else out
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN (public ClickHouse join kind the reference engine executes
+# natively). Spark has no ASOF join; the naive LATERAL-subquery rewrite
+# decorrelates into a BroadcastNestedLoopJoin (measured — forbidden by the
+# suite plan pins and O(|B|·|distinct keys|) at scale), so the constrained
+# form here routes through operators/asof.merge_asof_backward: one
+# union + partitioned window, the shape that survives 100 TB.
+# ---------------------------------------------------------------------------
+
+_ASOF_RE = re.compile(
+    r"\bFROM\s+([`\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([`\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+    r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|SETTINGS)\b|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ASOF_SEQ = [0]
+
+
+def _replace_idents(sql: str, mapping: dict[str, str]) -> str:
+    """Replace identifier references outside string literals.
+
+    Keys may be qualified (``alias.col``) or bare column names; longest
+    keys replace first so ``q.ts`` wins over ``ts``.
+    """
+    if not mapping:
+        return sql
+    keys = sorted(mapping, key=len, reverse=True)
+    pat = re.compile(
+        r"(?<![\w.`])(" + "|".join(re.escape(k) for k in keys) + r")(?![\w.`(])"
+    )
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _end_of_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = pat.match(sql, i)
+        if m:
+            out.append(mapping[m.group(1)])
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def resolve_asof_join(spark, sql: str) -> str:
+    from pyspark.sql import functions as F  # text module otherwise — lazy
+    """Rewrite ``A ASOF [LEFT] JOIN B ON <equi…> AND <one inequality>``
+    into a temp view computed by the union+window as-of operator.
+
+    Supported (the ClickHouse-documented contract): table/view relation
+    names on both sides, >=1 equality condition, exactly one inequality
+    whose backward orientation is ``right.t <= left.t`` (CH's only
+    direction). Right-side columns are exposed to the remaining query as
+    ``asof_<col>`` and qualified/bare references are rewritten; a column
+    collision or unsupported shape raises with the exact reason.
+    """
+    m = _ASOF_RE.search(sql)
+    if not m:
+        return sql
+    lname, lalias, left_kw, rname, ralias, conds = m.groups()
+    ldf = spark.table(lname.replace("`", ""))
+    rdf = spark.table(rname.replace("`", ""))
+    lq = {q for q in (lalias, lname) if q}
+    rq = {q for q in (ralias, rname) if q}
+
+    def side_of(tok: str) -> tuple[str, str]:
+        if "." in tok:
+            q, c = tok.rsplit(".", 1)
+            if q in lq:
+                return "l", c
+            if q in rq:
+                return "r", c
+            raise ValueError(f"ASOF JOIN: unknown qualifier {q!r} in {tok!r}")
+        in_l, in_r = tok in ldf.columns, tok in rdf.columns
+        if in_l and not in_r:
+            return "l", tok
+        if in_r and not in_l:
+            return "r", tok
+        raise ValueError(
+            f"ASOF JOIN: ambiguous or unknown column {tok!r} — qualify it"
+        )
+
+    equi: list[tuple[str, str]] = []
+    ineq: list[tuple[str, str, str]] = []
+    for cond in re.split(r"\bAND\b", conds, flags=re.IGNORECASE):
+        cm = re.match(
+            r"\s*([`\w.]+)\s*(<=|>=|<|>|=)\s*([`\w.]+)\s*$", cond.strip()
+        )
+        if not cm:
+            raise ValueError(f"ASOF JOIN: unsupported condition {cond.strip()!r}")
+        a, op, b = cm.groups()
+        (sa, ca), (sb, cb) = side_of(a.replace("`", "")), side_of(b.replace("`", ""))
+        if {sa, sb} != {"l", "r"}:
+            raise ValueError(f"ASOF JOIN: condition {cond.strip()!r} must relate both sides")
+        lcol, rcol = (ca, cb) if sa == "l" else (cb, ca)
+        if op == "=":
+            equi.append((lcol, rcol))
+        else:
+            # normalize to right-vs-left orientation
+            op_rl = op if sa == "r" else {"<": ">", ">": "<", "<=": ">=", ">=": "<="}[op]
+            ineq.append((rcol, op_rl, lcol))
+    if not equi:
+        raise ValueError("ASOF JOIN needs at least one equality condition")
+    if len(ineq) != 1:
+        raise ValueError("ASOF JOIN needs exactly one inequality condition")
+    r_on, op_rl, l_on = ineq[0]
+    if op_rl not in ("<=", "<"):
+        raise ValueError(
+            "ASOF JOIN: only the backward form (right.ts <= left.ts) is "
+            "supported — the ClickHouse default direction"
+        )
+
+    from chdb_spark.operators.asof import merge_asof_backward
+
+    by = [lc for lc, _ in equi]
+    r2 = rdf
+    for lc, rc in equi:
+        if rc != lc:
+            r2 = r2.withColumnRenamed(rc, lc)
+    r_on_out = "__r_on"
+    r2 = r2.withColumn(r_on_out, F.col(r_on))
+    if r_on != l_on:
+        if l_on in r2.columns:
+            raise ValueError(
+                f"ASOF JOIN: right side has a column named {l_on!r} distinct "
+                f"from its asof key {r_on!r} — rename one side first"
+            )
+        r2 = r2.withColumnRenamed(r_on, l_on)
+    right_vals = [c for c in r2.columns if c not in by and c != l_on]
+    out = merge_asof_backward(ldf, r2, on=l_on, by=by, right_values=right_vals)
+    if not left_kw:  # inner: drop left rows with no as-of match
+        out = out.filter(F.col(f"asof_{r_on_out}").isNotNull())
+
+    # expose right columns under their ORIGINAL names when unambiguous
+    # (the name CH/DuckDB give them); keep the asof_ prefix on collisions
+    renames = {r_on_out: r_on if r_on not in ldf.columns else f"asof_{r_on}"}
+    for c in rdf.columns:
+        if c in renames or c in by or c == r_on:
+            continue
+        renames[c] = c if c not in ldf.columns else f"asof_{c}"
+    for orig, target in renames.items():
+        out = out.withColumnRenamed(f"asof_{orig}", target)
+
+    _ASOF_SEQ[0] += 1
+    view = f"__asof_join_{_ASOF_SEQ[0]}"
+    out.createOrReplaceTempView(view)
+
+    # splice the FROM segment, then re-qualify the remaining references
+    mapping: dict[str, str] = {}
+    for q in lq:
+        for c in ldf.columns:
+            mapping[f"{q}.{c}"] = c
+    for q in rq:
+        for lc, rc in equi:
+            mapping[f"{q}.{rc}"] = lc  # r.k == l.k by construction
+        mapping[f"{q}.{r_on}"] = renames[r_on_out]
+        for c in rdf.columns:
+            if c not in by and c != r_on:
+                mapping.setdefault(f"{q}.{c}", renames[c])
+    head = sql[: m.start()] + f"FROM {view}"
+    rest = sql[m.end():]
+    return _replace_idents(head, mapping) + _replace_idents(rest, mapping)

@@ -15,6 +15,7 @@ so Catalyst sees ordinary expressions (pushdown/codegen intact).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chdb_spark.queries import defquery, table
 
@@ -704,4 +705,51 @@ def ch15(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """,
         ["orders"],
+    )
+
+
+@defquery(
+    "ch16_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), views_t AS (
+      SELECT user_id, ts AS vts, max(value) AS vvalue
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.user_id, p.event_id, v.vts AS view_ts, v.vvalue AS view_value
+    FROM purchases p ASOF JOIN views_t v
+      ON p.user_id = v.user_id AND v.vts <= p.ts
+    ORDER BY p.event_id
+    """,
+    doc="ClickHouse ASOF JOIN as SQL text (public CH join kind the "
+        "reference engine runs natively): each purchase matched to the "
+        "user's latest prior view. dialect.resolve_asof_join routes the "
+        "constrained form through operators/asof.merge_asof_backward — "
+        "one union + user-partitioned window, NOT the LATERAL-subquery "
+        "decorrelation (measured: that plans a BroadcastNestedLoopJoin, "
+        "forbidden by the suite plan pins and quadratic at scale). The "
+        "oracle is DuckDB's native ASOF JOIN, verbatim semantics.",
+)
+def ch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    ).createOrReplaceTempView("purchases")
+    (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("value").alias("vvalue"))
+    ).createOrReplaceTempView("views_t")
+    from chdb_spark import session as chs
+
+    return chs.query(
+        spark,
+        """
+        SELECT p.user_id, p.event_id, v.vts AS view_ts, v.vvalue AS view_value
+        FROM purchases p ASOF JOIN views_t v
+          ON p.user_id = v.user_id AND v.vts <= p.ts
+        ORDER BY p.event_id
+        """,
+        "DataFrame",
     )

@@ -432,6 +432,10 @@ def query(
             translated = resolve_table_functions(
                 spark, translated, namespace=_caller_namespace()
             )
+        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", translated, re.IGNORECASE):
+            from chdb_spark.dialect import resolve_asof_join
+
+            translated = resolve_asof_join(spark, translated)
         out = spark.sql(translated)
         if fill_spec is not None:
             out = _apply_with_fill(spark, out, fill_spec)

@@ -655,3 +655,80 @@ def test_extract_capture_group_semantics(spark):
     spark.sql("SELECT 'id=123' AS s").createOrReplaceTempView("ext_t")
     out = chs.query(spark, "SELECT extract(s, 'id=(\\\\d+)') AS g FROM ext_t", "Pandas")
     assert out["g"].iloc[0] == "123"
+
+
+class TestAsofJoin:
+    """resolve_asof_join: constrained CH ASOF JOIN over the union+window
+    operator (no BNLJ — the LATERAL decorrelation is explicitly avoided)."""
+
+    @staticmethod
+    def _fixtures(spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW aj_trades AS SELECT * FROM VALUES "
+            "(1, 10, 100.0),(1, 20, 101.0),(2, 15, 50.0),(3, 9, 7.0) AS t(sym, ts, px)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW aj_quotes AS SELECT * FROM VALUES "
+            "(1, 5, 99.5),(1, 18, 100.5),(2, 30, 49.5) AS q(sym, qts, bid)"
+        )
+
+    def test_inner_matches_duckdb(self, spark, oracle):
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        got = chs.query(
+            spark,
+            "SELECT t.sym, t.ts, t.px, q.bid FROM aj_trades t ASOF JOIN "
+            "aj_quotes q ON t.sym = q.sym AND q.qts <= t.ts ORDER BY t.sym, t.ts",
+            "DataFrame",
+        )
+        rows = [tuple(r) for r in got.collect()]
+        assert rows == [(1, 10, 100.0, 99.5), (1, 20, 101.0, 100.5)]
+        assert got.columns == ["sym", "ts", "px", "bid"]
+
+    def test_left_keeps_unmatched_and_where_requalifies(self, spark):
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        got = chs.query(
+            spark,
+            "SELECT t.sym, t.ts, q.bid, q.qts FROM aj_trades t ASOF LEFT JOIN "
+            "aj_quotes q ON t.sym = q.sym AND q.qts <= t.ts "
+            "WHERE t.px < 200 ORDER BY t.sym, t.ts",
+            "DataFrame",
+        )
+        rows = [tuple(r) for r in got.collect()]
+        assert rows == [
+            (1, 10, 99.5, 5), (1, 20, 100.5, 18), (2, 15, None, None),
+            (3, 9, None, None),
+        ]
+
+    def test_plan_has_no_nested_loop(self, spark):
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        df = chs.query(
+            spark,
+            "SELECT t.sym, q.bid FROM aj_trades t ASOF JOIN aj_quotes q "
+            "ON t.sym = q.sym AND q.qts <= t.ts",
+            "DataFrame",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_unsupported_shapes_raise(self, spark):
+        import pytest
+
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        with pytest.raises(Exception, match="equality"):
+            chs.query(spark, "SELECT * FROM aj_trades t ASOF JOIN aj_quotes q "
+                             "ON q.qts <= t.ts", "DataFrame")
+        with pytest.raises(Exception, match="backward"):
+            chs.query(spark, "SELECT * FROM aj_trades t ASOF JOIN aj_quotes q "
+                             "ON t.sym = q.sym AND q.qts >= t.ts", "DataFrame")
+        with pytest.raises(Exception, match="exactly one inequality"):
+            chs.query(spark, "SELECT * FROM aj_trades t ASOF JOIN aj_quotes q "
+                             "ON t.sym = q.sym", "DataFrame")
