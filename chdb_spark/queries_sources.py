@@ -428,3 +428,55 @@ def sm4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@defquery(
+    "sm5_sliding_windows",
+    """
+    WITH ex AS (
+      SELECT CAST(date_trunc('day', ts) - INTERVAL (k) DAY AS DATE) AS win_day,
+             event_type, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT win_day, event_type, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS sum_value
+    FROM ex GROUP BY win_day, event_type ORDER BY win_day, event_type
+    """,
+    doc="Sliding event-time windows end-to-end (SURVEY §2.9 superset — the "
+        "reference has no streaming windows at all): 2-day windows sliding "
+        "by 1 day over the events readStream, availableNow to completion; "
+        "every event belongs to exactly two windows, which the oracle "
+        "replays by exploding each event to its two covering window starts "
+        "(epoch-aligned like Spark's window()). Counts and exact-cents "
+        "sums per (window, type) must match the batch replay verbatim.",
+)
+def sm5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.streaming.core import read_events_stream, windowed_counts
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    cents = stream.withColumn(
+        "value", F.floor(F.col("value") * 100 + 0.5).cast("double")
+    )
+    agg = windowed_counts(
+        cents, window="2 days", slide="1 day", watermark="2 days",
+        keys=["event_type"],
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sm5_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("sm5_mem")
+        .select(
+            F.col("win_start").cast("date").alias("win_day"),
+            "event_type",
+            "n_events",
+            (F.col("sum_value") / 100.0).alias("sum_value"),
+        )
+        .orderBy("win_day", "event_type")
+    )
