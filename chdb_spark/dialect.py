@@ -2162,3 +2162,64 @@ def resolve_asof_join(spark, sql: str) -> str:
     head = sql[: m.start()] + f"FROM {view}"
     rest = sql[m.end():]
     return _replace_idents(head, mapping) + _replace_idents(rest, mapping)
+
+
+# ---------------------------------------------------------------------------
+# ANY JOIN (public ClickHouse join strictness: at most one right row per
+# left row). ClickHouse picks an ARBITRARY matching row; that is
+# unreproducible across engines, so this rewrite uses the deterministic
+# refinement "smallest right tuple" (all right columns ascending, NULLS
+# LAST) — a documented divergence (COVERAGE.md) that is a valid ANY
+# answer and lets an oracle replay it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ANY_RE = re.compile(
+    r"\b(?:(LEFT|INNER)\s+ANY|ANY\s+(LEFT|INNER)?)\s*JOIN\s+([`\w.]+)"
+    r"(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*?)"
+    r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|SETTINGS|LEFT|RIGHT|INNER|CROSS|JOIN|UNION)\b|\s*;?\s*$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def resolve_any_join(spark, sql: str) -> str:
+    """Rewrite ``[LEFT|INNER] ANY JOIN rel ON <equi conds>`` to a plain
+    join against the right side deduplicated to one row per join key
+    (deterministic smallest-tuple pick via a partitioned row_number —
+    a per-key-bounded window, no global sort)."""
+    m = _ANY_RE.search(sql)
+    if not m:
+        return sql
+    kind = (m.group(1) or m.group(2) or "INNER").upper()
+    rname = m.group(3).replace("`", "")
+    ralias = m.group(4) or rname
+    conds = m.group(5)
+    rcols = spark.table(rname).columns
+    keys = []
+    for cond in re.split(r"\bAND\b", conds, flags=re.IGNORECASE):
+        cm = re.match(r"\s*([`\w.]+)\s*=\s*([`\w.]+)\s*$", cond.strip())
+        if not cm:
+            raise ValueError(
+                f"ANY JOIN: only equality conditions are supported, got "
+                f"{cond.strip()!r}"
+            )
+        for tok in cm.groups():
+            tok = tok.replace("`", "")
+            if "." in tok:
+                q, c = tok.rsplit(".", 1)
+                if q in (ralias, rname):
+                    keys.append(c)
+            elif tok in rcols:
+                keys.append(tok)
+    if not keys:
+        raise ValueError("ANY JOIN: no right-side equality key found")
+    order = ", ".join(f"{c} ASC NULLS LAST" for c in rcols)
+    proj = ", ".join(rcols)
+    dedup = (
+        f"(SELECT {proj} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {', '.join(dict.fromkeys(keys))} ORDER BY {order}) "
+        f"AS __rn FROM {rname}) WHERE __rn = 1) AS {ralias}"
+    )
+    joined = f" {'LEFT' if kind == 'LEFT' else 'INNER'} JOIN {dedup} ON {conds}"
+    out = sql[: m.start()] + joined + sql[m.end():]
+    # there may be several ANY JOINs — resolve the rest recursively
+    return resolve_any_join(spark, out)

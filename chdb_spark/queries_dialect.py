@@ -753,3 +753,44 @@ def ch16(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         "DataFrame",
     )
+
+
+@defquery(
+    "ch17_any_join",
+    """
+    WITH first_orders AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, o.o_orderkey AS first_order,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS first_price
+    FROM customer c LEFT JOIN first_orders o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey <= 200
+    ORDER BY c.c_custkey
+    """,
+    doc="ClickHouse ANY JOIN strictness as SQL text: at most one order row "
+        "per customer. CH picks an arbitrary match; dialect.resolve_any_join "
+        "uses the deterministic smallest-right-tuple refinement (documented "
+        "divergence) via a key-partitioned row_number — per-key-bounded "
+        "window, no global sort — which the oracle replays exactly "
+        "(o_orderkey is unique, so ordering by it pins the pick).",
+)
+def ch17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    from chdb_spark import session as chs
+
+    return chs.query(
+        spark,
+        """
+        SELECT c.c_custkey, o.o_orderkey AS first_order,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS first_price
+        FROM customer c ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey <= 200
+        ORDER BY c.c_custkey
+        """,
+        "DataFrame",
+    )

@@ -436,6 +436,11 @@ def query(
             from chdb_spark.dialect import resolve_asof_join
 
             translated = resolve_asof_join(spark, translated)
+        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b|\b(LEFT|INNER)\s+ANY\s+JOIN\b",
+                     translated, re.IGNORECASE):
+            from chdb_spark.dialect import resolve_any_join
+
+            translated = resolve_any_join(spark, translated)
         out = spark.sql(translated)
         if fill_spec is not None:
             out = _apply_with_fill(spark, out, fill_spec)

@@ -732,3 +732,44 @@ class TestAsofJoin:
         with pytest.raises(Exception, match="exactly one inequality"):
             chs.query(spark, "SELECT * FROM aj_trades t ASOF JOIN aj_quotes q "
                              "ON t.sym = q.sym", "DataFrame")
+
+
+class TestAnyJoin:
+    @staticmethod
+    def _fixtures(spark):
+        spark.sql("CREATE OR REPLACE TEMP VIEW anyl AS SELECT * FROM VALUES "
+                  "(1),(2),(3) t(x)")
+        spark.sql("CREATE OR REPLACE TEMP VIEW anyr AS SELECT * FROM VALUES "
+                  "(1,'b'),(1,'a'),(3,'c') t(x, v)")
+
+    def test_any_left_picks_smallest_tuple(self, spark):
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        for q in (
+            "SELECT a.x, b.v FROM anyl a ANY LEFT JOIN anyr b ON a.x = b.x",
+            "SELECT a.x, b.v FROM anyl a LEFT ANY JOIN anyr b ON a.x = b.x",
+        ):
+            rows = sorted(tuple(r) for r in chs.query(spark, q, "DataFrame").collect())
+            assert rows == [(1, "a"), (2, None), (3, "c")]
+
+    def test_inner_any_and_trailing_clauses(self, spark):
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        rows = sorted(tuple(r) for r in chs.query(
+            spark,
+            "SELECT a.x, b.v FROM anyl a INNER ANY JOIN anyr b ON a.x = b.x "
+            "WHERE a.x >= 1 ORDER BY a.x",
+            "DataFrame").collect())
+        assert rows == [(1, "a"), (3, "c")]
+
+    def test_non_equi_any_join_raises(self, spark):
+        import pytest
+
+        import chdb_spark.session as chs
+
+        self._fixtures(spark)
+        with pytest.raises(Exception, match="equality"):
+            chs.query(spark, "SELECT * FROM anyl a ANY JOIN anyr b ON a.x < b.x",
+                      "DataFrame")
