@@ -61,3 +61,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import topk  # noqa: F401
     from chdb_spark.operators import rangejoin  # noqa: F401
     from chdb_spark.operators import linkage  # noqa: F401
+    from chdb_spark.operators import profile  # noqa: F401
