@@ -47,15 +47,25 @@ class DataStore:
 
     def __init__(self, df: DataFrame | str = None, **target):
         if isinstance(df, str):
-            # target-descriptor form (reference api-reference.md:264):
-            #   DataStore("file", path="out.parquet", format="Parquet")
-            # a write TARGET for the insert_into/select_from pattern — holds
-            # no data, only the sink description.
-            if df != "file":
-                raise ValueError(f"target kind {df!r} not supported (only 'file')")
-            self._df = None
+            # source/target-descriptor form (reference api-reference.md:264
+            # and examples/example_table_functions.py): DataStore("file",
+            # path=..., format=...) / DataStore("s3", url=...) / any
+            # table-function kind. Dual-role like the reference: a lazy
+            # READ source (materialized through table_functions.create_
+            # table_function(...).read() on first data access) AND the
+            # write TARGET for insert_into/select_from.
+            from chdb_spark.table_functions import _ALIASES, TableFunction
+
+            kind = df.lower()
+            if _ALIASES.get(kind, kind) not in TableFunction._SHAPES:
+                raise ValueError(f"source/target kind {df!r} not supported")
+            self._df_store = None
             self._target = dict(target)
+            self._target_kind = kind
+            self._format_settings: dict = {}
             return
+        self._target_kind = None
+        self._format_settings = {}
         if isinstance(df, dict):
             # reference DataStore({"col": [...]}) literal-data constructor
             # (skills verify_install.py: DataStore({'name': [...], ...}))
@@ -70,6 +80,66 @@ class DataStore:
             df = get_spark().createDataFrame(df)
         self._df = df
         self._target = None
+
+    # -- lazy source materialization ----------------------------------------
+
+    @property
+    def _df(self) -> DataFrame:
+        if getattr(self, "_df_store", None) is None and self._target is not None:
+            from chdb_spark.table_functions import create_table_function
+
+            params = dict(self._target)
+            # the few CH format settings with a direct reader analogue
+            delim = self._format_settings.get("format_csv_delimiter")
+            tf = create_table_function(self._target_kind, **params)
+            out = tf.read()
+            if delim and (params.get("format", "").lower().startswith("csv")):
+                from chdb_spark.sources import read_auto
+                from chdb_spark.session import get_spark
+
+                out = read_auto(get_spark(), params["path"], fmt="csv", sep=delim)
+            self._df_store = out
+        return self._df_store
+
+    @_df.setter
+    def _df(self, value) -> None:
+        self._df_store = value
+
+    def connect(self, test_connection: bool = True) -> "DataStore":
+        """reference core.py:2958 — establish the connection. The Spark
+        session IS the connection here; with test_connection a source-form
+        DataStore materializes its schema (probing the source)."""
+        if test_connection and self._target is not None:
+            _ = self._df.schema
+        return self
+
+    def with_format_settings(self, **settings) -> "DataStore":
+        """reference core.py:2928 — format-specific read settings.
+        ``format_csv_delimiter`` maps onto the reader; the remaining CH
+        knobs configure engine behavior Spark's reader already owns and
+        are accepted as recorded no-ops (same acceptance contract as
+        SETTINGS in session.query)."""
+        out = DataStore.__new__(DataStore)
+        out.__dict__.update(self.__dict__)
+        out._format_settings = {**self._format_settings, **settings}
+        out._df_store = None if self._target is not None else self._df_store
+        return out
+
+    def execute(self):
+        """reference core.py:3495 — run and return a result object with
+        rows/column_names/row_count (QueryResult shape)."""
+        from types import SimpleNamespace
+
+        pdf = self.to_df()
+        return SimpleNamespace(
+            data=pdf,
+            rows=[tuple(r) for r in pdf.itertuples(index=False)],
+            column_names=list(pdf.columns),
+            column_types=[str(t) for t in pdf.dtypes],
+            row_count=len(pdf),
+        )
+
+    exec = execute
 
     # -- interop ------------------------------------------------------------
 
@@ -675,6 +745,8 @@ class DataStore:
 
     def describe(self, *cols) -> "DataStore":
         return DataStore(self._df.describe(*cols))
+
+    desc = describe  # reference example_pandas_methods.py short form
 
     def factorize(self, col: str) -> "DataStore":
         """Dense integer codes for a column's distinct values (reference

@@ -137,3 +137,35 @@ def test_module_level_pandas_tail(tmp_path):
     # misc passthroughs
     assert len(papi.interval_range(start=0, end=4)) == 4
     assert papi.array([1, 2]).tolist() == [1, 2]
+
+
+def test_datastore_source_form_reference_examples(spark, tmp_path):
+    """reference examples/example_table_functions.py: DataStore('file',
+    path=..., format=...) is a READABLE lazy source with
+    with_format_settings/connect/execute, while staying a write target
+    for insert_into/select_from."""
+    csv = tmp_path / "sales.csv"
+    csv.write_text("product,revenue\nLaptop,1200\nMouse,25\nMonitor,5100\n")
+    d = ds.DataStore("file", path=str(csv), format="CSVWithNames")
+    d = d.with_format_settings(
+        format_csv_delimiter=",", input_format_csv_trim_whitespaces=1
+    )
+    out = d.select("*").filter("revenue > 1000").limit(10).to_dict()
+    assert set(out["product"].values()) == {"Laptop", "Monitor"}
+    res = d.select("product", "revenue").filter("revenue > 5000").execute()
+    assert res.rows == [("Monitor", 5100)] and res.row_count == 1
+    assert d.connect() is d
+    # delimiter setting maps onto the reader
+    psv = tmp_path / "p.csv"
+    psv.write_text("a|b\n1|x\n2|y\n")
+    d2 = ds.DataStore("file", path=str(psv), format="CSVWithNames")
+    d2 = d2.with_format_settings(format_csv_delimiter="|")
+    assert d2.columns == ["a", "b"] and d2.count() == 2
+    # write-target role unchanged
+    t = ds.DataStore("file", path=str(tmp_path / "out.parquet"), format="Parquet")
+    t.insert_into("product").select_from(d.select("product")).execute()
+    assert (tmp_path / "out.parquet").exists()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ds.DataStore("carrier-pigeon", path="x")
