@@ -1239,12 +1239,24 @@ class DataStore:
 
     def sql(self, query: str, view_name: str = "__ds__") -> "DataStore":
         """Raw SQL over this frame (reference core.py:6622): the frame is
-        registered as ``__ds__``. CH dialect accepted like every other SQL
-        entry point."""
+        registered as ``__df__`` (and ``view_name``). Supports the
+        reference's SHORT FORM — a bare condition/clause fragment like
+        ``"value > 100 LIMIT 10"`` or ``"ORDER BY name"`` auto-expands to
+        ``SELECT * FROM __df__ …``. CH dialect accepted like every other
+        SQL entry point."""
+        import re as _re
+
         from chdb_spark.dialect import rewrite
 
         self._df.createOrReplaceTempView(view_name)
-        return DataStore(self._df.sparkSession.sql(rewrite(query)))
+        self._df.createOrReplaceTempView("__df__")
+        q = query.strip()
+        if not _re.match(r"(?is)^\s*(SELECT|WITH|EXPLAIN|DESCRIBE|SHOW)\b", q):
+            if _re.match(r"(?is)^\s*(ORDER|LIMIT|GROUP)\b", q):
+                q = f"SELECT * FROM __df__ {q}"
+            else:
+                q = f"SELECT * FROM __df__ WHERE {q}"
+        return DataStore(self._df.sparkSession.sql(rewrite(q)))
 
     run_sql = sql
 

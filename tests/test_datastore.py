@@ -659,3 +659,17 @@ def test_pandas_compat_delegation_tail(spark):
     assert "r" in piv.to_df().columns
     # the Spark-style alias is NOT shadowed: where == filter
     assert ds.where("b >= 5").count() == 2
+
+
+def test_sql_short_form(spark):
+    """reference core.py:6628 — .sql() short form auto-expands a bare
+    condition/clause fragment to SELECT * FROM __df__ …"""
+    from chdb_spark.datastore import DataStore
+
+    d = DataStore({"value": [50, 150, 350], "name": ["c", "b", "a"]})
+    assert [tuple(r) for r in d.sql("value > 100 ORDER BY name LIMIT 1").collect()] == [
+        (350, "a")
+    ]
+    assert [r.name for r in d.sql("ORDER BY name").collect()] == ["a", "b", "c"]
+    assert d.sql("SELECT count(*) AS n FROM __df__").collect()[0].n == 3
+    assert d.sql("SELECT max(value) AS m FROM __ds__").collect()[0].m == 350
