@@ -345,6 +345,15 @@ class Session:
 
         if _TF_RE.search(sql):
             sql = resolve_table_functions(self.spark, sql)
+        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+            from chdb_spark.dialect import resolve_asof_join
+
+            sql = resolve_asof_join(self.spark, sql)
+        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b|\b(LEFT|INNER)\s+ANY\s+JOIN\b",
+                     sql, re.IGNORECASE):
+            from chdb_spark.dialect import resolve_any_join
+
+            sql = resolve_any_join(self.spark, sql)
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
         if "__system_" in sql:
