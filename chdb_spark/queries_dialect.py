@@ -794,3 +794,44 @@ def ch17(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         "DataFrame",
     )
+
+
+@defquery(
+    "ch18_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+      UNION ALL
+      SELECT CAST((m + INTERVAL 1 MONTH) AS DATE) FROM months
+      WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+    )
+    SELECT m, count(o_orderkey) AS n
+    FROM months LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+    GROUP BY m ORDER BY m
+    """,
+    doc="WITH RECURSIVE (public CH >= 24.4 SQL surface) passes through to "
+        "Spark 4's native recursive CTE execution: a recursive month "
+        "series spanning min..max order dates, LEFT JOINed to per-month "
+        "order counts — the gap-filling idiom (months with zero orders "
+        "appear with n=0). The recursion is driver-bounded (one row per "
+        "month); the join/agg stay distributed.",
+)
+def ch18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+          UNION ALL
+          SELECT CAST((m + INTERVAL '1' MONTH) AS DATE) FROM months
+          WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+        )
+        SELECT m, count(o_orderkey) AS n
+        FROM months LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        GROUP BY m ORDER BY m
+        """,
+        ["orders"],
+    )
