@@ -318,6 +318,20 @@ class Session:
             from chdb_spark.formats import format_result as _fr
 
             return _fr(self.spark.sql("SELECT '' AS status WHERE false"), fmt or "DataFrame")
+        # CH mutations (public ALTER TABLE … DELETE/UPDATE, TRUNCATE —
+        # ClickHouse docs/sql-reference/statements/alter): Spark SQL has no
+        # in-place mutation for external tables, so these rewrite the
+        # table: snapshot the surviving/updated rows (localCheckpoint cuts
+        # the lineage to the files being overwritten), then positional
+        # INSERT OVERWRITE. Session tables are session-scale; at warehouse
+        # scale the same statements belong to Delta/Iceberg (jar-gated).
+        m_mut = re.match(
+            r"^\s*(?:ALTER\s+TABLE\s+([`\w.]+)\s+(DELETE|UPDATE)\s+(.*?)"
+            r"|(TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\w.]+))\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m_mut:
+            return self._apply_mutation(m_mut, fmt)
         # CH `EXISTS [TABLE] name` → UInt8 1/0 (needs the catalog, so it
         # can't be a pure-text dialect rewrite; also handled in
         # session.query for the one-shot shape)
@@ -377,6 +391,57 @@ class Session:
             self.spark.catalog.setCurrentDatabase(prev)
 
     sql = query
+
+    def _apply_mutation(self, m: "re.Match", fmt: str):
+        """Execute a CH mutation statement (ALTER … DELETE/UPDATE,
+        TRUNCATE) by rewriting the table — see the call site for the
+        contract. Returns an empty status result like DDL."""
+        from chdb_spark.dialect import rewrite as _rw
+        from chdb_spark.formats import format_result as _fr
+
+        prev = self.spark.catalog.currentDatabase()
+        self.spark.catalog.setCurrentDatabase(self.db)
+        try:
+            if m.group(4):  # TRUNCATE
+                name = m.group(5).replace("`", "")
+                snap = self.spark.table(name).where("false").localCheckpoint()
+            else:
+                name = m.group(1).replace("`", "")
+                verb, body = m.group(2).upper(), m.group(3).strip()
+                tbl = self.spark.table(name)
+                if verb == "DELETE":
+                    mw = re.match(r"(?is)^WHERE\s+(.*)$", body)
+                    if not mw:
+                        raise ValueError("ALTER TABLE … DELETE requires WHERE")
+                    cond = _rw(f"SELECT ({mw.group(1)})")[8:-1]
+                    snap = tbl.where(f"NOT ({cond}) OR ({cond}) IS NULL")
+                else:  # UPDATE col = expr[, …] WHERE cond
+                    mu = re.match(r"(?is)^(.*?)\s+WHERE\s+(.*)$", body)
+                    if not mu:
+                        raise ValueError("ALTER TABLE … UPDATE requires WHERE")
+                    assigns, cond_raw = mu.group(1), mu.group(2)
+                    cond = _rw(f"SELECT ({cond_raw})")[8:-1]
+                    updates = {}
+                    for part in re.split(r",(?![^()]*\))", assigns):
+                        k, _, v = part.partition("=")
+                        if not _:
+                            raise ValueError(f"bad UPDATE assignment {part!r}")
+                        updates[k.strip().strip("`")] = _rw(f"SELECT ({v.strip()})")[8:-1]
+                    sel = [
+                        f"CASE WHEN ({cond}) THEN ({updates[c]}) ELSE `{c}` END AS `{c}`"
+                        if c in updates else f"`{c}`"
+                        for c in tbl.columns
+                    ]
+                    snap = tbl.selectExpr(*sel).localCheckpoint()
+                if verb == "DELETE":
+                    snap = snap.localCheckpoint()
+            snap.write.mode("overwrite").insertInto(name, overwrite=True)
+            return _fr(
+                self.spark.sql("SELECT '' AS status WHERE false"),
+                fmt or "DataFrame",
+            )
+        finally:
+            self.spark.catalog.setCurrentDatabase(prev)
 
     def send_query(
         self,

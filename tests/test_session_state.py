@@ -116,3 +116,31 @@ def test_session_level_set_settings(spark):
             fmt="JSONEachRow",
         )
         assert _json.loads(got) == {"v": "7"}
+
+
+def test_mutations_alter_delete_update_truncate(spark):
+    """CH mutation statements (ALTER TABLE … DELETE/UPDATE, TRUNCATE —
+    public ClickHouse ALTER surface) execute as table rewrites:
+    localCheckpoint snapshot → positional INSERT OVERWRITE."""
+    from chdb_spark.stateful import Session
+
+    s = Session()
+    try:
+        s.query("CREATE TABLE mut_t (id Int64, v String) ENGINE = MergeTree ORDER BY id")
+        s.query("INSERT INTO mut_t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+        s.query("ALTER TABLE mut_t DELETE WHERE id = 2")
+        assert s.query("SELECT id FROM mut_t ORDER BY id", "CSV").strip() == "1\n3"
+        # CH function names in the assignment go through the dialect
+        s.query("ALTER TABLE mut_t UPDATE v = upper(v) WHERE id = 3")
+        assert s.query("SELECT v FROM mut_t ORDER BY id", "CSV").strip() == '"a"\n"C"'
+        # multi-assignment with an expression containing a comma in parens
+        s.query("ALTER TABLE mut_t UPDATE v = concat(v, '!'), id = id + 10 WHERE id >= 3")
+        assert s.query("SELECT id, v FROM mut_t ORDER BY id", "CSV").strip() == '1,"a"\n13,"C!"'
+        s.query("TRUNCATE TABLE mut_t")
+        assert s.query("SELECT count(*) FROM mut_t", "CSV").strip() == "0"
+        # non-matching WHERE mutates nothing
+        s.query("INSERT INTO mut_t VALUES (7, 'x')")
+        s.query("ALTER TABLE mut_t DELETE WHERE id = 99")
+        assert s.query("SELECT count(*) FROM mut_t", "CSV").strip() == "1"
+    finally:
+        s.close()
