@@ -1083,6 +1083,12 @@ def rewrite_ddl(sql: str) -> str:
     m_e = _ENGINE_RE.search(head)
     if m_e:
         head = head[: m_e.start()].rstrip() + " "
+    return map_ch_types(head) + tail
+
+
+def map_ch_types(head: str) -> str:
+    """Map CH column-type names in a DDL fragment to Spark DDL types
+    (shared by CREATE TABLE rewriting and ALTER … ADD COLUMN)."""
     # unwrap wrappers (repeat for nesting like LowCardinality(Nullable(T)))
     for _ in range(3):
         head2 = re.sub(r"\b(?:Nullable|LowCardinality)\(([^()]+)\)", r"\1", head)
@@ -1103,7 +1109,7 @@ def rewrite_ddl(sql: str) -> str:
         head = head2
     for ch, sp in _CH_DDL_TYPES.items():
         head = re.sub(rf"\b{ch}\b", sp, head)
-    return head + tail
+    return head
 
 
 _SETTINGS_RE = re.compile(

@@ -326,7 +326,8 @@ class Session:
         # INSERT OVERWRITE. Session tables are session-scale; at warehouse
         # scale the same statements belong to Delta/Iceberg (jar-gated).
         m_mut = re.match(
-            r"^\s*(?:ALTER\s+TABLE\s+([`\w.]+)\s+(DELETE|UPDATE)\s+(.*?)"
+            r"^\s*(?:ALTER\s+TABLE\s+([`\w.]+)\s+"
+            r"(DELETE|UPDATE|ADD\s+COLUMN|DROP\s+COLUMN|RENAME\s+COLUMN)\s+(.*?)"
             r"|(TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\w.]+))\s*;?\s*$",
             sql, re.IGNORECASE | re.DOTALL,
         )
@@ -407,8 +408,11 @@ class Session:
                 snap = self.spark.table(name).where("false").localCheckpoint()
             else:
                 name = m.group(1).replace("`", "")
-                verb, body = m.group(2).upper(), m.group(3).strip()
+                verb = re.sub(r"\s+", " ", m.group(2)).upper()
+                body = m.group(3).strip()
                 tbl = self.spark.table(name)
+                if verb in ("ADD COLUMN", "DROP COLUMN", "RENAME COLUMN"):
+                    return self._apply_schema_change(name, tbl, verb, body, fmt)
                 if verb == "DELETE":
                     mw = re.match(r"(?is)^WHERE\s+(.*)$", body)
                     if not mw:
@@ -442,6 +446,54 @@ class Session:
             )
         finally:
             self.spark.catalog.setCurrentDatabase(prev)
+
+    def _apply_schema_change(self, name: str, tbl, verb: str, body: str, fmt: str):
+        """ALTER TABLE ADD/DROP/RENAME COLUMN for external parquet session
+        tables (Spark's v1 parquet tables reject these natively): build the
+        new-schema snapshot, drop the catalog entry, rewrite the files at
+        the SAME location, re-register. Caller holds the session-db
+        context."""
+        from chdb_spark.dialect import map_ch_types
+        from chdb_spark.formats import format_result as _fr
+
+        if verb == "ADD COLUMN":
+            ma = re.match(
+                r"(?is)^(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+([\w()<>,'\s]+?)"
+                r"(?:\s+DEFAULT\s+(.+))?$",
+                body,
+            )
+            if not ma:
+                raise ValueError(f"unsupported ADD COLUMN body {body!r}")
+            col, ch_type, default = ma.group(1), ma.group(2).strip(), ma.group(3)
+            if col in tbl.columns:
+                snap = tbl
+            else:
+                sp_type = map_ch_types(ch_type)
+                dexpr = default if default is not None else "NULL"
+                snap = tbl.selectExpr(
+                    "*", f"CAST(({dexpr}) AS {sp_type}) AS `{col}`"
+                )
+        elif verb == "DROP COLUMN":
+            col = re.sub(r"(?is)^IF\s+EXISTS\s+", "", body).strip().strip("`")
+            snap = tbl.drop(col)
+        else:  # RENAME COLUMN a TO b
+            mr = re.match(r"(?is)^`?(\w+)`?\s+TO\s+`?(\w+)`?$", body)
+            if not mr:
+                raise ValueError(f"unsupported RENAME COLUMN body {body!r}")
+            snap = tbl.withColumnRenamed(mr.group(1), mr.group(2))
+        snap = snap.localCheckpoint()
+        loc = next(
+            r.data_type
+            for r in self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            if r.col_name == "Location"
+        )
+        self.spark.sql(f"DROP TABLE {name}")
+        snap.write.mode("overwrite").parquet(loc)
+        self.spark.sql(f"CREATE TABLE {name} USING parquet LOCATION '{loc}'")
+        self._snapshot()
+        return _fr(
+            self.spark.sql("SELECT '' AS status WHERE false"), fmt or "DataFrame"
+        )
 
     def send_query(
         self,

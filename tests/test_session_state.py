@@ -144,3 +144,29 @@ def test_mutations_alter_delete_update_truncate(spark):
         assert s.query("SELECT count(*) FROM mut_t", "CSV").strip() == "1"
     finally:
         s.close()
+
+
+def test_schema_change_alters(spark):
+    """ALTER TABLE ADD/DROP/RENAME COLUMN on external parquet session
+    tables (Spark v1 rejects these natively — the session rewrites the
+    files at the same location and re-registers). CH types map through
+    the dialect (Float64 → DOUBLE, Array(String) → ARRAY<STRING>)."""
+    from chdb_spark.stateful import Session
+
+    s = Session()
+    try:
+        s.query("CREATE TABLE sc_t (id Int64, v String) ENGINE = MergeTree ORDER BY id")
+        s.query("INSERT INTO sc_t VALUES (1, 'a'), (2, 'b')")
+        s.query("ALTER TABLE sc_t ADD COLUMN w Float64 DEFAULT 1.5")
+        assert s.query("SELECT sum(w) FROM sc_t", "CSV").strip() in ("3", "3.0")
+        s.query("ALTER TABLE sc_t DROP COLUMN v")
+        s.query("ALTER TABLE sc_t RENAME COLUMN w TO weight")
+        out = s.query("SELECT * FROM sc_t ORDER BY id", "DataFrame")
+        assert out.columns == ["id", "weight"]
+        s.query("ALTER TABLE sc_t ADD COLUMN tags Array(String)")
+        assert dict(s.query("SELECT * FROM sc_t", "DataFrame").dtypes)["tags"] == "array<string>"
+        # idempotent IF NOT EXISTS / existing column
+        s.query("ALTER TABLE sc_t ADD COLUMN IF NOT EXISTS tags Array(String)")
+        assert s.query("SELECT count(*) FROM sc_t", "CSV").strip() == "2"
+    finally:
+        s.close()
