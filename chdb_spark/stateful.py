@@ -29,6 +29,7 @@ import tempfile
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST = "_chdb_spark_session.json"
 _DDL_RE = re.compile(
@@ -303,6 +304,18 @@ class Session:
         from chdb_spark.dialect import extract_settings, resolve_table_functions, rewrite
 
         sql = bind_params(sql, params)
+        # CH `INSERT INTO t [(cols)] FROM INFILE 'path' [SETTINGS …]
+        # FORMAT Fmt` (public CH statement; the reference's own cc_backend
+        # insert path emits exactly this, chdb/cc_backend.py:840). Checked
+        # BEFORE the format-suffix split — here the trailing FORMAT names
+        # the FILE's format, not the output format.
+        m_inf = re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+([`\w.]+)\s*(\(([^)]*)\))?\s*"
+            r"FROM\s+INFILE\s+'([^']+)'.*?FORMAT\s+(\w+)\s*;?\s*$",
+            sql,
+        )
+        if m_inf:
+            return self._insert_infile(m_inf, fmt)
         sql, suffix_fmt = split_format_suffix(sql)
         if suffix_fmt is not None:
             fmt = suffix_fmt
@@ -440,6 +453,56 @@ class Session:
                 if verb == "DELETE":
                     snap = snap.localCheckpoint()
             snap.write.mode("overwrite").insertInto(name, overwrite=True)
+            return _fr(
+                self.spark.sql("SELECT '' AS status WHERE false"),
+                fmt or "DataFrame",
+            )
+        finally:
+            self.spark.catalog.setCurrentDatabase(prev)
+
+    def _insert_infile(self, m: "re.Match", fmt: str):
+        """INSERT … FROM INFILE: read the file with the Spark-native
+        reader (distributed scan — the file may be a glob of shards) and
+        positionally insert into the session table. Headerless CH CSV/TSV
+        columns map by position onto the table schema."""
+        from chdb_spark.formats import format_result as _fr
+        from chdb_spark.session import read_table as _rt  # noqa: F401
+        from chdb_spark.sources import read_auto
+
+        name = m.group(1).replace("`", "")
+        cols = [c.strip().strip("`") for c in (m.group(3) or "").split(",") if c.strip()]
+        path, ch_fmt = m.group(4), m.group(5)
+        f = ch_fmt.lower()
+        opts: dict = {}
+        if f.startswith(("csv", "tsv", "tabseparated")):
+            has_names = "withnames" in f
+            spark_fmt = "tsv" if f.startswith(("tsv", "tabseparated")) else "csv"
+            opts = {"header": str(has_names).lower(), "inferSchema": "true"}
+        elif f in ("parquet", "orc", "avro", "arrow", "native"):
+            spark_fmt = "parquet" if f == "native" else f
+        elif f.startswith("json"):
+            spark_fmt = "json"
+        else:
+            raise ValueError(f"INSERT FROM INFILE: unsupported format {ch_fmt!r}")
+        prev = self.spark.catalog.currentDatabase()
+        self.spark.catalog.setCurrentDatabase(self.db)
+        try:
+            df = read_auto(self.spark, path, fmt=spark_fmt, **opts)
+            target_cols = cols or self.spark.table(name).columns
+            # positional mapping (CH FROM INFILE contract)
+            sel = [
+                df[df.columns[i]].alias(tc) for i, tc in enumerate(target_cols)
+            ]
+            out = df.select(*sel)
+            if cols:  # fill unlisted columns with NULLs in table order
+                tbl_schema = self.spark.table(name)
+                full = [
+                    out[c] if c in cols else
+                    F.lit(None).cast(dict(tbl_schema.dtypes)[c]).alias(c)
+                    for c in tbl_schema.columns
+                ]
+                out = out.select(*full)
+            out.write.mode("append").insertInto(name)
             return _fr(
                 self.spark.sql("SELECT '' AS status WHERE false"),
                 fmt or "DataFrame",

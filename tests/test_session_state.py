@@ -170,3 +170,32 @@ def test_schema_change_alters(spark):
         assert s.query("SELECT count(*) FROM sc_t", "CSV").strip() == "2"
     finally:
         s.close()
+
+
+def test_insert_from_infile(spark, tmp_path):
+    """CH `INSERT INTO … FROM INFILE 'path' FORMAT Fmt` (the statement the
+    reference's cc_backend insert path emits, chdb/cc_backend.py:840):
+    distributed file read, positional column mapping, NULL-fill for
+    unlisted columns."""
+    from chdb_spark.stateful import Session
+
+    s = Session()
+    try:
+        s.query("CREATE TABLE inf_t (id Int64, v String) ENGINE = MergeTree ORDER BY id")
+        p = tmp_path / "x.csv"
+        p.write_text("10,aa\n20,bb\n")
+        s.query(f"INSERT INTO inf_t FROM INFILE '{p}' FORMAT CSV")
+        assert s.query("SELECT id FROM inf_t ORDER BY id", "CSV").strip() == "10\n20"
+        p2 = tmp_path / "y.csv"
+        p2.write_text("id\n77\n")
+        s.query(f"INSERT INTO inf_t (id) FROM INFILE '{p2}' FORMAT CSVWithNames")
+        out = s.query("SELECT id, v FROM inf_t ORDER BY id", "DataFrame").collect()
+        assert [(r.id, r.v) for r in out] == [(10, "aa"), (20, "bb"), (77, None)]
+        pq = tmp_path / "z.parquet"
+        import pandas as pd
+
+        pd.DataFrame({"id": [99], "v": ["zz"]}).to_parquet(pq)
+        s.query(f"INSERT INTO inf_t FROM INFILE '{pq}' FORMAT Parquet")
+        assert s.query("SELECT count(*) FROM inf_t", "CSV").strip() == "4"
+    finally:
+        s.close()
