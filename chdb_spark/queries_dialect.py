@@ -799,11 +799,14 @@ def ch17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "ch18_recursive_cte",
     """
-    WITH RECURSIVE months(m) AS (
-      SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+             CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+      FROM orders
+    ), months(m, hi) AS (
+      SELECT lo, hi FROM bounds
       UNION ALL
-      SELECT CAST((m + INTERVAL 1 MONTH) AS DATE) FROM months
-      WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+      SELECT CAST((m + INTERVAL 1 MONTH) AS DATE), hi FROM months WHERE m < hi
     )
     SELECT m, count(o_orderkey) AS n
     FROM months LEFT JOIN orders
@@ -814,7 +817,10 @@ def ch17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Spark 4's native recursive CTE execution: a recursive month "
         "series spanning min..max order dates, LEFT JOINed to per-month "
         "order counts — the gap-filling idiom (months with zero orders "
-        "appear with n=0). The recursion is driver-bounded (one row per "
+        "appear with n=0). The min/max bounds are computed ONCE and carried "
+        "through the recursion state — a correlated scalar subquery in the "
+        "recursive step re-scans the table per iteration (measured 14.6 s "
+        "vs 1 s at sf0.1). The recursion is driver-bounded (one row per "
         "month); the join/agg stay distributed.",
 )
 def ch18(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,11 +828,14 @@ def ch18(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        WITH RECURSIVE months(m) AS (
-          SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        WITH RECURSIVE bounds AS (
+          SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+                 CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+          FROM orders
+        ), months(m, hi) AS (
+          SELECT lo, hi FROM bounds
           UNION ALL
-          SELECT CAST((m + INTERVAL '1' MONTH) AS DATE) FROM months
-          WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate) FROM orders)) AS DATE)
+          SELECT CAST((m + INTERVAL '1' MONTH) AS DATE), hi FROM months WHERE m < hi
         )
         SELECT m, count(o_orderkey) AS n
         FROM months LEFT JOIN orders
