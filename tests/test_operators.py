@@ -819,3 +819,47 @@ def test_hard_negatives_cross_label_only(spark):
         )[:3]
         got = [r.neighbor_id for r in rows if r.query_id == q]
         assert got == [i for _, i in cand]
+
+
+def test_zorder_tightens_file_stats(spark, tmp_path):
+    """The point of Z-ordering: after the clustered write, each parquet
+    file covers a small rectangle of (o_custkey, o_totalprice), so the
+    summed per-file min/max spans shrink vs a hash-shuffled layout —
+    that's what lets readers skip files via footer stats."""
+    import pyarrow.parquet as pq
+
+    from chdb_spark.operators.layout import zorder_write
+
+    o = table(spark, SF_CORRECT, "orders").select("o_custkey", "o_totalprice")
+    z_dir = tmp_path / "z"
+    r_dir = tmp_path / "r"
+    zorder_write(o, ["o_custkey", "o_totalprice"], str(z_dir), n_files=8)
+    o.repartition(8).write.mode("overwrite").parquet(str(r_dir))
+
+    def area_sum(d):
+        import glob
+
+        total = 0.0
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) >= 4
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            spans = []
+            for ix in (0, 1):
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ix).statistics
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                spans.append(float(max(maxs) - min(mins)))
+            total += spans[0] * spans[1]
+        return total
+
+    # the Z-curve property: each file's bounding RECTANGLE is small —
+    # summed area shrinks toward 1/n_files of the random layout's
+    z_area, r_area = area_sum(z_dir), area_sum(r_dir)
+    assert z_area < 0.4 * r_area, (
+        f"z-order area {z_area:.3g} not < 40% of random {r_area:.3g}"
+    )
+    # layout is lossless
+    assert spark.read.parquet(str(z_dir)).count() == o.count()
