@@ -91,13 +91,19 @@ class DataStore:
             params = dict(self._target)
             # the few CH format settings with a direct reader analogue
             delim = self._format_settings.get("format_csv_delimiter")
-            tf = create_table_function(self._target_kind, **params)
-            out = tf.read()
-            if delim and (params.get("format", "").lower().startswith("csv")):
+            fmt_l = (params.get("format") or "").lower()
+            if delim and fmt_l.startswith(("csv", "tsv", "tabseparated")):
                 from chdb_spark.sources import read_auto
                 from chdb_spark.session import get_spark
 
-                out = read_auto(get_spark(), params["path"], fmt="csv", sep=delim)
+                path = params.get("path") or params.get("url") or params.get("uri")
+                out = read_auto(
+                    get_spark(), path, fmt="csv", sep=delim,
+                    header=str("withnames" in fmt_l).lower(),
+                    inferSchema="true",
+                )
+            else:
+                out = create_table_function(self._target_kind, **params).read()
             self._df_store = out
         return self._df_store
 
@@ -1252,7 +1258,7 @@ class DataStore:
         self._df.createOrReplaceTempView("__df__")
         q = query.strip()
         if not _re.match(r"(?is)^\s*(SELECT|WITH|EXPLAIN|DESCRIBE|SHOW)\b", q):
-            if _re.match(r"(?is)^\s*(ORDER|LIMIT|GROUP)\b", q):
+            if _re.match(r"(?is)^\s*(ORDER|LIMIT|GROUP|WHERE|HAVING)\b", q):
                 q = f"SELECT * FROM __df__ {q}"
             else:
                 q = f"SELECT * FROM __df__ WHERE {q}"

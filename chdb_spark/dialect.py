@@ -2125,8 +2125,6 @@ def resolve_asof_join(spark, sql: str) -> str:
     for lc, rc in equi:
         if rc != lc:
             r2 = r2.withColumnRenamed(rc, lc)
-    r_on_out = "__r_on"
-    r2 = r2.withColumn(r_on_out, F.col(r_on))
     if r_on != l_on:
         if l_on in r2.columns:
             raise ValueError(
@@ -2136,18 +2134,26 @@ def resolve_asof_join(spark, sql: str) -> str:
         r2 = r2.withColumnRenamed(r_on, l_on)
     right_vals = [c for c in r2.columns if c not in by and c != l_on]
     out = merge_asof_backward(ldf, r2, on=l_on, by=by, right_values=right_vals)
+    # merge_asof_backward exposes the matched right key as `asof_ts`
+    # (operators/asof.py:76) — that IS the right asof column
     if not left_kw:  # inner: drop left rows with no as-of match
-        out = out.filter(F.col(f"asof_{r_on_out}").isNotNull())
+        out = out.filter(F.col("asof_ts").isNotNull())
 
     # expose right columns under their ORIGINAL names when unambiguous
     # (the name CH/DuckDB give them); keep the asof_ prefix on collisions
-    renames = {r_on_out: r_on if r_on not in ldf.columns else f"asof_{r_on}"}
+    renames: dict[str, str] = {}
     for c in rdf.columns:
-        if c in renames or c in by or c == r_on:
+        if c in by or c == r_on:
             continue
         renames[c] = c if c not in ldf.columns else f"asof_{c}"
     for orig, target in renames.items():
-        out = out.withColumnRenamed(f"asof_{orig}", target)
+        if f"asof_{orig}" != target:
+            out = out.withColumnRenamed(f"asof_{orig}", target)
+    r_on_target = r_on if r_on not in ldf.columns else f"asof_{r_on}"
+    if r_on_target != "asof_ts" and r_on_target not in out.columns:
+        out = out.withColumnRenamed("asof_ts", r_on_target)
+    else:
+        r_on_target = "asof_ts"
 
     _ASOF_SEQ[0] += 1
     view = f"__asof_join_{_ASOF_SEQ[0]}"
@@ -2161,7 +2167,7 @@ def resolve_asof_join(spark, sql: str) -> str:
     for q in rq:
         for lc, rc in equi:
             mapping[f"{q}.{rc}"] = lc  # r.k == l.k by construction
-        mapping[f"{q}.{r_on}"] = renames[r_on_out]
+        mapping[f"{q}.{r_on}"] = r_on_target
         for c in rdf.columns:
             if c not in by and c != r_on:
                 mapping.setdefault(f"{q}.{c}", renames[c])
@@ -2180,7 +2186,7 @@ def resolve_asof_join(spark, sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 _ANY_RE = re.compile(
-    r"\b(?:(LEFT|INNER)\s+ANY|ANY\s+(LEFT|INNER)?)\s*JOIN\s+([`\w.]+)"
+    r"\b(?:(LEFT|INNER|RIGHT)\s+ANY|ANY\s+(LEFT|INNER|RIGHT)?)\s*JOIN\s+([`\w.]+)"
     r"(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.*?)"
     r"(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|HAVING|QUALIFY|SETTINGS|LEFT|RIGHT|INNER|CROSS|JOIN|UNION)\b|\s*;?\s*$)",
     re.IGNORECASE | re.DOTALL,
@@ -2196,6 +2202,11 @@ def resolve_any_join(spark, sql: str) -> str:
     if not m:
         return sql
     kind = (m.group(1) or m.group(2) or "INNER").upper()
+    if kind == "RIGHT":
+        raise ValueError(
+            "RIGHT ANY JOIN is not supported — swap the sides and use "
+            "LEFT ANY JOIN (the deduped side must be the right operand)"
+        )
     rname = m.group(3).replace("`", "")
     ralias = m.group(4) or rname
     conds = m.group(5)

@@ -113,7 +113,9 @@ def knn_bruteforce(
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-    qlabels = np.array([r[2] for r in qrows], dtype=np.int64) if label else None
+    # no dtype coercion: labels may be strings/categoricals; numpy object
+    # broadcasting handles == elementwise (None labels match only None)
+    qlabels = np.asarray([r[2] for r in qrows]) if label else None
     bc = spark.sparkContext.broadcast((qids, Q, qlabels))
 
     def gen(batches):

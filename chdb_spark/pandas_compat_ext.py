@@ -29,7 +29,7 @@ _DELEGATED: tuple[str, ...] = (
     "rfloordiv", "rmod", "rpow", "dot",
     "eq", "ne", "lt", "le", "gt", "ge",
     # alignment / combination
-    "align", "combine", "combine_first", "compare", "update", "reindex",
+    "align", "combine", "combine_first", "compare", "reindex",
     "reindex_like", "equals",
     # missing-data & elementwise
     "ffill", "bfill", "pad", "backfill", "isnull", "notnull", "map",
@@ -42,7 +42,7 @@ _DELEGATED: tuple[str, ...] = (
     "asof", "at_time", "between_time", "first_valid_index",
     "last_valid_index", "droplevel", "swaplevel", "reorder_levels",
     "rename_axis", "set_axis", "swapaxes", "take", "xs", "truncate",
-    "get", "keys", "pop", "isetitem", "isin", "select_dtypes",
+    "get", "keys", "isin", "select_dtypes",
     "infer_objects", "convert_dtypes", "copy", "set_flags", "bool",
     "asfreq", "to_period", "to_timestamp", "stack", "pivot",
     # renders / exports (driver-side files or strings; optional deps
@@ -118,6 +118,38 @@ def install(cls) -> None:
     for name in _PROPERTIES:
         if not hasattr(cls, name):
             setattr(cls, name, _make_property(name, cls))
+
+    # --- in-place pandas members: DataStore is immutable (the reference's
+    # own inplace= paths raise ImmutableError), so a blind delegation
+    # would mutate a throwaway materialized copy and silently lose the
+    # change. `update` returns the merged frame instead; pop/isetitem
+    # point at the immutable alternative. ---------------------------------
+    if not hasattr(cls, "update"):
+        def update(self, other, **kw):
+            """pandas ``update`` semantics, immutably: returns a NEW frame
+            with non-NA values of ``other`` merged in (pandas mutates in
+            place; this engine's frames are immutable — divergence
+            ledgered in COVERAGE.md)."""
+            pdf = self.to_df()
+            pdf.update(_unwrap(other, cls), **kw)
+            return _rewrap(pdf, cls)
+
+        cls.update = update
+
+    def _immutable(name: str, alternative: str):
+        def method(self, *a, **kw):
+            raise TypeError(
+                f"DataStore.{name} mutates in place; DataStore is "
+                f"immutable — use {alternative} instead"
+            )
+
+        method.__name__ = name
+        return method
+
+    if not hasattr(cls, "pop"):
+        cls.pop = _immutable("pop", "ds[col] to read it and ds.drop(col)")
+    if not hasattr(cls, "isetitem"):
+        cls.isetitem = _immutable("isetitem", "with_column/assign")
 
     # --- methods pandas 2.x itself dropped (reference keeps them) --------
     if not hasattr(cls, "append"):

@@ -436,7 +436,8 @@ def query(
             from chdb_spark.dialect import resolve_asof_join
 
             translated = resolve_asof_join(spark, translated)
-        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b|\b(LEFT|INNER)\s+ANY\s+JOIN\b",
+        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+|RIGHT\s+)?JOIN\b"
+                     r"|\b(LEFT|INNER|RIGHT)\s+ANY\s+JOIN\b",
                      translated, re.IGNORECASE):
             from chdb_spark.dialect import resolve_any_join
 

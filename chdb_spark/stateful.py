@@ -341,7 +341,7 @@ class Session:
         m_mut = re.match(
             r"^\s*(?:ALTER\s+TABLE\s+([`\w.]+)\s+"
             r"(DELETE|UPDATE|ADD\s+COLUMN|DROP\s+COLUMN|RENAME\s+COLUMN)\s+(.*?)"
-            r"|(TRUNCATE)\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\w.]+))\s*;?\s*$",
+            r"|(TRUNCATE)\s+TABLE\s+(IF\s+EXISTS\s+)?([`\w.]+))\s*;?\s*$",
             sql, re.IGNORECASE | re.DOTALL,
         )
         if m_mut:
@@ -373,17 +373,27 @@ class Session:
 
         if _TF_RE.search(sql):
             sql = resolve_table_functions(self.spark, sql)
-        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
-            from chdb_spark.dialect import resolve_asof_join
-
-            sql = resolve_asof_join(self.spark, sql)
-        if re.search(r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b|\b(LEFT|INNER)\s+ANY\s+JOIN\b",
-                     sql, re.IGNORECASE):
-            from chdb_spark.dialect import resolve_any_join
-
-            sql = resolve_any_join(self.spark, sql)
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
+        # ASOF/ANY resolution looks relations up via spark.table(), so it
+        # must run AFTER the switch to the session db — otherwise session
+        # tables (the normal operands here) are not resolvable
+        try:
+            if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+                from chdb_spark.dialect import resolve_asof_join
+
+                sql = resolve_asof_join(self.spark, sql)
+            if re.search(
+                r"\bANY\s+(LEFT\s+|INNER\s+|RIGHT\s+)?JOIN\b"
+                r"|\b(LEFT|INNER|RIGHT)\s+ANY\s+JOIN\b",
+                sql, re.IGNORECASE,
+            ):
+                from chdb_spark.dialect import resolve_any_join
+
+                sql = resolve_any_join(self.spark, sql)
+        except Exception:
+            self.spark.catalog.setCurrentDatabase(prev)
+            raise
         if "__system_" in sql:
             # snapshot AFTER switching to the session db so currentDatabase()
             # introspection sees the session's tables
@@ -417,7 +427,12 @@ class Session:
         self.spark.catalog.setCurrentDatabase(self.db)
         try:
             if m.group(4):  # TRUNCATE
-                name = m.group(5).replace("`", "")
+                name = m.group(6).replace("`", "")
+                if m.group(5) and not self.spark.catalog.tableExists(name):
+                    return _fr(  # IF EXISTS on a missing table: silent no-op
+                        self.spark.sql("SELECT '' AS status WHERE false"),
+                        fmt or "DataFrame",
+                    )
                 snap = self.spark.table(name).where("false").localCheckpoint()
             else:
                 name = m.group(1).replace("`", "")
@@ -484,15 +499,37 @@ class Session:
             spark_fmt = "json"
         else:
             raise ValueError(f"INSERT FROM INFILE: unsupported format {ch_fmt!r}")
+        named = f.startswith(("parquet", "orc", "avro", "arrow", "json")) or (
+            "withnames" in f
+        )
         prev = self.spark.catalog.currentDatabase()
         self.spark.catalog.setCurrentDatabase(self.db)
         try:
             df = read_auto(self.spark, path, fmt=spark_fmt, **opts)
             target_cols = cols or self.spark.table(name).columns
-            # positional mapping (CH FROM INFILE contract)
-            sel = [
-                df[df.columns[i]].alias(tc) for i, tc in enumerate(target_cols)
-            ]
+            if named:
+                # self-describing / header formats map BY NAME (the CH
+                # input_format_with_names_use_header=1 default; Spark's
+                # JSON inference even alphabetizes fields, so positions
+                # are meaningless here)
+                missing = [tc for tc in target_cols if tc not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"INSERT FROM INFILE: file lacks columns {missing} "
+                        f"named by the target (file has {df.columns})"
+                    )
+                sel = [df[tc] for tc in target_cols]
+            else:
+                # headerless CSV/TSV: positional (the CH contract)
+                if len(df.columns) < len(target_cols):
+                    raise ValueError(
+                        f"INSERT FROM INFILE: file has {len(df.columns)} "
+                        f"columns, target needs {len(target_cols)}"
+                    )
+                sel = [
+                    df[df.columns[i]].alias(tc)
+                    for i, tc in enumerate(target_cols)
+                ]
             out = df.select(*sel)
             if cols:  # fill unlisted columns with NULLs in table order
                 tbl_schema = self.spark.table(name)

@@ -79,19 +79,28 @@ class TableFunction:
         spark = spark or get_spark()
         p = self.params
         fmt = p.get("format")
+        fmt_opts: dict = {}
         if fmt:  # CH format names → Spark reader formats (read_auto speaks lowercase)
+            fl = fmt.lower()
             fmt = {
                 "csvwithnames": "csv", "tabseparated": "tsv",
                 "tsvwithnames": "tsv", "jsoneachrow": "json",
-            }.get(fmt.lower(), fmt.lower())
+            }.get(fl, fl)
+            if fmt in ("csv", "tsv"):
+                # ClickHouse convention: bare CSV/TSV are HEADERLESS —
+                # only the WithNames variants carry a header row
+                fmt_opts = {
+                    "header": str("withnames" in fl).lower(),
+                    "inferSchema": "true",
+                }
         if self.kind == "file":
             from chdb_spark.sources import read_auto
 
-            return read_auto(spark, p["path"], fmt=fmt)
+            return read_auto(spark, p["path"], fmt=fmt, **fmt_opts)
         if self.kind in ("url", "s3", "gcs", "azure", "hdfs"):
             from chdb_spark.sources.uri import open_uri
 
-            return open_uri(spark, p.get("url") or p.get("uri"), fmt=fmt)
+            return open_uri(spark, p.get("url") or p.get("uri"), fmt=fmt, **fmt_opts)
         if self.kind == "mysql":
             from chdb_spark.sources.rdbms import mysql
 

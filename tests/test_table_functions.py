@@ -42,9 +42,14 @@ def test_table_function_read_file_and_numbers(spark, tmp_path):
 
     p = tmp_path / "t.csv"
     pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}).to_csv(p, index=False)
-    tf = ds.create_table_function("file", path=str(p), format="CSV")
+    # CH convention: CSVWithNames reads the header; bare CSV is headerless
+    tf = ds.create_table_function("file", path=str(p), format="CSVWithNames")
     out = tf.read(spark)
     assert out.count() == 2 and set(out.columns) == {"a", "b"}
+    raw = tmp_path / "r.csv"
+    raw.write_text("1,x\n2,y\n")
+    headerless = ds.create_table_function("file", path=str(raw), format="CSV")
+    assert headerless.read(spark).count() == 2
     assert ds.create_table_function("numbers", count=5).read(spark).count() == 5
 
 
