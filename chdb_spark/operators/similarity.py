@@ -1167,3 +1167,149 @@ def standardize_dims(
 def nm1(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return standardize_dims(emb).orderBy("vec_id", "dim")
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 32,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: build once, search many times.
+
+    ``<path>/centroids`` holds the (cell, centroid) quantizer (C rows);
+    ``<path>/cells`` holds the corpus assignment WRITTEN PARTITIONED BY
+    CELL — the load-bearing choice: a later probe of ``nprobe`` cells
+    becomes directory-level partition pruning, so the search reads
+    ~nprobe/n_centroids of the index bytes from disk instead of scanning
+    the corpus and re-assigning per query batch (what knn_ivf does when
+    called standalone). Training is the same deterministic
+    train_ivf_centroids run, so a fresh index reproduces knn_ivf exactly.
+    """
+    import os
+
+    spark = corpus.sparkSession
+    C = train_ivf_centroids(
+        corpus, n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(Cn)
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "c_vec": pdf[vec_col],
+                    "cell": np.argmax(A @ Cb.T, axis=1).astype(np.int64),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, "neighbor_id long, c_vec array<float>, cell long"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "cell long, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: load the tiny quantizer, pick each
+    query's ``nprobe`` cells driver-side, then scan ONLY those cells'
+    partitions (pruned at the file listing — `PartitionFilters` in the
+    plan) and brute-force the candidates. Same output contract as
+    knn_ivf: (query_id, neighbor_id, cos, rank)."""
+    import os
+
+    c_rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    c_rows.sort(key=lambda r: r.cell)
+    Cn = np.array([r.centroid for r in c_rows], dtype=np.float64)
+    Cn /= np.linalg.norm(Cn, axis=1, keepdims=True)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+    probe_rows = [
+        (int(q_ids[i]), [float(x) for x in Q[i]], int(j))
+        for i in range(len(q_ids))
+        for j in order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<double>, cell long"
+    )
+    probed_cells = sorted({int(j) for i in range(len(q_ids)) for j in order[i]})
+
+    @F.pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    cells = spark.read.parquet(os.path.join(path, "cells")).where(
+        F.col("cell").isin(probed_cells)  # directory-level partition pruning
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
+@defquery(
+    "s5_ivf_index",
+    _s2_oracle_sql(),
+    doc="persisted IVF index: build once (quantizer + corpus assignment "
+        "written PARTITIONED BY cell), search via driver-side probe pick + "
+        "directory-level partition pruning — the search reads "
+        "~nprobe/n_centroids of the index bytes, no corpus re-assignment "
+        "per call. Training/probing are the same deterministic runs as s2, "
+        "so the SQL IVF replay oracle applies verbatim; the pruning itself "
+        "is pinned by tests/test_operators.py::test_ivf_index_partition_pruning.",
+)
+def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = os.path.join(
+        tempfile.gettempdir(),
+        f"chdb_spark_ivf_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ivf_index_build(emb, idx, n_centroids=32, kmeans_iters=3)
+    return ivf_index_search(
+        spark, idx, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
+    ).orderBy("query_id", "rank")

@@ -863,3 +863,36 @@ def test_zorder_tightens_file_stats(spark, tmp_path):
     )
     # layout is lossless
     assert spark.read.parquet(str(z_dir)).count() == o.count()
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The persisted index's point: searching probes only nprobe cells,
+    and because the assignment is written partitionBy(cell), the scan
+    plan prunes to those partitions (PartitionFilters + a fraction of
+    the files) instead of reading the whole corpus."""
+    from chdb_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        knn_ivf,
+    )
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb, idx, n_centroids=32, kmeans_iters=3)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_index_search(spark, idx, queries, k=5, nprobe=4)
+    # identical to the build-per-call path (same deterministic training)
+    direct = knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, direct.collect()))
+    # pruning pin: the cells scan must carry a non-empty PartitionFilters
+    # on `cell` (inputFiles() lists pre-pruning, so the PLAN is the proof),
+    # over a layout that actually has one directory per cell
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and pf[1][:120].lstrip().startswith("cell"), (
+        "cells scan has no partition filter on `cell`"
+    )
+    import glob
+
+    cell_dirs = glob.glob(f"{idx}/cells/cell=*")
+    assert len(cell_dirs) == 32  # one directory per cell → prunable unit
