@@ -434,6 +434,95 @@ def kmeans(
         sel.unpersist()
 
 
+# Shared IVF kernels: the per-call path (knn_ivf) and the persisted index
+# (ivf_index_build/ivf_index_search) must stay bit-identical — one copy of
+# each kernel is the guarantee.
+_ASSIGN_SCHEMA = "neighbor_id long, c_vec array<float>, cell long"
+_KNN_RESULT_SCHEMA = "query_id long, neighbor_id long, cos double, rank int"
+
+
+def _cell_assign_fn(bc, id_col: str, vec_col: str):
+    """mapInPandas closure: one BLAS product per Arrow batch assigns each
+    corpus vector to its nearest (max cosine) centroid cell. ``bc``
+    broadcasts the row-normalized centroid matrix."""
+
+    def assign(batches):
+        Cb = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "c_vec": pdf[vec_col],
+                    "cell": np.argmax(A @ Cb.T, axis=1).astype(np.int64),
+                }
+            )
+
+    return assign
+
+
+def _probe_plan(spark, queries, Cn, nprobe, id_col, vec_col):
+    """Driver-side probe pick: queries are small by contract, so each
+    query's ``nprobe`` nearest cells come from one numpy pass. Returns
+    ``(probes_df, probed_cells)``; ``(None, [])`` when there are no
+    query rows (callers return an empty result instead of crashing in
+    ``np.linalg.norm(axis=1)`` on a 0-d array)."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return None, []
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+    probe_rows = [
+        (int(q_ids[i]), [float(x) for x in Q[i]], int(j))
+        for i in range(len(q_ids))
+        for j in order[i]
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_vec array<double>, cell long"
+    )
+    return probes, sorted({int(j) for row in order for j in row})
+
+
+def _batched_cos():
+    # built lazily: pandas_udf needs an active SparkSession to resolve the
+    # return type, so decorating at import time breaks sessionless imports
+    @F.pandas_udf("double")
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
+def _score_and_rank(probes: DataFrame, cells: DataFrame, k: int) -> DataFrame:
+    """Broadcast the probe list onto the candidate cells, score with the
+    vectorized cosine, keep top-k per query (cos desc, id asc tie-break)."""
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _batched_cos()(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -462,69 +551,15 @@ def knn_ivf(
     C = train_ivf_centroids(
         corpus, n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
-    c_ids = np.arange(C.shape[0], dtype=np.int64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((c_ids, Cn))
-
-    def assign(batches):
-        ids_b, Cb = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "c_vec": pdf[vec_col],
-                    "cell": ids_b[np.argmax(A @ Cb.T, axis=1)],
-                }
-            )
-
+    bc = spark.sparkContext.broadcast(Cn)
     c = corpus.select(id_col, vec_col).mapInPandas(
-        assign, "neighbor_id long, c_vec array<float>, cell long"
+        _cell_assign_fn(bc, id_col, vec_col), _ASSIGN_SCHEMA
     )
-
-    # query → nprobe nearest cells: queries are small by definition, so the
-    # probe list is computed in one driver-side numpy pass and parallelized.
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
-    probe_rows = [
-        (int(q_ids[i]), [float(x) for x in Q[i]], int(c_ids[j]))
-        for i in range(len(q_ids))
-        for j in order[i]
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, q_vec array<double>, cell long"
-    )
-
-    @F.pandas_udf("double")
-    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
-        num = (A * B).sum(axis=1)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
-
-    scored = (
-        F.broadcast(probes)
-        .join(c, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cos(F.col("q_vec"), F.col("c_vec")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
-    )
+    probes, _ = _probe_plan(spark, queries, Cn, nprobe, id_col, vec_col)
+    if probes is None:
+        return spark.createDataFrame([], _KNN_RESULT_SCHEMA)
+    return _score_and_rank(probes, c, k)
 
 
 def cosine_neardup_pairs_blocked(
@@ -1187,8 +1222,19 @@ def ivf_index_build(
     the corpus and re-assigning per query batch (what knn_ivf does when
     called standalone). Training is the same deterministic
     train_ivf_centroids run, so a fresh index reproduces knn_ivf exactly.
+
+    A rebuild over an existing local index is atomic: cells/ and
+    centroids/ are written to a sibling temp dir and swapped in with one
+    ``os.rename``, so a crash mid-build can never leave a NEW assignment
+    paired with an OLD quantizer (a searcher of such a mix returns wrong
+    neighbors with no error). Scheme-qualified paths (s3://, hdfs://)
+    skip the rename (no atomic dir move on object stores) — there, use a
+    fresh versioned path per build and flip a pointer. Single writer
+    assumed either way.
     """
     import os
+    import shutil
+    import uuid
 
     spark = corpus.sparkSession
     C = train_ivf_centroids(
@@ -1196,32 +1242,26 @@ def ivf_index_build(
     )
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(Cn)
-
-    def assign(batches):
-        Cb = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(),
-                    "c_vec": pdf[vec_col],
-                    "cell": np.argmax(A @ Cb.T, axis=1).astype(np.int64),
-                }
-            )
-
     assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, "neighbor_id long, c_vec array<float>, cell long"
+        _cell_assign_fn(bc, id_col, vec_col), _ASSIGN_SCHEMA
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "cells")
-    )
-    spark.createDataFrame(
+    centroids = spark.createDataFrame(
         [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
         "cell long, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    )
+    target = path if "://" in path else f"{path}__build_{uuid.uuid4().hex[:8]}"
+    try:
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(target, "cells")
+        )
+        centroids.write.mode("overwrite").parquet(os.path.join(target, "centroids"))
+        if target is not path:
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(target, path)
+    except BaseException:
+        if target is not path:
+            shutil.rmtree(target, ignore_errors=True)
+        raise
 
 
 def ivf_index_search(
@@ -1245,48 +1285,13 @@ def ivf_index_search(
     Cn = np.array([r.centroid for r in c_rows], dtype=np.float64)
     Cn /= np.linalg.norm(Cn, axis=1, keepdims=True)
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
-    probe_rows = [
-        (int(q_ids[i]), [float(x) for x in Q[i]], int(j))
-        for i in range(len(q_ids))
-        for j in order[i]
-    ]
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, q_vec array<double>, cell long"
-    )
-    probed_cells = sorted({int(j) for i in range(len(q_ids)) for j in order[i]})
-
-    @F.pandas_udf("double")
-    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
-        num = (A * B).sum(axis=1)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
-
+    probes, probed_cells = _probe_plan(spark, queries, Cn, nprobe, id_col, vec_col)
+    if probes is None:
+        return spark.createDataFrame([], _KNN_RESULT_SCHEMA)
     cells = spark.read.parquet(os.path.join(path, "cells")).where(
         F.col("cell").isin(probed_cells)  # directory-level partition pruning
     )
-    scored = (
-        F.broadcast(probes)
-        .join(cells, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cos(F.col("q_vec"), F.col("c_vec")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
-    )
+    return _score_and_rank(probes, cells, k)
 
 
 @defquery(
@@ -1301,13 +1306,17 @@ def ivf_index_search(
         "is pinned by tests/test_operators.py::test_ivf_index_partition_pruning.",
 )
 def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import os
     import tempfile
 
     emb = table(spark, sf_dir, "embeddings")
+    # keyed by the FULL resolved sf_dir (not its basename) so two datasets
+    # that happen to share a directory name get distinct indexes
     idx = os.path.join(
         tempfile.gettempdir(),
-        f"chdb_spark_ivf_{os.path.basename(os.path.normpath(sf_dir))}",
+        "chdb_spark_ivf_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
     ivf_index_build(emb, idx, n_centroids=32, kmeans_iters=3)
     return ivf_index_search(

@@ -889,10 +889,21 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     # over a layout that actually has one directory per cell
     plan = out._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [", 1)
-    assert len(pf) == 2 and pf[1][:120].lstrip().startswith("cell"), (
+    # non-empty filter list mentioning the partition column — robust to
+    # filter ordering (isnotnull-first) across Spark versions
+    first_filters = pf[1][:200] if len(pf) == 2 else ""
+    assert "cell" in first_filters and not first_filters.startswith("]"), (
         "cells scan has no partition filter on `cell`"
     )
     import glob
 
     cell_dirs = glob.glob(f"{idx}/cells/cell=*")
     assert len(cell_dirs) == 32  # one directory per cell → prunable unit
+    # no leftover temp build dir from the atomic swap
+    assert not glob.glob(f"{idx}__build_*")
+    # empty query set → empty result with the contract schema, not a crash
+    none_q = emb.filter(F.col("vec_id") < 0)
+    empty = ivf_index_search(spark, idx, none_q, k=5, nprobe=4)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert knn_ivf(emb, none_q, k=5, n_centroids=32, nprobe=4).count() == 0
