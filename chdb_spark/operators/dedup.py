@@ -807,6 +807,146 @@ def dd6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, n=13)
 
 
+def _bloom_params(n_items: int, fpp: float = 0.01, max_bits: int = 1 << 27):
+    """Optimal (m bits, k hashes) for ``n_items`` at ``fpp``; m capped (a
+    cap only raises the FP rate, never correctness — FPs are re-checked)."""
+    import math
+
+    n = max(1, n_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(m, max_bits))
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(k, 16)
+
+
+def _make_bloom_positions():
+    # factory, not a plain module function: the returned closure's qualname
+    # is not importable, so cloudpickle ships it BY VALUE into the pandas
+    # UDF — workers never need `import chdb_spark` (the driver may run the
+    # repo from an arbitrary cwd without it on the executor PYTHONPATH)
+    def positions(h, m: int, k: int):
+        """k bit positions for int64 gram hashes ``h`` (vectorized):
+        splitmix64 finalizer gives two independent 64-bit streams, double
+        hashing (h1 + i*h2) mod m derives the rest (Kirsch-Mitzenmacher)."""
+        x = h.astype(np.uint64)
+        c1, c2 = np.uint64(0xBF58476D1CE4E5B9), np.uint64(0x94D049BB133111EB)
+        x = (x ^ (x >> np.uint64(30))) * c1
+        x = (x ^ (x >> np.uint64(27))) * c2
+        x ^= x >> np.uint64(31)
+        h1 = x
+        h2 = (x * c1 + np.uint64(1)) | np.uint64(1)  # odd → full-period stride
+        return [
+            ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            for i in range(k)
+        ]
+
+    return positions
+
+
+_bloom_positions = _make_bloom_positions()
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    fpp: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``decontaminate`` with a broadcast Bloom prefilter — same exact
+    result, built for the 100 TB corpus side.
+
+    The plain semi-join shuffles EVERY distinct training gram hash at
+    least to its exchange write; at 100 TB that is the dominant cost even
+    though the benchmark side is tiny. Here the benchmark grams (small by
+    contract: eval suites are thousands of docs) are collected once into
+    a driver-built Bloom filter (~1.2 MB per million grams at 1% FP) and
+    broadcast; a vectorized pandas UDF tests the training gram stream
+    MAP-SIDE, so only true hits + ~fpp false positives ever reach the
+    exact confirming semi-join. False positives are eliminated there, so
+    the output is bit-identical to ``decontaminate`` (dd6's oracle
+    applies verbatim) — the bloom only shrinks the shuffle by ~1/fpp.
+
+    No Spark-side BloomFilterAggregate: the JVM `df.stat.bloomFilter`
+    object can't cross into Python workers, so the filter is a numpy bit
+    array with splitmix64 double hashing — engine-portable and
+    deterministic.
+    """
+    spark = train.sparkSession
+
+    def grams(df: DataFrame) -> DataFrame:
+        feats = doc_features(
+            df, id_col=id_col, text_col=text_col, n=n,
+            with_minhash=False, with_simhash=False,
+        )
+        return feats.select(F.col("doc_id"), F.explode("hs").alias("h"))
+
+    bench_hashes = grams(benchmark).select("h").distinct()
+    bench_np = np.array(
+        [r[0] for r in bench_hashes.collect()], dtype=np.int64
+    )
+    out_schema = "doc_id long, n_shared_grams long"
+    if not len(bench_np):
+        return spark.createDataFrame([], out_schema)
+
+    m, k = _bloom_params(len(bench_np), fpp)
+    bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+    for pos in _bloom_positions(bench_np, m, k):
+        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    bc = spark.sparkContext.broadcast((bits, m, k))
+
+    @F.pandas_udf("boolean")
+    def might_contain(hs: pd.Series) -> pd.Series:
+        bits_b, m_b, k_b = bc.value
+        hit = np.ones(len(hs), dtype=bool)
+        h = hs.to_numpy(dtype=np.int64)
+        for pos in _bloom_positions(h, m_b, k_b):
+            word = bits_b[pos >> 6]
+            hit &= (word >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    candidates = grams(train).filter(might_contain(F.col("h")))
+    hits = candidates.join(F.broadcast(bench_hashes), "h", "left_semi")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("h").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@defquery(
+    "dd12_bloom_decontamination",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 12))::BIGINT AS h
+      FROM toks, unnest(range(1, len(toks) - 11)) t(i)
+    ),
+    bench AS (
+      SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shared_grams
+    FROM grams JOIN bench USING (h)
+    WHERE doc_id % 10 != 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Bloom-prefiltered GPT-3-style decontamination: eval grams build a "
+        "broadcast numpy Bloom filter tested map-side over the training "
+        "gram stream; only hits + ~1%% FPs reach the exact confirming "
+        "semi-join, so the result equals dd6 exactly while the shuffle "
+        "shrinks ~100x at corpus scale (the oracle is dd6's, verbatim).",
+)
+def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate_bloom(train, bench, n=13)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster formation (pairs → connected components → canonical doc)
 # ---------------------------------------------------------------------------
@@ -944,6 +1084,84 @@ def dd7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SoftDeDup: reweight duplicates instead of dropping them — every doc
+    in a near-dup cluster of size n gets sampling weight 1/n (unique docs
+    keep 1.0), so a training run preserves the corpus distribution while
+    no duplicate FAMILY is over-represented (hard dedup throws away the
+    within-family diversity this keeps).
+
+    Scale shape: reuses the banded-LSH pair generation and O(E) label
+    propagation (``minhash_lsh_dedup`` → ``connected_components``); the
+    added work is one groupBy(cluster) count and one LEFT join back to
+    the corpus keyed by doc id — both shuffles on uniform keys. The
+    weight column is closed-form from the cluster size, so the oracle
+    replays it exactly on top of dd7's recursive-component replay.
+    """
+    comp = connected_components(minhash_lsh_dedup(docs, threshold=threshold))
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    sized = comp.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("_cid"), "cluster_size"
+    )
+    return docs.join(
+        sized, docs[id_col] == sized["_cid"], "left"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.coalesce("cluster_size", F.lit(1)), 6).alias("weight"),
+    )
+
+
+@defquery(
+    "dd13_soft_dedup_weights",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(v, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, rr.r FROM edges e JOIN reach rr ON e.dst = rr.v
+    ),
+    comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+    sized AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM comp
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+           round(CAST(1.0 AS DOUBLE) / coalesce(s.cluster_size, 1), 6) AS weight
+    FROM documents d LEFT JOIN sized s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="SoftDeDup sampling weights: near-dup clusters (the dd7 components) "
+        "give every member weight 1/cluster_size, unique docs weight 1.0 — "
+        "downweighting instead of dropping preserves within-family "
+        "diversity at unchanged effective epochs. Oracle replays the "
+        "components recursively and the closed-form weight on top.",
+)
+def dd13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return soft_dedup_weights(docs, threshold=0.8).orderBy("doc_id")
 
 
 def semantic_decontaminate(

@@ -907,3 +907,45 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert empty.count() == 0
     assert empty.columns == ["query_id", "neighbor_id", "cos", "rank"]
     assert knn_ivf(emb, none_q, k=5, n_centroids=32, nprobe=4).count() == 0
+
+
+def test_bloom_decontamination_matches_exact(spark):
+    """dd12's contract: bit-identical to the plain semi-join decontaminate,
+    with the bloom prefilter actually cutting the gram stream (no false
+    negatives by construction; false positives removed by the confirm)."""
+    from chdb_spark.operators.dedup import (
+        _bloom_params,
+        _bloom_positions,
+        decontaminate,
+        decontaminate_bloom,
+    )
+    import numpy as np
+
+    docs = table(spark, SF_CORRECT, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    exact = sorted(map(tuple, decontaminate(train, bench, n=13).collect()))
+    bloom = sorted(map(tuple, decontaminate_bloom(train, bench, n=13).collect()))
+    assert bloom == exact
+
+    # pure-python bloom kernel: every inserted hash must test positive
+    rng = np.random.RandomState(7)
+    items = rng.randint(0, 1 << 48, size=5000).astype(np.int64)
+    m, k = _bloom_params(len(items), fpp=0.01)
+    bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+    for pos in _bloom_positions(items, m, k):
+        np.bitwise_or.at(
+            bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+        )
+
+    def contains(h):
+        ok = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, m, k):
+            ok &= (bits[pos >> 6] >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1) != 0
+        return ok
+
+    assert contains(items).all()  # zero false negatives
+    probe = rng.randint(0, 1 << 48, size=20000).astype(np.int64)
+    novel = probe[~np.isin(probe, items)]
+    fp = contains(novel).mean()
+    assert fp < 0.05, f"false-positive rate {fp:.3f} far above the 1% design point"
