@@ -621,6 +621,102 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(with_counts, capacity=2048)
 
 
+def write_token_shards(
+    docs: DataFrame,
+    token_budget: int,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write the corpus as parquet shards bounded by a token budget — the
+    export step before tokenization: downstream loaders want
+    roughly-equal-token files, not roughly-equal-row files.
+
+    Documents are laid out in ``id_col`` order; a doc starting at global
+    token offset ``o`` lands in shard ``floor(o / token_budget)`` (greedy:
+    a shard holds ≤ budget + one document's tokens — the straddling doc
+    stays whole). The global offset comes from ``bucketed_running_sum``,
+    the two-phase exclusive prefix sum — NO global Window.orderBy, so the
+    layout computation scales past one reducer. The write repartitions by
+    shard_id (one shuffle keyed by shard) and sorts within partitions by
+    id, giving exactly one ordered parquet file per shard directory.
+
+    Returns per-shard stats READ BACK from the written files, so a caller
+    (and wr1's oracle) checks the full write round-trip, not just the
+    assignment math.
+    """
+    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+
+    toks = docs.select(
+        F.col(id_col), F.col(text_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    cum = bucketed_running_sum(toks, order_col=id_col, sum_cols=["n_tokens"])
+    sharded = cum.select(
+        id_col,
+        text_col,
+        "n_tokens",
+        F.floor(F.col("_cum_n_tokens") / F.lit(float(token_budget)))
+        .cast("long")
+        .alias("shard_id"),
+    )
+    (
+        sharded.repartition("shard_id")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    back = docs.sparkSession.read.parquet(out_dir)
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@defquery(
+    "wr1_token_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), laid AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 2000.0) AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM laid GROUP BY shard_id ORDER BY shard_id
+    """,
+    doc="token-budget-bounded shard export: id-ordered docs assigned to "
+        "floor(global_token_offset / 2000) via the two-phase prefix sum "
+        "(no global window), written one ordered parquet file per shard "
+        "directory; the returned stats are read back from the files so "
+        "the oracle verifies the write round-trip.",
+)
+def wr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "chdb_spark_shards_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    return write_token_shards(docs, token_budget=2000, out_dir=out)
+
+
 # ---------------------------------------------------------------------------
 # token vocabulary build (tokenizer-training prep)
 # ---------------------------------------------------------------------------

@@ -949,3 +949,30 @@ def test_bloom_decontamination_matches_exact(spark):
     novel = probe[~np.isin(probe, items)]
     fp = contains(novel).mean()
     assert fp < 0.05, f"false-positive rate {fp:.3f} far above the 1% design point"
+
+
+def test_token_shards_layout_bounded_and_lossless(spark, tmp_path):
+    """wr1's write contract: every shard holds <= budget + one doc's
+    tokens (greedy straddle), directories are one parquet file each,
+    ordered by doc_id, and the layout is lossless."""
+    from chdb_spark.operators.text import write_token_shards
+
+    docs = table(spark, SF_CORRECT, "documents")
+    out = str(tmp_path / "shards")
+    stats = write_token_shards(docs, token_budget=2000, out_dir=out).collect()
+    assert len(stats) >= 5
+    max_doc = max(r.shard_tokens for r in stats)  # any single doc fits a shard
+    for r in stats[:-1]:
+        assert r.shard_tokens <= 2000 + max_doc
+    # contiguous id ranges: shard i ends before shard i+1 begins
+    for a, b in zip(stats, stats[1:]):
+        assert a.last_doc < b.first_doc and a.shard_id + 1 == b.shard_id
+    import glob
+
+    shard_dirs = glob.glob(f"{out}/shard_id=*")
+    assert len(shard_dirs) == len(stats)
+    for d in shard_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1  # one ordered file per shard
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) >= {"doc_id", "text", "n_tokens", "shard_id"}
