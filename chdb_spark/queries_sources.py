@@ -480,3 +480,69 @@ def sm5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_day", "event_type")
     )
+
+
+@defquery(
+    "sm6_streaming_neardup",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Streaming near-dup detection (SURVEY §2.9 superset): documents "
+        "re-ingested file-by-file, MinHash band features computed map-only "
+        "on the stream, applyInPandasWithState keyed by LSH bucket "
+        "remembers bucket members across micro-batches and pairs each "
+        "batch's arrivals against them — the emitted union equals the "
+        "batch self-join's candidate set for ANY arrival order, then "
+        "exact-verify >= 0.8 gives dd2's output and brute-force-Jaccard "
+        "oracle verbatim.",
+)
+def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from chdb_spark.operators.dedup import doc_features, verify_pairs_arrays
+    from chdb_spark.queries import table
+    from chdb_spark.streaming.core import streaming_lsh_bucket_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    # re-shard so the file source has multiple triggers' worth of input
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        "chdb_spark_docstream_"
+        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(tmp)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    banded = doc_features(stream, with_simhash=False).select(
+        "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
+    )
+    q = (
+        streaming_lsh_bucket_pairs(banded)
+        .writeStream.format("memory")
+        .queryName("sm6_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # a pair sharing multiple buckets is emitted once per bucket → distinct,
+    # exactly like the batch candidate_pairs_from_buckets
+    cand = spark.table("sm6_mem").distinct()
+    feats = doc_features(docs, with_simhash=False).localCheckpoint(eager=True)
+    return verify_pairs_arrays(cand, feats, threshold=0.8).orderBy("doc_a", "doc_b")

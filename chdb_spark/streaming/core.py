@@ -183,6 +183,62 @@ def stateful_running_totals(
     )
 
 
+def streaming_lsh_bucket_pairs(banded: DataFrame) -> DataFrame:
+    """Stateful streaming LSH candidate discovery: near-dup candidates over
+    an UNBOUNDED document stream, without re-scanning the corpus per batch.
+
+    ``banded`` is the streaming (doc_id, band_idx, band_hash) relation
+    (``doc_features`` + posexplode — both map-only, streaming-safe). State
+    lives per LSH bucket (band_idx, band_hash): the doc ids seen in that
+    bucket so far. Each micro-batch pairs its new members against the
+    remembered ones plus each other, so the union of all emitted pairs
+    over any arrival order equals the batch self-join's candidate set
+    exactly — order-independence is what makes the batch oracle apply.
+
+    Scale shape: state is sharded by the groupBy hash across executors;
+    per-bucket membership is small by LSH construction (near-dup families
+    plus rare collisions), and the hottest bucket bounds a task, not the
+    corpus. On a true unbounded stream, bound state by evicting buckets
+    idle past a TTL (swap NoTimeout for ProcessingTimeTimeout — expired
+    buckets stop matching older docs, the standard windowed-dedup trade);
+    NoTimeout here because AvailableNow backfills never terminate with a
+    pending processing-time timeout (measured, see stateful_running_totals).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "doc_a long, doc_b long"
+    state_schema = "ids array<long>"
+
+    def update(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        seen = list(state.get[0]) if state.exists else []
+        batch: set = set()
+        for pdf in pdf_iter:
+            batch.update(int(x) for x in pdf["doc_id"])
+        new = sorted(batch.difference(seen))
+        pa: list = []
+        pb: list = []
+        for i, d in enumerate(new):
+            for o in seen:
+                lo, hi = (o, d) if o < d else (d, o)
+                pa.append(lo)
+                pb.append(hi)
+            for d2 in new[i + 1 :]:
+                pa.append(d)
+                pb.append(d2)
+        state.update((seen + new,))
+        yield pd.DataFrame({"doc_a": pa, "doc_b": pb})
+
+    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def materialized_view_stream(
     spark: SparkSession,
     source_path: str,

@@ -976,3 +976,50 @@ def test_token_shards_layout_bounded_and_lossless(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
     assert set(back.columns) >= {"doc_id", "text", "n_tokens", "shard_id"}
+
+
+def test_streaming_lsh_state_crosses_batches(spark, tmp_path):
+    """sm6's core claim: the stateful bucket memory makes the streaming
+    candidate set equal the batch self-join for ANY arrival order. Force
+    the hard case — every near-dup pair split across two different files
+    (so no pair can be found inside a single micro-batch)."""
+    from chdb_spark.operators.dedup import (
+        doc_features,
+        minhash_lsh_dedup,
+        verify_pairs_arrays,
+    )
+    from chdb_spark.streaming.core import streaming_lsh_bucket_pairs
+
+    docs = table(spark, SF_CORRECT, "documents")
+    batch = sorted(map(tuple, minhash_lsh_dedup(docs, threshold=0.8).collect()))
+    assert batch, "dataset has planted near-dups"
+    first_members = {a for a, _, _ in batch}
+    src = str(tmp_path / "stream_src")
+    docs.filter(F.col("doc_id").isin(first_members)).coalesce(1).write.parquet(src)
+    docs.filter(~F.col("doc_id").isin(first_members)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    banded = doc_features(stream, with_simhash=False).select(
+        "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
+    )
+    q = (
+        streaming_lsh_bucket_pairs(banded)
+        .writeStream.format("memory")
+        .queryName("lsh_cross_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cand = spark.table("lsh_cross_mem").distinct()
+    feats = doc_features(docs, with_simhash=False).localCheckpoint(eager=True)
+    streamed = sorted(
+        map(tuple, verify_pairs_arrays(cand, feats, threshold=0.8).collect())
+    )
+    assert streamed == batch
