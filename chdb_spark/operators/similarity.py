@@ -1211,6 +1211,7 @@ def ivf_index_build(
     kmeans_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _manifest: "dict | None" = None,
 ) -> None:
     """Persist an IVF index: build once, search many times.
 
@@ -1232,6 +1233,7 @@ def ivf_index_build(
     fresh versioned path per build and flip a pointer. Single writer
     assumed either way.
     """
+    import json
     import os
     import shutil
     import uuid
@@ -1255,6 +1257,10 @@ def ivf_index_build(
             os.path.join(target, "cells")
         )
         centroids.write.mode("overwrite").parquet(os.path.join(target, "centroids"))
+        if _manifest is not None and "://" not in target:
+            # written LAST: a partial build has no manifest → read as stale
+            with open(os.path.join(target, "_MANIFEST.json"), "w") as f:
+                json.dump(_manifest, f)
         if target is not path:
             shutil.rmtree(path, ignore_errors=True)
             os.rename(target, path)
@@ -1262,6 +1268,57 @@ def ivf_index_build(
         if target is not path:
             shutil.rmtree(target, ignore_errors=True)
         raise
+
+
+def ivf_index_build_if_needed(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 32,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force: bool = False,
+) -> bool:
+    """Build the persisted IVF index only when the existing one is stale —
+    the amortization contract "build once, search many" made checkable.
+
+    Validity = the ``_MANIFEST.json`` the build wrote matches the current
+    build params AND a cheap corpus fingerprint (row count + id sum: one
+    column-pruned aggregate over ``id_col``; catches appends/deletes/
+    re-keys, NOT in-place mutation of vectors under unchanged ids — pass
+    ``force=True`` after such a rewrite). The manifest lands last inside
+    the atomic swap, so a partial build can never read as valid. Local
+    paths only (object stores: version the path and flip a pointer).
+    Returns True when a (re)build happened.
+    """
+    import json
+    import os
+
+    fp = corpus.agg(
+        F.count(id_col).alias("n"), F.sum(id_col).alias("s")
+    ).collect()[0]
+    want = {
+        "v": 1,
+        "n_centroids": n_centroids,
+        "kmeans_iters": kmeans_iters,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_rows": int(fp["n"]),
+        "id_sum": int(fp["s"] or 0),
+    }
+    mf = os.path.join(path, "_MANIFEST.json")
+    if not force and "://" not in path and os.path.exists(mf):
+        try:
+            with open(mf) as f:
+                have = json.load(f)
+            if have == want and os.path.isdir(os.path.join(path, "cells")):
+                return False
+        except (ValueError, OSError):
+            pass  # unreadable manifest → rebuild
+    ivf_index_build(
+        corpus, path, n_centroids, kmeans_iters, id_col, vec_col, _manifest=want
+    )
+    return True
 
 
 def ivf_index_search(
@@ -1303,7 +1360,10 @@ def ivf_index_search(
         "~nprobe/n_centroids of the index bytes, no corpus re-assignment "
         "per call. Training/probing are the same deterministic runs as s2, "
         "so the SQL IVF replay oracle applies verbatim; the pruning itself "
-        "is pinned by tests/test_operators.py::test_ivf_index_partition_pruning.",
+        "is pinned by tests/test_operators.py::test_ivf_index_partition_pruning. "
+        "Uses build_if_needed: the first call pays the build, later calls "
+        "validate the manifest fingerprint and go straight to the pruned "
+        "search — the amortized cost the operator exists to buy.",
 )
 def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -1318,7 +1378,7 @@ def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chdb_spark_ivf_"
         + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
     )
-    ivf_index_build(emb, idx, n_centroids=32, kmeans_iters=3)
+    ivf_index_build_if_needed(emb, idx, n_centroids=32, kmeans_iters=3)
     return ivf_index_search(
         spark, idx, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
     ).orderBy("query_id", "rank")

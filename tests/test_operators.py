@@ -1023,3 +1023,40 @@ def test_streaming_lsh_state_crosses_batches(spark, tmp_path):
         map(tuple, verify_pairs_arrays(cand, feats, threshold=0.8).collect())
     )
     assert streamed == batch
+
+
+def test_ivf_build_if_needed_reuses_until_stale(spark, tmp_path):
+    """The amortization contract: a matching manifest skips the rebuild;
+    a corpus change (row-set fingerprint) or force triggers one; a
+    partial build (no manifest) never reads as valid."""
+    import json
+    import os
+
+    from chdb_spark.operators.similarity import (
+        ivf_index_build_if_needed,
+        ivf_index_search,
+        knn_ivf,
+    )
+
+    emb = table(spark, SF_CORRECT, "embeddings")
+    idx = str(tmp_path / "ivf")
+    assert ivf_index_build_if_needed(emb, idx, n_centroids=32) is True
+    assert ivf_index_build_if_needed(emb, idx, n_centroids=32) is False  # reuse
+    # params change → rebuild
+    assert ivf_index_build_if_needed(emb, idx, n_centroids=16) is True
+    # corpus change → rebuild
+    assert ivf_index_build_if_needed(emb.limit(100), idx, n_centroids=16) is True
+    # force → rebuild even when everything matches
+    assert ivf_index_build_if_needed(emb.limit(100), idx, n_centroids=16, force=True) is True
+    # missing manifest (partial build) → rebuild
+    os.remove(os.path.join(idx, "_MANIFEST.json"))
+    assert ivf_index_build_if_needed(emb.limit(100), idx, n_centroids=16) is True
+    # corrupt manifest → rebuild, and the reused index still searches right
+    with open(os.path.join(idx, "_MANIFEST.json"), "w") as f:
+        f.write("{not json")
+    assert ivf_index_build_if_needed(emb, idx, n_centroids=32) is True
+    assert ivf_index_build_if_needed(emb, idx, n_centroids=32) is False
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = sorted(map(tuple, ivf_index_search(spark, idx, queries, k=5, nprobe=4).collect()))
+    direct = sorted(map(tuple, knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=4).collect()))
+    assert out == direct
