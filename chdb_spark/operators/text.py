@@ -785,6 +785,144 @@ def t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, top_k=50)
 
 
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Distributed BPE merge training: learn the first ``n_merges`` merge
+    rules over the corpus — the iterative half of tokenizer training
+    (``vocab_coverage`` is the counting half).
+
+    Scale shape: the corpus is scanned ONCE into the (word, freq) table —
+    BPE statistics depend only on word frequencies, so every iteration
+    runs over vocabulary-sized data (a hash agg keyed by symbol pair plus
+    a top-1), not the corpus. The table is eagerly checkpointed per step:
+    a lazy lineage would re-derive every prior merge each iteration (the
+    measured recursive-CTE rescan trap), and the driver holds only the
+    winning pair per step, applied back as a broadcast literal.
+
+    Merge semantics: words are space-joined symbol strings and a merge is
+    three rounds of PLAIN (non-regex) ``replace(' a b ' -> ' ab ')`` over
+    the padded string — replace-to-fixpoint, which both Spark and DuckDB
+    implement with identical left-to-right non-overlap, so the oracle
+    replays every stage exactly (three rounds reach fixpoint for any word
+    up to 16 symbols; corpus max is 8). Ties break (count DESC, pair ASC)
+    — fully deterministic.
+
+    Returns (step, merge_left, merge_right, merged, pair_freq).
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = words.select(
+        F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+    rows = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(split(s, ' '), 1, size(split(s, ' ')) - 1),"
+                        " (x, i) -> concat(x, ' ', element_at(split(s, ' '), i + 2)))"
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()
+        if not best:
+            raise ValueError(
+                f"bpe_merges: no adjacent pairs left after {step - 1} merges; "
+                f"lower n_merges (asked for {n_merges})"
+            )
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        merged = pair.replace(" ", "")
+        rows.append((step, *pair.split(" "), merged, cnt))
+        rep = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for _ in range(3):
+            rep = F.replace(rep, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        nxt = cur.select(F.trim(rep).alias("s"), "freq").localCheckpoint(eager=True)
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "step int, merge_left string, merge_right string, merged string, pair_freq long",
+    ).orderBy("step")
+
+
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    """Unrolled SQL replay of ``bpe_merges``: every stage is expressible
+    because the merge is plain replace-to-fixpoint (see bpe_merges doc),
+    so stage i is three CTEs — pair counts p_i, deterministic top-1 b_i,
+    merged words c_i — chained from the same (word, freq) base."""
+    # MATERIALIZED is load-bearing: p_i and c_i both reference c_{i-1}, so
+    # DuckDB's default CTE inlining would expand the base scan 2^n times
+    # ("too many open files" at n=8); materializing keeps each stage O(1)
+    parts = [
+        """
+    WITH c0 AS MATERIALIZED (
+      SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, freq FROM (
+        SELECT lower(t.w) AS word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents) t
+        WHERE regexp_matches(lower(t.w), '^[a-z0-9]+$')
+        GROUP BY 1)
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    , p{i} AS MATERIALIZED (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT unnest([l[j] || ' ' || l[j + 1] for j in range(1, len(l))]) AS pair,
+               freq
+        FROM (SELECT string_split(s, ' ') AS l, freq FROM c{i - 1})
+      ) GROUP BY pair
+    ), b{i} AS MATERIALIZED (
+      SELECT pair, replace(pair, ' ', '') AS merged, cnt
+      FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), c{i} AS MATERIALIZED (
+      SELECT trim(replace(replace(replace(' ' || s || ' ',
+          ' ' || (SELECT pair FROM b{i}) || ' ', ' ' || (SELECT merged FROM b{i}) || ' '),
+          ' ' || (SELECT pair FROM b{i}) || ' ', ' ' || (SELECT merged FROM b{i}) || ' '),
+          ' ' || (SELECT pair FROM b{i}) || ' ', ' ' || (SELECT merged FROM b{i}) || ' ')) AS s,
+        freq
+      FROM c{i - 1}
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {i} AS step, pair, merged, cnt FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(step AS INT) AS step,
+           string_split(pair, ' ')[1] AS merge_left,
+           string_split(pair, ' ')[2] AS merge_right,
+           merged, cnt AS pair_freq
+    FROM ({unions})
+    ORDER BY step""")
+    return "".join(parts)
+
+
+@defquery(
+    "t19_bpe_merges",
+    _bpe_oracle_sql(8),
+    doc="distributed BPE merge training: first 8 merge rules over the "
+        "corpus word-frequency table (corpus scanned once; iterations are "
+        "vocabulary-sized). Merges are plain replace-to-fixpoint on "
+        "space-joined symbols — identical left-to-right semantics in both "
+        "engines — so the oracle unrolls and replays all 8 stages in SQL.",
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bpe_merges(docs, n_merges=8)
+
+
 def domain_mix_rates(
     docs: DataFrame,
     target_weights: dict[str, float],

@@ -1060,3 +1060,40 @@ def test_ivf_build_if_needed_reuses_until_stale(spark, tmp_path):
     out = sorted(map(tuple, ivf_index_search(spark, idx, queries, k=5, nprobe=4).collect()))
     direct = sorted(map(tuple, knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=4).collect()))
     assert out == direct
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """bpe_merges vs a transparent single-process reference implementing
+    the same replace-to-fixpoint semantics, on a corpus with the nasty
+    overlap shapes (ababab, aaaa) and a frequency tie."""
+    from chdb_spark.operators.text import bpe_merges
+
+    corpus = ["ababab cd cd", "ababab cd ab", "aaaa cd", "zq zq"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+
+    def ref_bpe(texts, n):
+        from collections import Counter
+
+        freq = Counter(w for t in texts for w in t.split())
+        words = {" ".join(w): c for w, c in freq.items()}
+        out = []
+        for step in range(1, n + 1):
+            pc = Counter()
+            for s, c in words.items():
+                syms = s.split(" ")
+                for a, b in zip(syms, syms[1:]):
+                    pc[f"{a} {b}"] += c
+            pair = min(pc, key=lambda p: (-pc[p], p))
+            merged = pair.replace(" ", "")
+            out.append((step, *pair.split(" "), merged, pc[pair]))
+            nw = {}
+            for s, c in words.items():
+                padded = f" {s} "
+                for _ in range(3):  # replace-to-fixpoint, same as the engine
+                    padded = padded.replace(f" {pair} ", f" {merged} ")
+                nw[padded.strip()] = nw.get(padded.strip(), 0) + c
+            words = nw
+        return out
+
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
+    assert got == ref_bpe(corpus, 5)
