@@ -1349,18 +1349,20 @@ _DB_ENGINE_RE = re.compile(
 
 
 def _rewrite_sample(sql: str) -> str:
-    """CH ``FROM t SAMPLE k`` (k<1: fraction; k>=1: ~row target, mapped to
-    a fraction-less TABLESAMPLE only for the fractional form — integer row
-    targets need table stats CH has and Spark doesn't, so they raise)."""
+    """CH ``FROM t SAMPLE k`` → Spark TABLESAMPLE. k<1 is a fraction
+    (``PERCENT`` form, probabilistic like CH's sampling expression);
+    k>=1 is a row target, mapped to ``TABLESAMPLE (k ROWS)`` — Spark
+    takes the first k rows of the scan where CH takes ~k rows spread by
+    the table's sampling key. Both are deterministic cheap subsets of
+    about the requested size; the prefix bias is the documented
+    divergence (CH needs a MergeTree SAMPLE BY key declared up front,
+    which parquet lakes don't have)."""
 
     def repl(m: re.Match) -> str:
         k = float(m.group(1))
         if k < 1:
             return f"TABLESAMPLE ({k * 100:g} PERCENT)"
-        raise ValueError(
-            f"SAMPLE {m.group(1)}: row-count sampling needs table statistics; "
-            "use the fractional form (SAMPLE 0.1) or df.sample(n/count)"
-        )
+        return f"TABLESAMPLE ({int(k)} ROWS)"
 
     return _SAMPLE_RE.sub(repl, sql)
 

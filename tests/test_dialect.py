@@ -284,12 +284,16 @@ def test_sample_clause(spark):
     assert rw("SELECT count(*) FROM t SAMPLE 0.5") == (
         "SELECT count(*) FROM t TABLESAMPLE (50 PERCENT)"
     )
-    with pytest.raises(ValueError):
-        rw("SELECT * FROM t SAMPLE 1000")
+    # integer row target → ROWS form (prefix-rows divergence ledgered)
+    assert rw("SELECT * FROM t SAMPLE 1000") == (
+        "SELECT * FROM t TABLESAMPLE (1000 ROWS)"
+    )
     # executes: sampled count is between 0 and the full count
     spark.range(1000).createOrReplaceTempView("smp_t")
     out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 0.5", "Pandas")
     assert 0 <= int(out["n"].iloc[0]) <= 1000
+    out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 100", "Pandas")
+    assert int(out["n"].iloc[0]) == 100
 
 
 # ---------------------------------------------------------------------------
