@@ -810,7 +810,17 @@ def bpe_merges(
 
     Returns (step, merge_left, merge_right, merged, pair_freq).
     """
-    spark = docs.sparkSession
+    rows, final_words = _bpe_train(docs, n_merges, text_col)
+    final_words.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "step int, merge_left string, merge_right string, merged string, pair_freq long",
+    ).orderBy("step")
+
+
+def _bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text"):
+    """Shared trainer: returns (merge rows, final (s, freq) word table —
+    eagerly checkpointed, caller unpersists)."""
     words = (
         docs.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
         .select(F.lower("w").alias("w"))
@@ -851,11 +861,37 @@ def bpe_merges(
         nxt = cur.select(F.trim(rep).alias("s"), "freq").localCheckpoint(eager=True)
         cur.unpersist()
         cur = nxt
-    cur.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "step int, merge_left string, merge_right string, merged string, pair_freq long",
-    ).orderBy("step")
+    return rows, cur
+
+
+def bpe_token_counts(
+    docs: DataFrame, n_merges: int = 8, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Apply the learned BPE merges and count the resulting tokens — the
+    vocabulary a tokenizer built from these merges would actually emit
+    over this corpus, with subword splits for everything the merges don't
+    cover.
+
+    Scale shape: tokenization applies to the WORD-FREQUENCY table (token
+    counts depend only on it), so the corpus is scanned once by the
+    trainer and never again; the apply step is a chain of plain replaces
+    on vocabulary-sized data, the count is one explode + hash agg
+    weighted by word freq, and only ``top_k`` rows survive the rank.
+    """
+    rows, final_words = _bpe_train(docs, n_merges, text_col)
+    try:
+        counts = (
+            final_words.select(
+                F.explode(F.split("s", " ")).alias("token"), "freq"
+            )
+            .groupBy("token")
+            .agg(F.sum("freq").alias("n_occurrences"))
+        )
+        # TakeOrdered (per-partition heap, k rows to driver), not a global
+        # rank window — deterministic via the (count desc, token asc) key
+        return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
+    finally:
+        final_words.unpersist()
 
 
 def _bpe_oracle_sql(n_merges: int = 8) -> str:
@@ -921,6 +957,32 @@ def _bpe_oracle_sql(n_merges: int = 8) -> str:
 def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return bpe_merges(docs, n_merges=8)
+
+
+def _bpe_apply_oracle_sql(n_merges: int = 8, top_k: int = 20) -> str:
+    """t20's oracle: the same unrolled training stages, then tokenize =
+    explode the FINAL word table's symbols weighted by word frequency."""
+    train = _bpe_oracle_sql(n_merges)
+    stages = train[: train.rindex("SELECT CAST(step AS INT)")]
+    return f"""{stages}
+    SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences FROM (
+      SELECT unnest(string_split(s, ' ')) AS token, freq FROM c{n_merges}
+    ) GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC LIMIT {top_k}"""
+
+
+@defquery(
+    "t20_bpe_tokenize",
+    _bpe_apply_oracle_sql(8, 20),
+    doc="BPE apply + vocabulary counts: tokenize the corpus with the 8 "
+        "learned merges (t19's trainer) and count the emitted tokens — "
+        "applied to the word-frequency table, so the corpus is scanned "
+        "once by training and never again; top-20 via TakeOrdered over "
+        "the collapsed token counts.",
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, n_merges=8, top_k=20)
 
 
 def domain_mix_rates(
