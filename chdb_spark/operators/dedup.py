@@ -1380,10 +1380,18 @@ def semdedup(
 
     from chdb_spark.operators.similarity import kmeans
 
-    _, assignments = kmeans(
-        emb, k=k, max_iters=max_iters, id_col=id_col, vec_col=vec_col
+    # return_vectors=True: the assignment pass already holds each vector,
+    # so (id, vector, cluster) arrives in one map-only pass — no
+    # corpus-sized join back onto the embedding table before the
+    # cluster-keyed shuffle below.
+    _, tagged = kmeans(
+        emb,
+        k=k,
+        max_iters=max_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        return_vectors=True,
     )
-    tagged = emb.select(id_col, vec_col).join(assignments, on=id_col)
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)

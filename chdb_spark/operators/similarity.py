@@ -336,6 +336,7 @@ def kmeans(
     tol: float = 1e-4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_vectors: bool = False,
 ):
     """Distributed Lloyd's k-means over an embedding column.
 
@@ -348,7 +349,11 @@ def kmeans(
     sample, fixed iteration order.
 
     Returns ``(centroids DataFrame (c_id, c_vec), assignments DataFrame
-    (id_col, cluster))``.
+    (id_col, cluster))``. With ``return_vectors=True`` the assignments
+    also carry ``vec_col`` — the final assignment pass already holds the
+    vectors, so consumers that need (id, vector, cluster) together (e.g.
+    SemDeDup's per-cluster pair scan) avoid a corpus-sized join back onto
+    the embedding table.
     """
     spark = corpus.sparkSession
     dim = _dim_of(corpus, vec_col)
@@ -417,14 +422,19 @@ def kmeans(
                     continue
                 A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
                 d = (A**2).sum(1)[:, None] - 2 * A @ Cb.T + (Cb**2).sum(1)[None, :]
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy(),
-                        "cluster": np.argmin(d, axis=1).astype(np.int64),
-                    }
-                )
+                out = {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": np.argmin(d, axis=1).astype(np.int64),
+                }
+                if return_vectors:
+                    out[vec_col] = pdf[vec_col]
+                yield pd.DataFrame(out)
 
-        assignments = sel.mapInPandas(assign, f"{id_col} long, cluster long")
+        assign_schema = f"{id_col} long, cluster long"
+        if return_vectors:
+            vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+            assign_schema += f", {vec_col} {vec_ddl}"
+        assignments = sel.mapInPandas(assign, assign_schema)
         centroids = spark.createDataFrame(
             [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
             "c_id long, c_vec array<double>",
