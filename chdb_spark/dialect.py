@@ -1351,7 +1351,8 @@ _DB_ENGINE_RE = re.compile(
 def _rewrite_sample(sql: str) -> str:
     """CH ``FROM t SAMPLE k`` → Spark TABLESAMPLE. k<1 is a fraction
     (``PERCENT`` form, probabilistic like CH's sampling expression);
-    k>=1 is a row target, mapped to ``TABLESAMPLE (k ROWS)`` — Spark
+    k=1 is CH's coefficient 1 — all data, the clause is dropped;
+    k>1 is a row target, mapped to ``TABLESAMPLE (k ROWS)`` — Spark
     takes the first k rows of the scan where CH takes ~k rows spread by
     the table's sampling key. Both are deterministic cheap subsets of
     about the requested size; the prefix bias is the documented
@@ -1360,9 +1361,15 @@ def _rewrite_sample(sql: str) -> str:
 
     def repl(m: re.Match) -> str:
         k = float(m.group(1))
+        if k == 1:
+            # CH: SAMPLE 1 / SAMPLE 1.0 is the coefficient 1 — read ALL
+            # data, same as no SAMPLE clause at all.
+            return ""
         if k < 1:
             return f"TABLESAMPLE ({k * 100:g} PERCENT)"
-        return f"TABLESAMPLE ({int(k)} ROWS)"
+        # k > 1 is an approximate row target (integers in CH; round a
+        # fractional literal rather than silently truncating it).
+        return f"TABLESAMPLE ({round(k)} ROWS)"
 
     return _SAMPLE_RE.sub(repl, sql)
 

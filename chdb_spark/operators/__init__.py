@@ -11,6 +11,23 @@ from __future__ import annotations
 _REGISTERED = False
 
 
+def scratch_dir(prefix: str, key: str) -> str:
+    """Session-stable scratch path under the system tempdir for operators
+    that materialize an artifact (index, re-shard, clustered copy).
+
+    Keyed by a hash of the FULL resolved ``key`` (not its basename) so two
+    datasets that happen to share a directory name never collide."""
+    import hashlib
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"chdb_spark_{prefix}_"
+        + hashlib.sha1(os.path.abspath(key).encode()).hexdigest()[:12],
+    )
+
+
 def _repartition_feature_pass(sel):
     """Round-robin a (id, payload) projection to full parallelism ahead of an
     Arrow map pass — but only when the scan itself can't parallelize.

@@ -735,6 +735,20 @@ def dd5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dup_stats(docs).orderBy("doc_id")
 
 
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, h) stream of per-doc DISTINCT n-token gram hashes via the
+    zero-shuffle Arrow feature pass — the one gram construction both
+    decontamination variants share (their bit-identical-output contract
+    depends on it being literally the same code)."""
+    feats = doc_features(
+        df, id_col=id_col, text_col=text_col, n=n,
+        with_minhash=False, with_simhash=False,
+    )
+    return feats.select(F.col("doc_id"), F.explode("hs").alias("h"))
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -756,17 +770,12 @@ def decontaminate(
     full doc_id shuffle before the join (round-4 change; the shared-gram
     COUNTS are hash-function-agnostic, so the oracle is unchanged).
     """
-    def grams(df: DataFrame) -> DataFrame:
-        feats = doc_features(
-            df, id_col=id_col, text_col=text_col, n=n,
-            with_minhash=False, with_simhash=False,
-        )
-        return feats.select(
-            F.col("doc_id"), F.explode("hs").alias("h")
-        )
-
-    bench_hashes = grams(benchmark).select("h").distinct()
-    hits = grams(train).join(bench_hashes, "h", "left_semi")
+    bench_hashes = (
+        _doc_grams(benchmark, id_col, text_col, n).select("h").distinct()
+    )
+    hits = _doc_grams(train, id_col, text_col, n).join(
+        bench_hashes, "h", "left_semi"
+    )
     return (
         # hs arrays are distinct per doc, so count == count_distinct — the
         # cheaper partial-aggregating form
@@ -875,16 +884,15 @@ def decontaminate_bloom(
     """
     spark = train.sparkSession
 
-    def grams(df: DataFrame) -> DataFrame:
-        feats = doc_features(
-            df, id_col=id_col, text_col=text_col, n=n,
-            with_minhash=False, with_simhash=False,
-        )
-        return feats.select(F.col("doc_id"), F.explode("hs").alias("h"))
-
-    bench_hashes = grams(benchmark).select("h").distinct()
     bench_np = np.array(
-        [r[0] for r in bench_hashes.collect()], dtype=np.int64
+        [
+            r[0]
+            for r in _doc_grams(benchmark, id_col, text_col, n)
+            .select("h")
+            .distinct()
+            .collect()
+        ],
+        dtype=np.int64,
     )
     out_schema = "doc_id long, n_shared_grams long"
     if not len(bench_np):
@@ -906,7 +914,16 @@ def decontaminate_bloom(
             hit &= (word >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1) != 0
         return pd.Series(hit)
 
-    candidates = grams(train).filter(might_contain(F.col("h")))
+    # the exact confirming side is rebuilt from the driver-held hashes —
+    # the benchmark gram pipeline ran ONCE (for the collect above); re-
+    # deriving the plan here would execute that whole pipeline a second
+    # time. bench is small by contract, so createDataFrame is cheap.
+    bench_hashes = spark.createDataFrame(
+        pd.DataFrame({"h": bench_np}), "h long"
+    )
+    candidates = _doc_grams(train, id_col, text_col, n).filter(
+        might_contain(F.col("h"))
+    )
     hits = candidates.join(F.broadcast(bench_hashes), "h", "left_semi")
     return (
         hits.groupBy("doc_id")

@@ -102,16 +102,11 @@ from chdb_spark.queries import defquery, table  # noqa: E402
         "tests/test_operators.py::test_zorder_tightens_file_stats.",
 )
 def zo1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
+    from chdb_spark.operators import scratch_dir
     from chdb_spark.operators.layout import zorder_write
 
     o = table(spark, sf_dir, "orders")
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"chdb_spark_zo1_{os.path.basename(os.path.normpath(sf_dir))}.parquet",
-    )
+    out_dir = scratch_dir("zo1", sf_dir)
     zorder_write(o, ["o_custkey", "o_totalprice"], out_dir, n_files=16)
     clustered = spark.read.parquet(out_dir)
     return clustered.where(

@@ -1239,9 +1239,9 @@ def ivf_index_build(
     ``os.rename``, so a crash mid-build can never leave a NEW assignment
     paired with an OLD quantizer (a searcher of such a mix returns wrong
     neighbors with no error). Scheme-qualified paths (s3://, hdfs://)
-    skip the rename (no atomic dir move on object stores) — there, use a
-    fresh versioned path per build and flip a pointer. Single writer
-    assumed either way.
+    have no atomic dir move, so REBUILDING one in place is refused with
+    an error — use a fresh versioned path per build and flip a pointer.
+    Single writer assumed either way.
     """
     import json
     import os
@@ -1249,6 +1249,18 @@ def ivf_index_build(
     import uuid
 
     spark = corpus.sparkSession
+    if "://" in path:
+        # a crash between the cells/ and centroids/ overwrites would leave
+        # a new-assignment/old-quantizer mix that searches WRONG silently —
+        # refuse the in-place rebuild instead of executing it.
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            raise ValueError(
+                f"ivf_index_build: {path!r} already exists and object-store "
+                "paths cannot be swapped atomically — build into a fresh "
+                "versioned path and flip a pointer instead"
+            )
     C = train_ivf_centroids(
         corpus, n_centroids, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
@@ -1293,28 +1305,36 @@ def ivf_index_build_if_needed(
     the amortization contract "build once, search many" made checkable.
 
     Validity = the ``_MANIFEST.json`` the build wrote matches the current
-    build params AND a cheap corpus fingerprint (row count + id sum: one
-    column-pruned aggregate over ``id_col``; catches appends/deletes/
-    re-keys, NOT in-place mutation of vectors under unchanged ids — pass
-    ``force=True`` after such a rewrite). The manifest lands last inside
-    the atomic swap, so a partial build can never read as valid. Local
-    paths only (object stores: version the path and flip a pointer).
+    build params AND a cheap corpus fingerprint — row count + id sum +
+    ``bit_xor(xxhash64(id))``, ONE column-pruned aggregate over
+    ``id_col`` (the vector column is never read by the check, which is
+    the point at 100 TB). The hash-xor term catches any change to the id
+    MULTISET, including compensating delete+insert pairs that preserve
+    the plain sum. What an id-only fingerprint cannot see, by
+    construction: changes that keep every id — in-place vector mutation
+    or an id↔vector permutation — pass ``force=True`` after such a
+    rewrite. The manifest lands last inside the atomic swap, so a
+    partial build can never read as valid. Local paths only (object
+    stores: version the path and flip a pointer).
     Returns True when a (re)build happened.
     """
     import json
     import os
 
     fp = corpus.agg(
-        F.count(id_col).alias("n"), F.sum(id_col).alias("s")
+        F.count(id_col).alias("n"),
+        F.sum(id_col).alias("s"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
     ).collect()[0]
     want = {
-        "v": 1,
+        "v": 2,
         "n_centroids": n_centroids,
         "kmeans_iters": kmeans_iters,
         "id_col": id_col,
         "vec_col": vec_col,
         "n_rows": int(fp["n"]),
         "id_sum": int(fp["s"] or 0),
+        "id_hash_xor": int(fp["x"] or 0),
     }
     mf = os.path.join(path, "_MANIFEST.json")
     if not force and "://" not in path and os.path.exists(mf):
@@ -1376,18 +1396,10 @@ def ivf_index_search(
         "search — the amortized cost the operator exists to buy.",
 )
 def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from chdb_spark.operators import scratch_dir
 
     emb = table(spark, sf_dir, "embeddings")
-    # keyed by the FULL resolved sf_dir (not its basename) so two datasets
-    # that happen to share a directory name get distinct indexes
-    idx = os.path.join(
-        tempfile.gettempdir(),
-        "chdb_spark_ivf_"
-        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
+    idx = scratch_dir("ivf", sf_dir)
     ivf_index_build_if_needed(emb, idx, n_centroids=32, kmeans_iters=3)
     return ivf_index_search(
         spark, idx, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4

@@ -704,16 +704,10 @@ def write_token_shards(
         "the oracle verifies the write round-trip.",
 )
 def wr1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
+    from chdb_spark.operators import scratch_dir
 
     docs = table(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "chdb_spark_shards_"
-        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
+    out = scratch_dir("shards", sf_dir)
     return write_token_shards(docs, token_budget=2000, out_dir=out)
 
 

@@ -508,21 +508,14 @@ def sm5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle verbatim.",
 )
 def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import os
-    import tempfile
-
+    from chdb_spark.operators import scratch_dir
     from chdb_spark.operators.dedup import doc_features, verify_pairs_arrays
     from chdb_spark.queries import table
     from chdb_spark.streaming.core import streaming_lsh_bucket_pairs
 
     docs = table(spark, sf_dir, "documents")
     # re-shard so the file source has multiple triggers' worth of input
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        "chdb_spark_docstream_"
-        + hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
-    )
+    tmp = scratch_dir("docstream", sf_dir)
     docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(tmp)
     stream = (
         spark.readStream.schema(spark.read.parquet(tmp).schema)

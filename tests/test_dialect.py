@@ -294,6 +294,14 @@ def test_sample_clause(spark):
     assert 0 <= int(out["n"].iloc[0]) <= 1000
     out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 100", "Pandas")
     assert int(out["n"].iloc[0]) == 100
+    # CH boundary: SAMPLE 1 / SAMPLE 1.0 is coefficient 1 = ALL data
+    # (not one row); the clause is simply dropped.
+    out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 1", "Pandas")
+    assert int(out["n"].iloc[0]) == 1000
+    out = chs.query(spark, "SELECT count(*) AS n FROM smp_t SAMPLE 1.0", "Pandas")
+    assert int(out["n"].iloc[0]) == 1000
+    # fractional row target rounds instead of truncating
+    assert "2 ROWS" in rw("SELECT * FROM t SAMPLE 1.5")
 
 
 # ---------------------------------------------------------------------------

@@ -1060,6 +1060,30 @@ def test_ivf_build_if_needed_reuses_until_stale(spark, tmp_path):
     out = sorted(map(tuple, ivf_index_search(spark, idx, queries, k=5, nprobe=4).collect()))
     direct = sorted(map(tuple, knn_ivf(emb, queries, k=5, n_centroids=32, nprobe=4).collect()))
     assert out == direct
+    # sum-preserving id re-key (drop {10,20}, add {12,18}: count and plain
+    # id sum unchanged) is still caught — the xor-of-hashes term sees it
+    rekeyed = emb.filter(~F.col("vec_id").isin(10, 20)).unionByName(
+        emb.filter(F.col("vec_id").isin(11, 17)).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1)
+        )
+    )
+    assert ivf_index_build_if_needed(rekeyed, idx, n_centroids=32) is True
+
+
+def test_ivf_build_refuses_inplace_rebuild_on_scheme_path(spark, tmp_path):
+    """Object-store paths have no atomic dir swap, so rebuilding an
+    EXISTING scheme-qualified index in place must refuse loudly (a crash
+    between the cells/ and centroids/ overwrites would search wrong with
+    no error). file:// exercises the same Hadoop-FS scheme code path."""
+    import pytest as _pytest
+
+    from chdb_spark.operators.similarity import ivf_index_build
+
+    emb = table(spark, SF_CORRECT, "embeddings").limit(200)
+    uri = "file://" + str(tmp_path / "ivf_scheme")
+    ivf_index_build(emb, uri, n_centroids=8, kmeans_iters=1)  # fresh: fine
+    with _pytest.raises(ValueError, match="versioned path"):
+        ivf_index_build(emb, uri, n_centroids=8, kmeans_iters=1)
 
 
 def test_bpe_merges_matches_python_reference(spark):
