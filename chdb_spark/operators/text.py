@@ -1611,22 +1611,36 @@ def temperature_mix(
     standard temperature-resampling scheme for balancing corpus sources
     (alpha<1 upsamples the tail). One hash agg to group counts (tiny),
     then broadcast scalar normalizers; the downstream per-row sampler is
-    ``df.sampleBy(by, fractions)`` fed from this table."""
+    ``df.sampleBy(by, fractions)`` fed from this table.
+
+    The per-source weight is quantized to an int64 (floor(w*1e12+0.5))
+    BEFORE the normalizer sum: a double sum's value depends on partial-
+    aggregation order (20 equal weights summed sequentially vs pairwise
+    differ in the last ulp), and ``floor(budget * w / z)`` sits exactly
+    on an integer boundary for uniform sources — the one-ulp wobble
+    flips it between 499 and 500 run-to-run. Integer sum + integer
+    division are order-free and bit-equal across engines."""
     c = docs.groupBy(by).agg(F.count("*").alias("n"))
     tot = c.agg(F.sum("n").cast("double").alias("_tot"))
     w = c.crossJoin(F.broadcast(tot)).select(
-        by, "n", F.pow(F.col("n") / F.col("_tot"), alpha).alias("w")
+        by,
+        "n",
+        F.floor(F.pow(F.col("n") / F.col("_tot"), alpha) * 1e12 + 0.5)
+        .cast("long")
+        .alias("wi"),
     )
-    z = w.agg(F.sum("w").alias("_z"))
+    z = w.agg(F.sum("wi").alias("_z"))
     return (
         w.crossJoin(F.broadcast(z))
         .select(
             by,
             "n",
-            F.round(F.col("w") / F.col("_z"), 6).alias("mix_weight"),
-            F.floor(F.lit(budget) * F.col("w") / F.col("_z"))
-            .cast("long")
-            .alias(f"docs_at_{budget}"),
+            F.round(
+                F.col("wi").cast("double") / F.col("_z").cast("double"), 6
+            ).alias("mix_weight"),
+            F.expr(f"(CAST({budget} AS BIGINT) * wi) div _z").alias(
+                f"docs_at_{budget}"
+            ),
         )
         .orderBy(by)
     )
@@ -1639,12 +1653,13 @@ def temperature_mix(
       SELECT source, count(*) AS n FROM documents GROUP BY source
     ), w AS (
       SELECT source, n,
-             pow(n / (SELECT sum(n)::DOUBLE FROM c), 0.7) AS w
+             CAST(floor(pow(n / (SELECT sum(n)::DOUBLE FROM c), 0.7)
+                        * 1e12 + 0.5) AS BIGINT) AS wi
       FROM c
     )
     SELECT source, n,
-           round(w / (SELECT sum(w) FROM w), 6) AS mix_weight,
-           CAST(floor(10000 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+           round(wi::DOUBLE / (SELECT sum(wi) FROM w)::DOUBLE, 6) AS mix_weight,
+           CAST((10000 * wi) // (SELECT sum(wi) FROM w) AS BIGINT)
                AS docs_at_10000
     FROM w ORDER BY source
     """,
