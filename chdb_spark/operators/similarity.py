@@ -1404,3 +1404,273 @@ def s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_index_search(
         spark, idx, emb.filter(F.col("vec_id") < 10), k=5, nprobe=4
     ).orderBy("query_id", "rank")
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of the IVF index against exact brute force, per query —
+    the evaluation loop every ANN deployment needs before trusting an
+    (n_centroids, nprobe) operating point.
+
+    Scale shape: ground truth is the broadcast-queries × local-top-k
+    corpus scan (knn_bruteforce — queries are small by contract, the
+    corpus side never materializes the score matrix); the candidate
+    run is the probed-cells path (knn_ivf). The comparison itself is a
+    LEFT SEMI join on (query, neighbor) — k·|Q| rows, driver never sees
+    row data."""
+    ann = knn_ivf(
+        corpus, queries, k=k, n_centroids=n_centroids, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    exact = knn_bruteforce(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(ann, ["query_id", "neighbor_id"], "left_semi")
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        queries.select(F.col(id_col).alias("query_id"))
+        .join(n_hit, "query_id", "left")
+        .na.fill({"n_hit": 0})
+        .select(
+            "query_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / float(k), 4).alias(f"recall_at_{k}"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _s6_oracle_sql() -> str:
+    """s6 oracle: the s2 IVF SQL replay (same deterministic training,
+    assignment and probing) intersected with the brute-force top-k
+    definition — recall@5 per query, counted in SQL."""
+    base = _s2_oracle_sql()
+    body = base[: base.rindex("\n    SELECT query_id")]
+    return (
+        body
+        + """,
+    ivf AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+    bf_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bf_scored
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
+    FROM bf b LEFT JOIN ivf i USING (query_id, neighbor_id)
+    GROUP BY b.query_id ORDER BY b.query_id"""
+    )
+
+
+@defquery(
+    "s6_ann_recall",
+    _s6_oracle_sql(),
+    doc="ANN quality evaluation: recall@5 of the IVF operating point "
+        "(32 cells, nprobe=4) against exact brute-force ground truth, per "
+        "query — the measurement loop that justifies an ANN config before "
+        "a 100 TB index build. Ground truth via the broadcast-queries "
+        "BLAS scan, candidates via the probed-cells path, compared with a "
+        "LEFT SEMI join; the oracle replays BOTH definitions in SQL and "
+        "counts the intersection.",
+)
+def s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_recall(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=32, nprobe=4
+    )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    dims: int = 8,
+    iters: int = 3,
+    lr: float = 0.5,
+    label_threshold: int = 5,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Distributed full-batch gradient descent for a linear probe over an
+    embedding column (binary target ``label < label_threshold``) — the
+    quality-classifier training loop (fastText/FineWeb-Edu style) run
+    INSIDE the engine instead of exporting to a trainer.
+
+    Scale shape = the kmeans pattern: each iteration is ONE map-only
+    Arrow pass; every batch computes its rows' gradient contributions
+    with vectorized numpy and emits a single row of ``dims`` int64
+    partial sums, so the driver collects O(batches × dims) tiny rows and
+    updates a length-``dims`` weight vector. No shuffle at all.
+
+    Bit-reproducibility contract (how the SQL replay oracle can demand
+    exact equality): the squashing function is the RATIONAL sigmoid
+    ``0.5*(1 + (t/2)/(1+|t/2|))`` — only +,-,*,/,abs, all IEEE
+    correctly-rounded, no libm — the dot product accumulates in fixed
+    left-to-right dim order, and per-row gradient components are
+    quantized to int64 (floor(g·1e9+0.5)) BEFORE summation, so partial
+    sums are exact and order-free (the t17 lesson). Each weight update
+    is then a deterministic scalar expression of exact integers.
+    Magnitude bound: |per-row g| < 1e9·max|x|, so int64 partials hold to
+    ~9e9 rows per quantization unit — past that, lower the grid or
+    shard the sum.
+
+    Returns ``(weights: list[float], n_rows: int)``.
+    """
+    spark = df.sparkSession
+    from chdb_spark.operators import _repartition_feature_pass
+
+    sel = _repartition_feature_pass(df.select(vec_col, label_col)).persist()
+    n = float(sel.count())
+    w = [0.0] * dims
+    schema = ", ".join(f"g{j} long" for j in range(dims))
+    try:
+        for _ in range(iters):
+            bc = spark.sparkContext.broadcast(w)
+
+            def partials(batches):
+                wv = bc.value
+                d = len(wv)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(
+                        [
+                            np.asarray(v[:d], dtype=np.float64)
+                            for v in pdf[vec_col]
+                        ]
+                    )
+                    y = (
+                        pdf[label_col].to_numpy() < label_threshold
+                    ).astype(np.float64)
+                    t = X[:, 0] * wv[0]
+                    for j in range(1, d):
+                        t = t + X[:, j] * wv[j]
+                    p = 0.5 * (1.0 + (t / 2) / (1.0 + np.abs(t / 2)))
+                    e = p - y
+                    yield pd.DataFrame(
+                        [
+                            {
+                                f"g{j}": int(
+                                    np.floor(e * X[:, j] * 1e9 + 0.5)
+                                    .astype(np.int64)
+                                    .sum()
+                                )
+                                for j in range(d)
+                            }
+                        ]
+                    )
+
+            rows = sel.mapInPandas(partials, schema).collect()
+            g = [sum(r[f"g{j}"] for r in rows) for j in range(dims)]
+            w = [w[j] - lr * ((g[j] / 1e9) / n) for j in range(dims)]
+            bc.destroy()
+    finally:
+        sel.unpersist()
+    return w, int(n)
+
+
+def _cl1_oracle_sql(
+    dims: int = 8, iters: int = 3, lr: float = 0.5, thr: int = 5
+) -> str:
+    """cl1 oracle: the gradient-descent run unrolled into SQL (one
+    gradient CTE + one weight CTE per iteration, t19-style). Exactness
+    holds because every float op is +,-,*,/,abs in the identical
+    left-to-right order and gradient sums are quantized int64."""
+    ds = range(1, dims + 1)
+    xs = ",\n             ".join(
+        f"CAST(embedding[{j}] AS DOUBLE) AS x{j}" for j in ds
+    )
+    parts = [
+        f"""WITH x AS (
+      SELECT {xs},
+             CASE WHEN label < {thr} THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    )""",
+        "nr AS (SELECT count(*)::DOUBLE AS n FROM x)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in ds) + ")",
+    ]
+    for it in range(1, iters + 1):
+        t_expr = " + ".join(f"x{j} * w.w{j}" for j in ds)
+        gs = ",\n             ".join(
+            f"sum(CAST(floor((0.5*(1 + (t/2)/(1+abs(t/2))) - y) * x{j} "
+            f"* 1000000000.0 + 0.5) AS BIGINT)) AS g{j}"
+            for j in ds
+        )
+        parts.append(
+            f"""g{it} AS (
+      SELECT {gs}
+      FROM (SELECT x.*, ({t_expr}) AS t FROM x CROSS JOIN w{it-1} w)
+    )"""
+        )
+        ws = ",\n             ".join(
+            f"w.w{j} - {lr} * ((g.g{j} / 1000000000.0) / (SELECT n FROM nr))"
+            f" AS w{j}"
+            for j in ds
+        )
+        parts.append(
+            f"w{it} AS (\n      SELECT {ws}\n      FROM w{it-1} w CROSS JOIN g{it} g\n    )"
+        )
+    t_expr = " + ".join(f"x{j} * w.w{j}" for j in ds)
+    parts.append(
+        f"""acc AS (
+      SELECT count(*) FILTER (WHERE (t >= 0) = (y = 1.0)) AS n_correct,
+             count(*) AS n_rows
+      FROM (SELECT x.*, ({t_expr}) AS t FROM x CROSS JOIN w{iters} w)
+    )"""
+    )
+    w_out = ", ".join(f"round(w{j}, 6) AS w{j}" for j in ds)
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT {w_out},
+           CAST(n_correct AS BIGINT) AS n_correct,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM w{iters} CROSS JOIN acc"""
+    )
+
+
+@defquery(
+    "cl1_linear_classifier",
+    _cl1_oracle_sql(),
+    doc="distributed linear-probe training (full-batch GD, 3 iterations, "
+        "first 8 dims, rational sigmoid) for the binary target label<5, "
+        "plus the trained probe's in-sample accuracy — the FineWeb-Edu-"
+        "style quality-classifier loop run in-engine. Map-only integer-"
+        "quantized gradient partials make every iteration exact and "
+        "order-free; the oracle replays all three updates unrolled in "
+        "SQL and must match the weights to 6 decimals AND the accuracy "
+        "count exactly.",
+)
+def cl1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    w, _ = train_linear_classifier(emb, dims=8, iters=3, lr=0.5)
+    xj = lambda j: F.element_at(F.col("embedding"), j + 1).cast("double")  # noqa: E731
+    t = xj(0) * F.lit(w[0])
+    for j in range(1, 8):
+        t = t + xj(j) * F.lit(w[j])
+    acc = emb.agg(
+        F.sum(
+            F.when((t >= 0) == (F.col("label") < 5), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.count("*").alias("n_rows"),
+    )
+    return acc.select(
+        # SQL round (HALF_UP, same as the oracle's), not Python's banker's
+        *[F.round(F.lit(w[j]), 6).alias(f"w{j+1}") for j in range(8)],
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

@@ -1733,6 +1733,91 @@ def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int = 5,
+    by: str = "source",
+    id_col: str = "doc_id",
+    weight: F.Column | None = None,
+    salt: str = "wrs-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ``k`` rows per group —
+    Efraimidis & Spirakis (2006) A-Res: each row draws key ``u^(1/w)``
+    with ``u`` uniform in (0,1]; the top-k keys per group ARE a
+    weight-proportional sample.
+
+    ``u`` comes from the engine-portable ``md5_prefix48(salt || id)``
+    instead of ``rand()``: the draw is a pure per-row codegen expression,
+    stable across reruns / partitionings / cluster sizes (``rand()``
+    reshuffles with partitioning) and replayable on any engine for
+    audits — the same determinism contract as :func:`split_assign`.
+    Re-salting yields an independent re-draw.
+
+    Scale shape: one shuffle on ``by``; the ``row_number() <= k`` filter
+    is recognized by Spark as a WindowGroupLimit, so each map task keeps
+    only its local top-k per group before the exchange — state per task
+    is O(groups × k), never the corpus. Key comparisons are raw doubles
+    with an id tiebreak: two DISTINCT 48-bit draws land within an ulp of
+    each other with probability ~n²·2⁻⁵², so cross-engine rank parity is
+    safe without the quantization idiom exact sums need.
+    """
+    from pyspark.sql.window import Window
+
+    u = (
+        md5_prefix48(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        )
+        + 1
+    ) / F.lit(float(2**48))
+    w = weight if weight is not None else F.size(tokens(F.col("text")))
+    keyed = df.withColumn("_wt", w.cast("double")).withColumn(
+        "_key", F.pow(u, F.lit(1.0) / F.col("_wt"))
+    )
+    win = Window.partitionBy(by).orderBy(F.desc("_key"), F.asc(id_col))
+    return (
+        keyed.withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= k)
+        .drop("_rk", "_key")
+        .withColumnRenamed("_wt", "wt")
+    )
+
+
+@defquery(
+    "t21_weighted_reservoir",
+    """
+    WITH w AS (
+      SELECT source, doc_id,
+             len(string_split(trim(text), ' ')) AS wt,
+             ('0x' || substr(md5('wrs-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM documents
+    ), keyed AS (
+      SELECT source, doc_id, wt,
+             pow((h + 1) / 281474976710656.0, 1.0 / wt) AS k
+      FROM w
+    ), rk AS (
+      SELECT source, doc_id, wt,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS r
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(wt AS BIGINT) AS wt
+    FROM rk WHERE r <= 5 ORDER BY source, doc_id
+    """,
+    doc="token-weighted reservoir sample (A-Res, Efraimidis-Spirakis): 5 "
+        "docs per source drawn proportional to token count, with the "
+        "uniform draw derived from salted md5 of the doc id so the sample "
+        "is deterministic across engines, reruns and partitionings. The "
+        "rank<=k window filter plans as WindowGroupLimit (map-side top-k); "
+        "the oracle replays the identical hash -> u^(1/w) -> top-k math.",
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        weighted_reservoir_sample(docs, k=5)
+        .select("source", "doc_id", F.col("wt").cast("long").alias("wt"))
+        .orderBy("source", "doc_id")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",
