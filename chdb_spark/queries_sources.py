@@ -539,3 +539,67 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = spark.table("sm6_mem").distinct()
     feats = doc_features(docs, with_simhash=False).localCheckpoint(eager=True)
     return verify_pairs_arrays(cand, feats, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@defquery(
+    "sm7_streaming_dedup_watermark",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT (user_id, CAST(date_trunc('day', ts) AS DATE)))
+                AS BIGINT) AS n_user_days
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming dedup with WATERMARK-BOUNDED state "
+        "(dropDuplicatesWithinWatermark) — the production variant of sm3's "
+        "unbounded dropDuplicates: per-key state is EVICTED once the "
+        "event-time watermark passes it, so state size tracks the watermark "
+        "window, not the key universe. Daily-activity keys "
+        "(user, type, day); the 35-day delay exceeds the table's 30-day "
+        "span, so no state expires mid-run and the emitted key set equals "
+        "the batch DISTINCT for any arrival order — the eviction semantics "
+        "themselves (a key re-emitted after its state expired) are pinned "
+        "by tests/test_io_streaming.py::"
+        "test_drop_duplicates_within_watermark_evicts_state.",
+)
+def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.streaming.core import read_events_stream
+    from chdb_spark.session import read_table
+    import os
+
+    # re-shard events by time range so the file source delivers several
+    # triggers' worth of input (same device as sm6)
+    tmp = scratch_dir("evstream", sf_dir)
+    if not os.path.isdir(tmp):
+        read_table(spark, os.path.join(sf_dir, "events.parquet")) \
+            .repartitionByRange(4, "ts").write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    dd = (
+        # round-tripped parquet infers TIMESTAMP_NTZ, which event-time ops
+        # reject — normalize to TIMESTAMP before the watermark
+        stream.select(
+            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+        )
+        .withColumn("day", F.to_date("ts"))
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("sm7_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("sm7_mem")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy("event_type")
+    )

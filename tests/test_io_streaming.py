@@ -247,6 +247,63 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert final.loc[2, "total"] == 4.0 and final.loc[2, "n_events"] == 2
 
 
+def test_drop_duplicates_within_watermark_evicts_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark evicts per-key state once the
+    watermark passes it: a key whose state expired is EMITTED AGAIN when
+    it reappears (the bounded-state trade sm7 documents), while a key
+    whose state is still live keeps suppressing duplicates."""
+    import glob
+    import os
+    import time as _time
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+
+    def write_batch(rows):
+        before = set(glob.glob(os.path.join(src, "*.parquet")))
+        spark.createDataFrame(rows, ["k", "ts_s"]).selectExpr(
+            "k", "CAST(ts_s AS TIMESTAMP) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src)
+        return set(glob.glob(os.path.join(src, "*.parquet"))) - before
+
+    # batch 1: key 1 early (will expire), key 2 late (stays live);
+    # watermark AFTER this batch = 01-20 - 5d = 01-15
+    b1 = write_batch([(1, "2024-01-01 00:00:00"), (2, "2024-01-20 00:00:00")])
+    # batch 2: state purge runs at batch END, so this batch exists to let
+    # the purge see watermark 01-15 and evict key 1 (expired 01-06);
+    # watermark after = 01-16
+    b2 = write_batch([(3, "2024-01-21 00:00:00")])
+    # batch 3: key 1 again, state evicted -> RE-EMITTED; key 2 again,
+    # state live (expires 01-25) -> suppressed
+    b3 = write_batch([(1, "2024-01-17 00:00:00"), (2, "2024-01-19 00:00:00")])
+    # file source processes oldest-mtime first — pin the order explicitly
+    now = _time.time()
+    for i, files in enumerate((b1, b2, b3)):
+        for f in files:
+            os.utime(f, (now - 60 + 10 * i, now - 60 + 10 * i))
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dd = stream.withWatermark("ts", "5 days").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("ddww_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    pdf = spark.sql("SELECT k FROM ddww_sink").toPandas()
+    counts = pdf.groupby("k").size().to_dict()
+    assert counts == {1: 2, 2: 1, 3: 1}
+
+
 # ---------------------------------------------------------------------------
 # URI dispatch + Python Data Source (reference uri_parser.py / PyReader)
 # ---------------------------------------------------------------------------

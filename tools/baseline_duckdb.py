@@ -48,6 +48,25 @@ NOT_COMPARABLE = {
     # sq1's Spark side round-trips through a SQLite file (source test);
     # its oracle reads parquet directly — different work by design
     "sq1_sqlite_roundtrip",
+    # --- round-6 additions whose oracles are correctness devices ---
+    # km1/s2-style iterative SQL replays (correlated subqueries per row):
+    "dd10_semdedup",
+    "s5_ivf_index",
+    "s6_ann_recall",
+    # brute-force pair sets + recursive-CTE components:
+    "dd11_cluster_representatives",
+    "dd13_soft_dedup_weights",
+    "sm6_streaming_neardup",
+    # fully-unrolled iteration replays whose CTE chains re-derive prior
+    # steps per stage (no checkpointing in SQL — quadratic by design):
+    "t19_bpe_merges",
+    "t20_bpe_tokenize",
+    # Spark side performs a WRITE round-trip (clustered copy / shard
+    # export / remote insert); the oracle computes the expected values
+    # from the raw table — different work by design:
+    "zo1_zorder_rectangle",
+    "wr1_token_shards",
+    "rc2_remote_clickhouse_write",
 }
 
 
