@@ -1,0 +1,147 @@
+"""End-to-end training-data curation pipeline — the composition showcase.
+
+Every stage is an existing operator (quality scoring, language ID, exact
+dedup, 13-gram decontamination, token accounting); this module chains
+them the way a FineWeb/RefinedWeb-style curation run does, and proves the
+COMPOSITION with one SQL oracle that replays all five stages. The point:
+the operators are not isolated demos — they pipeline, and the whole
+pipeline stays inside the engine (scan → map-side features → two uniform
+shuffles → broadcast semi-joins), so at 100 TB it runs as one job with no
+intermediate exports.
+
+Reference analogue: the reference exposes the pieces (string functions,
+group-bys, joins) and its users hand-write this pipeline in SQL; here it
+is a named operator with the same one-call ergonomics as the rest of the
+dedup/text family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    quality_threshold: float = 0.8,
+    lang: str = "en",
+    n: int = 13,
+) -> DataFrame:
+    """Quality filter → language filter → exact dedup (keep-first) →
+    13-gram decontamination → per-source survivor stats.
+
+    Scale shape, stage by stage: quality + language are map-side Column
+    math fused into the scan; exact dedup is ONE digest-keyed shuffle of
+    the already-filtered survivors (filters run first, so the shuffle
+    carries the small side); decontamination reduces the benchmark gram
+    hashes small and LEFT SEMI / LEFT ANTI joins them broadcast; the
+    final stats are a tiny hash agg. No stage materializes off-engine.
+    """
+    from chdb_spark.operators.dedup import decontaminate, exact_dedup
+    from chdb_spark.operators.text import language_id, quality_features
+
+    feat = quality_features(docs)
+    kept = feat.where(
+        (F.col("quality_score") >= quality_threshold)
+        & (language_id(F.col("text")) == lang)
+    )
+    kept = exact_dedup(kept)
+    contaminated = decontaminate(kept, benchmark, n=n)
+    clean = kept.join(
+        contaminated.select("doc_id"), "doc_id", "left_anti"
+    )
+    return (
+        clean.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_PL1_ORACLE = """
+    WITH train AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 10 != 0
+    ),
+    q AS (
+      SELECT doc_id,
+        round(greatest(
+          1.0
+          - least(1.0, abs(len(list_filter(string_split(trim(text), ' '),
+              t -> list_contains(['the','a','of','and','is','in','to'], t)))::DOUBLE
+              / len(string_split(trim(text), ' ')) - 0.08) * 5)
+          - least(0.5, length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+              / length(text) * 5)
+          - least(0.5, length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+              / length(text) * 2), 0.0), 4) AS qs,
+        len(string_split(trim(text), ' ')) AS n_tokens
+      FROM train
+    ),
+    lg AS (
+      SELECT doc_id,
+        CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+             WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+             WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+             WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+             WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+          len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','is'], t))) AS s_en,
+          len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','de','y'], t)))  AS s_es,
+          len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+          len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','les','des','et','est'], t))) AS s_fr,
+          len(list_filter(string_split(trim(text), ' '), t -> list_contains(['的','是','了','在'], t))) AS s_zh
+        FROM train
+      )
+    ),
+    keep1 AS (
+      SELECT t.doc_id, t.source, t.text, q.n_tokens
+      FROM train t JOIN q USING (doc_id) JOIN lg USING (doc_id)
+      WHERE q.qs >= 0.8 AND lg.pred_lang = 'en'
+    ),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM keep1
+    ),
+    kept AS (SELECT doc_id, source, n_tokens FROM dedup WHERE rn = 1),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(toks[i:i+12], ' ')), 1, 12))::BIGINT AS h
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+            WHERE doc_id % 10 = 0 OR doc_id IN (SELECT doc_id FROM kept)),
+           unnest(range(1, len(toks) - 11)) t(i)
+    ),
+    bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 10 = 0),
+    contam AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (h)
+      WHERE g.doc_id % 10 != 0
+    ),
+    clean AS (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    )
+    SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM clean GROUP BY source ORDER BY source
+"""
+
+
+@defquery(
+    "pl1_curation_pipeline",
+    _PL1_ORACLE,
+    doc="end-to-end FineWeb-style curation pipeline IN ONE JOB: quality "
+        "score >= 0.8, language-ID = en, exact dedup keep-first, 13-gram "
+        "decontamination against the (doc_id %% 10 = 0) benchmark split, "
+        "then per-source doc/token survivor stats. Composes the t2/t1/dd1/"
+        "dd6 operators unchanged; the oracle replays all five stages in "
+        "one SQL statement — the composition, not just the pieces, is "
+        "what gets verified.",
+)
+def pl1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return curate(train, bench, quality_threshold=0.8, lang="en", n=13)

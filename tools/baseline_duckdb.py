@@ -57,6 +57,9 @@ NOT_COMPARABLE = {
     "dd11_cluster_representatives",
     "dd13_soft_dedup_weights",
     "sm6_streaming_neardup",
+    # streaming re-ingest round-trip (re-shard write + availableNow run)
+    # vs a plain batch DISTINCT oracle — different work by design:
+    "sm7_streaming_dedup_watermark",
     # fully-unrolled iteration replays whose CTE chains re-derive prior
     # steps per stage (no checkpointing in SQL — quadratic by design):
     "t19_bpe_merges",
