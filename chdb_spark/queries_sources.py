@@ -576,7 +576,9 @@ def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(tmp).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        # two files per trigger: state still crosses micro-batches (the
+        # semantics under test) at half the per-trigger scheduling cost
+        .option("maxFilesPerTrigger", 2)
         .parquet(tmp)
     )
     dd = (
