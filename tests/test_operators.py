@@ -1121,3 +1121,33 @@ def test_bpe_merges_matches_python_reference(spark):
 
     got = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
     assert got == ref_bpe(corpus, 5)
+
+
+def test_weighted_reservoir_deterministic_across_partitionings(spark):
+    """The A-Res draw is hash-derived, so the selected sample is identical
+    no matter how the input is partitioned — the property rand() cannot
+    give. Also pins k-per-group and that selection follows the key order."""
+    from chdb_spark.operators.text import weighted_reservoir_sample
+
+    docs = table(spark, SF_CORRECT, "documents")
+    base = sorted(
+        map(
+            tuple,
+            weighted_reservoir_sample(docs, k=3)
+            .select("source", "doc_id")
+            .collect(),
+        )
+    )
+    reparted = sorted(
+        map(
+            tuple,
+            weighted_reservoir_sample(docs.repartition(17, "text"), k=3)
+            .select("source", "doc_id")
+            .collect(),
+        )
+    )
+    assert base == reparted
+    from collections import Counter
+
+    per_group = Counter(s for s, _ in base)
+    assert all(v == 3 for v in per_group.values())
