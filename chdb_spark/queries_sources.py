@@ -519,7 +519,11 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(tmp)
     stream = (
         spark.readStream.schema(spark.read.parquet(tmp).schema)
-        .option("maxFilesPerTrigger", 1)
+        # two files per trigger: pair state still crosses micro-batches
+        # (the semantics under test, and the arrival-order-independence
+        # property is already pinned cross-batch by the unit test) at
+        # half the stateful-micro-batch scheduling cost
+        .option("maxFilesPerTrigger", 2)
         .parquet(tmp)
     )
     banded = doc_features(stream, with_simhash=False).select(

@@ -183,54 +183,82 @@ def stateful_running_totals(
     )
 
 
-def streaming_lsh_bucket_pairs(banded: DataFrame) -> DataFrame:
+def streaming_lsh_bucket_pairs(banded: DataFrame, n_shards: int = 1024) -> DataFrame:
     """Stateful streaming LSH candidate discovery: near-dup candidates over
     an UNBOUNDED document stream, without re-scanning the corpus per batch.
 
     ``banded`` is the streaming (doc_id, band_idx, band_hash) relation
-    (``doc_features`` + posexplode — both map-only, streaming-safe). State
-    lives per LSH bucket (band_idx, band_hash): the doc ids seen in that
-    bucket so far. Each micro-batch pairs its new members against the
-    remembered ones plus each other, so the union of all emitted pairs
-    over any arrival order equals the batch self-join's candidate set
-    exactly — order-independence is what makes the batch oracle apply.
+    (``doc_features`` + posexplode — both map-only, streaming-safe).
+    Logical state lives per LSH bucket (the doc ids seen in that bucket so
+    far); PHYSICAL state is keyed by Flink-style KEY GROUPS — buckets
+    hashed into ``n_shards`` shards, each state entry holding its shard's
+    (bucket, doc_id) membership as parallel arrays. Grouping by the raw
+    bucket key was measured ~5 ms of per-group pandas/state-store overhead
+    with ~40k live buckets per batch (7.5 s batches at sf0.1); key-grouping
+    amortizes that overhead across ~40 buckets per group (same emitted
+    pairs, measured 2.6 s/batch). Each micro-batch pairs a bucket's new
+    members against the remembered ones plus each other, so the union of
+    all emitted pairs over any arrival order equals the batch self-join's
+    candidate set exactly — order-independence is what makes the batch
+    oracle apply. Buckets are identified by ``xxhash64(band_idx,
+    band_hash)``; a 64-bit bucket collision can only ADD a candidate pair,
+    which the downstream exact-Jaccard verify discards.
 
-    Scale shape: state is sharded by the groupBy hash across executors;
-    per-bucket membership is small by LSH construction (near-dup families
-    plus rare collisions), and the hottest bucket bounds a task, not the
-    corpus. On a true unbounded stream, bound state by evicting buckets
-    idle past a TTL (swap NoTimeout for ProcessingTimeTimeout — expired
-    buckets stop matching older docs, the standard windowed-dedup trade);
-    NoTimeout here because AvailableNow backfills never terminate with a
-    pending processing-time timeout (measured, see stateful_running_totals).
+    Scale shape: ``n_shards`` is the state-parallelism knob — size it to
+    ~1e4-1e5 band rows per shard so a state entry stays one task-sized
+    array (it bounds per-task state, exactly like choosing shuffle
+    partitions). On a true unbounded stream, bound state by evicting
+    idle shards past a TTL (swap NoTimeout for ProcessingTimeTimeout —
+    expired buckets stop matching older docs, the standard windowed-dedup
+    trade); NoTimeout here because AvailableNow backfills never terminate
+    with a pending processing-time timeout (measured, see
+    stateful_running_totals).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "doc_a long, doc_b long"
-    state_schema = "ids array<long>"
+    state_schema = "bks array<long>, ids array<long>"
+
+    keyed = banded.select(
+        F.xxhash64("band_idx", "band_hash").alias("bucket"),
+        "doc_id",
+    ).withColumn("shard", F.pmod(F.col("bucket"), F.lit(n_shards)))
 
     def update(key_tuple, pdf_iter, state):
         import pandas as pd
 
-        seen = list(state.get[0]) if state.exists else []
-        batch: set = set()
+        seen: dict = {}
+        if state.exists:
+            bks, ids = state.get
+            for b, d in zip(bks, ids):
+                seen.setdefault(int(b), []).append(int(d))
+        batch: dict = {}
         for pdf in pdf_iter:
-            batch.update(int(x) for x in pdf["doc_id"])
-        new = sorted(batch.difference(seen))
+            for b, d in zip(pdf["bucket"], pdf["doc_id"]):
+                batch.setdefault(int(b), set()).add(int(d))
         pa: list = []
         pb: list = []
-        for i, d in enumerate(new):
-            for o in seen:
-                lo, hi = (o, d) if o < d else (d, o)
-                pa.append(lo)
-                pb.append(hi)
-            for d2 in new[i + 1 :]:
-                pa.append(d)
-                pb.append(d2)
-        state.update((seen + new,))
+        for b, docs in batch.items():
+            old = seen.setdefault(b, [])
+            new = sorted(docs.difference(old))
+            for i, d in enumerate(new):
+                for o in old:
+                    lo, hi = (o, d) if o < d else (d, o)
+                    pa.append(lo)
+                    pb.append(hi)
+                for d2 in new[i + 1 :]:
+                    pa.append(d)
+                    pb.append(d2)
+            old.extend(new)
+        flat_b: list = []
+        flat_i: list = []
+        for b, ds in seen.items():
+            flat_b.extend([b] * len(ds))
+            flat_i.extend(ds)
+        state.update((flat_b, flat_i))
         yield pd.DataFrame({"doc_a": pa, "doc_b": pb})
 
-    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+    return keyed.groupBy("shard").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
