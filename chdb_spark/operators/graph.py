@@ -1,0 +1,205 @@
+"""Graph centrality over event streams — PageRank on the page-navigation
+graph.
+
+Web-scale data curation ranks hosts/pages by link centrality (Common
+Crawl's harmonic/PageRank rankings feed crawl prioritization and quality
+weighting; the reference reaches the same shape through iterated SQL over
+its engine — chdb exposes no dedicated graph operator either, reference
+chdb/datastore/core.py sql() passthrough is how a user would run it).
+Spark-first: the edge list is ONE window pass over the event log, each
+PageRank iteration is one hash join (ranks × edges) + one hash aggregation
+keyed by destination — the classic Pregel contraction expressed as
+DataFrame ops so Catalyst/AQE pick broadcast vs shuffle per iteration.
+
+Exactness contract (cl1/t19 lesson): every rank is an int64 in Q-units
+(Q = 1e12), updated only with integer multiply / integer divide / integer
+sum — no float accumulates anywhere, so results are independent of
+partitioning, parallelism, and summation order, and a fully-unrolled SQL
+replay in DuckDB must match BIT-EXACTLY. Positive-operand note: Spark's
+``div`` truncates toward zero, DuckDB's ``//`` floors — identical on the
+non-negative values used here.
+
+Scale posture (100 TB event log):
+- Edge derivation: one shuffle keyed by user (the window), then a
+  map-side-combining hash agg on (src, dst) — the |pages|² matrix is tiny
+  relative to the log.
+- Per iteration: `ranks` has one row per NODE (pages/hosts — millions,
+  not trillions); edges are persisted once and re-read from memory/disk
+  cache; AQE broadcasts `ranks` when it fits, else a shuffle join on src.
+- Overflow bound: rank_q ≤ Q = 1e12, so rank_q * edge_weight stays in
+  int64 while max edge weight < 9.2e6. Heavier edges: lower Q (the
+  parameter exists) or pre-bucket weights; the function asserts the bound.
+- Lineage: each iteration deepens the plan by two stages. For iters ≳ 20,
+  pass ``checkpoint_every`` to truncate lineage with localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chdb_spark.queries import defquery, table
+
+Q_SCALE = 10**12
+
+
+def page_graph_edges(
+    events: DataFrame,
+    user_col: str = "user_id",
+    key_expr: str = "CAST(get_json_object(props, '$.k') AS BIGINT)",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-user consecutive page transitions → weighted directed edges
+    (src, dst, w). Self-loops dropped (they only re-scale the diagonal).
+    One user-keyed window shuffle + one (src, dst) hash agg."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    keyed = events.select(
+        F.col(user_col), F.col(ts_col), F.col(tiebreak), F.expr(key_expr).alias("_k")
+    ).where(F.col("_k").isNotNull())
+    return (
+        keyed.withColumn("_prev", F.lag("_k").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_k")))
+        .groupBy(F.col("_prev").alias("src"), F.col("_k").alias("dst"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    q_scale: int = Q_SCALE,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Integer-exact PageRank (damping 0.85 as the rational 85/100) over a
+    weighted directed edge list (src, dst, w).
+
+    Per node k: r_0 = Q div n;  r_{i+1} = tele + (85 * S_i(k)) div 100
+    where tele = (15 * Q) div (100 * n) and S_i(k) = Σ over in-edges
+    (r_i(src) * w) div out_w(src). Dangling-node mass is dropped (the
+    standard "weakly preferential" variant — documented, mirrored by the
+    oracle). Returns (k, rank_q BIGINT, rank DOUBLE = rank_q / Q).
+    """
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    e = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.col("w").cast("long").alias("w"), "out_w")
+        .persist()
+    )
+    max_w = e.agg(F.max("w")).first()[0]
+    if max_w is None:
+        e.unpersist()
+        raise ValueError("pagerank: empty edge list")
+    assert q_scale * max_w < 2**63, (
+        f"rank_q * weight would overflow int64 (max_w={max_w}); lower q_scale"
+    )
+    nodes = (
+        e.select(F.col("src").alias("k"))
+        .union(e.select(F.col("dst").alias("k")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    tele = (15 * q_scale) // (100 * n)
+    ranks = nodes.select("k", F.lit(q_scale // n).cast("long").alias("r"))
+    for i in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["k"])
+            .select(F.col("dst").alias("k"), F.expr("(r * w) div out_w").alias("c"))
+            .groupBy("k")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = nodes.join(contrib, "k", "left").select(
+            "k",
+            (
+                F.lit(tele) + F.expr("(85 * coalesce(s, CAST(0 AS LONG))) div 100")
+            ).cast("long").alias("r"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select(
+        "k",
+        F.col("r").alias("rank_q"),
+        F.round(F.col("r") / F.lit(float(q_scale)), 9).alias("rank"),
+    )
+    return out
+
+
+def _pr1_oracle_sql(iters: int = 5) -> str:
+    """pr1 oracle: edge derivation + every PageRank iteration unrolled as
+    one CTE pair per step (t19/cl1 pattern). All-integer updates make the
+    replay exact regardless of DuckDB vs Spark parallelism."""
+    q = Q_SCALE
+    parts = [
+        """WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    )""",
+        """seq AS (
+      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_k
+      FROM ev
+    )""",
+        """edges AS (
+      SELECT prev_k AS src, k AS dst, count(*) AS w
+      FROM seq WHERE prev_k IS NOT NULL AND prev_k <> k
+      GROUP BY src, dst
+    )""",
+        """outw AS (
+      SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+    )""",
+        """e AS (
+      SELECT edges.src, edges.dst, CAST(edges.w AS BIGINT) AS w, outw.out_w
+      FROM edges JOIN outw USING (src)
+    )""",
+        """nodes AS (
+      SELECT src AS k FROM e UNION SELECT dst FROM e
+    )""",
+        f"""c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {q} // CAST(count(*) AS BIGINT) AS r0,
+             (15 * {q}) // (100 * CAST(count(*) AS BIGINT)) AS tele
+      FROM nodes
+    )""",
+        "r0 AS (SELECT nodes.k, c.r0 AS r FROM nodes CROSS JOIN c)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT n.k, c.tele + (85 * COALESCE(s.s, 0)) // 100 AS r
+      FROM nodes n CROSS JOIN c
+      LEFT JOIN (
+        SELECT e.dst AS k, CAST(sum((r.r * e.w) // e.out_w) AS BIGINT) AS s
+        FROM e JOIN r{i-1} r ON r.k = e.src
+        GROUP BY e.dst
+      ) s ON s.k = n.k
+    )"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT k, CAST(r AS BIGINT) AS rank_q,
+           round(r / {float(q)}, 9) AS rank
+    FROM r{iters}
+    ORDER BY rank_q DESC, k LIMIT 20"""
+    )
+
+
+@defquery(
+    "pr1_pagerank",
+    _pr1_oracle_sql(),
+    doc="PageRank (5 integer-exact iterations, damping 85/100) over the "
+        "per-user page-navigation graph derived from events.props.k — the "
+        "link-centrality quality signal of web-curation pipelines. One "
+        "user-keyed window pass builds the weighted edge list; each "
+        "iteration is one ranks×edges hash join plus a dst-keyed agg with "
+        "all arithmetic in int64 Q-units, so the fully-unrolled SQL replay "
+        "matches bit-exactly. Top-20 pages by final rank.",
+)
+def pr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ranks = pagerank(page_graph_edges(ev), iters=5)
+    return ranks.orderBy(F.desc("rank_q"), "k").limit(20)
