@@ -1594,3 +1594,187 @@ def dd11(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     q = quality_features(docs)
     return cluster_representatives(comp, q).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# dd14 — incremental dedup: a new batch against a PERSISTED corpus index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_build_if_needed(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+    force: bool = False,
+) -> bool:
+    """Persist the corpus's MinHash-LSH dedup index — build once, dedup
+    every future batch against it (the daily-crawl contract: a 100 TB
+    corpus's shingle+signature pass is paid ONCE, not once per batch).
+
+    Layout: ``<path>/bands`` = (band_idx, band_hash, doc_id) probe table,
+    repartitioned on band_hash so one corpus band bucket is one
+    row-group neighborhood; ``<path>/features`` = (doc_id, hs) exact-
+    verification arrays. Staleness check = the IVF manifest recipe
+    (params + row count + id sum + bit_xor(xxhash64(id)) — ONE
+    column-pruned aggregate; the text column is never read by the
+    check). Atomic tempdir+rename swap on local paths; object-store
+    paths refuse in-place rebuilds, same contract as ivf_index_build.
+    Returns True when a (re)build happened.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    spark = corpus.sparkSession
+    fp = corpus.agg(
+        F.count(id_col).alias("n"),
+        F.sum(id_col).alias("s"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("x"),
+    ).collect()[0]
+    want = {
+        "v": 1,
+        "n": n,
+        "k": k,
+        "bands": bands,
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_rows": int(fp["n"]),
+        "id_sum": int(fp["s"] or 0),
+        "id_hash_xor": int(fp["x"] or 0),
+    }
+    mf = os.path.join(path, "_MANIFEST.json")
+    if not force and "://" not in path and os.path.exists(mf):
+        try:
+            with open(mf) as f:
+                have = json.load(f)
+            if have == want and os.path.isdir(os.path.join(path, "bands")):
+                return False
+        except (ValueError, OSError):
+            pass  # unreadable manifest → rebuild
+    if "://" in path:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            raise ValueError(
+                f"minhash_index_build_if_needed: {path!r} exists and object-"
+                "store paths cannot be swapped atomically — build into a "
+                "fresh versioned path and flip a pointer instead"
+            )
+    feats = doc_features(
+        corpus, id_col, text_col, n=n, k=k, bands=bands, with_simhash=False
+    ).localCheckpoint(eager=True)
+    target = path if "://" in path else f"{path}__build_{uuid.uuid4().hex[:8]}"
+    feats.select("doc_id", "hs").write.mode("overwrite").parquet(
+        os.path.join(target, "features")
+    )
+    (
+        feats.select(
+            "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
+        )
+        .repartition("band_hash")
+        .write.mode("overwrite")
+        .parquet(os.path.join(target, "bands"))
+    )
+    with open(os.path.join(target, "_MANIFEST.json"), "w") as f:
+        json.dump(want, f)  # manifest last: partial build never reads valid
+    if target != path:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(target, path)
+    return True
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index_path: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against the persisted corpus index:
+    (doc_new, doc_corpus, jaccard ≥ threshold).
+
+    Scale shape: the batch (a day's crawl — orders of magnitude below the
+    corpus) takes ONE map-only feature pass; its exploded band keys join
+    the index's band table (16-byte keys × bands per corpus doc, ≪ the
+    corpus text, and never recomputed); exact verification joins only the
+    candidate set against the two feature tables. Nothing rescans or
+    re-shuffles corpus text. Upgrade path: store ``bands`` bucketBy(
+    band_hash) in a catalog table and the probe join shuffles ONLY the
+    batch side.
+    """
+    spark = batch.sparkSession
+    feats_new = doc_features(
+        batch, id_col, text_col, n=n, k=k, bands=bands, with_simhash=False
+    ).localCheckpoint(eager=True)
+    new_bands = feats_new.select(
+        "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
+    )
+    idx_bands = spark.read.parquet(f"{index_path}/bands")
+    cand = (
+        new_bands.alias("nb")
+        .join(idx_bands.alias("cb"), ["band_idx", "band_hash"])
+        .select(
+            F.col("nb.doc_id").alias("doc_new"),
+            F.col("cb.doc_id").alias("doc_corpus"),
+        )
+        .distinct()
+    )
+    fa = feats_new.select(F.col("doc_id").alias("doc_new"), F.col("hs").alias("hs_a"))
+    fb = spark.read.parquet(f"{index_path}/features").select(
+        F.col("doc_id").alias("doc_corpus"), F.col("hs").alias("hs_b")
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
+    return (
+        cand.join(fa, "doc_new")
+        .join(fb, "doc_corpus")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_corpus", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@defquery(
+    "dd14_incremental_dedup",
+    """
+    WITH sh AS (
+      SELECT doc_id, list_distinct([sub[1] || ' ' || sub[2] || ' ' || sub[3] for sub in
+        [toks[i:i+2] for i in range(1, len(toks)-1)]]) AS shingles
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    )
+    SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(a.shingles || b.shingles)) >= 0.8
+    ORDER BY doc_new, doc_corpus
+    """,
+    doc="incremental near-dup dedup: the 10% 'new batch' (doc_id%10=7) "
+        "checked against the persisted MinHash-LSH index of the other 90% "
+        "— build-once/probe-many, the daily-crawl dedup contract. The "
+        "corpus feature pass is amortized behind a fingerprinted manifest "
+        "(IVF recipe); each batch pays one map-only feature pass over "
+        "ITSELF plus a band-key join. Oracle = brute-force cross-set "
+        "Jaccard at the same threshold.",
+)
+def dd14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    batch = docs.where(F.col("doc_id") % 10 == 7)
+    idx = scratch_dir("mhidx", sf_dir)
+    minhash_index_build_if_needed(corpus, idx)
+    return dedup_against_index(batch, idx, threshold=0.8).orderBy(
+        "doc_new", "doc_corpus"
+    )

@@ -1151,3 +1151,44 @@ def test_weighted_reservoir_deterministic_across_partitionings(spark):
 
     per_group = Counter(s for s, _ in base)
     assert all(v == 3 for v in per_group.values())
+
+
+def test_minhash_index_build_if_needed_reuses_until_stale(spark, tmp_path):
+    """dd14's amortization contract mirrors the IVF one: matching manifest
+    skips the rebuild; corpus/params change or force rebuilds; a missing
+    manifest (partial build) never reads as valid; and the reused index
+    gives the same matches as a fresh in-memory LSH run."""
+    import os
+
+    from chdb_spark.operators.dedup import (
+        dedup_against_index,
+        minhash_index_build_if_needed,
+        minhash_lsh_dedup,
+    )
+
+    docs = table(spark, SF_CORRECT, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    batch = docs.where(F.col("doc_id") % 10 == 7)
+    idx = str(tmp_path / "mh")
+    assert minhash_index_build_if_needed(corpus, idx) is True
+    assert minhash_index_build_if_needed(corpus, idx) is False  # reuse
+    assert minhash_index_build_if_needed(corpus, idx, bands=16) is True  # params
+    assert minhash_index_build_if_needed(corpus.limit(50), idx, bands=16) is True
+    os.remove(os.path.join(idx, "_MANIFEST.json"))
+    assert minhash_index_build_if_needed(corpus.limit(50), idx, bands=16) is True
+    # rebuild at the real params, then check probe results against the
+    # all-in-one LSH over corpus ∪ batch restricted to cross-set pairs
+    assert minhash_index_build_if_needed(corpus, idx) is True
+    got = sorted(
+        map(tuple, dedup_against_index(batch, idx, threshold=0.8).collect())
+    )
+    full = minhash_lsh_dedup(docs, threshold=0.8)
+    is_new_a = F.col("doc_a") % 10 == 7
+    is_new_b = F.col("doc_b") % 10 == 7
+    cross = full.where(is_new_a != is_new_b).select(
+        F.when(is_new_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_new"),
+        F.when(is_new_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_corpus"),
+        "jaccard",
+    )
+    want = sorted(map(tuple, cross.collect()))
+    assert got == want and len(got) > 0
