@@ -361,3 +361,141 @@ def synthesize_pcm(df: DataFrame, id_col: str = "media_id") -> DataFrame:
         return ids.map(lambda i: encode_pcm(int(i)))
 
     return df.withColumn("payload", _synth(F.col(id_col)))
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image near-dup (m4)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm_variant(
+    media_id: int, base_mod: int = 150, perturb_bytes: int = 24
+) -> bytes:
+    """Synthesize a P6 image whose CONTENT is keyed by ``media_id %
+    base_mod`` — ids ``x`` and ``x + base_mod`` render the same picture
+    except the first ``perturb_bytes`` pixel bytes shift by +1 (a small
+    corruption: re-encode artifacts, a changed watermark corner). This
+    gives the perceptual-hash dedup a corpus with REAL near-duplicates
+    whose exact pixel math the SQL oracle replays."""
+    import numpy as np
+
+    base = media_id % base_mod
+    shift = media_id // base_mod
+    w, h = ppm_dims(base)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    j = np.arange(3 * w * h, dtype=np.int64)
+    vals = base * PPM_MULT + j * PPM_STEP
+    vals[: min(perturb_bytes, vals.size)] += shift
+    return header + (vals % PPM_MOD).astype(np.uint8).tobytes()
+
+
+def synthesize_ppm_variants(
+    df: DataFrame,
+    id_col: str = "media_id",
+    base_mod: int = 150,
+    perturb_bytes: int = 24,
+) -> DataFrame:
+    """Executor-side synthesis of the variant corpus (see
+    ``encode_ppm_variant``); payload bytes never touch the driver."""
+    bm, pb = base_mod, perturb_bytes
+
+    @F.pandas_udf(T.BinaryType())
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_ppm_variant(int(i), bm, pb))
+
+    return df.withColumn("payload", _synth(F.col(id_col)))
+
+
+AHASH_GRID = 8  # 8×8 = 64-bit hash; the band/verify contract assumes it
+
+
+def image_ahash(media: DataFrame, batch_size: int = 256) -> DataFrame:
+    """64-bit average-hash (aHash) per image as a 64-char '0'/'1' string:
+    decode the P6 plane, integer BT.601 luma per pixel, pool into an 8×8
+    geometric grid (cell_x = 8*x // w), bit = cell mean > global mean
+    decided by EXACT integer cross-multiplication (sum_cell * n_pixels >
+    sum_total * n_cell) — no float anywhere, so DuckDB replays the hash
+    bit-for-bit. Map-only over Arrow batches; payloads stay executor-side.
+    Cells a tiny image never touches (w < 8) stay '0' on both sides
+    (0 > 0 is false)."""
+    import numpy as np
+
+    def _ah(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = AHASH_GRID
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hdr = parse_ppm_header(bytes(payload))
+                if hdr is None:
+                    rows.append((int(mid), None))
+                    continue
+                w, h, maxval, off = hdr
+                pix = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8, offset=off)[
+                        : 3 * w * h
+                    ]
+                    .astype(np.int64)
+                    .reshape(h, w, 3)
+                )
+                y = pix[..., 0] * 299 + pix[..., 1] * 587 + pix[..., 2] * 114
+                cy = (g * np.arange(h)) // h
+                cx = (g * np.arange(w)) // w
+                cell = (cy[:, None] * g + cx[None, :]).ravel()
+                sums = np.zeros(g * g, dtype=np.int64)
+                counts = np.zeros(g * g, dtype=np.int64)
+                np.add.at(sums, cell, y.ravel())
+                np.add.at(counts, cell, 1)
+                bits = sums * (w * h) > int(y.sum()) * counts
+                rows.append((int(mid), "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        _ah, "media_id long, ahash string"
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, bands: int = 8, max_hamming: int = 6
+) -> DataFrame:
+    """Near-duplicate image pairs from 64-bit perceptual hashes: split the
+    bitstring into ``bands`` equal substrings, bucket-join on any equal
+    band (pigeonhole: every pair with hamming < bands is guaranteed a
+    candidate), then EXACT Hamming verification via two 32-bit
+    conv→xor→bit_count halves — pure JVM expressions, no UDF.
+
+    Deterministic-semantics note: candidates = "≥1 of the ``bands`` fixed
+    substrings equal"; because the oracle splits the SAME bitstring at the
+    SAME offsets, Spark and SQL candidate sets are identical even for
+    pairs above the pigeonhole guarantee, so results match exactly at any
+    threshold. Scale: the band self-join is keyed by (band_idx, value) —
+    the simhash/minhash LSH shape; no all-pairs anywhere."""
+    from chdb_spark.operators.dedup import candidate_pairs_from_buckets
+
+    r = 64 // bands
+    banded = hashes.where(F.col("ahash").isNotNull()).select(
+        F.col("media_id").alias("doc_id"),
+        F.posexplode(
+            F.array(*[F.substring("ahash", b * r + 1, r) for b in range(bands)])
+        ).alias("band_idx", "band_hash"),
+    )
+    cand = candidate_pairs_from_buckets(banded, ["band_idx", "band_hash"])
+    ha = hashes.select(F.col("media_id").alias("doc_a"), F.col("ahash").alias("ha"))
+    hb = hashes.select(F.col("media_id").alias("doc_b"), F.col("ahash").alias("hb"))
+
+    def _half(c: str, start: int):
+        return F.conv(F.substring(c, start, 32), 2, 10).cast("long")
+
+    ham = F.bit_count(_half("ha", 1).bitwiseXOR(_half("hb", 1))) + F.bit_count(
+        _half("ha", 33).bitwiseXOR(_half("hb", 33))
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("doc_a").alias("media_a"),
+            F.col("doc_b").alias("media_b"),
+            "hamming",
+        )
+    )

@@ -337,3 +337,93 @@ def m3_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_video_frames(media, every_n_seconds=1.0, max_frames=16)
     return frames.orderBy("media_id", "frame_idx")
+
+
+@defquery(
+    "m4_image_phash_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             doc_id % 150 AS base, doc_id // 150 AS shift,
+             4 * (1 + (doc_id % 150) % 8) AS w,
+             4 * (1 + ((doc_id % 150) % 64) // 8) AS h
+      FROM documents WHERE doc_id < 300
+    ),
+    lum AS (
+      SELECT media_id, w, h, p,
+        299 * ((base * 2654435761 + (3*p)   * 40503 + CASE WHEN 3*p   < 24 THEN shift ELSE 0 END) % 251)
+      + 587 * ((base * 2654435761 + (3*p+1) * 40503 + CASE WHEN 3*p+1 < 24 THEN shift ELSE 0 END) % 251)
+      + 114 * ((base * 2654435761 + (3*p+2) * 40503 + CASE WHEN 3*p+2 < 24 THEN shift ELSE 0 END) % 251)
+        AS y
+      FROM m, LATERAL unnest(generate_series(0, w * h - 1)) AS t(p)
+    ),
+    cells AS (
+      SELECT media_id, ((8 * (p // w)) // h) * 8 + (8 * (p % w)) // w AS cell,
+             CAST(sum(y) AS BIGINT) AS cy, count(*) AS cn
+      FROM lum GROUP BY media_id, cell
+    ),
+    tot AS (
+      SELECT media_id, CAST(sum(y) AS BIGINT) AS ty, count(*) AS tn
+      FROM lum GROUP BY media_id
+    ),
+    bits AS (
+      SELECT t.media_id, g.c AS cell,
+             CASE WHEN COALESCE(cells.cy, 0) * t.tn > t.ty * COALESCE(cells.cn, 0)
+                  THEN '1' ELSE '0' END AS bit
+      FROM tot t
+      CROSS JOIN LATERAL unnest(generate_series(0, 63)) AS g(c)
+      LEFT JOIN cells ON cells.media_id = t.media_id AND cells.cell = g.c
+    ),
+    hashes AS (
+      SELECT media_id, string_agg(bit, '' ORDER BY cell) AS ahash
+      FROM bits GROUP BY media_id
+    ),
+    cand AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+      WHERE substr(a.ahash,  1, 8) = substr(b.ahash,  1, 8)
+         OR substr(a.ahash,  9, 8) = substr(b.ahash,  9, 8)
+         OR substr(a.ahash, 17, 8) = substr(b.ahash, 17, 8)
+         OR substr(a.ahash, 25, 8) = substr(b.ahash, 25, 8)
+         OR substr(a.ahash, 33, 8) = substr(b.ahash, 33, 8)
+         OR substr(a.ahash, 41, 8) = substr(b.ahash, 41, 8)
+         OR substr(a.ahash, 49, 8) = substr(b.ahash, 49, 8)
+         OR substr(a.ahash, 57, 8) = substr(b.ahash, 57, 8)
+    ),
+    scored AS (
+      SELECT media_a, media_b,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM generate_series(1, 64) s(i)
+              WHERE substr(ha, CAST(i AS INTEGER), 1)
+                 <> substr(hb, CAST(i AS INTEGER), 1)) AS hamming
+      FROM cand
+    )
+    SELECT media_a, media_b, hamming
+    FROM scored WHERE hamming <= 6
+    ORDER BY media_a, media_b
+    """,
+    doc="perceptual-hash image near-dup (multimodal × dedup): synthesize a "
+        "300-image corpus where ids x and x+150 render the same picture "
+        "with a 24-byte corruption, decode executor-side, compute the "
+        "64-bit aHash with exact integer cross-multiplication (no floats), "
+        "band the bitstring 8×8-bit, bucket-join candidates, verify exact "
+        "Hamming ≤ 6 via conv/xor/bit_count. The oracle replays pixels, "
+        "hash, bands and Hamming from the same closed forms — identical "
+        "candidate sets by construction (chdb_spark/multimodal.py).",
+)
+def m4_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.multimodal import (
+        image_ahash,
+        phash_neardup_pairs,
+        synthesize_ppm_variants,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = synthesize_ppm_variants(
+        docs.select(F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"))
+    )
+    hashes = image_ahash(media)
+    return phash_neardup_pairs(hashes, bands=8, max_hamming=6).orderBy(
+        "media_a", "media_b"
+    )

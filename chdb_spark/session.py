@@ -90,6 +90,22 @@ def get_spark(
     when no cluster master is configured; on a real deployment, leave it to
     spark-submit.
     """
+    # Executor Python workers must be able to import chdb_spark: UDF
+    # closures (pandas_udf / mapInPandas kernels in multimodal.py,
+    # operators/) reference module-level helpers, which cloudpickle
+    # serializes BY REFERENCE — the worker then imports the module. A
+    # driver process launched from outside the repo (sys.path patched
+    # in-process only) would otherwise fail with ModuleNotFoundError on
+    # the first UDF task. Exporting the package parent on PYTHONPATH
+    # BEFORE the JVM starts covers local mode (workers inherit the
+    # driver's env); cluster deployments ship the package via --py-files
+    # / pex as usual.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
