@@ -203,3 +203,126 @@ def pr1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     ranks = pagerank(page_graph_edges(ev), iters=5)
     return ranks.orderBy(F.desc("rank_q"), "k").limit(20)
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Directed weighted edges → distinct undirected (u < v) pairs."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") < F.col("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame, top: int = 20) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected version of a directed edge list; top ``top`` nodes by
+    (triangles DESC, k ASC).
+
+    The node-iterator join with canonical ordering (a < b < c): edge
+    (a,b) ⋈ edge (b,c) ⋈ edge (a,c) counts each triangle exactly once —
+    two shuffle joins keyed by node id, the standard distributed
+    formulation (no per-node adjacency materialization, no driver
+    state). Each triangle credits all three corners via one explode;
+    degree comes from one hash agg over both edge endpoints.
+    clustering = 2·T / (deg·(deg−1)) — exact integers into one IEEE
+    division, identical on the SQL side. Skew note: a celebrity node's
+    candidate wedges concentrate on its id; AQE skew-join splitting
+    handles it, and the canonical a<b<c orientation already halves
+    wedge counts vs the naive formulation.
+    """
+    e = undirected_edges(edges).persist()
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    deg = (
+        e.select(F.col("u").alias("k"))
+        .union(e.select(F.col("v").alias("k")))
+        .groupBy("k")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    out = (
+        deg.join(per_node, "k", "left")
+        .select(
+            "k",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "k")
+        .limit(top)
+    )
+    return out
+
+
+@defquery(
+    "tc1_triangle_stats",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    seq AS (
+      SELECT k, lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_k
+      FROM ev
+    ),
+    dedges AS (
+      SELECT DISTINCT least(prev_k, k) AS u, greatest(prev_k, k) AS v
+      FROM seq WHERE prev_k IS NOT NULL AND prev_k <> k
+    ),
+    e AS (SELECT u, v FROM dedges WHERE u < v),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab
+      JOIN e bc ON ab.v = bc.u
+      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    corners AS (
+      SELECT corner AS k, count(*) AS triangles
+      FROM tri, LATERAL unnest([a, b, c]) AS t(corner)
+      GROUP BY corner
+    ),
+    deg AS (
+      SELECT k, count(*) AS degree
+      FROM (SELECT u AS k FROM e UNION ALL SELECT v FROM e)
+      GROUP BY k
+    )
+    SELECT deg.k AS k, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(COALESCE(corners.triangles, 0) AS BIGINT) AS triangles,
+           round(CASE WHEN deg.degree >= 2
+                 THEN 2.0 * COALESCE(corners.triangles, 0)
+                      / (deg.degree * (deg.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN corners ON corners.k = deg.k
+    ORDER BY triangles DESC, k LIMIT 20
+    """,
+    doc="per-node triangle counts + local clustering coefficient over the "
+        "undirected page-navigation graph (pr1's edge list) — the "
+        "graph-quality signal (link-farm detection: abnormally dense "
+        "neighborhoods) next to PageRank's centrality. Canonical a<b<c "
+        "node-iterator joins count each triangle once; all counts exact "
+        "integers, one identical IEEE division per node. Top-20 by "
+        "triangle count.",
+)
+def tc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return triangle_stats(page_graph_edges(ev), top=20)
