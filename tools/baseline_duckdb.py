@@ -70,6 +70,12 @@ NOT_COMPARABLE = {
     "zo1_zorder_rectangle",
     "wr1_token_shards",
     "rc2_remote_clickhouse_write",
+    # --- round-6 late additions ---
+    # brute-force cross-set Jaccard oracle vs Spark's persisted LSH index:
+    "dd14_incremental_dedup",
+    # oracle regenerates every pixel via generate_series (a correctness
+    # device); Spark decodes the actual binary payloads:
+    "m4_image_phash_dedup",
 }
 
 
