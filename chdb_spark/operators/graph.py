@@ -82,14 +82,17 @@ def pagerank(
     oracle). Returns (k, rank_q BIGINT, rank DOUBLE = rank_q / Q).
     """
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    # localCheckpoint, not persist: the blocks are ContextCleaner-released
+    # when the plan is GC'd (the repo's r6 caching policy — no session-long
+    # cache accumulation across a 200-query run), and the truncated lineage
+    # keeps each of the `iters` downstream joins reading blocks.
     e = (
         edges.join(outw, "src")
         .select("src", "dst", F.col("w").cast("long").alias("w"), "out_w")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     max_w = e.agg(F.max("w")).first()[0]
     if max_w is None:
-        e.unpersist()
         raise ValueError("pagerank: empty edge list")
     assert q_scale * max_w < 2**63, (
         f"rank_q * weight would overflow int64 (max_w={max_w}); lower q_scale"
@@ -98,7 +101,7 @@ def pagerank(
         e.select(F.col("src").alias("k"))
         .union(e.select(F.col("dst").alias("k")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     tele = (15 * q_scale) // (100 * n)
@@ -233,7 +236,9 @@ def triangle_stats(edges: DataFrame, top: int = 20) -> DataFrame:
     handles it, and the canonical a<b<c orientation already halves
     wedge counts vs the naive formulation.
     """
-    e = undirected_edges(edges).persist()
+    # three branches of one job read the edge list — checkpoint once
+    # (ContextCleaner-released; no session-long cache growth)
+    e = undirected_edges(edges).localCheckpoint(eager=True)
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
