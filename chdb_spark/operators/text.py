@@ -1981,3 +1981,73 @@ def tfidf_keywords(
 def tf1(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return tfidf_keywords(docs).orderBy("source", "rk")
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle (t22)
+# ---------------------------------------------------------------------------
+
+
+def training_shuffle(
+    docs: DataFrame,
+    n_shards: int = 16,
+    salt: str = "shuffle-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global sort:
+    order key = salted-md5 of the id (a fixed pseudo-random permutation),
+    shard = key mod ``n_shards``. Training order is (shard, key); a
+    reader streams shards independently, each internally ordered by key
+    at write time (wr1's sortWithinPartitions mechanics) — so the
+    "shuffle" every pretraining run needs costs ONE map pass + the
+    shard-keyed exchange, never a cluster-wide sort. Re-salting yields an
+    independent permutation; ID-keying keeps a doc's position stable as
+    the corpus grows (the same audit property as t18's split).
+
+    Returns per-shard audit stats: doc count, key range, and the first
+    document in training order — every value replayed exactly by the SQL
+    oracle (identical md5 math on both engines).
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        md5_prefix48(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).alias("okey"),
+    )
+    sharded = keyed.withColumn("shard", F.pmod(F.col("okey"), F.lit(n_shards)).cast("long"))
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("okey").alias("min_key"),
+            F.max("okey").alias("max_key"),
+            F.min_by(id_col, "okey").cast("long").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+@defquery(
+    "t22_training_shuffle",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+                  AS BIGINT) AS okey
+      FROM documents
+    )
+    SELECT okey % 16 AS shard, count(*) AS n_docs,
+           min(okey) AS min_key, max(okey) AS max_key,
+           CAST(min_by(doc_id, okey) AS BIGINT) AS first_doc
+    FROM keyed GROUP BY shard ORDER BY shard
+    """,
+    doc="deterministic training-order shuffle: salted-md5 permutation key "
+        "+ mod-16 sharding — the reproducible global shuffle every "
+        "pretraining run needs, with NO cluster-wide sort (order lives "
+        "inside shards). Per-shard audit stats; the oracle recomputes the "
+        "identical hash, so assignment AND order (via min/max/min_by) are "
+        "checked exactly.",
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return training_shuffle(docs)
