@@ -472,6 +472,41 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "minIf": _case_if("min"),
     "maxIf": _case_if("max"),
     "anyIf": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)",
+    # -- -State / -Merge / -SimpleState combinators ---------------------------
+    # The AggregatingMergeTree pre-aggregation pattern (reference
+    # datastore/core.py:6004 — "AggregatingMergeTree() together with -State
+    # aggregate functions in the SELECT"): <f>State builds a mergeable
+    # partial, <f>Merge re-aggregates partials. CH serializes states as
+    # opaque binaries; here each state is a PLAIN-VALUE representation
+    # (sum partial = the running sum, avg partial = struct<s,c>, uniqExact
+    # partial = a set, uniq partial = an HLL sketch via Spark's
+    # hll_sketch_agg) — State→Merge round-trips inside this engine are
+    # exact/semantically identical, byte-compat with a CH server's states is
+    # out of scope (ledgered). operators/rollup.py is the DataFrame-level
+    # counterpart of the same algebra.
+    "countState": lambda a: f"count({', '.join(a)})" if a else "count(*)",
+    "sumState": _t("sum({0})"),
+    "minState": _t("min({0})"),
+    "maxState": _t("max({0})"),
+    "anyState": _t("any_value({0}, true)"),
+    "avgState": _t("named_struct('s', sum({0}), 'c', count({0}))"),
+    "uniqExactState": _t("collect_set({0})"),
+    "uniqState": _t("hll_sketch_agg({0})"),
+    "countMerge": _t("sum({0})"),
+    "sumMerge": _t("sum({0})"),
+    "minMerge": _t("min({0})"),
+    "maxMerge": _t("max({0})"),
+    "anyMerge": _t("any_value({0}, true)"),
+    "avgMerge": _t("(CAST(sum({0}.s) AS DOUBLE) / sum({0}.c))"),
+    "uniqExactMerge": _t(
+        "CAST(size(array_distinct(flatten(collect_list({0})))) AS BIGINT)"
+    ),
+    "uniqMerge": _t("hll_sketch_estimate(hll_union_agg({0}))"),
+    # -SimpleState (SimpleAggregateFunction columns): the state IS the value
+    "sumSimpleState": _t("sum({0})"),
+    "minSimpleState": _t("min({0})"),
+    "maxSimpleState": _t("max({0})"),
+    "anySimpleState": _t("any_value({0}, true)"),
     "argMin": lambda a: f"min_by({a[0]}, {a[1]})",
     "argMax": lambda a: f"max_by({a[0]}, {a[1]})",
     "anyLast": _t("last({0})"),

@@ -82,3 +82,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import layout  # noqa: F401
     from chdb_spark.operators import pipeline  # noqa: F401
     from chdb_spark.operators import graph  # noqa: F401
+    from chdb_spark.operators import rollup  # noqa: F401

@@ -1,0 +1,187 @@
+"""Mergeable partial-aggregate states — the AggregatingMergeTree /
+materialized-view rollup algebra as DataFrame operators.
+
+The reference's incremental-aggregation story is ClickHouse's ``-State`` /
+``-Merge`` combinator pair: a materialized view stores *partial aggregate
+states* at a fine grain (reference datastore/core.py:6004 — target engine
+``"AggregatingMergeTree()" together with -State aggregate functions in the
+SELECT``), and queries re-aggregate those states to any coarser grain with
+``<f>Merge`` — never re-scanning the raw table. That is exactly the
+two-level aggregation a 100 TB event log needs: the raw log is scanned
+ONCE into hourly states (tiny — |keys| x hours rows), and every
+daily/weekly/monthly query is an aggregation over states, not data.
+
+Spark-first representation — states are plain columns, not opaque blobs:
+
+========== ============================== ======================= =========
+kind       partial state                  merge                   finalize
+========== ============================== ======================= =========
+count      ``count(x)`` (bigint)          ``sum``                 identity
+sum        ``sum(x)`` (input sum type)    ``sum``                 identity
+min / max  ``min(x)`` / ``max(x)``        ``min`` / ``max``       identity
+avg        ``struct(s=sum(x), c=count)``  field-wise ``sum``      ``s / c``
+uniq_exact ``collect_set(x)``             distinct set union      ``size``
+uniq       ``hll_sketch_agg(x)`` (binary) ``hll_union_agg``       estimate
+========== ============================== ======================= =========
+
+Every kind is *algebraic*: ``merge(partials)`` is exactly equal to the
+direct aggregate for count/sum/min/max/avg/uniq_exact, and
+estimate-identical for the HLL ``uniq`` (union of sketches is the sketch
+of the union). merge is associative, so states roll up hour → day → month
+without touching raw data. The SQL-dialect counterpart (``sumState`` /
+``sumMerge`` … in CH query text) lives in dialect.py — same algebra, same
+plain-value state representation; byte-compat with a ClickHouse *server's*
+serialized states is explicitly out of scope.
+
+Scale contracts (100 TB):
+- partial_states is one shuffle on the fine-grain keys with map-side
+  combine; the state table is |fine keys| rows — metadata-sized next to
+  the raw log.
+- merge_states shuffles only state rows. ``uniq_exact`` states grow with
+  per-group cardinality (a set per group) — its contract is
+  bounded-cardinality groups (users per type-day, not global uniques);
+  for unbounded cardinality use ``uniq`` (fixed ~1.5 KB HLL sketch per
+  group, any cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+#: kind → (partial builder, merge builder, finalize builder)
+_KINDS: dict = {
+    "count": (
+        lambda c: F.count(c if c is not None else F.lit(1)),
+        F.sum,
+        lambda s: s,
+    ),
+    "sum": (F.sum, F.sum, lambda s: s),
+    "min": (F.min, F.min, lambda s: s),
+    "max": (F.max, F.max, lambda s: s),
+    "avg": (
+        lambda c: F.struct(F.sum(c).alias("s"), F.count(c).alias("c")),
+        lambda s: F.struct(
+            F.sum(s.getField("s")).alias("s"), F.sum(s.getField("c")).alias("c")
+        ),
+        lambda s: s.getField("s").cast("double") / s.getField("c"),
+    ),
+    "uniq_exact": (
+        F.collect_set,
+        lambda s: F.array_distinct(F.flatten(F.collect_list(s))),
+        lambda s: F.size(s).cast("long"),
+    ),
+    "uniq": (
+        F.hll_sketch_agg,
+        F.hll_union_agg,
+        F.hll_sketch_estimate,
+    ),
+}
+
+#: out column → (kind, input column or Column; None only for count)
+AggSpec = dict[str, tuple[str, "str | Column | None"]]
+
+
+def _input(col):
+    if col is None:
+        return F.lit(1)
+    return F.col(col) if isinstance(col, str) else col
+
+
+def partial_states(df: DataFrame, group_cols: list, aggs: AggSpec) -> DataFrame:
+    """ONE scan of ``df`` → one mergeable state row per fine-grain group.
+
+    ``group_cols`` entries may be names or aliased Column expressions
+    (e.g. ``date_trunc('hour', ts).alias('hour')``). This is the
+    materialized-view build: persist the result and answer every coarser
+    aggregation from it via :func:`merge_states`.
+    """
+    exprs = []
+    for out, (kind, col) in aggs.items():
+        if kind not in _KINDS:
+            raise ValueError(
+                f"partial_states: unknown kind {kind!r} (have {sorted(_KINDS)})"
+            )
+        exprs.append(_KINDS[kind][0](_input(col)).alias(out))
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def merge_states(states: DataFrame, group_cols: list, aggs: AggSpec) -> DataFrame:
+    """Re-aggregate a state table to a coarser grain — state rows in,
+    state rows out (associative: chain hour → day → month freely).
+
+    ``group_cols`` may be expressions over the fine-grain keys (e.g.
+    ``to_date(hour).alias('day')``). Only state columns named in ``aggs``
+    are carried."""
+    exprs = []
+    for out, (kind, _) in aggs.items():
+        exprs.append(_KINDS[kind][1](F.col(out)).alias(out))
+    return states.groupBy(*group_cols).agg(*exprs)
+
+
+def finalize_states(states: DataFrame, aggs: AggSpec) -> DataFrame:
+    """States → final values (avg's division, set size, HLL estimate);
+    non-state columns pass through unchanged."""
+    state_cols = set(aggs)
+    out = []
+    for name in states.columns:
+        if name in state_cols:
+            out.append(_KINDS[aggs[name][0]][2](F.col(name)).alias(name))
+        else:
+            out.append(F.col(name))
+    return states.select(*out)
+
+
+@defquery(
+    "ru1_rollup_merge",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+           min(value) AS val_min,
+           max(value) AS val_max,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               AS val_avg,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ORDER BY event_type, day
+    """,
+    doc="AggregatingMergeTree rollup algebra (reference datastore/"
+        "core.py:6004 -State MV pattern): the event log is scanned ONCE "
+        "into hourly partial states (count/sum/min/max/avg-struct/"
+        "distinct-set), then the daily answer is computed ONLY from "
+        "states — merge is algebraic and associative, so the oracle "
+        "(direct daily aggregation over raw rows) must match EXACTLY. "
+        "Sums ride DECIMAL(18,2) so partial-merge order cannot perturb "
+        "bits (the g2 lesson). At 100 TB the state table is |type x hour| "
+        "rows — every daily/weekly query aggregates metadata, not data.",
+)
+def ru1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    aggs: AggSpec = {
+        "cnt": ("count", None),
+        "val_sum": ("sum", F.col("value").cast("decimal(18,2)")),
+        "val_min": ("min", "value"),
+        "val_max": ("max", "value"),
+        "val_avg": ("avg", F.col("value").cast("decimal(18,2)")),
+        "n_users": ("uniq_exact", "user_id"),
+    }
+    hourly = partial_states(
+        ev, ["event_type", F.date_trunc("hour", "ts").alias("hour")], aggs
+    )
+    daily = merge_states(
+        hourly, ["event_type", F.to_date("hour").alias("day")], aggs
+    )
+    return (
+        finalize_states(daily, aggs)
+        .withColumn("val_sum", F.col("val_sum").cast("double"))
+        .select(
+            "event_type", "day", "cnt", "val_sum", "val_min", "val_max",
+            "val_avg", "n_users",
+        )
+        .orderBy("event_type", "day")
+    )

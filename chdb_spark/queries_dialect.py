@@ -844,3 +844,61 @@ def ch18(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ["orders"],
     )
+
+
+@defquery(
+    "ch19_state_merge",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+           min(value) AS val_min,
+           max(value) AS val_max,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+               AS val_avg,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ORDER BY event_type, day
+    """,
+    doc="-State/-Merge combinators in CH query text (the AggregatingMergeTree "
+        "materialized-view pattern, reference datastore/core.py:6004): the "
+        "inner SELECT builds hourly partial states (countState/sumState/"
+        "minState/maxState/avgState/uniqExactState), the outer query "
+        "re-aggregates them to daily grain with the matching -Merge "
+        "functions. States are plain-value representations (dialect.py "
+        "combinator block), so the merge is exact and the oracle is the "
+        "direct daily aggregation over raw rows. Decimal sums keep the "
+        "partial-merge order out of the float bits (g2 lesson).",
+)
+def ch19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ch(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type,
+               toDate(hour) AS day,
+               countMerge(c_st) AS cnt,
+               toFloat64(sumMerge(s_st)) AS val_sum,
+               minMerge(mn_st) AS val_min,
+               maxMerge(mx_st) AS val_max,
+               avgMerge(a_st) AS val_avg,
+               uniqExactMerge(u_st) AS n_users
+        FROM (
+            SELECT event_type,
+                   toStartOfHour(ts) AS hour,
+                   countState() AS c_st,
+                   sumState(toDecimal64(value, 2)) AS s_st,
+                   minState(value) AS mn_st,
+                   maxState(value) AS mx_st,
+                   avgState(toDecimal64(value, 2)) AS a_st,
+                   uniqExactState(user_id) AS u_st
+            FROM events
+            GROUP BY event_type, toStartOfHour(ts)
+        )
+        GROUP BY event_type, toDate(hour)
+        ORDER BY event_type, day
+        """,
+        ["events"],
+    )

@@ -785,3 +785,63 @@ class TestAnyJoin:
         with pytest.raises(Exception, match="equality"):
             chs.query(spark, "SELECT * FROM anyl a ANY JOIN anyr b ON a.x < b.x",
                       "DataFrame")
+
+
+def test_rewrite_state_merge_combinators():
+    """-State/-Merge/-SimpleState (AggregatingMergeTree rollup pattern,
+    reference datastore/core.py:6004): states are plain-value
+    representations so Merge is the matching re-aggregate."""
+    assert rewrite("SELECT sumState(x) FROM t") == "SELECT sum(x) FROM t"
+    assert rewrite("SELECT countState() FROM t") == "SELECT count(*) FROM t"
+    assert rewrite("SELECT countMerge(c) FROM t") == "SELECT sum(c) FROM t"
+    assert (
+        rewrite("SELECT avgState(x) FROM t")
+        == "SELECT named_struct('s', sum(x), 'c', count(x)) FROM t"
+    )
+    assert (
+        rewrite("SELECT avgMerge(a) FROM t")
+        == "SELECT (CAST(sum(a.s) AS DOUBLE) / sum(a.c)) FROM t"
+    )
+    assert rewrite("SELECT uniqExactState(u) FROM t") == "SELECT collect_set(u) FROM t"
+    assert (
+        rewrite("SELECT uniqExactMerge(u) FROM t")
+        == "SELECT CAST(size(array_distinct(flatten(collect_list(u)))) AS BIGINT) FROM t"
+    )
+    assert rewrite("SELECT uniqState(u) FROM t") == "SELECT hll_sketch_agg(u) FROM t"
+    assert (
+        rewrite("SELECT uniqMerge(u) FROM t")
+        == "SELECT hll_sketch_estimate(hll_union_agg(u)) FROM t"
+    )
+    assert rewrite("SELECT maxSimpleState(x) FROM t") == "SELECT max(x) FROM t"
+
+
+def test_state_merge_round_trip_executes(spark):
+    """State → Merge round-trips equal the direct aggregate, including the
+    HLL uniq path (union-of-sketches == sketch-of-union)."""
+    spark.range(0, 1000).selectExpr(
+        "id % 7 AS k", "id % 3 AS fine", "id % 101 AS u", "CAST(id AS DOUBLE) AS v"
+    ).createOrReplaceTempView("smt")
+    out = chs.query(
+        spark,
+        """
+        SELECT k, countMerge(c) AS cnt, sumMerge(s) AS total,
+               avgMerge(a) AS mean, uniqExactMerge(ue) AS nu,
+               uniqMerge(uh) AS nh
+        FROM (
+            SELECT k, fine, countState() AS c, sumState(v) AS s,
+                   avgState(v) AS a, uniqExactState(u) AS ue,
+                   uniqState(u) AS uh
+            FROM smt GROUP BY k, fine
+        ) GROUP BY k ORDER BY k
+        """,
+        "DataFrame",
+    ).collect()
+    direct = spark.sql(
+        """
+        SELECT k, count(*) AS cnt, sum(v) AS total, avg(v) AS mean,
+               count(DISTINCT u) AS nu,
+               hll_sketch_estimate(hll_sketch_agg(u)) AS nh
+        FROM smt GROUP BY k ORDER BY k
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in direct]

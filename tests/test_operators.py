@@ -1192,3 +1192,90 @@ def test_minhash_index_build_if_needed_reuses_until_stale(spark, tmp_path):
     )
     want = sorted(map(tuple, cross.collect()))
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# rollup — mergeable partial-aggregate states (-State/-Merge algebra)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_aggs():
+    from chdb_spark.operators.rollup import AggSpec  # noqa: F401
+
+    return {
+        "cnt": ("count", None),
+        "val_sum": ("sum", F.col("value").cast("decimal(18,2)")),
+        "val_min": ("min", "value"),
+        "val_max": ("max", "value"),
+        "val_avg": ("avg", F.col("value").cast("decimal(18,2)")),
+        "n_users": ("uniq_exact", "user_id"),
+    }
+
+
+def test_rollup_merge_associative(spark):
+    """hour→day→month chained merges == direct aggregation at month grain,
+    EXACTLY (every kind is algebraic; sums ride decimal)."""
+    from chdb_spark.operators.rollup import (
+        finalize_states,
+        merge_states,
+        partial_states,
+    )
+
+    ev = table(spark, SF_CORRECT, "events")
+    aggs = _rollup_aggs()
+    hourly = partial_states(
+        ev, ["event_type", F.date_trunc("hour", "ts").alias("g")], aggs
+    )
+    daily = merge_states(hourly, ["event_type", F.to_date("g").alias("g")], aggs)
+    monthly = merge_states(
+        daily, ["event_type", F.trunc("g", "month").alias("g")], aggs
+    )
+    got = {
+        tuple(r[:2]): r[2:]
+        for r in finalize_states(monthly, aggs)
+        .select("event_type", "g", *aggs)
+        .collect()
+    }
+
+    direct = partial_states(
+        ev, ["event_type", F.trunc(F.to_date("ts"), "month").alias("g")], aggs
+    )
+    want = {
+        tuple(r[:2]): r[2:]
+        for r in finalize_states(direct, aggs)
+        .select("event_type", "g", *aggs)
+        .collect()
+    }
+    assert set(got) == set(want) and got  # same groups, non-empty
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+def test_rollup_hll_uniq_merge_consistent(spark):
+    """uniq (HLL sketch) states: estimate(union of hourly sketches) equals
+    estimate(one direct sketch) — sketch-of-union == union-of-sketches."""
+    from chdb_spark.operators.rollup import (
+        finalize_states,
+        merge_states,
+        partial_states,
+    )
+
+    ev = table(spark, SF_CORRECT, "events")
+    aggs = {"u": ("uniq", "user_id")}
+    hourly = partial_states(
+        ev, ["event_type", F.date_trunc("hour", "ts").alias("g")], aggs
+    )
+    merged = merge_states(hourly, ["event_type"], aggs)
+    got = dict(finalize_states(merged, aggs).collect())
+    direct = dict(
+        finalize_states(partial_states(ev, ["event_type"], aggs), aggs).collect()
+    )
+    assert got == direct and got
+
+
+def test_rollup_rejects_unknown_kind(spark):
+    from chdb_spark.operators.rollup import partial_states
+
+    ev = table(spark, SF_CORRECT, "events")
+    with pytest.raises(ValueError, match="unknown kind"):
+        partial_states(ev, ["event_type"], {"x": ("median", "value")})
