@@ -83,3 +83,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import pipeline  # noqa: F401
     from chdb_spark.operators import graph  # noqa: F401
     from chdb_spark.operators import rollup  # noqa: F401
+    from chdb_spark.operators import cdc  # noqa: F401

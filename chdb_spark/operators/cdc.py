@@ -1,0 +1,176 @@
+"""Snapshot diff and version-collapse — the change-data-capture primitives
+of an incremental ingestion pipeline.
+
+A 100 TB corpus is not rebuilt nightly; it is *refreshed*: today's snapshot
+of an upstream table arrives, and the pipeline needs exactly the rows that
+changed — inserts re-enter dedup/quality scoring, deletes retire documents,
+updates invalidate downstream artifacts. The reference reaches this shape
+through its engine's table semantics (ReplacingMergeTree versions +
+``FINAL``, reference datastore/core.py CREATE TABLE ENGINE surface;
+dialect.py strips ``FINAL`` as a no-op because Spark tables have no
+merge-pending duplicates — :func:`latest_by_version` is the executable
+analogue when the duplicates are real). Both operators are Spark-first
+compositions — one shuffle each, no UDFs:
+
+* :func:`snapshot_diff` — FULL OUTER JOIN of old/new snapshots on the key,
+  classify ``insert`` / ``delete`` / ``update`` (any non-key column
+  IS DISTINCT FROM its counterpart), drop unchanged rows.
+* :func:`latest_by_version` — collapse multi-version rows to the winner per
+  key (max version; deterministic tie-break on the remaining columns) —
+  ReplacingMergeTree(ver) ``FINAL`` semantics over an append-only log.
+
+Scale contracts (100 TB):
+- snapshot_diff is ONE shuffle join keyed by the primary key on each side.
+  Both snapshots co-bucketed on the key (operators/skew.py write_bucketed)
+  → zero-exchange diff, the nightly-refresh amortization. Unchanged rows
+  (the overwhelming majority of a refresh) are dropped BEFORE any
+  downstream work; with ``compare_cols`` the inequality check reads only
+  the named columns, so Parquet column pruning keeps the scan narrow.
+- latest_by_version is one window pass partitioned by key — per-task state
+  is one key's versions; no global sort, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rows that changed between two snapshots sharing a primary key.
+
+    Returns one row per changed key with ``change_type`` in
+    ``insert`` / ``delete`` / ``update``, the key columns, and for every
+    compared column an ``old_<col>`` / ``new_<col>`` pair (NULL on the
+    absent side of inserts/deletes). Unchanged keys are dropped.
+
+    ``compare_cols`` defaults to every shared non-key column. Comparison is
+    null-safe (``IS DISTINCT FROM``): NULL → value and value → NULL count
+    as updates, NULL → NULL does not.
+    """
+    missing = [k for k in keys if k not in old.columns or k not in new.columns]
+    if missing:
+        raise ValueError(f"snapshot_diff: key columns missing: {missing}")
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = None
+    for k in keys:
+        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        cond = eq if cond is None else (cond & eq)
+    j = o.join(n, cond, "full_outer")
+
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    differs: Column = F.lit(False)
+    for c in compare_cols:
+        # IS DISTINCT FROM == NOT eqNullSafe
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+    ]
+    out_cols.append(change.alias("change_type"))
+    for c in compare_cols:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.select(*out_cols).filter(F.col("change_type").isNotNull())
+
+
+def latest_by_version(
+    df: DataFrame,
+    keys: list[str],
+    version_col: str,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Collapse an append-only multi-version log to the latest row per key
+    — ReplacingMergeTree(ver) ``FINAL`` semantics, executable.
+
+    The winner is the max ``version_col`` per key; exact duplicates of the
+    max version tie-break deterministically on ``tie_break`` (default: all
+    remaining columns, descending) so the result is stable across runs and
+    partitionings — CH FINAL keeps an arbitrary max-version row, same
+    ledgered determinism refinement as ANY JOIN."""
+    from pyspark.sql.window import Window
+
+    others = tie_break or [
+        c for c in df.columns if c not in set(keys) and c != version_col
+    ]
+    order = [F.col(version_col).desc()] + [
+        F.col(c).desc_nulls_last() for c in others
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@defquery(
+    "cd1_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 3
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ), new AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 5
+    )
+    SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           old.o_totalprice AS old_o_totalprice,
+           new.o_totalprice AS new_o_totalprice,
+           old.o_orderstatus AS old_o_orderstatus,
+           new.o_orderstatus AS new_o_orderstatus
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+    doc="change-data-capture between two snapshots of `orders` (old: keys "
+        "%10==7 absent + %10==3 prices stale; new: keys %10==5 retired): "
+        "ONE full-outer shuffle join on the key classifies insert/delete/"
+        "update via null-safe column compares and drops the unchanged "
+        "majority before anything downstream sees it. The oracle replays "
+        "the identical FULL OUTER JOIN in ANSI SQL. The +1.0 perturbation "
+        "is the same IEEE double op on both sides — bit-identical. At "
+        "100 TB both snapshots co-bucketed on the key make this "
+        "zero-exchange (write_bucketed); compare_cols keeps the scan "
+        "pruned to the columns the diff actually reads.",
+)
+def cd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = base.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = base.filter(F.col("o_orderkey") % 10 != 5)
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")

@@ -1279,3 +1279,63 @@ def test_rollup_rejects_unknown_kind(spark):
     ev = table(spark, SF_CORRECT, "events")
     with pytest.raises(ValueError, match="unknown kind"):
         partial_states(ev, ["event_type"], {"x": ("median", "value")})
+
+
+# ---------------------------------------------------------------------------
+# cdc — snapshot diff + version collapse
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_null_safety(spark):
+    """NULL→value and value→NULL are updates; NULL→NULL is unchanged."""
+    from chdb_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None), (4, "same")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now"), (2, None), (3, None), (4, "same"), (5, "fresh")],
+        "k int, v string",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: ("update", None, "now"),
+        2: ("update", "x", None),
+        5: ("insert", None, "fresh"),
+    }  # 3 (NULL→NULL) and 4 (equal) dropped
+
+
+def test_snapshot_diff_rejects_bad_keys(spark):
+    from chdb_spark.operators.cdc import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="key columns missing"):
+        snapshot_diff(df, df, ["nope"])
+    with pytest.raises(ValueError, match="no columns to compare"):
+        snapshot_diff(df.select("k"), df.select("k"), ["k"])
+
+
+def test_latest_by_version_deterministic(spark):
+    """ReplacingMergeTree(ver) FINAL analogue: max version wins per key,
+    exact max-version duplicates tie-break deterministically, result
+    independent of input partitioning."""
+    from chdb_spark.operators.cdc import latest_by_version
+
+    rows = [
+        (1, 1, "a"), (1, 3, "c"), (1, 2, "b"),
+        (2, 5, "x"), (2, 5, "y"),            # duplicate max version
+        (3, 7, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, ver int, payload string")
+    want = {(1, 3, "c"), (2, 5, "y"), (3, 7, None)}
+    for parts in (1, 7):
+        got = {
+            tuple(r)
+            for r in latest_by_version(
+                df.repartition(parts), ["k"], "ver"
+            ).collect()
+        }
+        assert got == want
