@@ -1339,3 +1339,46 @@ def test_latest_by_version_deterministic(spark):
             ).collect()
         }
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# evolve — schema-evolution union (NULL fill + type widening)
+# ---------------------------------------------------------------------------
+
+
+def test_union_by_name_widen_types_and_nulls(spark):
+    from chdb_spark.operators.evolve import union_by_name_widen
+
+    a = spark.createDataFrame([(1, 1.5)], "k int, score float")
+    b = spark.createDataFrame([(2**40, 2.5, "web")], "k bigint, score double, src string")
+    out = union_by_name_widen([a, b])
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("k", "bigint"), ("score", "double"), ("src", "string")
+    ]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {(1, 1.5, None), (2**40, 2.5, "web")}
+
+
+def test_union_by_name_widen_numeric_fractional_and_dates(spark):
+    import datetime
+
+    from chdb_spark.operators.evolve import union_by_name_widen
+
+    a = spark.createDataFrame([(1, datetime.date(2024, 1, 1))], "n long, d date")
+    b = spark.createDataFrame(
+        [(0.5, datetime.datetime(2024, 1, 2, 3, 4))], "n double, d timestamp"
+    )
+    out = union_by_name_widen([a, b])
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "double", "timestamp"
+    ]
+    assert out.count() == 2
+
+
+def test_union_by_name_widen_rejects_kind_change(spark):
+    from chdb_spark.operators.evolve import union_by_name_widen
+
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([("s",)], "x string")
+    with pytest.raises(TypeError, match="kind change"):
+        union_by_name_widen([a, b])
