@@ -507,6 +507,35 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "minSimpleState": _t("min({0})"),
     "maxSimpleState": _t("max({0})"),
     "anySimpleState": _t("any_value({0}, true)"),
+    # -- -Array combinator: aggregate over ALL elements of an array column --
+    # Per-row reduce stays inside codegen (no explode → no row blowup);
+    # sums accumulate as DOUBLE for any numeric element type (CH keeps the
+    # element's own sum type — ledgered divergence); uniqArray is EXACT
+    # here (CH's is a sketch).
+    "sumArray": _t(
+        "sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e AS DOUBLE)))"
+    ),
+    "avgArray": _t(
+        "(sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e AS DOUBLE)))"
+        " / sum(size({0})))"
+    ),
+    "minArray": _t("min(array_min({0}))"),
+    "maxArray": _t("max(array_max({0}))"),
+    "uniqArray": _t(
+        "CAST(size(array_distinct(flatten(collect_list({0})))) AS BIGINT)"
+    ),
+    "countIfArray": _t("sum(size(filter({0}, e -> e)))"),
+    # -- -OrNull combinator: NULL (not the type default) on an empty set --
+    # Spark aggregates already return NULL on empty/all-NULL input, so most
+    # map to the plain form; count is the exception (0 → NULL).
+    "sumOrNull": _t("sum({0})"),
+    "avgOrNull": _t("avg({0})"),
+    "minOrNull": _t("min({0})"),
+    "maxOrNull": _t("max({0})"),
+    "anyOrNull": _t("any_value({0}, true)"),
+    "countOrNull": lambda a: (
+        f"nullif(count({', '.join(a)}), 0)" if a else "nullif(count(*), 0)"
+    ),
     "argMin": lambda a: f"min_by({a[0]}, {a[1]})",
     "argMax": lambda a: f"max_by({a[0]}, {a[1]})",
     "anyLast": _t("last({0})"),

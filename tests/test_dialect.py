@@ -845,3 +845,36 @@ def test_state_merge_round_trip_executes(spark):
         """
     ).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in direct]
+
+
+def test_rewrite_array_and_ornull_combinators():
+    assert rewrite("SELECT minArray(a) FROM t") == "SELECT min(array_min(a)) FROM t"
+    assert rewrite("SELECT maxArray(a) FROM t") == "SELECT max(array_max(a)) FROM t"
+    assert (
+        rewrite("SELECT countOrNull() FROM t") == "SELECT nullif(count(*), 0) FROM t"
+    )
+    assert rewrite("SELECT sumOrNull(x) FROM t") == "SELECT sum(x) FROM t"
+
+
+def test_array_ornull_combinators_execute(spark):
+    """-Array aggregates fold per-row inside codegen then aggregate;
+    -OrNull returns NULL on an empty set."""
+    spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0],), ([],)], "a array<double>"
+    ).createOrReplaceTempView("arrt")
+    row = chs.query(
+        spark,
+        "SELECT sumArray(a) AS s, avgArray(a) AS m, minArray(a) AS lo, "
+        "maxArray(a) AS hi, uniqArray(a) AS u FROM arrt",
+        "DataFrame",
+    ).collect()[0]
+    assert (row["s"], row["m"], row["lo"], row["hi"], row["u"]) == (
+        6.0, 2.0, 1.0, 3.0, 3,
+    )
+    row2 = chs.query(
+        spark,
+        "SELECT countOrNull() AS c, sumOrNull(x) AS s "
+        "FROM (SELECT CAST(1 AS BIGINT) AS x WHERE 1 = 0)",
+        "DataFrame",
+    ).collect()[0]
+    assert row2["c"] is None and row2["s"] is None
