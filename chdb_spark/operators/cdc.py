@@ -93,6 +93,29 @@ def snapshot_diff(
     return j.select(*out_cols).filter(F.col("change_type").isNotNull())
 
 
+def apply_snapshot_diff(
+    old: DataFrame, diff: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Upsert a :func:`snapshot_diff` result onto the old snapshot — the
+    MERGE INTO analogue without a lakehouse format: deletes and updates
+    retire the old row (one LEFT ANTI join), inserts and updates add the
+    new-side row (a union). ``apply_snapshot_diff(old, snapshot_diff(old,
+    new, keys), keys)`` reconstructs ``new`` exactly (pinned by test).
+
+    ``old`` must carry exactly the key + compared columns the diff was
+    built from (select them first otherwise). One shuffle (the anti join,
+    keyed like the diff itself — co-bucketing applies identically)."""
+    new_cols = [c[4:] for c in diff.columns if c.startswith("new_")]
+    removals = diff.filter(
+        F.col("change_type").isin("delete", "update")
+    ).select(*keys)
+    kept = old.join(removals, keys, "left_anti")
+    additions = diff.filter(
+        F.col("change_type").isin("insert", "update")
+    ).select(*keys, *[F.col(f"new_{c}").alias(c) for c in new_cols])
+    return kept.unionByName(additions)
+
+
 def latest_by_version(
     df: DataFrame,
     keys: list[str],
@@ -174,3 +197,51 @@ def cd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+@defquery(
+    "cd2_apply_diff",
+    """
+    WITH new AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 <> 5
+    )
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM new
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="MERGE INTO analogue closing the CDC loop: the cd1 diff applied "
+        "back onto the old snapshot (LEFT ANTI retire + union of new-side "
+        "rows) must reconstruct the new snapshot EXACTLY — the oracle "
+        "aggregates the new-snapshot definition directly, so any row the "
+        "upsert loses, duplicates, or corrupts breaks the hash. Decimal "
+        "sums keep the checksum order-independent.",
+)
+def cd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    old = base.filter(F.col("o_orderkey") % 10 != 7).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = base.filter(F.col("o_orderkey") % 10 != 5)
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    rebuilt = apply_snapshot_diff(old, diff, ["o_orderkey"])
+    return (
+        rebuilt.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1382,3 +1382,28 @@ def test_union_by_name_widen_rejects_kind_change(spark):
     b = spark.createDataFrame([("s",)], "x string")
     with pytest.raises(TypeError, match="kind change"):
         union_by_name_widen([a, b])
+
+
+def test_apply_diff_reconstructs_new_snapshot(spark):
+    """apply(old, diff(old, new)) == new, exactly — including NULL
+    transitions and key churn."""
+    from chdb_spark.operators.cdc import apply_snapshot_diff, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (4, None, 4.0), (5, "e", None)],
+        "k int, s string, v double",
+    )
+    diff = snapshot_diff(old, new, ["k"])
+    rebuilt = apply_snapshot_diff(old, diff, ["k"])
+    assert {tuple(r) for r in rebuilt.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+    # diff of identical snapshots is empty → apply is the identity
+    empty = snapshot_diff(new, new, ["k"])
+    assert empty.count() == 0
+    same = apply_snapshot_diff(new, empty, ["k"])
+    assert {tuple(r) for r in same.collect()} == {tuple(r) for r in new.collect()}
