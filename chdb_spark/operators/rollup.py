@@ -22,6 +22,8 @@ min / max  ``min(x)`` / ``max(x)``        ``min`` / ``max``       identity
 avg        ``struct(s=sum(x), c=count)``  field-wise ``sum``      ``s / c``
 uniq_exact ``collect_set(x)``             distinct set union      ``size``
 uniq       ``hll_sketch_agg(x)`` (binary) ``hll_union_agg``       estimate
+hist       exact bucket-count array over  elementwise ``sum``     identity
+           a fixed (lo, hi, buckets) grid
 ========== ============================== ======================= =========
 
 Every kind is *algebraic*: ``merge(partials)`` is exactly equal to the
@@ -80,14 +82,64 @@ _KINDS: dict = {
     ),
 }
 
-#: out column → (kind, input column or Column; None only for count)
-AggSpec = dict[str, tuple[str, "str | Column | None"]]
+#: out column → (kind, input column or Column; None only for count) with an
+#: optional third params dict (only ``hist`` takes one)
+AggSpec = dict[str, tuple]
 
 
 def _input(col):
     if col is None:
         return F.lit(1)
     return F.col(col) if isinstance(col, str) else col
+
+
+def _hist_kind(params: dict):
+    """Fixed equi-width histogram — the mergeable quantile-family state
+    (CH quantileState's role): the partial is an exact bucket-count array,
+    merge is elementwise sum (associative), and any quantile estimate
+    interpolates the merged counts. Unlike a sketch, the counts themselves
+    are EXACT for the declared (lo, hi, buckets) grid — so the state is
+    oracle-checkable, and the only approximation lives in the final
+    interpolation step the caller chooses to apply."""
+    lo, hi, n = float(params["lo"]), float(params["hi"]), int(params["buckets"])
+    if not (hi > lo and n > 0):
+        raise ValueError(f"hist: need hi > lo and buckets > 0, got {params}")
+    width = (hi - lo) / n
+
+    def partial(c):
+        idx = F.least(
+            F.lit(n - 1), F.greatest(F.lit(0), F.floor((c - lo) / width))
+        )
+        return F.array(
+            *[
+                F.sum(
+                    F.when(c.isNotNull() & (idx == i), F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("long")
+                for i in range(n)
+            ]
+        )
+
+    def merge(s):
+        return F.array(
+            *[F.sum(F.element_at(s, i + 1)).cast("long") for i in range(n)]
+        )
+
+    return partial, merge, lambda s: s
+
+
+def _resolve(spec: tuple):
+    """(kind, col[, params]) → (partial, merge, finalize, input column)."""
+    kind, col = spec[0], spec[1]
+    params = spec[2] if len(spec) > 2 else None
+    if kind == "hist":
+        return (*_hist_kind(params or {}), col)
+    if kind not in _KINDS:
+        raise ValueError(
+            f"unknown kind {kind!r} (have {sorted(_KINDS) + ['hist']})"
+        )
+    return (*_KINDS[kind], col)
 
 
 def partial_states(df: DataFrame, group_cols: list, aggs: AggSpec) -> DataFrame:
@@ -99,12 +151,9 @@ def partial_states(df: DataFrame, group_cols: list, aggs: AggSpec) -> DataFrame:
     aggregation from it via :func:`merge_states`.
     """
     exprs = []
-    for out, (kind, col) in aggs.items():
-        if kind not in _KINDS:
-            raise ValueError(
-                f"partial_states: unknown kind {kind!r} (have {sorted(_KINDS)})"
-            )
-        exprs.append(_KINDS[kind][0](_input(col)).alias(out))
+    for out, spec in aggs.items():
+        partial, _, _, col = _resolve(spec)
+        exprs.append(partial(_input(col)).alias(out))
     return df.groupBy(*group_cols).agg(*exprs)
 
 
@@ -116,8 +165,9 @@ def merge_states(states: DataFrame, group_cols: list, aggs: AggSpec) -> DataFram
     ``to_date(hour).alias('day')``). Only state columns named in ``aggs``
     are carried."""
     exprs = []
-    for out, (kind, _) in aggs.items():
-        exprs.append(_KINDS[kind][1](F.col(out)).alias(out))
+    for out, spec in aggs.items():
+        _, merge, _, _ = _resolve(spec)
+        exprs.append(merge(F.col(out)).alias(out))
     return states.groupBy(*group_cols).agg(*exprs)
 
 
@@ -128,7 +178,8 @@ def finalize_states(states: DataFrame, aggs: AggSpec) -> DataFrame:
     out = []
     for name in states.columns:
         if name in state_cols:
-            out.append(_KINDS[aggs[name][0]][2](F.col(name)).alias(name))
+            _, _, finalize, _ = _resolve(aggs[name])
+            out.append(finalize(F.col(name)).alias(name))
         else:
             out.append(F.col(name))
     return states.select(*out)
@@ -184,4 +235,46 @@ def ru1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val_avg", "n_users",
         )
         .orderBy("event_type", "day")
+    )
+
+
+@defquery(
+    "ru2_hist_rollup",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(19, greatest(0, CAST(floor(value / 2.5) AS BIGINT)))
+                  AS INT) AS bucket
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, bucket, count(*) AS cnt
+    FROM b GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    doc="mergeable histogram state (the quantileState analogue): hourly "
+        "partial bucket-count arrays over a fixed [0,50)x20 grid merge "
+        "elementwise to per-type totals; the counts are EXACT for the "
+        "declared grid, so the oracle is a plain bucketed GROUP BY — no "
+        "sketch tolerance needed. Clamp (least/greatest) is identical "
+        "IEEE math on both sides. At 100 TB the state is 20 int64s per "
+        "(type, hour); any quantile estimate interpolates merged counts "
+        "without re-touching raw rows.",
+)
+def ru2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    aggs: AggSpec = {
+        "h": ("hist", "value", {"lo": 0.0, "hi": 50.0, "buckets": 20}),
+    }
+    hourly = partial_states(
+        ev, ["event_type", F.date_trunc("hour", "ts").alias("hour")], aggs
+    )
+    per_type = merge_states(hourly, ["event_type"], aggs)
+    return (
+        finalize_states(per_type, aggs)
+        .select(
+            "event_type",
+            F.posexplode("h").alias("bucket", "cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+        .orderBy("event_type", "bucket")
     )

@@ -1407,3 +1407,38 @@ def test_apply_diff_reconstructs_new_snapshot(spark):
     assert empty.count() == 0
     same = apply_snapshot_diff(new, empty, ["k"])
     assert {tuple(r) for r in same.collect()} == {tuple(r) for r in new.collect()}
+
+
+def test_rollup_hist_state_merges_exactly(spark):
+    """hist partial arrays merged across grains equal the direct
+    single-pass histogram, bucket by bucket."""
+    from chdb_spark.operators.rollup import (
+        finalize_states,
+        merge_states,
+        partial_states,
+    )
+
+    ev = table(spark, SF_CORRECT, "events")
+    aggs = {"h": ("hist", "value", {"lo": 0.0, "hi": 50.0, "buckets": 8})}
+    hourly = partial_states(
+        ev, ["event_type", F.date_trunc("hour", "ts").alias("g")], aggs
+    )
+    merged = merge_states(hourly, ["event_type"], aggs)
+    got = dict(finalize_states(merged, aggs).collect())
+    direct = dict(
+        finalize_states(partial_states(ev, ["event_type"], aggs), aggs).collect()
+    )
+    assert got == direct and got
+    # total mass equals the non-null row count
+    n = ev.filter(F.col("value").isNotNull()).count()
+    assert sum(sum(v) for v in got.values()) == n
+
+
+def test_rollup_hist_rejects_bad_grid(spark):
+    from chdb_spark.operators.rollup import partial_states
+
+    ev = table(spark, SF_CORRECT, "events")
+    with pytest.raises(ValueError, match="hi > lo"):
+        partial_states(
+            ev, ["event_type"], {"h": ("hist", "value", {"lo": 1, "hi": 1, "buckets": 4})}
+        )
