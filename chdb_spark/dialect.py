@@ -1402,6 +1402,10 @@ def _rewrite_array_join(sql: str) -> str:
 #: (chdb returns an empty result for these; MergeTree part merges and
 #: server subsystems don't exist here)
 _NOOP_STMT_RE = re.compile(r"^\s*(OPTIMIZE\s+TABLE|SYSTEM)\b", re.IGNORECASE)
+_EXPLAIN_KIND_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?:(AST|SYNTAX|QUERY\s+TREE|PIPELINE|PLAN|ESTIMATE)\s+)?",
+    re.IGNORECASE,
+)
 _RENAME_RE = re.compile(
     r"^\s*RENAME\s+TABLE\s+([`\w.]+)\s+TO\s+([`\w.]+)\s*;?\s*$", re.IGNORECASE
 )
@@ -1457,6 +1461,27 @@ def rewrite(sql: str) -> str:
     sql = _SETTINGS_RE.sub("", sql or "").rstrip()
     if _NOOP_STMT_RE.match(sql):
         return "SELECT '' AS status WHERE false"
+    # CH EXPLAIN kinds → the closest Spark EXPLAIN mode. SYNTAX (CH: the
+    # rewritten query text) returns THIS layer's rewrite — the faithful
+    # analogue, since the dialect rewrite is the syntax transformation.
+    m = _EXPLAIN_KIND_RE.match(sql)
+    if m:
+        kind = re.sub(r"\s+", " ", m.group(1).upper()) if m.group(1) else ""
+        rest = sql[m.end():]
+        if kind == "SYNTAX":
+            body = rewrite(rest).replace("'", "''")
+            return f"SELECT '{body}' AS explain"
+        spark_mode = {
+            "": "",
+            "PLAN": "",
+            "AST": " EXTENDED",
+            "QUERY TREE": " EXTENDED",
+            "PIPELINE": " FORMATTED",
+            "ESTIMATE": " COST",
+        }.get(kind)
+        if spark_mode is None:  # unknown kind — leave for Spark to report
+            spark_mode = f" {kind}"
+        return f"EXPLAIN{spark_mode} {rewrite(rest)}"
     m = _RENAME_RE.match(sql)
     if m:
         return f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}"

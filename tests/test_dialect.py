@@ -905,3 +905,32 @@ def test_system_query_log(spark):
     assert "SELECT 1 AS x" in logged and "SELECT 2 AS y" in logged
     assert all(r["type"] == "QueryFinish" for r in out)
     assert all(r["result_rows"] >= 1 for r in out)
+
+
+def test_explain_kinds(spark):
+    """CH EXPLAIN kinds map to the closest Spark EXPLAIN mode; EXPLAIN
+    SYNTAX returns the dialect rewrite itself (CH: the rewritten query)."""
+    assert rewrite("EXPLAIN PIPELINE SELECT 1") == "EXPLAIN FORMATTED SELECT 1"
+    assert rewrite("EXPLAIN AST SELECT 1") == "EXPLAIN EXTENDED SELECT 1"
+    assert rewrite("EXPLAIN ESTIMATE SELECT 1") == "EXPLAIN COST SELECT 1"
+    assert rewrite("EXPLAIN PLAN SELECT 1") == "EXPLAIN SELECT 1"
+    # Spark-native modes pass through
+    assert rewrite("EXPLAIN EXTENDED SELECT 1") == "EXPLAIN EXTENDED SELECT 1"
+    assert (
+        rewrite("EXPLAIN SYNTAX SELECT uniq(x) FROM t")
+        == "SELECT 'SELECT approx_count_distinct(x) FROM t' AS explain"
+    )
+    # executes end-to-end, inner CH functions rewritten
+    out = chs.query(
+        spark, "EXPLAIN PIPELINE SELECT uniq(number) FROM numbers(10)",
+        "DataFrame",
+    ).collect()
+    assert "approx_count_distinct" in out[0][0]
+    syn = chs.query(
+        spark, "EXPLAIN SYNTAX SELECT countIf(number > 3) FROM numbers(10)",
+        "DataFrame",
+    ).collect()[0]["explain"]
+    # full translation shown, CH-style: functions rewritten AND table
+    # functions resolved (numbers() becomes a range subquery)
+    assert syn.startswith("SELECT count_if(number > 3) FROM")
+    assert "range" in syn
