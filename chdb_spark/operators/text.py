@@ -1700,6 +1700,34 @@ def split_assign(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "doc_id",
+    fractions: tuple[float, float, float] = (0.9, 0.05, 0.05),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/val/test split where every document of a duplicate cluster
+    lands in the SAME split — the leakage-safe refinement of
+    :func:`split_assign`.
+
+    Splitting near-identical documents across train and test silently
+    inflates eval scores; the fix is to assign the split to the CLUSTER
+    (``cluster_col`` from any dedup pass — exact digest, MinHash/SimHash
+    components, SemDeDup cells) and let members inherit. The cluster's
+    canonical id (min ``id_col``) is hashed with the same salted-md5
+    bucket math as split_assign, so singleton clusters of a pure-id
+    cluster column reproduce split_assign exactly and the assignment
+    stays stable as the corpus grows.
+
+    Two exchanges at any scale: one hash agg keyed by cluster (canonical
+    ids — metadata-sized next to the docs), one join back on the cluster
+    key (AQE broadcasts the cluster table while it fits)."""
+    canon = df.groupBy(cluster_col).agg(F.min(id_col).alias("_canon"))
+    canon = split_assign(canon, id_col="_canon", fractions=fractions, salt=salt)
+    return df.join(canon.select(cluster_col, "split"), cluster_col, "left")
+
+
 @defquery(
     "t18_split_assign",
     """
@@ -2051,3 +2079,51 @@ def training_shuffle(
 def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return training_shuffle(docs)
+
+
+@defquery(
+    "cs1_cluster_split",
+    """
+    WITH c AS (
+      SELECT doc_id, md5(text) AS cluster FROM documents
+    ), canon AS (
+      SELECT cluster, min(doc_id) AS canon FROM c GROUP BY cluster
+    ), s AS (
+      SELECT cluster,
+             CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT cluster,
+               CAST(('0x' || substr(md5('split-v1:' || CAST(canon AS VARCHAR)), 1, 12))::UBIGINT
+                    % 10000 AS BIGINT) AS b
+        FROM canon
+      )
+    )
+    SELECT s.split, count(*) AS n_docs, count(DISTINCT c.cluster) AS n_clusters
+    FROM c JOIN s ON c.cluster = s.cluster
+    GROUP BY s.split ORDER BY s.split
+    """,
+    doc="leakage-safe split: exact-duplicate clusters (md5 digest) are "
+        "assigned train/val/test as UNITS — the canonical member's salted "
+        "md5 bucket decides, members inherit — so near-identical text can "
+        "never straddle train and eval. The oracle replays the identical "
+        "canonical-hash math; cluster/split integrity (every cluster in "
+        "exactly one split) is pinned by a unit test. Composes with any "
+        "dedup pass: feed MinHash component ids or SemDeDup cells as "
+        "cluster_col instead of the digest.",
+)
+def cs1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table as _table
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("cluster")
+    )
+    out = leakage_safe_split(docs, "cluster")
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

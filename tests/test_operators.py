@@ -1442,3 +1442,28 @@ def test_rollup_hist_rejects_bad_grid(spark):
         partial_states(
             ev, ["event_type"], {"h": ("hist", "value", {"lo": 1, "hi": 1, "buckets": 4})}
         )
+
+
+def test_leakage_safe_split_cluster_integrity(spark):
+    """Every cluster lands in exactly one split; singleton clusters over
+    the id column reproduce split_assign exactly."""
+    from chdb_spark.operators.text import leakage_safe_split, split_assign
+
+    docs = table(spark, SF_CORRECT, "documents").select(
+        "doc_id", F.md5("text").alias("cluster")
+    )
+    out = leakage_safe_split(docs, "cluster")
+    violated = (
+        out.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert violated == 0
+    # singleton clusters (cluster == id) degenerate to split_assign
+    ids = table(spark, SF_CORRECT, "documents").select("doc_id")
+    a = leakage_safe_split(
+        ids.withColumn("cluster", F.col("doc_id")), "cluster"
+    ).select("doc_id", "split")
+    b = split_assign(ids).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
