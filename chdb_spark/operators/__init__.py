@@ -85,3 +85,4 @@ def register_operator_queries() -> None:
     from chdb_spark.operators import rollup  # noqa: F401
     from chdb_spark.operators import cdc  # noqa: F401
     from chdb_spark.operators import evolve  # noqa: F401
+    from chdb_spark.operators import drift  # noqa: F401

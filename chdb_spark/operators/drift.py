@@ -1,0 +1,119 @@
+"""Distribution drift between corpus snapshots — PSI over mergeable
+histogram states.
+
+When a 100 TB table is refreshed (the cdc.py flow), value distributions
+shifting under the same schema is the silent failure mode: a collector
+change skews lengths, a locale change skews scores, and every model
+trained downstream inherits it. The standard monitor is the Population
+Stability Index: PSI = Σ_buckets (p_i − q_i)·ln(p_i / q_i) with Laplace
+smoothing, flagged at ~0.1 (moderate) / 0.25 (major) drift.
+
+Composes with :mod:`chdb_spark.operators.rollup`'s ``hist`` state: each
+snapshot's per-group bucket-count array is an exact, mergeable,
+metadata-sized summary — so drift monitoring on a refresh costs a join of
+two state tables, not a re-scan of either snapshot. All math is
+higher-order Column functions (``zip_with`` + ``aggregate``) inside
+codegen; the fold walks buckets in fixed array order, so the Spark side is
+bit-deterministic and the oracle folds the same terms floor-scaled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chdb_spark.queries import defquery, table
+
+
+def hist_psi(
+    old_states: DataFrame,
+    new_states: DataFrame,
+    keys: list[str],
+    state_col: str = "h",
+    scale: int = 100_000,
+) -> DataFrame:
+    """PSI per key group from two ``hist``-state tables over the SAME grid.
+
+    Laplace-smoothed shares p_i = (c_i + 1) / (total + buckets) keep
+    empty buckets finite. Result column ``psi`` is floor-scaled to
+    1/``scale`` (the repo's cross-engine float idiom) so summation-order
+    ulps can't flip an oracle hash."""
+    o = old_states.select(*keys, F.col(state_col).alias("_ho"))
+    n = new_states.select(*keys, F.col(state_col).alias("_hn"))
+    zero = F.lit(0).cast("long")
+    j = (
+        o.join(n, keys)
+        .withColumn("_k", F.size("_ho"))
+        .withColumn("_to", F.aggregate("_ho", zero, lambda a, e: a + e))
+        .withColumn("_tn", F.aggregate("_hn", zero, lambda a, e: a + e))
+    )
+    p = lambda c, t: (c + F.lit(1)) / (t + F.col("_k"))  # noqa: E731
+    terms = F.zip_with(
+        "_ho",
+        "_hn",
+        lambda co, cn: (p(co, F.col("_to")) - p(cn, F.col("_tn")))
+        * F.log(p(co, F.col("_to")) / p(cn, F.col("_tn"))),
+    )
+    psi = F.aggregate(terms, F.lit(0.0), lambda a, e: a + e)
+    return j.select(
+        *keys,
+        (F.floor(psi * scale + F.lit(0.5)) / scale).alias("psi"),
+    )
+
+
+@defquery(
+    "dr1_drift_psi",
+    """
+    WITH o AS (
+      SELECT event_type,
+             least(19, greatest(0, CAST(floor(value / 2.5) AS BIGINT))) AS b
+      FROM events WHERE value IS NOT NULL AND event_id % 10 <> 7
+    ), n AS (
+      SELECT event_type,
+             least(19, greatest(0, CAST(floor(value / 2.5) AS BIGINT))) AS b
+      FROM events WHERE value IS NOT NULL
+    ), grid AS (
+      SELECT t.event_type, g.range AS b
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN range(20) g
+    ), oc AS (
+      SELECT grid.event_type, grid.b, count(o.b) AS c
+      FROM grid LEFT JOIN o ON o.event_type = grid.event_type AND o.b = grid.b
+      GROUP BY grid.event_type, grid.b
+    ), nc AS (
+      SELECT grid.event_type, grid.b, count(n.b) AS c
+      FROM grid LEFT JOIN n ON n.event_type = grid.event_type AND n.b = grid.b
+      GROUP BY grid.event_type, grid.b
+    ), tot AS (
+      SELECT oc.event_type, oc.b,
+             oc.c AS co, nc.c AS cn,
+             sum(oc.c) OVER (PARTITION BY oc.event_type) AS t_o,
+             sum(nc.c) OVER (PARTITION BY nc.event_type) AS t_n
+      FROM oc JOIN nc ON oc.event_type = nc.event_type AND oc.b = nc.b
+    )
+    SELECT event_type,
+           floor(sum(
+             ((co + 1.0) / (t_o + 20) - (cn + 1.0) / (t_n + 20))
+             * ln(((co + 1.0) / (t_o + 20)) / ((cn + 1.0) / (t_n + 20)))
+           ) * 100000 + 0.5) / 100000 AS psi
+    FROM tot GROUP BY event_type ORDER BY event_type
+    """,
+    doc="distribution-drift monitor (PSI with Laplace smoothing) between "
+        "an old snapshot (event_id %10 != 7) and the refreshed table, per "
+        "event_type over the shared [0,50)x20 value grid: two exact "
+        "hist-state tables (operators/rollup.py) joined and folded with "
+        "zip_with/aggregate — drift on a 100 TB refresh costs a "
+        "metadata-sized state join, never a re-scan. The oracle rebuilds "
+        "the same smoothed shares from bucketed GROUP BYs; psi is "
+        "floor-scaled on both sides so fold order can't flip the hash.",
+)
+def dr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators.rollup import partial_states
+
+    grid = {"lo": 0.0, "hi": 50.0, "buckets": 20}
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    aggs = {"h": ("hist", "value", grid)}
+    old_h = partial_states(
+        ev.filter(F.col("event_id") % 10 != 7), ["event_type"], aggs
+    )
+    new_h = partial_states(ev, ["event_type"], aggs)
+    return hist_psi(old_h, new_h, ["event_type"]).orderBy("event_type")

@@ -1467,3 +1467,27 @@ def test_leakage_safe_split_cluster_integrity(spark):
     ).select("doc_id", "split")
     b = split_assign(ids).select("doc_id", "split")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hist_psi_properties(spark):
+    """PSI(x, x) == 0; PSI grows with a shifted distribution; fold is
+    deterministic across partitionings."""
+    from chdb_spark.operators.drift import hist_psi
+    from chdb_spark.operators.rollup import partial_states
+
+    grid = {"lo": 0.0, "hi": 50.0, "buckets": 10}
+    ev = table(spark, SF_CORRECT, "events").filter(F.col("value").isNotNull())
+    aggs = {"h": ("hist", "value", grid)}
+    h = partial_states(ev, ["event_type"], aggs)
+    same = hist_psi(h, h, ["event_type"]).collect()
+    assert same and all(r["psi"] == 0.0 for r in same)
+
+    shifted = partial_states(
+        ev.withColumn("value", F.col("value") + 10.0), ["event_type"], aggs
+    )
+    moved = {r["event_type"]: r["psi"] for r in hist_psi(h, shifted, ["event_type"]).collect()}
+    assert all(v > 0.05 for v in moved.values())
+
+    h2 = partial_states(ev.repartition(7), ["event_type"], aggs)
+    again = {r["event_type"]: r["psi"] for r in hist_psi(h2, shifted, ["event_type"]).collect()}
+    assert again == moved
