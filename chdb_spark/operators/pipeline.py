@@ -145,3 +145,81 @@ def pl1(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     return curate(train, bench, quality_threshold=0.8, lang="en", n=13)
+
+
+@defquery(
+    "rf1_refresh_pipeline",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 THEN 'legacy' ELSE source END AS source,
+             n_chars
+      FROM documents WHERE doc_id % 10 <> 7
+    ), new AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 <> 5
+    ), changed AS (
+      SELECT new.doc_id,
+             CASE WHEN old.doc_id IS NULL THEN 'insert' ELSE 'update' END
+               AS change_type
+      FROM new LEFT JOIN old ON old.doc_id = new.doc_id
+      WHERE old.doc_id IS NULL
+         OR old.source IS DISTINCT FROM new.source
+         OR old.n_chars IS DISTINCT FROM new.n_chars
+    ), feats AS (
+      SELECT c.change_type, d.lang,
+        len(string_split(trim(d.text), ' ')) AS n_tokens,
+        len(list_filter(string_split(trim(d.text), ' '),
+            t -> list_contains(['the','a','of','and','is','in','to'], t)))::DOUBLE
+          / len(string_split(trim(d.text), ' ')) AS stop_ratio,
+        length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE
+          / length(d.text) AS digit_ratio,
+        length(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+          / length(d.text) AS punct_ratio
+      FROM changed c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT change_type, lang, count(*) AS n_docs,
+           round(avg(greatest(1.0 - least(1.0, abs(stop_ratio - 0.08) * 5)
+                                  - least(0.5, digit_ratio * 5)
+                                  - least(0.5, punct_ratio * 2), 0.0)), 4)
+             AS avg_quality,
+           round(avg(n_tokens), 2) AS avg_tokens
+    FROM feats
+    GROUP BY change_type, lang ORDER BY change_type, lang
+    """,
+    doc="incremental-refresh pipeline IN ONE JOB: snapshot_diff (cdc.py) "
+        "finds what today's corpus snapshot changed (inserts: doc_id %10 "
+        "== 7 restored; updates: %10 == 3 source migrated off 'legacy'), "
+        "and ONLY those rows re-enter quality scoring (text.py "
+        "quality_features) — the unchanged ~80 percent never pay the feature "
+        "pass, which is the whole point of CDC at 100 TB. The oracle "
+        "replays diff + features + aggregation in one SQL statement, so "
+        "the COMPOSITION is verified, not just the pieces.",
+)
+def rf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators.cdc import snapshot_diff
+    from chdb_spark.operators.text import quality_features
+
+    docs = table(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "source", "n_chars")
+    old = meta.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 == 3, F.lit("legacy")).otherwise(
+            F.col("source")
+        ),
+    )
+    new = meta.filter(F.col("doc_id") % 10 != 5)
+    changed = (
+        snapshot_diff(old, new, ["doc_id"], ["source", "n_chars"])
+        .filter(F.col("change_type").isin("insert", "update"))
+        .select("doc_id", "change_type")
+    )
+    scored = quality_features(changed.join(docs, "doc_id"))
+    return (
+        scored.groupBy("change_type", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+        .orderBy("change_type", "lang")
+    )
