@@ -22,6 +22,8 @@ min / max  ``min(x)`` / ``max(x)``        ``min`` / ``max``       identity
 avg        ``struct(s=sum(x), c=count)``  field-wise ``sum``      ``s / c``
 uniq_exact ``collect_set(x)``             distinct set union      ``size``
 uniq       ``hll_sketch_agg(x)`` (binary) ``hll_union_agg``       estimate
+var        exact moments                  field-wise ``sum``      var_samp
+           ``struct(n, Σx, Σx²)``
 hist       exact bucket-count array over  elementwise ``sum``     identity
            a fixed (lo, hi, buckets) grid
 ========== ============================== ======================= =========
@@ -79,6 +81,32 @@ _KINDS: dict = {
         F.hll_sketch_agg,
         F.hll_union_agg,
         F.hll_sketch_estimate,
+    ),
+    # sample variance from exact moments (n, Σx, Σx²) — feed a DECIMAL
+    # column and the moments are exact, so the double-precision finalize
+    # is identical no matter how the partials were merged (the float-
+    # cancellation caveat of the textbook formula disappears when the
+    # sums themselves carry no rounding).
+    "var": (
+        lambda c: F.struct(
+            F.count(c).alias("n"),
+            F.sum(c).alias("s"),
+            F.sum(c * c).alias("q"),
+        ),
+        lambda s: F.struct(
+            F.sum(s.getField("n")).alias("n"),
+            F.sum(s.getField("s")).alias("s"),
+            F.sum(s.getField("q")).alias("q"),
+        ),
+        lambda s: (
+            (
+                s.getField("q").cast("double")
+                - s.getField("s").cast("double")
+                * s.getField("s").cast("double")
+                / s.getField("n")
+            )
+            / (s.getField("n") - 1)
+        ),
     ),
 }
 

@@ -1209,6 +1209,7 @@ def _rollup_aggs():
         "val_max": ("max", "value"),
         "val_avg": ("avg", F.col("value").cast("decimal(18,2)")),
         "n_users": ("uniq_exact", "user_id"),
+        "val_var": ("var", F.col("value").cast("decimal(18,2)")),
     }
 
 
