@@ -502,6 +502,10 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
         "CAST(size(array_distinct(flatten(collect_list({0})))) AS BIGINT)"
     ),
     "uniqMerge": _t("hll_sketch_estimate(hll_union_agg({0}))"),
+    "groupArrayState": _t("collect_list({0})"),
+    "groupArrayMerge": _t("flatten(collect_list({0}))"),
+    "groupUniqArrayState": _t("collect_set({0})"),
+    "groupUniqArrayMerge": _t("array_distinct(flatten(collect_list({0})))"),
     # -SimpleState (SimpleAggregateFunction columns): the state IS the value
     "sumSimpleState": _t("sum({0})"),
     "minSimpleState": _t("min({0})"),

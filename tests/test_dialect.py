@@ -934,3 +934,20 @@ def test_explain_kinds(spark):
     # functions resolved (numbers() becomes a range subquery)
     assert syn.startswith("SELECT count_if(number > 3) FROM")
     assert "range" in syn
+
+
+def test_group_array_state_merge(spark):
+    spark.range(0, 12).selectExpr("id % 2 AS k", "id % 4 AS g", "id AS v")\
+        .createOrReplaceTempView("gast")
+    out = chs.query(
+        spark,
+        "SELECT k, sort_array(groupArrayMerge(a)) AS all_v, "
+        "sort_array(groupUniqArrayMerge(u)) AS uniq_g "
+        "FROM (SELECT k, g, groupArrayState(v) AS a, "
+        "groupUniqArrayState(g) AS u FROM gast GROUP BY k, g) "
+        "GROUP BY k ORDER BY k",
+        "DataFrame",
+    ).collect()
+    assert out[0]["all_v"] == [0, 2, 4, 6, 8, 10]
+    assert out[0]["uniq_g"] == [0, 2]
+    assert out[1]["uniq_g"] == [1, 3]
