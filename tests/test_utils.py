@@ -114,3 +114,23 @@ def test_trace_and_result_metrics(spark):
     # disabled: no recording
     chdb.query("SELECT 1")
     assert len(trace.get_trace()) == 1
+
+
+def test_coverage_doc_query_names_exist():
+    """Docs-integrity pin: every query name COVERAGE.md cites must be a
+    registered query — stale rows (renamed/removed queries) fail here
+    instead of silently misleading the reader."""
+    import os
+    import re
+
+    from chdb_spark.queries import all_queries
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "COVERAGE.md")).read()
+    cited = set(re.findall(r"`([a-z]{1,4}\d+_[a-z0-9_]+)`", text))
+    known = set(all_queries())
+    stale = sorted(c for c in cited if c not in known)
+    assert stale == [], f"COVERAGE.md cites unknown queries: {stale}"
+    # and the doc should cite a meaningful share of what exists (family
+    # ranges like q2-q22 are cited as ranges, not per-name)
+    assert len(cited & known) > 60
