@@ -1473,7 +1473,10 @@ def rewrite(sql: str) -> str:
         kind = re.sub(r"\s+", " ", m.group(1).upper()) if m.group(1) else ""
         rest = sql[m.end():]
         if kind == "SYNTAX":
-            body = rewrite(rest).replace("'", "''")
+            # Spark string literals are backslash-escaped (non-ANSI mode),
+            # so both backslashes and quotes must be escaped or a regex
+            # pattern inside the explained query loses its backslashes
+            body = rewrite(rest).replace("\\", "\\\\").replace("'", "\\'")
             return f"SELECT '{body}' AS explain"
         spark_mode = {
             "": "",

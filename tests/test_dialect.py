@@ -934,6 +934,12 @@ def test_explain_kinds(spark):
     # functions resolved (numbers() becomes a range subquery)
     assert syn.startswith("SELECT count_if(number > 3) FROM")
     assert "range" in syn
+    # backslashes survive the literal round-trip (regex patterns intact)
+    pat = chs.query(
+        spark, r"EXPLAIN SYNTAX SELECT extract(s, 'id=(\d+)') FROM t",
+        "DataFrame",
+    ).collect()[0]["explain"]
+    assert pat == r"SELECT regexp_extract(s, 'id=(\d+)', 1) FROM t"
 
 
 def test_group_array_state_merge(spark):
