@@ -528,7 +528,6 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "uniqArray": _t(
         "CAST(size(array_distinct(flatten(collect_list({0})))) AS BIGINT)"
     ),
-    "countIfArray": _t("sum(size(filter({0}, e -> e)))"),
     # -- -OrNull combinator: NULL (not the type default) on an empty set --
     # Spark aggregates already return NULL on empty/all-NULL input, so most
     # map to the plain form; count is the exception (0 → NULL).
