@@ -419,3 +419,37 @@ def test_t17_temperature_mix_tiny_aggregates(spark):
     # normalizers; at runtime AQE serves the repeats via ReusedExchange
     # (same pattern q11 pins on its executed plan)
     assert plan.count("hashpartitioning(source") <= 4
+
+
+def test_cd1_snapshot_diff_single_fullouter_join(spark):
+    """The CDC diff is ONE key-partitioned full-outer join — no extra
+    joins, no cartesian, scan pruned to key + compared columns."""
+    plan = plan_of(spark, "cd1_snapshot_diff")
+    # the formatted plan prints a node in the tree AND the detail section,
+    # so count the tree spelling (join type attached) exactly once
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "ShuffledHashJoin FullOuter"
+    ) == 1
+    # no OTHER join nodes anywhere in the plan
+    for other in ("BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                  "SortMergeJoin Inner", "SortMergeJoin Left"):
+        assert other not in plan, other
+    assert "CartesianProduct" not in plan
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_se1_schema_evolution_no_join_no_python(spark):
+    """Widened union is cast-only projections + union + aggregate: no
+    join, no shuffle beyond the aggregation's, no Python nodes."""
+    plan = plan_of(spark, "se1_schema_evolution")
+    for bad in ("Join", "CartesianProduct", "ArrowEvalPython", "BatchEvalPython"):
+        assert bad not in plan, bad
+
+
+def test_ru1_rollup_two_level_aggregation(spark):
+    """States build at hourly grain then merge to daily: two aggregation
+    levels, no window, no join."""
+    plan = plan_of(spark, "ru1_rollup_merge")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") >= 2  # hourly keys, daily keys (+ sort)
