@@ -499,3 +499,42 @@ def phash_neardup_pairs(
             "hamming",
         )
     )
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 100) -> DataFrame:
+    """Opaque PCM payload → one row per fixed-width frame with the frame's
+    integer byte-sum energy — the decode step of voice-activity-style
+    segmentation, minimal by design: the Python kernel does ONLY
+    bytes→frame sums (numpy reshape+sum per Arrow batch); thresholding and
+    the stateful run-length segmentation stay JVM-side as window
+    expressions, exactly the m1/m2 decode-kernel contract. Swapping the
+    stub byte-sum for a real RMS over decoded samples touches only this
+    function. Only full frames are emitted (a real VAD drops the tail
+    fragment)."""
+    import numpy as np
+    import pandas as pd
+
+    def _frames(batches):
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            sums: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_full = (len(buf) // frame_bytes) * frame_bytes
+                frames = (
+                    buf[:n_full]
+                    .reshape(-1, frame_bytes)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                mids.extend([int(mid)] * len(frames))
+                idxs.extend(range(len(frames)))
+                sums.extend(int(s) for s in frames)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "frame_sum": sums}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _frames, "media_id long, frame_idx int, frame_sum long"
+    )

@@ -427,3 +427,76 @@ def m4_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(hashes, bands=8, max_hamming=6).orderBy(
         "media_a", "media_b"
     )
+
+
+@defquery(
+    "m5_audio_segments",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 2000 + (doc_id % 5) * 400 AS n_bytes
+      FROM documents WHERE doc_id < 200
+    ), f AS (
+      SELECT m.media_id, CAST(g.range AS INT) AS frame_idx,
+             (SELECT sum((m.media_id * 7 + (g.range * 100 + j.range) * 13) % 256)
+              FROM range(100) j) AS frame_sum
+      FROM m, range(40) g
+      WHERE g.range < m.n_bytes // 100
+    ), a AS (
+      SELECT media_id, frame_idx,
+             frame_idx - CAST(row_number() OVER (
+               PARTITION BY media_id ORDER BY frame_idx) AS INT) AS grp
+      FROM f WHERE frame_sum % 7 < 4
+    ), seg AS (
+      SELECT media_id, grp, count(*) AS seg_len FROM a GROUP BY media_id, grp
+    ), ss AS (
+      SELECT media_id, count(*) AS n_segments, max(seg_len) AS longest_segment,
+             sum(seg_len) AS n_active
+      FROM seg GROUP BY media_id
+    ), tot AS (
+      SELECT media_id, count(*) AS n_frames FROM f GROUP BY media_id
+    )
+    SELECT tot.media_id, tot.n_frames,
+           COALESCE(ss.n_active, 0) AS n_active,
+           COALESCE(ss.n_segments, 0) AS n_segments,
+           COALESCE(ss.longest_segment, 0) AS longest_segment
+    FROM tot LEFT JOIN ss ON tot.media_id = ss.media_id
+    ORDER BY tot.media_id
+    """,
+    doc="audio activity segmentation (the VAD shape): synthesized PCM "
+        "payloads decode to per-frame integer byte-sum energies in ONE "
+        "minimal mapInPandas kernel (multimodal.py audio_frame_energy), "
+        "then thresholding and run-length segmentation (gaps-and-islands "
+        "window, partitioned per media — bounded state) stay JVM-side. "
+        "The payload formula is closed-form, so the oracle replays frame "
+        "sums, threshold, and island bookkeeping exactly in SQL — full "
+        "value check of a stateful multimodal pipeline with no audio "
+        "libs. At 100 TB: payloads never leave executor Arrow batches; "
+        "per-media frame counts bound the window state.",
+)
+def m5_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chdb_spark.multimodal import audio_frame_energy, synthesize_pcm
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synthesize_pcm(
+        docs.select(F.col("doc_id").alias("media_id"), F.lit("audio").alias("kind"))
+    )
+    frames = audio_frame_energy(media, frame_bytes=100)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    act = frames.filter(F.col("frame_sum") % 7 < 4).withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    seg = act.groupBy("media_id", "grp").agg(F.count(F.lit(1)).alias("seg_len"))
+    ss = seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+        F.sum("seg_len").alias("n_active"),
+    )
+    tot = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        tot.join(ss, "media_id", "left")
+        .fillna(0, subset=["n_active", "n_segments", "longest_segment"])
+        .select("media_id", "n_frames", "n_active", "n_segments", "longest_segment")
+        .orderBy("media_id")
+    )
