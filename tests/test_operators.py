@@ -1492,3 +1492,26 @@ def test_hist_psi_properties(spark):
     h2 = partial_states(ev.repartition(7), ["event_type"], aggs)
     again = {r["event_type"]: r["psi"] for r in hist_psi(h2, shifted, ["event_type"]).collect()}
     assert again == moved
+
+
+def test_audio_frame_energy_edges(spark):
+    """Tail fragments are dropped (only full frames emitted); payloads
+    shorter than one frame produce zero rows; sums are exact."""
+    from chdb_spark.multimodal import audio_frame_energy
+
+    rows = [
+        (1, bytes(range(250))),   # 2 full frames of 100, 50-byte tail dropped
+        (2, bytes([5] * 40)),     # shorter than one frame -> no rows
+        (3, bytes([1] * 200)),    # exactly 2 frames
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["frame_idx"]): r["frame_sum"]
+        for r in audio_frame_energy(media, frame_bytes=100).collect()
+    }
+    assert got == {
+        (1, 0): sum(range(100)),
+        (1, 1): sum(range(100, 200)),
+        (3, 0): 100,
+        (3, 1): 100,
+    }
