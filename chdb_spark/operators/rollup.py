@@ -306,3 +306,42 @@ def ru2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 0)
         .orderBy("event_type", "bucket")
     )
+
+
+def hist_quantile(state, q: float, lo: float, hi: float, buckets: int):
+    """Quantile estimate from a merged ``hist`` state — pure Column
+    expression (one ``aggregate`` fold over the bucket array, no data
+    access): finds the bucket where the cumulative count crosses
+    ``q * total`` and interpolates linearly inside it. Error is bounded by
+    one bucket width — the caller chose that resolution when declaring the
+    grid, and merging states never widens it. This is the read side of the
+    quantile-over-states story: at 100 TB the estimate costs a fold over
+    ``buckets`` int64s per group."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"hist_quantile: q must be in [0,1], got {q}")
+    s = F.col(state) if isinstance(state, str) else state
+    width = (hi - lo) / buckets
+    total = F.aggregate(s, F.lit(0).cast("long"), lambda a, e: a + e)
+    target = F.lit(q) * total
+    pairs = F.arrays_zip(
+        s.alias("c"), F.sequence(F.lit(0), F.lit(buckets - 1)).alias("i")
+    )
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(None).cast("double").alias("ans"),
+    )
+
+    def step(acc, p):
+        c = p.getField("c")
+        i = p.getField("i")
+        crossing = acc.getField("ans").isNull() & (acc.getField("cum") + c >= target)
+        frac = (target - acc.getField("cum")) / c
+        est = F.lit(lo) + F.lit(width) * (i.cast("double") + frac)
+        return F.struct(
+            (acc.getField("cum") + c).alias("cum"),
+            F.when(crossing & (c > 0), est)
+            .otherwise(acc.getField("ans"))
+            .alias("ans"),
+        )
+
+    return F.aggregate(pairs, zero, step, lambda acc: acc.getField("ans"))

@@ -1515,3 +1515,47 @@ def test_audio_frame_energy_edges(spark):
         (3, 0): 100,
         (3, 1): 100,
     }
+
+
+def test_hist_quantile_within_one_bucket(spark):
+    """hist_quantile over merged states lands within one bucket width of
+    the exact percentile, and is invariant to the merge path."""
+    from chdb_spark.operators.rollup import (
+        hist_quantile,
+        merge_states,
+        partial_states,
+    )
+
+    lo, hi, nb = 0.0, 50.0, 25
+    ev = table(spark, SF_CORRECT, "events").filter(F.col("value").isNotNull())
+    aggs = {"h": ("hist", "value", {"lo": lo, "hi": hi, "buckets": nb})}
+    hourly = partial_states(
+        ev, ["event_type", F.date_trunc("hour", "ts").alias("g")], aggs
+    )
+    merged = merge_states(hourly, ["event_type"], aggs)
+    got = {
+        r["event_type"]: r["p50"]
+        for r in merged.select(
+            "event_type",
+            hist_quantile("h", 0.5, lo, hi, nb).alias("p50"),
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    width = (hi - lo) / nb
+    assert got.keys() == exact.keys()
+    for k in got:
+        assert abs(got[k] - exact[k]) <= width, (k, got[k], exact[k])
+    # direct (unmerged) states give the identical estimate
+    direct = partial_states(ev, ["event_type"], aggs)
+    got2 = {
+        r["event_type"]: r["p50"]
+        for r in direct.select(
+            "event_type", hist_quantile("h", 0.5, lo, hi, nb).alias("p50")
+        ).collect()
+    }
+    assert got2 == got
