@@ -609,3 +609,99 @@ def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_user_days"))
         .orderBy("event_type")
     )
+
+
+@defquery(
+    "sm8_streaming_rollup",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+           min(value) AS val_min,
+           max(value) AS val_max,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    ORDER BY event_type, day
+    """,
+    doc="STREAMING rollup — the AggregatingMergeTree materialized view as "
+        "a stream sink (reference datastore/core.py:5952 MV + :6004 "
+        "-State engine note, composed): each micro-batch folds ONLY its "
+        "own rows into hourly partial states (operators/rollup.py "
+        "partial_states) appended to a state table — so the same "
+        "(type, hour) group accumulates MULTIPLE state rows across "
+        "batches, exactly like unmerged MergeTree parts — and the daily "
+        "read merges them (merge_states) without ever revisiting raw "
+        "events. The batch oracle over the raw table must match EXACTLY "
+        "(decimal sums, distinct-set unions). State size per batch is "
+        "|keys x hours| rows; the raw stream is touched once.",
+)
+def sm8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.operators.rollup import (
+        finalize_states,
+        merge_states,
+        partial_states,
+    )
+    from chdb_spark.session import read_table
+
+    # same time-range re-shard as sm6/sm7 so the file source delivers
+    # several triggers' worth of input
+    tmp = scratch_dir("evstream", sf_dir)
+    if not os.path.isdir(tmp):
+        read_table(spark, os.path.join(sf_dir, "events.parquet")) \
+            .repartitionByRange(4, "ts").write.mode("overwrite").parquet(tmp)
+    work = tempfile.mkdtemp(prefix="chdb_spark_sm8_")
+    states_dir = os.path.join(work, "states")
+    ckpt = os.path.join(work, "ckpt")
+
+    aggs = {
+        "cnt": ("count", None),
+        "val_sum": ("sum", F.col("value").cast("decimal(18,2)")),
+        "val_min": ("min", "value"),
+        "val_max": ("max", "value"),
+        "n_users": ("uniq_exact", "user_id"),
+    }
+
+    schema = spark.read.parquet(tmp).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(tmp)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+            "user_id",
+        )
+        partial_states(
+            b, ["event_type", F.date_trunc("hour", "ts").alias("hour")], aggs
+        ).write.mode("append").parquet(states_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    states = spark.read.parquet(states_dir)
+    daily = merge_states(
+        states, ["event_type", F.to_date("hour").alias("day")], aggs
+    )
+    return (
+        finalize_states(daily, aggs)
+        .withColumn("val_sum", F.col("val_sum").cast("double"))
+        .select(
+            "event_type", "day", "cnt", "val_sum", "val_min", "val_max",
+            "n_users",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -60,6 +60,9 @@ NOT_COMPARABLE = {
     # streaming re-ingest round-trip (re-shard write + availableNow run)
     # vs a plain batch DISTINCT oracle — different work by design:
     "sm7_streaming_dedup_watermark",
+    # streaming re-shard + foreachBatch state-table write round-trip vs a
+    # plain batch aggregation oracle — different work by design:
+    "sm8_streaming_rollup",
     # fully-unrolled iteration replays whose CTE chains re-derive prior
     # steps per stage (no checkpointing in SQL — quadratic by design):
     "t19_bpe_merges",
