@@ -196,3 +196,42 @@ def test_chain_matches_pandas(spark, data, ops, term):
 
     assert sorted(scols) == sorted(pcols)
     assert _sig(srows, scols) == _sig(prows, pcols)
+
+
+# ---------------------------------------------------------------------------
+# CDC round-trip property: apply(old, diff(old, new)) == new, always
+# ---------------------------------------------------------------------------
+
+_cdc_vals = st.one_of(st.none(), st.sampled_from(["p", "q", "r"]))
+_cdc_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=12),  # keys
+    st.tuples(_cdc_vals, st.sampled_from([0.5, 1.5, None])),
+    max_size=10,
+)
+
+
+@given(old=_cdc_snapshot, new=_cdc_snapshot)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_diff_apply_round_trip_property(spark, old, new):
+    """For ANY pair of keyed snapshots (random keys, values, NULLs,
+    overlaps), applying the diff onto the old snapshot reconstructs the
+    new one exactly, and the diff of identical snapshots is empty."""
+    from chdb_spark.operators.cdc import apply_snapshot_diff, snapshot_diff
+
+    schema = "k int, s string, v double"
+    old_df = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in sorted(old.items())], schema
+    )
+    new_df = spark.createDataFrame(
+        [(k, s, v) for k, (s, v) in sorted(new.items())], schema
+    )
+    diff = snapshot_diff(old_df, new_df, ["k"])
+    rebuilt = {tuple(r) for r in apply_snapshot_diff(old_df, diff, ["k"]).collect()}
+    want = {tuple(r) for r in new_df.collect()}
+    assert rebuilt == want
+    if old == new:
+        assert diff.count() == 0
