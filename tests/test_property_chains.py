@@ -235,3 +235,43 @@ def test_snapshot_diff_apply_round_trip_property(spark, old, new):
     assert rebuilt == want
     if old == new:
         assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution property: widened union preserves every row and value
+# ---------------------------------------------------------------------------
+
+_evo_types = ["int", "bigint", "float", "double"]
+
+
+@given(
+    ta=st.sampled_from(_evo_types),
+    tb=st.sampled_from(_evo_types),
+    extra_on_b=st.booleans(),
+    n=st.integers(min_value=0, max_value=6),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_union_by_name_widen_property(spark, ta, tb, extra_on_b, n):
+    """For ANY numeric type pair the union widens losslessly: row count is
+    the sum, every input value survives (small integers are exact in every
+    numeric type here), and absent columns are NULL exactly on the side
+    that lacked them."""
+    from chdb_spark.operators.evolve import union_by_name_widen
+
+    a = spark.range(n).selectExpr(f"CAST(id AS {ta}) AS x")
+    b_cols = [f"CAST(id + 100 AS {tb}) AS x"] + (
+        ["CAST(id AS STRING) AS tag"] if extra_on_b else []
+    )
+    b = spark.range(n).selectExpr(*b_cols)
+    out = union_by_name_widen([a, b])
+    rows = out.collect()
+    assert len(rows) == 2 * n
+    got_x = sorted(float(r["x"]) for r in rows)
+    assert got_x == sorted([float(i) for i in range(n)] + [float(i + 100) for i in range(n)])
+    if extra_on_b:
+        tags = [r["tag"] for r in rows]
+        assert tags.count(None) == n  # NULL exactly on the a side
