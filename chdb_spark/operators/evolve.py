@@ -114,7 +114,7 @@ def union_by_name_widen(dfs: list[DataFrame]) -> DataFrame:
     SELECT lang,
            count(*) AS n_docs,
            count(n_chars) AS n_with_len,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT source) AS n_sources
     FROM unioned
     GROUP BY lang ORDER BY lang

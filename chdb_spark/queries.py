@@ -63,16 +63,17 @@ def _family(name: str) -> str:
     return name[:i] or name
 
 
-def _driver_check_history() -> dict[str, int]:
-    """Map query name → most recent round whose CORRECTNESS_r{N}.json
-    sampled it (never sampled → absent). Reads the driver-written files at
-    the repo root; tolerant of absence (fresh clone, tests)."""
+def _driver_check_history() -> dict[str, tuple[int, bool]]:
+    """Map query name → (most recent round whose CORRECTNESS_r{N}.json
+    sampled it, whether that most-recent sample was fully green). Never
+    sampled → absent. Reads the driver-written files at the repo root;
+    tolerant of absence (fresh clone, tests)."""
     import glob
     import json
     import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, bool]] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -80,10 +81,18 @@ def _driver_check_history() -> dict[str, int]:
         rnd = int(m.group(1))
         try:
             with open(path) as f:
-                for name in json.load(f):
-                    last[name] = max(last.get(name, -1), rnd)
+                rows = json.load(f)
         except Exception:
             continue
+        for name, row in rows.items():
+            green = bool(
+                row.get("rows_match", True)
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+                and row.get("err") is None
+            ) if isinstance(row, dict) else True
+            if name not in last or rnd > last[name][0]:
+                last[name] = (rnd, green)
     return last
 
 
@@ -118,12 +127,16 @@ def all_queries() -> dict[str, QueryDef]:
             lanes = [ln for ln in lanes if len(ln) > i + 1]
             i += 1
 
+    # tier 0: queries whose MOST RECENT driver sample was RED — after a fix
+    #   they are the only rows the brief counts as fail, so they must be
+    #   re-verified before the backlog drains (VERDICT r6 next-round #2),
     # tier 1: everything the driver has NEVER checked (family-interleaved),
-    # tier 2: already-checked queries, least-recently-checked first
+    # tier 2: checked-green queries, least-recently-checked first
     qs = list(_QUERIES.values())
+    _interleave([q for q in qs if q.name in history and not history[q.name][1]])
     _interleave([q for q in qs if q.name not in history])
-    _interleave(sorted((q for q in qs if q.name in history),
-                       key=lambda q: history[q.name]))
+    _interleave(sorted((q for q in qs if q.name in history and history[q.name][1]),
+                       key=lambda q: history[q.name][0]))
     return out
 
 

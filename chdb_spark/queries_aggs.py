@@ -29,7 +29,7 @@ from chdb_spark.queries import defquery, table
     "g2_conditional_aggs",
     """
     SELECT l_returnflag,
-           count_if(l_quantity > 25) AS n_bulk,
+           CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
            CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice END
                          AS DECIMAL(18,2))) AS DOUBLE) AS sum_discounted,
            CAST(sum(CAST(CASE WHEN l_tax > 0.04 THEN l_extendedprice END

@@ -101,7 +101,7 @@ def ch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT (r % 7) AS bucket,
            count(*) AS n,
-           sum(r)   AS s
+           CAST(sum(r) AS BIGINT) AS s
     FROM (SELECT CAST(range AS BIGINT) AS r FROM range(0, 100000))
     GROUP BY bucket
     ORDER BY bucket

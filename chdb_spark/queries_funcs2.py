@@ -456,7 +456,7 @@ def m4_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT media_id, count(*) AS n_frames FROM f GROUP BY media_id
     )
     SELECT tot.media_id, tot.n_frames,
-           COALESCE(ss.n_active, 0) AS n_active,
+           CAST(COALESCE(ss.n_active, 0) AS BIGINT) AS n_active,
            COALESCE(ss.n_segments, 0) AS n_segments,
            COALESCE(ss.longest_segment, 0) AS longest_segment
     FROM tot LEFT JOIN ss ON tot.media_id = ss.media_id

@@ -55,7 +55,12 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+            # Keep the float-ness VISIBLE ("5.0", not "5"): the driver's
+            # canonicalizer distinguishes int 5 from float 5.0 (that is how
+            # the r5/r6 HUGEINT-oracle reds slipped past a local-green
+            # harness — VERDICT r6 What's-wrong #1), so the local signature
+            # must be at least as strict.
+            return f"{v:.1f}"
         return f"{v:.6g}"
     if isinstance(v, decimal.Decimal):
         f = float(v)
@@ -77,7 +82,37 @@ def rows_signature(colnames, rows):
     return sorted(colnames), lines
 
 
+_DRIVER_HOSTILE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def assert_oracle_output_driver_safe(oracle, qdef):
+    """Reject oracle output dtypes the driver canonicalizes asymmetrically.
+
+    DuckDB integer sum()/count_if() return HUGEINT, which pandas folds to
+    float64 — the driver then hashes "714264285.0" against Spark's bigint
+    "714264285" and the row goes red even though every value is equal
+    (VERDICT r6 What's-wrong #1: ch3/se1/g2/m5). Enforce `CAST(... AS
+    BIGINT)` at the harness level instead of by audit. Raw LIST/STRUCT/MAP
+    outputs are rejected for the same reason (the g3 canonicalizer crash,
+    fixed by commit 340ee83's stringify-or-explode rule)."""
+    desc = oracle.execute(f"DESCRIBE {qdef.oracle}").fetchall()
+    for col, dtype, *_ in desc:
+        up = str(dtype).upper()
+        if any(t in up for t in _DRIVER_HOSTILE_TYPES):
+            raise AssertionError(
+                f"{qdef.name}: oracle column {col!r} is {dtype} — DuckDB folds "
+                f"it to float64 under the driver's pandas canonicalizer; wrap "
+                f"the aggregate in CAST(... AS BIGINT)"
+            )
+        if up.endswith("[]") or up.startswith(("STRUCT", "MAP", "UNION")):
+            raise AssertionError(
+                f"{qdef.name}: oracle column {col!r} is nested ({dtype}) — "
+                f"driver-hash-unfriendly; stringify or explode it (g3 rule)"
+            )
+
+
 def assert_query_matches_oracle(spark, oracle, qdef, sf_dir=SF_CORRECT):
+    assert_oracle_output_driver_safe(oracle, qdef)
     sdf = qdef.spark(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns

@@ -22,11 +22,14 @@ def test_query_matches_oracle(spark, oracle, name):
 def test_driver_sample_rotation_order():
     """The driver's CORRECTNESS file samples the first 50 dict entries.
     r4 invariant (interleave so the prefix spans families) was superseded
-    by the r5 directive to ROTATE: every query the driver has never
-    checked must come BEFORE every already-checked one, so each round's
-    sample drains the unchecked backlog; within each tier the order stays
-    family-interleaved. With no history files (fresh clone) tier 1 is
-    everything, which degenerates to the old spans-every-family shape."""
+    by the r5 directive to ROTATE (never-checked before checked), and r6
+    added tier 0: queries whose MOST RECENT driver sample was red come
+    before everything — a failed-then-fixed query is the only row the
+    brief counts as fail, so its re-verification must not wait behind the
+    never-checked backlog. Order: tier 0 (last-sample red) → tier 1
+    (never checked) → tier 2 (checked green, least-recent first); each
+    tier family-interleaved. With no history files (fresh clone) tier 1
+    is everything, degenerating to the spans-every-family shape."""
     from chdb_spark.queries import _driver_check_history, _family
 
     names = list(_QUERIES)
@@ -34,18 +37,22 @@ def test_driver_sample_rotation_order():
     if not history:
         assert set(map(_family, names[:50])) == set(map(_family, names))
         return
-    seen_checked = False
-    for n in names:
-        if n in history:
-            seen_checked = True
-        else:
-            assert not seen_checked, (
-                f"never-checked query {n} ordered after an already-checked one"
-            )
-    never = [n for n in names if n not in history]
-    # the prefix must be pure backlog while a backlog remains
-    k = min(50, len(never))
-    assert all(n not in history for n in names[:k])
+
+    def tier(n):
+        if n not in history:
+            return 1
+        return 0 if not history[n][1] else 2
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), (
+        "rotation tiers out of order: last-red → never-checked → green"
+    )
+    # the 50-entry driver prefix must contain every last-red query and
+    # spend the remainder on the never-checked backlog (while one remains)
+    reds = [n for n in names if tier(n) == 0]
+    assert set(reds) <= set(names[:50]), "a failed-then-fixed query missed the sample"
+    k = min(50, len(reds) + sum(1 for t in tiers if t == 1))
+    assert all(tier(n) <= 1 for n in names[:k])
 
 
 def test_every_query_runs_at_smoke_sf(spark):
