@@ -109,6 +109,32 @@ def main() -> None:
         except (ValueError, OSError):
             pass
     full["outliers_vs_prev_round"] = outliers
+    # Lakehouse availability probe (VERDICT r6 #6): record WHY the
+    # Iceberg/Delta/Hudi SURVEY rows stay `partial` in this environment —
+    # the gated tests (tests/test_lakehouse_gated.py) activate the moment
+    # any probe flips to true, with zero code changes.
+    def _jvm_class(cls: str) -> bool:
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(cls)
+            return True
+        except Exception:
+            return False
+
+    try:
+        import importlib.util as _ilu
+
+        _pip_delta = _ilu.find_spec("delta") is not None
+    except Exception:
+        _pip_delta = False
+    full["lakehouse_probe"] = {
+        "iceberg_jar": _jvm_class("org.apache.iceberg.spark.SparkCatalog"),
+        "delta_jar": _jvm_class("org.apache.spark.sql.delta.catalog.DeltaCatalog"),
+        "hudi_jar": _jvm_class("org.apache.hudi.DefaultSource"),
+        "pip_delta_spark": _pip_delta,
+        "note": "all-false -> Iceberg/Delta/Hudi rows remain environment-"
+        "gated (no jars on classpath, pip install forbidden); "
+        "tests/test_lakehouse_gated.py runs the round-trips when present",
+    }
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     with open(os.path.join(here, f"BENCH_full_r{r_next:02d}.json"), "w") as f:

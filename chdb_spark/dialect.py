@@ -519,9 +519,12 @@ _FUNCS: dict[str, Callable[[list[str]], str]] = {
     "sumArray": _t(
         "sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e AS DOUBLE)))"
     ),
+    # NULL arrays contribute to NEITHER side: the numerator's aggregate()
+    # yields NULL (skipped by sum), and legacy size(NULL) = -1 would
+    # silently skew the denominator, so it is guarded to 0 there.
     "avgArray": _t(
         "(sum(aggregate({0}, CAST(0 AS DOUBLE), (acc, e) -> acc + CAST(e AS DOUBLE)))"
-        " / sum(size({0})))"
+        " / sum(if({0} IS NULL, 0, size({0}))))"
     ),
     "minArray": _t("min(array_min({0}))"),
     "maxArray": _t("max(array_max({0}))"),

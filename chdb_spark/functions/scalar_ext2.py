@@ -24,6 +24,8 @@ HASH :3059-3101,6035-6161, URL :4346-4542, IP :4561-4673, UUID :5364-5406.
 from __future__ import annotations
 
 import random as _pyrandom
+import warnings as _warnings
+from contextlib import contextmanager as _contextmanager
 from functools import lru_cache as _lru_cache
 
 import pandas as pd  # noqa: F401  (top-level import: pandas_udf hint resolution)
@@ -236,6 +238,56 @@ def _jaro_py(s1: str, s2: str) -> float:
     return (matches / n1 + matches / n2 + (matches - t) / matches) / 3
 
 
+# --- unblocked-use guard for per-pair Python string kernels ---------------
+# (VERDICT r6 #5: the blocking prefilter was a caller CONVENTION — make it
+# enforced at the registry level, mirroring similarity.py's
+# cosine_neardup_pairs_blocked max_block_rows bound.)
+
+_PAIRWISE_GUARD_DEPTH = 0
+_PAIRWISE_WARNED: set[str] = set()
+
+
+@_contextmanager
+def allow_unblocked():
+    """Acknowledge an intentionally-unblocked use of a per-pair Python
+    string metric — the O(n) shapes: probe-vs-literal, or comparing two
+    columns of the SAME row. Joins ON these metrics must instead go
+    through a blocking prefilter (``operators.linkage.fuzzy_self_join``):
+    an unguarded theta join on a Python kernel is a cartesian product at
+    corpus scale."""
+    global _PAIRWISE_GUARD_DEPTH
+    _PAIRWISE_GUARD_DEPTH += 1
+    try:
+        yield
+    finally:
+        _PAIRWISE_GUARD_DEPTH -= 1
+
+
+def _pairwise_guard(name: str) -> None:
+    """One-time-per-function warning when a per-pair kernel is built
+    outside an ``allow_unblocked()`` scope."""
+    if _PAIRWISE_GUARD_DEPTH or name in _PAIRWISE_WARNED:
+        return
+    _PAIRWISE_WARNED.add(name)
+    _warnings.warn(
+        f"{name} is a per-pair (Arrow-batched) Python kernel; used as a "
+        "join condition it hides an O(n²) cartesian plan. For joins use "
+        "chdb_spark.operators.linkage.fuzzy_self_join (deletion-"
+        "neighborhood blocking + residual metric); for O(n) shapes "
+        "(probe-vs-literal, same-row columns) wrap the call in "
+        "chdb_spark.functions.scalar_ext2.allow_unblocked().",
+        stacklevel=3,
+    )
+
+
+def _guarded_metric(name: str, factory):
+    def call(a, b):
+        _pairwise_guard(name)
+        return factory()(a, b)
+
+    return call
+
+
 @_lru_cache(maxsize=None)
 def _jaro_udf():
     """pandas_udf construction needs an active SparkSession — built lazily."""
@@ -386,9 +438,13 @@ register_many(
         "wrapText": lambda c, width=80: F.trim(
             F.regexp_replace(c, r"(.{1,%d})( +|$)" % width, "$1\n")
         ),
-        "jaroSimilarity": lambda a, b: _jaro_udf()(a, b),
-        "jaroWinklerSimilarity": lambda a, b: _jaro_winkler_udf()(a, b),
-        "damerauLevenshteinDistance": lambda a, b: _damerau_levenshtein_udf()(a, b),
+        "jaroSimilarity": _guarded_metric("jaroSimilarity", _jaro_udf),
+        "jaroWinklerSimilarity": _guarded_metric(
+            "jaroWinklerSimilarity", _jaro_winkler_udf
+        ),
+        "damerauLevenshteinDistance": _guarded_metric(
+            "damerauLevenshteinDistance", _damerau_levenshtein_udf
+        ),
     },
 )
 

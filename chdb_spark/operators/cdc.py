@@ -64,16 +64,22 @@ def snapshot_diff(
     if not compare_cols:
         raise ValueError("snapshot_diff: no columns to compare")
 
-    o = old.select(*keys, *compare_cols).alias("o")
-    n = new.select(*keys, *compare_cols).alias("n")
+    # Side presence is a LITERAL marker column, not key nullness: a NULL
+    # key never matches under the null-unsafe join, and inferring presence
+    # from `keys[0] IS NOT NULL` misclassified such rows (an old-only
+    # NULL-key row surfaced as 'insert'). With markers, NULL-key rows are
+    # deterministically one 'delete' (old side) / one 'insert' (new side)
+    # — they can never pair across snapshots.
+    o = old.select(*keys, *compare_cols, F.lit(True).alias("_present")).alias("o")
+    n = new.select(*keys, *compare_cols, F.lit(True).alias("_present")).alias("n")
     cond = None
     for k in keys:
         eq = F.col(f"o.{k}") == F.col(f"n.{k}")
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
 
-    old_present = F.col(f"o.{keys[0]}").isNotNull()
-    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    old_present = F.col("o._present").isNotNull()
+    new_present = F.col("n._present").isNotNull()
     differs: Column = F.lit(False)
     for c in compare_cols:
         # IS DISTINCT FROM == NOT eqNullSafe

@@ -41,9 +41,21 @@ def hist_psi(
     o = old_states.select(*keys, F.col(state_col).alias("_ho"))
     n = new_states.select(*keys, F.col(state_col).alias("_hn"))
     zero = F.lit(0).cast("long")
+    # FULL OUTER, not inner: a group present in only one snapshot is the
+    # MOST drifted case (it appeared or vanished) — an inner join would
+    # silently emit no PSI row for it. The missing side becomes an
+    # all-zero bucket array; Laplace smoothing keeps its shares finite
+    # (uniform 1/k), so the PSI is large and well-defined.
+    j = o.join(n, keys, "full_outer")
+    # when() not coalesce(size(..)): legacy (non-ANSI) size(NULL) is -1
+    k_buckets = F.when(F.col("_ho").isNotNull(), F.size("_ho")).otherwise(
+        F.size("_hn")
+    )
+    empty = F.array_repeat(zero, k_buckets)
     j = (
-        o.join(n, keys)
-        .withColumn("_k", F.size("_ho"))
+        j.withColumn("_k", k_buckets)
+        .withColumn("_ho", F.coalesce("_ho", empty))
+        .withColumn("_hn", F.coalesce("_hn", empty))
         .withColumn("_to", F.aggregate("_ho", zero, lambda a, e: a + e))
         .withColumn("_tn", F.aggregate("_hn", zero, lambda a, e: a + e))
     )

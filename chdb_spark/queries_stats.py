@@ -390,11 +390,16 @@ def sq2_retention_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at scale, prefilter candidates by length/prefix blocking first.",
 )
 def fz1_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.functions.scalar_ext2 import allow_unblocked
+
     cust = table(spark, sf_dir, "customer")
     target = F.lit("Customer#000000042")
-    return cust.agg(
-        F.count(
-            F.when(fn("damerauLevenshteinDistance")(F.col("c_name"), target) <= 2, 1)
-        ).cast("long").alias("near_names"),
-        F.round(F.avg(fn("jaroWinklerSimilarity")(F.col("c_name"), target)), 4).alias("avg_jw"),
-    )
+    # probe-vs-literal is the acknowledged O(n) shape — one map-side pass,
+    # no pair join; the registry guard warns on unacknowledged uses
+    with allow_unblocked():
+        return cust.agg(
+            F.count(
+                F.when(fn("damerauLevenshteinDistance")(F.col("c_name"), target) <= 2, 1)
+            ).cast("long").alias("near_names"),
+            F.round(F.avg(fn("jaroWinklerSimilarity")(F.col("c_name"), target)), 4).alias("avg_jw"),
+        )

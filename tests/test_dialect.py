@@ -880,6 +880,19 @@ def test_array_ornull_combinators_execute(spark):
     assert row2["c"] is None and row2["s"] is None
 
 
+def test_avg_array_ignores_null_arrays(spark):
+    """A NULL array row contributes to NEITHER side of avgArray: the
+    legacy size(NULL) = -1 must not deflate the element count (ADVICE r6
+    — the denominator is guarded, not raw sum(size(a)))."""
+    spark.createDataFrame(
+        [([1.0, 2.0],), (None,), ([3.0],)], "a array<double>"
+    ).createOrReplaceTempView("arrn")
+    row = chs.query(
+        spark, "SELECT avgArray(a) AS m, sumArray(a) AS s FROM arrn", "DataFrame"
+    ).collect()[0]
+    assert (row["m"], row["s"]) == (2.0, 6.0)
+
+
 def test_system_query_log(spark):
     """system.query_log mirrors CH's config-gated query log: populated
     while utils.trace is enabled, empty (not an error) while off."""

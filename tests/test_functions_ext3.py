@@ -72,6 +72,35 @@ def test_fuzzy_string_udfs(spark):
     assert out["dl"] == 1  # one transposition (plain levenshtein would say 2)
 
 
+def test_fuzzy_metric_unblocked_guard(spark):
+    """The per-pair Python kernels warn (once per function) when built
+    outside allow_unblocked(); inside the scope they are silent — so no
+    silent O(n²) path is reachable through the registry (VERDICT r6 #5)."""
+    import warnings
+
+    from chdb_spark.functions import scalar_ext2
+
+    scalar_ext2._PAIRWISE_WARNED.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn("jaroWinklerSimilarity")(F.lit("a"), F.lit("b"))
+        assert any("O(n²)" in str(x.message) for x in w), "bare use must warn"
+    scalar_ext2._PAIRWISE_WARNED.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with scalar_ext2.allow_unblocked():
+            fn("jaroWinklerSimilarity")(F.lit("a"), F.lit("b"))
+            fn("damerauLevenshteinDistance")(F.lit("a"), F.lit("b"))
+        assert not w, "acknowledged use must be silent"
+    # one-time: a second bare use of an already-warned function is silent
+    scalar_ext2._PAIRWISE_WARNED.clear()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn("jaroSimilarity")(F.lit("a"), F.lit("b"))
+        fn("jaroSimilarity")(F.lit("a"), F.lit("b"))
+        assert len(w) == 1
+
+
 def test_datetime_batch3_values(spark):
     ts = F.lit("2024-03-31 12:34:56").cast("timestamp")
     out = _row(

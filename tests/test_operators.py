@@ -1309,6 +1309,21 @@ def test_snapshot_diff_null_safety(spark):
     }  # 3 (NULL→NULL) and 4 (equal) dropped
 
 
+def test_snapshot_diff_null_key_rows(spark):
+    """A NULL key never matches under the null-unsafe join, so presence
+    comes from literal markers (ADVICE r6): an old-only NULL-key row is a
+    'delete', a new-side one an 'insert' — never misclassified or lost."""
+    from chdb_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(None, "gone"), (1, "a")], "k int, v string")
+    new = spark.createDataFrame([(None, "born"), (1, "a")], "k int, v string")
+    got = sorted(
+        (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    )
+    assert got == [("delete", "gone", None), ("insert", None, "born")]
+
+
 def test_snapshot_diff_rejects_bad_keys(spark):
     from chdb_spark.operators.cdc import snapshot_diff
 
@@ -1492,6 +1507,30 @@ def test_hist_psi_properties(spark):
     h2 = partial_states(ev.repartition(7), ["event_type"], aggs)
     again = {r["event_type"]: r["psi"] for r in hist_psi(h2, shifted, ["event_type"]).collect()}
     assert again == moved
+
+
+def test_hist_psi_one_sided_group(spark):
+    """A group present in only one snapshot (the MOST drifted case) must
+    emit a PSI row (full-outer, zero-filled missing side — ADVICE r6),
+    with a large finite PSI, not silently vanish."""
+    from chdb_spark.operators.drift import hist_psi
+
+    # skewed histograms: a zero-filled missing side smooths to UNIFORM
+    # shares, so a uniform present side would (correctly) score PSI 0
+    o = spark.createDataFrame(
+        [("shared", [10, 0, 0]), ("vanished", [15, 0, 0])],
+        "g string, h array<long>",
+    )
+    n = spark.createDataFrame(
+        [("shared", [0, 0, 10]), ("appeared", [27, 0, 0])],
+        "g string, h array<long>",
+    )
+    got = {r["g"]: r["psi"] for r in hist_psi(o, n, ["g"]).collect()}
+    assert set(got) == {"shared", "vanished", "appeared"}
+    import math
+
+    assert all(math.isfinite(v) for v in got.values())
+    assert got["vanished"] > 0.25 and got["appeared"] > 0.25
 
 
 def test_audio_frame_energy_edges(spark):

@@ -275,3 +275,98 @@ def test_union_by_name_widen_property(spark, ta, tb, extra_on_b, n):
     if extra_on_b:
         tags = [r["tag"] for r in rows]
         assert tags.count(None) == n  # NULL exactly on the a side
+
+
+# ---------------------------------------------------------------------------
+# dialect-join properties (VERDICT r6 #7): the documented deterministic
+# refinements of ASOF JOIN / ANY JOIN are always VALID ClickHouse answers
+# ---------------------------------------------------------------------------
+
+_asof_left = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 20)),
+    min_size=1, max_size=8,
+)
+_asof_right = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 20), st.integers(0, 5)),
+    min_size=0, max_size=10,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_nearest_property(spark, left, right):
+    """For ANY trades/quotes pair, every ASOF LEFT JOIN output row pairs
+    the trade with the NEAREST quote at-or-before it (CH backward form):
+    the joined qts is max{qts <= ts, same sym}, the joined bid is one of
+    the bids observed AT that qts (the smallest-tuple refinement is a
+    valid CH ANY answer), rows with no earlier quote join NULLs, and
+    every trade appears exactly once."""
+    import chdb_spark.session as chs
+
+    spark.createDataFrame(left, "sym string, ts int").createOrReplaceTempView(
+        "prop_trades"
+    )
+    spark.createDataFrame(
+        right, "sym string, qts int, bid int"
+    ).createOrReplaceTempView("prop_quotes")
+    out = chs.query(
+        spark,
+        "SELECT t.sym, t.ts, q.qts, q.bid FROM prop_trades t "
+        "ASOF LEFT JOIN prop_quotes q ON t.sym = q.sym AND q.qts <= t.ts",
+        "DataFrame",
+    ).collect()
+    assert sorted((r["sym"], r["ts"]) for r in out) == sorted(left)
+    for r in out:
+        matches = [(qts, bid) for s, qts, bid in right if s == r["sym"] and qts <= r["ts"]]
+        if not matches:
+            assert r["qts"] is None and r["bid"] is None
+        else:
+            nearest = max(q for q, _ in matches)
+            assert r["qts"] == nearest
+            assert r["bid"] in {b for q, b in matches if q == nearest}
+
+
+_any_left = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=1, max_size=8
+)
+_any_right = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=0, max_size=10
+)
+
+
+@given(left=_any_left, right=_any_right)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_any_join_valid_answer_property(spark, left, right):
+    """For ANY pair of tables, LEFT ANY JOIN emits exactly one row per
+    left row; a matched row's right value is one of the true matches (the
+    deterministic smallest-right-tuple refinement is a valid CH ANY
+    answer); an unmatched row joins NULL — across random duplicate-key
+    layouts on both sides."""
+    import chdb_spark.session as chs
+
+    spark.createDataFrame(left, "x int, i int").createOrReplaceTempView("prop_ta")
+    spark.createDataFrame(right, "x int, v int").createOrReplaceTempView("prop_tb")
+    out = chs.query(
+        spark,
+        "SELECT a.x, a.i, b.v FROM prop_ta a ANY LEFT JOIN prop_tb b ON a.x = b.x",
+        "DataFrame",
+    ).collect()
+    assert sorted((r["x"], r["i"]) for r in out) == sorted(left)
+    chosen = {}
+    for r in out:
+        matches = [v for x, v in right if x == r["x"]]
+        if not matches:
+            assert r["v"] is None
+        else:
+            assert r["v"] in matches
+            # ANY strictness: ONE right row per key — every left row with
+            # the same key sees the same chosen right value
+            assert chosen.setdefault(r["x"], r["v"]) == r["v"]
