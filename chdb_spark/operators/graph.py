@@ -70,7 +70,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 5,
     q_scale: int = Q_SCALE,
-    checkpoint_every: int | None = 2,
+    checkpoint_every: int | None = 8,
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85 as the rational 85/100) over a
     weighted directed edge list (src, dst, w).
@@ -83,12 +83,19 @@ def pagerank(
 
     Iteration shape (VERDICT r6 #3 — shave the per-job floor): a node with
     no in-edges receives no contribution, so its rank is the CONSTANT
-    ``tele`` on every iteration ≥ 1. That lane is materialized ONCE
-    (``no_in``) and unioned in, so each iteration is exactly one
-    ranks×edges join + one dst-keyed agg — the per-iteration nodes
-    left-join of the old shape is gone. ``checkpoint_every=2`` truncates
-    lineage every other iteration (localCheckpoint, ContextCleaner-released)
-    — half the checkpoint jobs of every-iteration at a bounded plan depth.
+    ``tele`` on every iteration ≥ 1. That lane is built ONCE (``no_in``,
+    node-sized, one anti-join) and unioned in, so each iteration is
+    exactly one ranks×edges join + one dst-keyed agg — the per-iteration
+    nodes left-join of the old shape is gone.
+
+    ``checkpoint_every=8``: lineage truncation is for DEEP runs only. A
+    same-session A/B at sf0.1 (iters=5) measured eager mid-loop
+    checkpoints + an eager ``no_in`` at median 2.31 s vs 2.11 s fully
+    lazy — each eager localCheckpoint is a blocking job that costs more
+    than the lazy stages it truncates until the plan is genuinely deep.
+    Catalyst handles a ~16-stage plan fine; past ~8 iterations plan
+    compile time and executor-plan size start growing superlinearly
+    (SCALE.md round-4 lesson), which is where truncation pays.
     """
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
     # localCheckpoint, not persist: the blocks are ContextCleaner-released
@@ -117,10 +124,12 @@ def pagerank(
     # nodes with no in-edge: rank is exactly `tele` from iteration 1 on —
     # computed once, unioned into every iteration's result (node-sized,
     # one anti-join job; replaces `iters` per-iteration left joins)
+    # lazy: used once per iteration in the final plan; exchange reuse
+    # dedupes the anti-join, and an eager checkpoint here measured as a
+    # net loss at iters=5 (see docstring A/B)
     no_in = (
         nodes.join(e.select(F.col("dst").alias("k")).distinct(), "k", "left_anti")
         .select("k", F.lit(tele).cast("long").alias("r"))
-        .localCheckpoint(eager=True)
     )
     ranks = nodes.select("k", F.lit(q_scale // n).cast("long").alias("r"))
     for i in range(iters):
