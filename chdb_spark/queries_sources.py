@@ -513,10 +513,14 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chdb_spark.queries import table
     from chdb_spark.streaming.core import streaming_lsh_bucket_pairs
 
+    import os
+
     docs = table(spark, sf_dir, "documents")
-    # re-shard so the file source has multiple triggers' worth of input
+    # re-shard so the file source has multiple triggers' worth of input;
+    # deterministic per sf_dir, so reuse it across runs (the sm7 device)
     tmp = scratch_dir("docstream", sf_dir)
-    docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(tmp)
+    if not os.path.isdir(tmp):
+        docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(tmp)
     stream = (
         spark.readStream.schema(spark.read.parquet(tmp).schema)
         # two files per trigger: pair state still crosses micro-batches
