@@ -45,7 +45,11 @@ def hist_psi(
     # MOST drifted case (it appeared or vanished) — an inner join would
     # silently emit no PSI row for it. The missing side becomes an
     # all-zero bucket array; Laplace smoothing keeps its shares finite
-    # (uniform 1/k), so the PSI is large and well-defined.
+    # (uniform 1/k), so the PSI is large and well-defined. Full outer
+    # can't hash-broadcast, but the sort-merge join of two metadata-sized
+    # state tables measured FASTER same-session than the broadcastable
+    # left_outer + anti-union rewrite (1.10 s vs 1.43 s at sf0.1) — two
+    # broadcast-build jobs cost more than one tiny SMJ.
     j = o.join(n, keys, "full_outer")
     # when() not coalesce(size(..)): legacy (non-ANSI) size(NULL) is -1
     k_buckets = F.when(F.col("_ho").isNotNull(), F.size("_ho")).otherwise(

@@ -370,3 +370,57 @@ def test_any_join_valid_answer_property(spark, left, right):
             # ANY strictness: ONE right row per key — every left row with
             # the same key sees the same chosen right value
             assert chosen.setdefault(r["x"], r["v"]) == r["v"]
+
+
+# ---------------------------------------------------------------------------
+# pagerank exactness properties: the int64 Q-unit design's claims —
+# partitioning-independence and mass bounds — made executable
+# ---------------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 6),                  # src
+        st.integers(0, 6),                  # dst
+        st.integers(1, 5),                  # w
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edge_rows=_edges_strategy, n_parts=st.sampled_from([1, 3, 7]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_partitioning_independence_property(spark, edge_rows, n_parts):
+    """For ANY weighted digraph and ANY partitioning, pagerank's int64
+    Q-unit arithmetic returns bit-identical ranks (the SCALE.md claim:
+    integer mul/div/sum is associative-safe, so results are independent
+    of partition count and summation order), and the total rank mass is
+    bounded: n*tele <= sum(rank_q) <= Q + n (dangling mass only ever
+    LEAVES under the weakly-preferential variant; +n covers per-node
+    integer-division remainders of the uniform init)."""
+    from chdb_spark.operators.graph import Q_SCALE, pagerank
+
+    # collapse duplicate (src, dst) pairs the way a real edge list would
+    agg: dict = {}
+    for s, d, w in edge_rows:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    rows = [(s, d, w) for (s, d), w in agg.items()]
+
+    base = spark.createDataFrame(rows, "src int, dst int, w int")
+    a = sorted(
+        tuple(r) for r in pagerank(base.repartition(1), iters=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pagerank(base.repartition(n_parts, "dst"), iters=3).collect()
+    )
+    assert a == b
+
+    n = len({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    tele = (15 * Q_SCALE) // (100 * n)
+    total = sum(r[1] for r in a)
+    assert n * tele <= total <= Q_SCALE + n
