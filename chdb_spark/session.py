@@ -145,6 +145,30 @@ def register_tables(
     return out
 
 
+# Catalog-style metadata cache for read_table: building a parquet
+# DataFrame costs ~100 ms on the DRIVER (file listing + footer schema
+# inference) before any job runs — per-query re-derivation of the same
+# table is pure overhead, and every real engine (chDB's session catalog,
+# DuckDB's catalog, a production Spark metastore) resolves a table's
+# metadata once, not per statement. Entries are keyed by (application,
+# absolute path, mtime_ns, size) so an overwritten file/dir misses the
+# cache and re-derives; the returned DataFrame is an immutable logical
+# plan, safe to share across callers. Bounded LRU: a stopped session's
+# plans age out.
+_READ_TABLE_CACHE: dict = {}
+_READ_TABLE_CACHE_MAX = 64
+
+
+def _read_table_key(spark: SparkSession, path: str):
+    st = os.stat(path)
+    return (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        st.st_mtime_ns,
+        st.st_size,
+    )
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet table, restoring TIMESTAMP(NANOS) columns.
 
@@ -156,6 +180,16 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    try:
+        key = _read_table_key(spark, path)
+    except OSError:
+        key = None  # nonexistent/odd path: let spark.read raise its error
+    if key is not None:
+        hit = _READ_TABLE_CACHE.pop(key, None)
+        if hit is not None:
+            _READ_TABLE_CACHE[key] = hit  # re-insert: LRU recency
+            return hit
+
     # Driver-session-proof: callers may hand us a SparkSession built without
     # DEFAULT_CONFS (e.g. an external harness). nanosAsLong is runtime-settable,
     # and without it any parquet with TIMESTAMP(NANOS) columns fails the scan
@@ -166,13 +200,17 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         pass  # conf locked down (e.g. spark-connect policy) — fall through
     df = spark.read.parquet(path)
     try:
-        arrow_schema = pq.read_schema(path)
+        arrow_schema = list(pq.read_schema(path))
     except Exception:
-        return df
+        arrow_schema = []  # directory path: schema already Spark-merged
     for fld in arrow_schema:
         t = str(fld.type)
         if t.startswith("timestamp[ns") and dict(df.dtypes).get(fld.name) == "bigint":
             df = df.withColumn(fld.name, F.expr(f"timestamp_micros(`{fld.name}` div 1000)"))
+    if key is not None:
+        _READ_TABLE_CACHE[key] = df
+        while len(_READ_TABLE_CACHE) > _READ_TABLE_CACHE_MAX:
+            _READ_TABLE_CACHE.pop(next(iter(_READ_TABLE_CACHE)))
     return df
 
 

@@ -545,3 +545,30 @@ def test_resize_images_header_edge_cases(spark):
     assert got_row0 == exp_row0
     # small flat image passes through byte-identical (no resize needed)
     assert bytes(out[2]["payload"]) == flat and out[2]["resized"] is False
+
+
+def test_read_table_catalog_cache(spark, tmp_path):
+    """read_table resolves a table's metadata ONCE per (path, fingerprint)
+    — the session-catalog behavior every engine has — and a rewritten
+    file (new mtime/size) misses the cache and re-derives: stale plans
+    can never be served."""
+    import pandas as pd
+
+    from chdb_spark.session import read_table
+
+    p = str(tmp_path / "t.parquet")
+    pd.DataFrame({"a": [1, 2]}).to_parquet(p)
+    d1 = read_table(spark, p)
+    d2 = read_table(spark, p)
+    assert d1 is d2  # cache hit: the same immutable plan object
+    assert d2.count() == 2
+
+    import os
+    import time as _time
+
+    _time.sleep(0.01)  # ensure the rewrite lands on a distinct mtime_ns
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_parquet(p)
+    os.utime(p)
+    d3 = read_table(spark, p)
+    assert d3 is not d2  # fingerprint change: fresh derivation
+    assert d3.count() == 3 and set(d3.columns) == {"a", "b"}
