@@ -74,6 +74,18 @@ def read_auto(
             tmp.write(resp.read())
         tmp.close()
         uri = tmp.name
+    if (
+        fmt == "parquet"
+        and not options
+        and not uri.startswith(_REMOTE_SCHEMES)
+    ):
+        # plain local parquet: the session-catalog path — metadata resolved
+        # once per (path, fingerprint) instead of per statement, and
+        # TIMESTAMP(NANOS) columns restored consistently (see
+        # session.read_table; globs/dirs fall through its uncached branch)
+        from chdb_spark.session import read_table
+
+        return read_table(spark, uri)
     reader = spark.read
     if fmt == "csv":
         options.setdefault("header", "true")
