@@ -28,6 +28,19 @@ def scratch_dir(prefix: str, key: str) -> str:
     )
 
 
+def scratch_complete(path: str) -> bool:
+    """True only when ``path`` holds a COMPLETE Spark write.
+
+    ``os.path.isdir`` alone is the wrong reuse guard: a crashed or
+    interrupted write leaves a partial parquet directory that would then
+    be silently reused forever, feeding truncated input. Spark's file
+    committer drops a ``_SUCCESS`` marker only after the job commits —
+    gate reuse on it and rewrite otherwise."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _repartition_feature_pass(sel):
     """Round-robin a (id, payload) projection to full parallelism ahead of an
     Arrow map pass — but only when the scan itself can't parallelize.

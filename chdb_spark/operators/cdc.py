@@ -64,17 +64,19 @@ def snapshot_diff(
     if not compare_cols:
         raise ValueError("snapshot_diff: no columns to compare")
 
-    # Side presence is a LITERAL marker column, not key nullness: a NULL
-    # key never matches under the null-unsafe join, and inferring presence
-    # from `keys[0] IS NOT NULL` misclassified such rows (an old-only
-    # NULL-key row surfaced as 'insert'). With markers, NULL-key rows are
-    # deterministically one 'delete' (old side) / one 'insert' (new side)
-    # — they can never pair across snapshots.
+    # Side presence is a LITERAL marker column, not key nullness: inferring
+    # presence from `keys[0] IS NOT NULL` misclassified NULL-key rows (an
+    # old-only NULL-key row surfaced as 'insert'). Key matching is
+    # null-SAFE (<=>): in a keyed snapshot NULL is a key value, so an
+    # identical NULL-key row present in both snapshots pairs up and drops
+    # as unchanged — diff(x, x) is empty for ANY x (property-pinned), and
+    # apply_snapshot_diff's anti join uses the same <=> semantics. <=> is
+    # still an equi-join key: this stays one hash-shuffle join.
     o = old.select(*keys, *compare_cols, F.lit(True).alias("_present")).alias("o")
     n = new.select(*keys, *compare_cols, F.lit(True).alias("_present")).alias("n")
     cond = None
     for k in keys:
-        eq = F.col(f"o.{k}") == F.col(f"n.{k}")
+        eq = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
         cond = eq if cond is None else (cond & eq)
     j = o.join(n, cond, "full_outer")
 
@@ -115,7 +117,17 @@ def apply_snapshot_diff(
     removals = diff.filter(
         F.col("change_type").isin("delete", "update")
     ).select(*keys)
-    kept = old.join(removals, keys, "left_anti")
+    # eqNullSafe, not a plain key list: snapshot_diff emits NULL-key
+    # delete/insert rows, and a null-unsafe anti join never retires the
+    # old NULL-key row — breaking the round-trip invariant pinned below.
+    # <=> is still an equi-join key, so this stays a hash join.
+    o, r = old.alias("_cdc_o"), removals.alias("_cdc_r")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_cdc_o.{k}").eqNullSafe(F.col(f"_cdc_r.{k}"))
+    kept = o.join(r, cond, "left_anti").select(
+        *[F.col(f"_cdc_o.{c}").alias(c) for c in old.columns]
+    )
     additions = diff.filter(
         F.col("change_type").isin("insert", "update")
     ).select(*keys, *[F.col(f"new_{c}").alias(c) for c in new_cols])

@@ -84,6 +84,8 @@ def _driver_check_history() -> dict[str, tuple[int, bool]]:
                 rows = json.load(f)
         except Exception:
             continue
+        if not isinstance(rows, dict):
+            continue  # tolerant contract: a list/scalar payload is skipped
         for name, row in rows.items():
             green = bool(
                 row.get("rows_match", True)

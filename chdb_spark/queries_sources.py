@@ -508,7 +508,7 @@ def sm5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle verbatim.",
 )
 def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.operators import scratch_dir
+    from chdb_spark.operators import scratch_complete, scratch_dir
     from chdb_spark.operators.dedup import doc_features, verify_pairs_arrays
     from chdb_spark.queries import table
     from chdb_spark.streaming.core import streaming_lsh_bucket_pairs
@@ -519,7 +519,7 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shard so the file source has multiple triggers' worth of input;
     # deterministic per sf_dir, so reuse it across runs (the sm7 device)
     tmp = scratch_dir("docstream", sf_dir)
-    if not os.path.isdir(tmp):
+    if not scratch_complete(tmp):  # _SUCCESS-gated: partial writes rewrite
         docs.repartitionByRange(4, "doc_id").write.mode("overwrite").parquet(tmp)
     stream = (
         spark.readStream.schema(spark.read.parquet(tmp).schema)
@@ -570,7 +570,7 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "test_drop_duplicates_within_watermark_evicts_state.",
 )
 def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.operators import scratch_dir
+    from chdb_spark.operators import scratch_complete, scratch_dir
     from chdb_spark.streaming.core import read_events_stream
     from chdb_spark.session import read_table
     import os
@@ -578,7 +578,7 @@ def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shard events by time range so the file source delivers several
     # triggers' worth of input (same device as sm6)
     tmp = scratch_dir("evstream", sf_dir)
-    if not os.path.isdir(tmp):
+    if not scratch_complete(tmp):  # _SUCCESS-gated: partial writes rewrite
         read_table(spark, os.path.join(sf_dir, "events.parquet")) \
             .repartitionByRange(4, "ts").write.mode("overwrite").parquet(tmp)
     schema = spark.read.parquet(tmp).schema
@@ -644,7 +644,7 @@ def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sm8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from chdb_spark.operators import scratch_dir
+    from chdb_spark.operators import scratch_complete, scratch_dir
     from chdb_spark.operators.rollup import (
         finalize_states,
         merge_states,
@@ -655,7 +655,7 @@ def sm8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same time-range re-shard as sm6/sm7 so the file source delivers
     # several triggers' worth of input
     tmp = scratch_dir("evstream", sf_dir)
-    if not os.path.isdir(tmp):
+    if not scratch_complete(tmp):  # _SUCCESS-gated: partial writes rewrite
         read_table(spark, os.path.join(sf_dir, "events.parquet")) \
             .repartitionByRange(4, "ts").write.mode("overwrite").parquet(tmp)
     work = tempfile.mkdtemp(prefix="chdb_spark_sm8_")

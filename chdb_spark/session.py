@@ -159,14 +159,52 @@ _READ_TABLE_CACHE: dict = {}
 _READ_TABLE_CACHE_MAX = 64
 
 
-def _read_table_key(spark: SparkSession, path: str):
+def _path_fingerprint(path: str):
+    """(n_files, total_size, max_mtime_ns) over ``path``.
+
+    A regular file fingerprints as itself. A directory is walked
+    recursively — the top-level stat alone is NOT enough: rewriting files
+    inside a partition subdirectory leaves the parent dir's mtime/size
+    unchanged, which would serve a stale cached plan (old file listing).
+    Walks larger than ``_FINGERPRINT_MAX_FILES`` return None (caller skips
+    the cache): past that point the walk costs as much as the listing the
+    cache was saving."""
     st = os.stat(path)
-    return (
-        spark.sparkContext.applicationId,
-        os.path.abspath(path),
-        st.st_mtime_ns,
-        st.st_size,
-    )
+    if not os.path.isdir(path):
+        return (1, st.st_size, st.st_mtime_ns)
+    n, total, max_mtime = 0, 0, st.st_mtime_ns
+    stack = [path]
+    while stack:
+        d = stack.pop()
+        with os.scandir(d) as it:
+            for entry in it:
+                est = entry.stat(follow_symlinks=False)
+                max_mtime = max(max_mtime, est.st_mtime_ns)
+                if entry.is_dir(follow_symlinks=False):
+                    stack.append(entry.path)
+                else:
+                    n += 1
+                    total += est.st_size
+                if n > _FINGERPRINT_MAX_FILES:
+                    return None
+    return (n, total, max_mtime)
+
+
+_FINGERPRINT_MAX_FILES = 4096
+
+
+def _read_table_key(spark: SparkSession, path: str):
+    try:
+        # Not just OSError: under Spark Connect, touching sparkContext
+        # raises a PySpark exception — a session type read_table tolerates
+        # below (the conf.set fallback), so it must not crash the cache key.
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return None  # no stable session identity: skip the cache
+    fp = _path_fingerprint(path)
+    if fp is None:
+        return None
+    return (app_id, os.path.abspath(path)) + fp
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -184,6 +222,8 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         key = _read_table_key(spark, path)
     except OSError:
         key = None  # nonexistent/odd path: let spark.read raise its error
+    except Exception:
+        key = None  # any other stat/walk surprise: uncached, never wrong
     if key is not None:
         hit = _READ_TABLE_CACHE.pop(key, None)
         if hit is not None:

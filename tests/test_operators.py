@@ -1310,9 +1310,10 @@ def test_snapshot_diff_null_safety(spark):
 
 
 def test_snapshot_diff_null_key_rows(spark):
-    """A NULL key never matches under the null-unsafe join, so presence
-    comes from literal markers (ADVICE r6): an old-only NULL-key row is a
-    'delete', a new-side one an 'insert' — never misclassified or lost."""
+    """In a keyed snapshot NULL is a key VALUE (null-safe <=> matching,
+    ADVICE r7): a NULL-key row present in both snapshots pairs up — equal
+    values drop as unchanged, differing values are one 'update' — and an
+    old-only NULL-key row is a 'delete' (never misclassified or lost)."""
     from chdb_spark.operators.cdc import snapshot_diff
 
     old = spark.createDataFrame([(None, "gone"), (1, "a")], "k int, v string")
@@ -1321,7 +1322,15 @@ def test_snapshot_diff_null_key_rows(spark):
         (r["change_type"], r["old_v"], r["new_v"])
         for r in snapshot_diff(old, new, ["k"]).collect()
     )
-    assert got == [("delete", "gone", None), ("insert", None, "born")]
+    assert got == [("update", "gone", "born")]
+    # identical NULL-key rows pair and drop: diff(x, x) is empty for ANY x
+    assert snapshot_diff(old, old, ["k"]).count() == 0
+    # old-only NULL-key row retires as a delete
+    got2 = sorted(
+        (r["change_type"], r["old_v"], r["new_v"])
+        for r in snapshot_diff(old, old.filter("k IS NOT NULL"), ["k"]).collect()
+    )
+    assert got2 == [("delete", "gone", None)]
 
 
 def test_snapshot_diff_rejects_bad_keys(spark):
@@ -1423,6 +1432,27 @@ def test_apply_diff_reconstructs_new_snapshot(spark):
     assert empty.count() == 0
     same = apply_snapshot_diff(new, empty, ["k"])
     assert {tuple(r) for r in same.collect()} == {tuple(r) for r in new.collect()}
+
+
+def test_apply_diff_retires_null_key_rows(spark):
+    """snapshot_diff emits NULL-key delete/insert rows; apply must retire
+    the old NULL-key row too (null-SAFE anti join — a plain key-list anti
+    join never matches NULL and keeps both rows, ADVICE r7)."""
+    from chdb_spark.operators.cdc import apply_snapshot_diff, snapshot_diff
+
+    schema = "k int, s string, v double"
+    old = spark.createDataFrame([(None, "old-null", 1.0), (1, "a", 2.0)], schema)
+    new = spark.createDataFrame([(None, "new-null", 9.0), (1, "a", 2.0)], schema)
+    diff = snapshot_diff(old, new, ["k"])
+    rebuilt = apply_snapshot_diff(old, diff, ["k"])
+    assert {tuple(r) for r in rebuilt.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+    # NULL-key row deleted outright
+    gone = apply_snapshot_diff(
+        old, snapshot_diff(old, old.filter("k IS NOT NULL"), ["k"]), ["k"]
+    )
+    assert {tuple(r) for r in gone.collect()} == {(1, "a", 2.0)}
 
 
 def test_rollup_hist_state_merges_exactly(spark):

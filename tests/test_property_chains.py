@@ -204,10 +204,19 @@ def test_chain_matches_pandas(spark, data, ops, term):
 
 _cdc_vals = st.one_of(st.none(), st.sampled_from(["p", "q", "r"]))
 _cdc_snapshot = st.dictionaries(
-    st.integers(min_value=0, max_value=12),  # keys
+    # keys INCLUDE None: the round-trip must hold for NULL-key rows too
+    # (null-safe anti join in apply_snapshot_diff, ADVICE r7)
+    st.one_of(st.none(), st.integers(min_value=0, max_value=12)),
     st.tuples(_cdc_vals, st.sampled_from([0.5, 1.5, None])),
     max_size=10,
 )
+
+
+def _cdc_rows(snapshot):
+    return sorted(
+        ((k, s, v) for k, (s, v) in snapshot.items()),
+        key=lambda r: (r[0] is None, r[0] or 0),
+    )
 
 
 @given(old=_cdc_snapshot, new=_cdc_snapshot)
@@ -223,12 +232,8 @@ def test_snapshot_diff_apply_round_trip_property(spark, old, new):
     from chdb_spark.operators.cdc import apply_snapshot_diff, snapshot_diff
 
     schema = "k int, s string, v double"
-    old_df = spark.createDataFrame(
-        [(k, s, v) for k, (s, v) in sorted(old.items())], schema
-    )
-    new_df = spark.createDataFrame(
-        [(k, s, v) for k, (s, v) in sorted(new.items())], schema
-    )
+    old_df = spark.createDataFrame(_cdc_rows(old), schema)
+    new_df = spark.createDataFrame(_cdc_rows(new), schema)
     diff = snapshot_diff(old_df, new_df, ["k"])
     rebuilt = {tuple(r) for r in apply_snapshot_diff(old_df, diff, ["k"]).collect()}
     want = {tuple(r) for r in new_df.collect()}

@@ -134,3 +134,78 @@ def test_coverage_doc_query_names_exist():
     # and the doc should cite a meaningful share of what exists (family
     # ranges like q2-q22 are cited as ranges, not per-name)
     assert len(cited & known) > 60
+
+
+def test_driver_check_history_tolerates_non_dict_payload():
+    """A CORRECTNESS_r*.json whose top level is a list/scalar is skipped,
+    not crashed on — the documented 'tolerant' contract (ADVICE r7:
+    rows.items() ran outside the try block)."""
+    import json
+    import os
+
+    from chdb_spark.queries import _driver_check_history
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bogus = os.path.join(root, "CORRECTNESS_r0.json")
+    assert not os.path.exists(bogus)
+    try:
+        with open(bogus, "w") as f:
+            json.dump(["not", "a", "dict"], f)
+        hist = _driver_check_history()  # must not raise
+        assert isinstance(hist, dict) and "not" not in hist
+    finally:
+        os.remove(bogus)
+
+
+def test_scratch_complete_requires_success_marker(tmp_path):
+    """Reuse guard: a directory WITHOUT Spark's _SUCCESS commit marker is
+    a partial (crashed) write and must be rewritten, not reused."""
+    from chdb_spark.operators import scratch_complete
+
+    d = tmp_path / "partial"
+    d.mkdir()
+    (d / "part-00000.parquet").write_bytes(b"truncated")
+    assert not scratch_complete(str(d))
+    (d / "_SUCCESS").write_bytes(b"")
+    assert scratch_complete(str(d))
+
+
+def test_read_table_key_tolerates_sessions_without_spark_context():
+    """Under Spark Connect, touching sparkContext raises a non-OSError
+    PySpark exception; the cache key resolver must fall through to
+    'uncached' instead of crashing read_table (ADVICE r7)."""
+    from chdb_spark.session import _read_table_key
+
+    class _ConnectLike:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("sparkContext is not available in Spark Connect")
+
+    assert _read_table_key(_ConnectLike(), "/etc/hostname") is None
+
+
+def test_path_fingerprint_sees_nested_rewrites(tmp_path):
+    """A rewrite INSIDE a partition subdirectory must change the
+    fingerprint even though the top-level directory's own stat is
+    unchanged (ADVICE r7: stale cached file listings)."""
+    import os
+
+    from chdb_spark.session import _path_fingerprint
+
+    root = tmp_path / "tbl"
+    part = root / "p=1"
+    part.mkdir(parents=True)
+    f = part / "part-0.parquet"
+    f.write_bytes(b"v1")
+    fp1 = _path_fingerprint(str(root))
+    # rewrite the nested file with different size; freeze ancestor dirs'
+    # stats so only the recursive walk can notice
+    st_root, st_part = os.stat(root), os.stat(part)
+    f.write_bytes(b"v2-longer")
+    os.utime(root, ns=(st_root.st_atime_ns, st_root.st_mtime_ns))
+    os.utime(part, ns=(st_part.st_atime_ns, st_part.st_mtime_ns))
+    fp2 = _path_fingerprint(str(root))
+    assert fp1 != fp2
+    # regular file: (1, size, mtime_ns)
+    single = _path_fingerprint(str(f))
+    assert single[0] == 1 and single[1] == len(b"v2-longer")
