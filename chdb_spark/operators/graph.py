@@ -43,6 +43,32 @@ from chdb_spark.queries import defquery, table
 
 Q_SCALE = 10**12
 
+# Cost-based small-graph switch (the same AQE-style runtime pick as
+# aggregate_ext.SMALL_INPUT_ROWS_CONF, r5-reconciled pattern): below this
+# many edges the iteration state is a few MB and the per-iteration Spark
+# job floor (2 shuffle stages × iters) costs more than the whole
+# computation — the DERIVED edge relation (already reduced from the raw
+# log by the window + (src,dst) agg) is pulled once and iterated with
+# exact int64 numpy arithmetic that replays the distributed update
+# bit-for-bit. Above it, the distributed join+agg iteration is the only
+# shape that scales (millions of nodes). Set the conf to 0 to force the
+# distributed shape (plan tests pin both).
+SMALL_GRAPH_EDGES_CONF = "spark.chdb_spark.graph.smallEdges"
+SMALL_GRAPH_EDGES_DEFAULT = 200_000
+
+
+def _small_graph_threshold(df: DataFrame, override: int | None) -> int:
+    if override is not None:
+        return int(override)
+    try:
+        return int(
+            df.sparkSession.conf.get(
+                SMALL_GRAPH_EDGES_CONF, str(SMALL_GRAPH_EDGES_DEFAULT)
+            )
+        )
+    except Exception:
+        return SMALL_GRAPH_EDGES_DEFAULT
+
 
 def page_graph_edges(
     events: DataFrame,
@@ -66,11 +92,53 @@ def page_graph_edges(
     )
 
 
+def _pagerank_local(e: DataFrame, iters: int, q_scale: int) -> DataFrame:
+    """Small-graph lane of :func:`pagerank` — replays the distributed
+    update bit-for-bit in int64 numpy on the (already reduced, already
+    measured ≤ threshold) edge relation. Operands are non-negative, so
+    numpy floor division equals Spark's truncating ``div``; ``np.add.at``
+    sums in exact int64. The final ``rank`` double still goes through the
+    same Spark ``round(r / Q, 9)`` expression as the distributed lane so
+    rounding semantics (HALF_UP) cannot diverge."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    pdf = e.toPandas()  # (src, dst, w) — bounded by the smallEdges threshold
+    ks = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+    n = len(ks)
+    pos = pd.Series(np.arange(n, dtype=np.int64), index=ks)
+    src = pos[pdf["src"].to_numpy()].to_numpy()
+    dst = pos[pdf["dst"].to_numpy()].to_numpy()
+    w = pdf["w"].to_numpy(dtype=np.int64)
+    # per-src out-weight, exact int64 (the distributed lane's outw agg)
+    out_sums = np.zeros(n, dtype=np.int64)
+    np.add.at(out_sums, src, w)
+    out_w = out_sums[src]
+    tele = np.int64((15 * q_scale) // (100 * n))
+    r = np.full(n, q_scale // n, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (r[src] * w) // out_w
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, dst, contrib)
+        r = tele + (np.int64(85) * s) // np.int64(100)
+    out = spark.createDataFrame(
+        pd.DataFrame({"k": ks, "rank_q": r}),
+        "k bigint, rank_q bigint",
+    )
+    return out.select(
+        "k",
+        "rank_q",
+        F.round(F.col("rank_q") / F.lit(float(q_scale)), 9).alias("rank"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
     q_scale: int = Q_SCALE,
     checkpoint_every: int | None = 8,
+    small_edges: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85 as the rational 85/100) over a
     weighted directed edge list (src, dst, w).
@@ -96,22 +164,35 @@ def pagerank(
     Catalyst handles a ~16-stage plan fine; past ~8 iterations plan
     compile time and executor-plan size start growing superlinearly
     (SCALE.md round-4 lesson), which is where truncation pays.
+
+    ``small_edges`` (default: the ``spark.chdb_spark.graph.smallEdges``
+    conf, 200k) is the cost-based switch to the driver-local int64-exact
+    iteration lane for small derived graphs — see
+    :data:`SMALL_GRAPH_EDGES_CONF`; 0 forces the distributed shape.
     """
-    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
-    # localCheckpoint, not persist: the blocks are ContextCleaner-released
-    # when the plan is GC'd (the repo's r6 caching policy — no session-long
-    # cache accumulation across a 200-query run), and the truncated lineage
-    # keeps each of the `iters` downstream joins reading blocks.
-    e = (
-        edges.join(outw, "src")
-        .select("src", "dst", F.col("w").cast("long").alias("w"), "out_w")
-        .localCheckpoint(eager=True)
-    )
-    max_w = e.agg(F.max("w")).first()[0]
+    # Checkpoint the DERIVED edge list first (one pass over the raw log —
+    # without this, the outw aggregate and the join probe each re-derive
+    # the edge lineage unless exchange reuse happens to fire), then hang
+    # everything off the materialized blocks. localCheckpoint, not
+    # persist: the blocks are ContextCleaner-released when the plan is
+    # GC'd (the repo's r6 caching policy — no session-long cache
+    # accumulation across a 200-query run).
+    edges_m = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    max_w, n_edges = edges_m.agg(F.max("w"), F.count("*")).first()
     if max_w is None:
         raise ValueError("pagerank: empty edge list")
     assert q_scale * max_w < 2**63, (
         f"rank_q * weight would overflow int64 (max_w={max_w}); lower q_scale"
+    )
+    if n_edges <= _small_graph_threshold(edges, small_edges):
+        return _pagerank_local(edges_m, iters, q_scale)
+    outw = edges_m.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    e = (
+        edges_m.join(outw, "src")
+        .select("src", "dst", "w", "out_w")
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("k"))
@@ -245,7 +326,52 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame, top: int = 20) -> DataFrame:
+def _triangle_stats_local(e: DataFrame, top: int) -> DataFrame:
+    """Small-graph lane of :func:`triangle_stats` — the same canonical
+    a<b<c two-join formulation, replayed as pandas merges on the (already
+    reduced, already measured ≤ threshold) undirected edge list. Counts
+    are exact integers; the clustering division + round stays a Spark
+    expression so HALF_UP rounding cannot diverge from the distributed
+    lane."""
+    import pandas as pd
+
+    spark = e.sparkSession
+    pdf = e.toPandas()  # bounded by the smallEdges threshold
+    ab = pdf.rename(columns={"u": "a", "v": "b"})
+    bc = pdf.rename(columns={"u": "b", "v": "c"})
+    ac = pdf.rename(columns={"u": "a", "v": "c"})
+    tri = ab.merge(bc, on="b").merge(ac, on=["a", "c"])
+    corners = pd.concat([tri["a"], tri["b"], tri["c"]]).value_counts()
+    deg = pd.concat([pdf["u"], pdf["v"]]).value_counts()
+    out = pd.DataFrame(
+        {
+            "k": deg.index.to_numpy(),
+            "degree": deg.to_numpy(),
+            "triangles": corners.reindex(deg.index, fill_value=0).to_numpy(),
+        }
+    )
+    sdf = spark.createDataFrame(out, "k bigint, degree bigint, triangles bigint")
+    return (
+        sdf.select(
+            "k",
+            "degree",
+            "triangles",
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+        .orderBy(F.desc("triangles"), "k")
+        .limit(top)
+    )
+
+
+def triangle_stats(
+    edges: DataFrame, top: int = 20, small_edges: int | None = None
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected version of a directed edge list; top ``top`` nodes by
     (triangles DESC, k ASC).
@@ -256,6 +382,9 @@ def triangle_stats(edges: DataFrame, top: int = 20) -> DataFrame:
     formulation (no per-node adjacency materialization, no driver
     state). Each triangle credits all three corners via one explode;
     degree comes from one hash agg over both edge endpoints.
+    ``small_edges``: same cost-based driver-local switch as
+    :func:`pagerank` (``spark.chdb_spark.graph.smallEdges``; 0 forces
+    the distributed shape).
     clustering = 2·T / (deg·(deg−1)) — exact integers into one IEEE
     division, identical on the SQL side. Skew note: a celebrity node's
     candidate wedges concentrate on its id; AQE skew-join splitting
@@ -265,6 +394,8 @@ def triangle_stats(edges: DataFrame, top: int = 20) -> DataFrame:
     # three branches of one job read the edge list — checkpoint once
     # (ContextCleaner-released; no session-long cache growth)
     e = undirected_edges(edges).localCheckpoint(eager=True)
+    if e.count() <= _small_graph_threshold(edges, small_edges):
+        return _triangle_stats_local(e, top)
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

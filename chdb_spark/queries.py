@@ -517,12 +517,21 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    # Aggregate lineitem by orderkey BEFORE any join (the classic Q18
+    # rewrite): the 5-key groupBy is keyed by o_orderkey anyway (c_name /
+    # o_orderdate / o_totalprice are functionally dependent on it), so
+    # summing first shuffles ONE narrow column pair instead of the joined
+    # row, and the >150 HAVING cuts the surviving keys to a sliver that
+    # then joins orders/customer — at 100 TB the big join's probe side
+    # shrinks from all of lineitem to the filtered aggregate.
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sum_qty_raw"))
         .filter(F.col("_sum_qty_raw") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

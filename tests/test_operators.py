@@ -1628,3 +1628,32 @@ def test_hist_quantile_within_one_bucket(spark):
         ).collect()
     }
     assert got2 == got
+
+
+# ---------------------------------------------------------------------------
+# graph — small-graph lane vs distributed lane
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_lanes_equal(spark):
+    """The driver-local small-graph lane and the distributed canonical
+    a<b<c join lane return identical rows (counts exact, clustering
+    rounded by the same Spark expression), and a known graph has the
+    right triangle counts: K4 minus one edge → the two 'hub' corners sit
+    in 2 triangles, the others in 1."""
+    from chdb_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 1), (1, 4, 1), (2, 3, 1), (2, 4, 1)],
+        "src int, dst int, w int",
+    )
+    small = {tuple(r) for r in triangle_stats(edges, top=10).collect()}
+    dist = {
+        tuple(r) for r in triangle_stats(edges, top=10, small_edges=0).collect()
+    }
+    assert small == dist
+    tri = {r[0]: r[2] for r in small}
+    assert tri == {1: 2, 2: 2, 3: 1, 4: 1}
+    deg = {r[0]: r[1] for r in small}
+    assert deg == {1: 3, 2: 3, 3: 2, 4: 2}

@@ -424,6 +424,14 @@ def test_pagerank_partitioning_independence_property(spark, edge_rows, n_parts):
         for r in pagerank(base.repartition(n_parts, "dst"), iters=3).collect()
     )
     assert a == b
+    # the small-graph lane (default for these sizes) and the distributed
+    # lane (forced via small_edges=0) replay the same int64 update —
+    # bit-identical for ANY graph
+    c = sorted(
+        tuple(r)
+        for r in pagerank(base, iters=3, small_edges=0).collect()
+    )
+    assert a == c
 
     n = len({s for s, _, _ in rows} | {d for _, d, _ in rows})
     tele = (15 * Q_SCALE) // (100 * n)
