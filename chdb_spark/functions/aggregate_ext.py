@@ -553,6 +553,115 @@ def bucketed_running_sum(
     return out.drop("_bk", *[f"_off_{s}" for s in sum_cols])
 
 
+def grouped_weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    q: float = 0.5,
+    extra_order: list[str] | None = None,
+    n_buckets: int = 1024,
+    sketch_fraction: float | None = None,
+    out_col: str = "wquantile",
+) -> DataFrame:
+    """Exact weighted quantile per group by crossing-bucket refinement —
+    the first ``value`` (ordered by value, then ``extra_order``) whose
+    inclusive cumulative weight reaches ``q`` × the group's total weight.
+
+    The full-prefix-sum formulation (``bucketed_running_sum`` + filter)
+    computes a running sum for EVERY row and scans the table again for
+    group totals, when the answer only needs the neighborhood of one
+    crossing point per group. Refinement shape:
+
+    1. sampled quantile-sketch bounds for ``value_col`` (same bounds
+       machinery as ``bucketed_running_sum``; bounds only steer where the
+       refinement looks, never the result),
+    2. per-(group, bucket) weight totals — ONE map-side-collapsing agg,
+       ≤ n_buckets+2 rows per group; a bounded window over those rows
+       yields each group's total and the single CROSSING bucket (the
+       first whose cumulative reaches q·total),
+    3. the table joins the broadcast crossing set on (group, bucket) —
+       only ~1/n_buckets of each group's rows survive — and one SMALL
+       window walk inside the crossing bucket finds the exact value.
+
+    At scale: one narrow full scan per phase (2 and 3), the expensive
+    ordered walk touches only crossing buckets, no group ever serializes
+    onto one reducer. Requires positive total weight per group (a group
+    whose weights sum to ≤ 0 is absent from the output). Weight sums are
+    exact for integer-valued weights (the ``bucketed_running_sum``
+    caveat on float summation order applies otherwise).
+    """
+    extra_order = list(extra_order or [])
+    vcol = F.col(value_col).cast("double")
+    is_float = dict(df.dtypes)[value_col] in ("float", "double")
+    clean_rows = df.select(vcol.alias("_v")).where(F.col("_v").isNotNull())
+    if is_float:
+        clean_rows = clean_rows.where(~F.isnan("_v"))
+    if sketch_fraction is not None and 0 < sketch_fraction < 1:
+        clean_rows = clean_rows.sample(fraction=sketch_fraction, seed=42)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        clean_rows.stat.approxQuantile("_v", probs, 1.0 / n_buckets)
+        if probs
+        else []  # n_buckets == 1: one bucket, no bounds sketch needed
+    )
+    splits = sorted({b for b in bounds if b == b and abs(b) != float("inf")})
+
+    def _assign(src: DataFrame) -> DataFrame:
+        c = src.withColumn(
+            "_v",
+            F.coalesce(F.nanvl(vcol, F.lit(0.0)) if is_float else vcol, F.lit(0.0)),
+        )
+        if splits:
+            from pyspark.ml.feature import Bucketizer
+
+            c = Bucketizer(
+                splits=[float("-inf"), *splits, float("inf")],
+                inputCol="_v",
+                outputCol="_bkq",
+            ).transform(c)
+        else:
+            c = c.withColumn("_bkq", F.lit(0.0))
+        bucket = F.when(F.col(value_col).isNull(), F.lit(-1))
+        if is_float:
+            bucket = bucket.when(F.isnan(value_col), F.lit(len(splits) + 1))
+        bucket = bucket.otherwise(F.col("_bkq").cast("int"))
+        return c.withColumn("_bk", bucket).drop("_v", "_bkq")
+
+    c = _assign(df)
+    btot = c.groupBy(*group_cols, "_bk").agg(
+        F.sum(weight_col).alias("_bw")
+    )
+    wgrp = Window.partitionBy(*group_cols)
+    wcum = wgrp.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    crossing = (
+        btot.select(
+            *group_cols,
+            "_bk",
+            F.coalesce(F.sum("_bw").over(wcum), F.lit(0)).alias("_off"),
+            F.col("_bw"),
+            F.sum("_bw").over(wgrp).alias("_tw"),
+        )
+        .where(
+            (F.col("_off") < F.col("_tw") * q)
+            & (F.col("_off") + F.col("_bw") >= F.col("_tw") * q)
+        )
+        .select(*group_cols, "_bk", "_off", "_tw")
+    )
+    walk = c.join(F.broadcast(crossing), group_cols + ["_bk"])
+    wloc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col, *extra_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hit = F.col("_off") + F.sum(weight_col).over(wloc) >= F.col("_tw") * q
+    return (
+        walk.withColumn("_hit_v", F.when(hit, F.col(value_col)))
+        .groupBy(*group_cols)
+        .agg(F.min("_hit_v").alias(out_col))
+    )
+
+
 def _bucketed_cumsum(
     counts: DataFrame,
     col: str,

@@ -73,7 +73,9 @@ def _small_graph_threshold(df: DataFrame, override: int | None) -> int:
 def page_graph_edges(
     events: DataFrame,
     user_col: str = "user_id",
-    key_expr: str = "CAST(get_json_object(props, '$.k') AS BIGINT)",
+    # variant parse (Spark 4) over get_json_object: same extracted value,
+    # measurably faster single-path extraction on the raw log scan
+    key_expr: str = "try_variant_get(parse_json(props), '$.k', 'bigint')",
     ts_col: str = "ts",
     tiebreak: str = "event_id",
 ) -> DataFrame:

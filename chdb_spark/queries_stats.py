@@ -188,46 +188,40 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="quantileExactWeighted (reference :12487): first value whose "
         "cumulative weight reaches half the group total; both sides walk "
-        "the identical (value, weight) order. Window formulation: one "
-        "shuffle+sort on the group key, O(1) window state — the "
-        "collect_list agg variant (fn('quantileExactWeighted'), kept for "
-        "small groups) would buffer a whole group per row at scale and its "
-        "HOF lambdas never enter codegen (measured 4x slower at sf0.1).",
+        "the identical (value, weight) order. Crossing-bucket refinement "
+        "(grouped_weighted_quantile): bucket weight totals collapse "
+        "map-side, a bounded window finds each group's crossing bucket, "
+        "and only ~1/n_buckets of the rows are walked exactly — no "
+        "full-table running sum, no separate totals scan, no group ever "
+        "on one reducer. The collect_list agg variant "
+        "(fn('quantileExactWeighted'), kept for small groups) would "
+        "buffer a whole group per row at scale.",
 )
 def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.functions.aggregate_ext import bucketed_running_sum
+    from chdb_spark.functions.aggregate_ext import grouped_weighted_quantile
 
     li = table(spark, sf_dir, "lineitem")
-    # cumulative weight via the bucketed two-phase form: the naive
-    # Window.partitionBy(l_returnflag) puts each flag's ENTIRE row set on
-    # one reducer (3 groups → 3 tasks at any scale); bucketing by price
-    # range parallelizes within groups. l_quantity is integer-valued, so
-    # the re-associated sums are exact and the oracle comparison is safe.
-    cum = bucketed_running_sum(
+    # l_quantity is integer-valued, so bucket-offset sums are exact and
+    # the oracle comparison is safe. 10% bounds sample: the input is a
+    # RAW-table projection (caching it would pin a 100 TB scan), and
+    # bounds only steer where the refinement looks, never the result.
+    med = grouped_weighted_quantile(
         li.select(
             "l_returnflag",
             F.col("l_extendedprice").alias("v"),
             "l_quantity",
         ),
-        order_col="v",
-        sum_cols=["l_quantity"],
+        value_col="v",
+        weight_col="l_quantity",
         group_cols=["l_returnflag"],
+        q=0.5,
         extra_order=["l_quantity"],
-        inclusive=True,
-        # the input is a RAW-table projection — caching it would pin a
-        # 100 TB scan, and an unsampled sketch re-scans the price column
-        # in full (r5 perf weak). Bounds only steer partitioning, so a
-        # 10% sample changes nothing in the result.
         sketch_fraction=0.1,
+        out_col="_wm",
     )
-    totals = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
-    return (
-        cum.join(F.broadcast(totals), "l_returnflag")
-        .filter(F.col("_cum_l_quantity") >= F.col("tw") * 0.5)
-        .groupBy("l_returnflag")
-        .agg(F.round(F.min("v"), 2).alias("wmedian"))
-        .orderBy("l_returnflag")
-    )
+    return med.select(
+        "l_returnflag", F.round(F.col("_wm"), 2).alias("wmedian")
+    ).orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------

@@ -1657,3 +1657,51 @@ def test_triangle_stats_lanes_equal(spark):
     assert tri == {1: 2, 2: 2, 3: 1, 4: 1}
     deg = {r[0]: r[1] for r in small}
     assert deg == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_grouped_weighted_quantile_matches_window_form(spark):
+    """Crossing-bucket refinement == the full running-sum formulation:
+    first value (ordered by value, weight) whose inclusive cumulative
+    weight reaches q * group total — for skewed values, heavy ties, and
+    single-bucket (no splits) degenerate bounds."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chdb_spark.functions.aggregate_ext import grouped_weighted_quantile
+
+    random.seed(7)
+    rows = []
+    for g in ["a", "b", "c"]:
+        for _ in range(500):
+            v = random.choice([1.5, 2.5, 2.5, 3.25, 10.0 ** random.randint(0, 4)])
+            rows.append((g, v, random.randint(1, 9)))
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+
+    def brute(q):
+        wspec = (
+            Window.partitionBy("g")
+            .orderBy("v", "w")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tw = Window.partitionBy("g")
+        return {
+            (r["g"],): r["m"]
+            for r in df.withColumn("cw", F.sum("w").over(wspec))
+            .withColumn("tw", F.sum("w").over(tw))
+            .where(F.col("cw") >= F.col("tw") * q)
+            .groupBy("g")
+            .agg(F.min("v").alias("m"))
+            .collect()
+        }
+
+    for q in (0.25, 0.5, 0.9):
+        for nb in (1, 4, 64):
+            got = {
+                (r["g"],): r["wquantile"]
+                for r in grouped_weighted_quantile(
+                    df, "v", "w", ["g"], q=q, extra_order=["w"], n_buckets=nb
+                ).collect()
+            }
+            assert got == brute(q), (q, nb)
