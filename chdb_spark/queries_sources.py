@@ -190,20 +190,27 @@ def rd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle — the streaming-equals-batch consistency contract.",
 )
 def sm1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.streaming.core import read_events_stream, windowed_counts
+    from chdb_spark.streaming.core import (
+        read_events_stream,
+        state_partitions,
+        windowed_counts,
+    )
 
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
     agg = windowed_counts(
         stream, window="1 day", watermark="1 day", keys=["event_type"]
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("sm1_mem")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state keys = day grains × event types (a few hundred): size the
+    # state store instances to the cardinality, not the session default
+    with state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sm1_mem")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("sm1_mem")
         .select(
@@ -358,20 +365,24 @@ def db1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expires state; exact distinct here keeps state = |distinct keys|.",
 )
 def sm3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.streaming.core import read_events_stream
+    from chdb_spark.streaming.core import read_events_stream, state_partitions
 
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName("sm3_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # dedup-state instances sized to the re-ingested table's trigger
+    # throughput (4 files here); at production stream rates this knob
+    # scales up with key cardinality
+    with state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("sm3_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("sm3_mem")
         .groupBy("event_type")
@@ -398,21 +409,28 @@ def sm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "drift the totals.",
 )
 def sm4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.streaming.core import read_events_stream, stateful_running_totals
+    from chdb_spark.streaming.core import (
+        read_events_stream,
+        state_partitions,
+        stateful_running_totals,
+    )
 
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
     cents = stream.select(
         "user_id", F.floor(F.col("value") * 100 + 0.5).cast("double").alias("value")
     )
     out = stateful_running_totals(cents, key="user_id", timeout_minutes=None)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("sm4_mem")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # per-user state instances sized to this stream's throughput; the
+    # same knob scales up with user cardinality in production
+    with state_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sm4_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # last update per key = the accumulated state (n_events is monotone)
     sink = spark.table("sm4_mem")
     from pyspark.sql.window import Window
@@ -452,7 +470,11 @@ def sm4(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sums per (window, type) must match the batch replay verbatim.",
 )
 def sm5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chdb_spark.streaming.core import read_events_stream, windowed_counts
+    from chdb_spark.streaming.core import (
+        read_events_stream,
+        state_partitions,
+        windowed_counts,
+    )
 
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
     cents = stream.withColumn(
@@ -462,14 +484,16 @@ def sm5(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents, window="2 days", slide="1 day", watermark="2 days",
         keys=["event_type"],
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("sm5_mem")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state keys = sliding-window grains × event types (bounded, ~2× sm1)
+    with state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sm5_mem")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("sm5_mem")
         .select(
@@ -511,7 +535,10 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chdb_spark.operators import scratch_complete, scratch_dir
     from chdb_spark.operators.dedup import doc_features, verify_pairs_arrays
     from chdb_spark.queries import table
-    from chdb_spark.streaming.core import streaming_lsh_bucket_pairs
+    from chdb_spark.streaming.core import (
+        state_partitions,
+        streaming_lsh_bucket_pairs,
+    )
 
     import os
 
@@ -533,15 +560,19 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = doc_features(stream, with_simhash=False).select(
         "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
-    q = (
-        streaming_lsh_bucket_pairs(banded)
-        .writeStream.format("memory")
-        .queryName("sm6_mem")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # LSH shard-state instances sized to the 4-file bench stream
+    # (measured 6.3->4.2 s); the shard count itself (1024) is the
+    # scale-out knob — at production rates size instances up with it
+    with state_partitions(spark, 8):
+        q = (
+            streaming_lsh_bucket_pairs(banded)
+            .writeStream.format("memory")
+            .queryName("sm6_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # a pair sharing multiple buckets is emitted once per bucket → distinct,
     # exactly like the batch candidate_pairs_from_buckets
     cand = spark.table("sm6_mem").distinct()
@@ -571,7 +602,7 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chdb_spark.operators import scratch_complete, scratch_dir
-    from chdb_spark.streaming.core import read_events_stream
+    from chdb_spark.streaming.core import read_events_stream, state_partitions
     from chdb_spark.session import read_table
     import os
 
@@ -599,14 +630,17 @@ def sm7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "35 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "day"])
     )
-    q = (
-        dd.writeStream.format("memory")
-        .queryName("sm7_mem")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # watermark-dedup state instances sized to the bench stream; scales
+    # up with (user, type, day) cardinality in production
+    with state_partitions(spark, 8):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("sm7_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table("sm7_mem")
         .groupBy("event_type")
@@ -688,13 +722,19 @@ def sm8(spark: SparkSession, sf_dir: str) -> DataFrame:
             b, ["event_type", F.date_trunc("hour", "ts").alias("hour")], aggs
         ).write.mode("append").parquet(states_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # per-batch partial_states groupBy keys = event_type × hour grains
+    # (bounded); sizing the shuffle also bounds files-per-batch in the
+    # states sink
+    from chdb_spark.streaming.core import state_partitions
+
+    with state_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     states = spark.read.parquet(states_dir)
     daily = merge_states(

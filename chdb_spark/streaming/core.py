@@ -28,6 +28,37 @@ def stream_result(df: DataFrame, max_rows_per_chunk: int = 65536) -> Iterator:
         yield buf
 
 
+def state_partitions(spark: SparkSession, n: int):
+    """Context manager sizing ``spark.sql.shuffle.partitions`` — and with
+    it the number of STATE STORE instances — for a stateful streaming
+    query whose key cardinality is known and bounded.
+
+    Every stateful operator materializes one state store per shuffle
+    partition, and every micro-batch pays per-instance commit overhead
+    (an HDFS-backed delta file each). For a windowed agg whose keys are
+    a few hundred (day × event_type grains), 32 instances are pure
+    overhead — measured 1.7→1.0 s per run at sf0.1 with 8. Map-side
+    partial aggregation still parallelizes across all input splits
+    BEFORE the shuffle, so reducer count is about state cardinality, not
+    input size — at 100 TB the same knob is sized UP for high-cardinality
+    keys (sm6's 1024 LSH shards) and stays small for grain-bounded state.
+    The streaming plan captures the value at checkpoint creation; each
+    query here builds a fresh checkpoint, so scoping the conf to the
+    ``with`` block is exact. Restores the prior value on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _scope():
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+
+    return _scope()
+
+
 def _ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """Spark's event-time watermark requires TIMESTAMP (LTZ). Parquet written
     with NTZ/micros timestamps (the driver's testdata since round 2) infers
