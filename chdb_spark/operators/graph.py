@@ -94,7 +94,7 @@ def page_graph_edges(
     )
 
 
-def _pagerank_local(e: DataFrame, iters: int, q_scale: int) -> DataFrame:
+def _pagerank_local(spark, pdf, iters: int, q_scale: int) -> DataFrame:
     """Small-graph lane of :func:`pagerank` — replays the distributed
     update bit-for-bit in int64 numpy on the (already reduced, already
     measured ≤ threshold) edge relation. Operands are non-negative, so
@@ -105,8 +105,10 @@ def _pagerank_local(e: DataFrame, iters: int, q_scale: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    spark = e.sparkSession
-    pdf = e.toPandas()  # (src, dst, w) — bounded by the smallEdges threshold
+    max_w = int(pdf["w"].max())
+    assert q_scale * max_w < 2**63, (
+        f"rank_q * weight would overflow int64 (max_w={max_w}); lower q_scale"
+    )
     ks = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
     n = len(ks)
     pos = pd.Series(np.arange(n, dtype=np.int64), index=ks)
@@ -182,14 +184,23 @@ def pagerank(
     edges_m = edges.select(
         "src", "dst", F.col("w").cast("long").alias("w")
     ).localCheckpoint(eager=True)
+    # Limit-probe lane pick: ONE small job over the checkpointed blocks
+    # both decides the lane and (small case) delivers the whole edge set —
+    # limit(thr+1) returns every row when the relation has ≤ thr, and the
+    # pull is bounded by thr+1 rows either way.
+    thr = _small_graph_threshold(edges, small_edges)
+    if thr > 0:
+        probe = edges_m.limit(thr + 1).toPandas()
+        if len(probe) == 0:
+            raise ValueError("pagerank: empty edge list")
+        if len(probe) <= thr:
+            return _pagerank_local(edges_m.sparkSession, probe, iters, q_scale)
     max_w, n_edges = edges_m.agg(F.max("w"), F.count("*")).first()
     if max_w is None:
         raise ValueError("pagerank: empty edge list")
     assert q_scale * max_w < 2**63, (
         f"rank_q * weight would overflow int64 (max_w={max_w}); lower q_scale"
     )
-    if n_edges <= _small_graph_threshold(edges, small_edges):
-        return _pagerank_local(edges_m, iters, q_scale)
     outw = edges_m.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
     e = (
         edges_m.join(outw, "src")
@@ -328,17 +339,15 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_stats_local(e: DataFrame, top: int) -> DataFrame:
+def _triangle_stats_local(spark, pdf, top: int) -> DataFrame:
     """Small-graph lane of :func:`triangle_stats` — the same canonical
     a<b<c two-join formulation, replayed as pandas merges on the (already
     reduced, already measured ≤ threshold) undirected edge list. Counts
     are exact integers; the clustering division + round stays a Spark
     expression so HALF_UP rounding cannot diverge from the distributed
     lane."""
-    import pandas as pd
+    import pandas as pd  # noqa: F401 — concat/merge below
 
-    spark = e.sparkSession
-    pdf = e.toPandas()  # bounded by the smallEdges threshold
     ab = pdf.rename(columns={"u": "a", "v": "b"})
     bc = pdf.rename(columns={"u": "b", "v": "c"})
     ac = pdf.rename(columns={"u": "a", "v": "c"})
@@ -396,8 +405,13 @@ def triangle_stats(
     # three branches of one job read the edge list — checkpoint once
     # (ContextCleaner-released; no session-long cache growth)
     e = undirected_edges(edges).localCheckpoint(eager=True)
-    if e.count() <= _small_graph_threshold(edges, small_edges):
-        return _triangle_stats_local(e, top)
+    thr = _small_graph_threshold(edges, small_edges)
+    if thr > 0:
+        # limit-probe lane pick (see pagerank): one job decides the lane
+        # and delivers the small-lane edge set
+        probe = e.limit(thr + 1).toPandas()
+        if len(probe) <= thr:
+            return _triangle_stats_local(e.sparkSession, probe, top)
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
