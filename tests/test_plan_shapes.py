@@ -453,3 +453,36 @@ def test_ru1_rollup_two_level_aggregation(spark):
     plan = plan_of(spark, "ru1_rollup_merge")
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") >= 2  # hourly keys, daily keys (+ sort)
+
+
+def test_q18_aggregates_lineitem_before_any_join(spark):
+    """The Q18 rewrite: lineitem pre-aggregates to (orderkey, qty) and the
+    HAVING-filtered sliver broadcasts into orders/customer — the big
+    join's probe side is the aggregate, never raw lineitem."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the lineitem scan feeds the aggregate directly and reads ONLY the
+    # two aggregation columns
+    read_schemas = [
+        s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]
+    ]
+    li = [s for s in read_schemas if "l_orderkey" in s]
+    assert li and all(
+        "l_extendedprice" not in s and "l_shipdate" not in s for s in li
+    )
+
+
+def test_st5_weighted_median_refinement_shape(spark):
+    """grouped_weighted_quantile: crossing set comes from a map-side
+    bucket-total aggregate + bounded windows and BROADCASTS into the main
+    scan; the expensive ordered walk happens after that join (on crossing
+    buckets only), and both scans read just the three needed columns."""
+    plan = plan_of(spark, "st5_weighted_median")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # bucket totals: partial+final hash aggregate pair under the broadcast
+    assert plan.count("HashAggregate") >= 2
+    for s in plan.split("ReadSchema:")[1:]:
+        head = s.splitlines()[0]
+        assert "l_orderkey" not in head and "l_shipdate" not in head

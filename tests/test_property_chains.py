@@ -437,3 +437,59 @@ def test_pagerank_partitioning_independence_property(spark, edge_rows, n_parts):
     tele = (15 * Q_SCALE) // (100 * n)
     total = sum(r[1] for r in a)
     assert n * tele <= total <= Q_SCALE + n
+
+
+# ---------------------------------------------------------------------------
+# weighted-quantile refinement property: crossing-bucket == full window walk
+# ---------------------------------------------------------------------------
+
+_wq_vals = st.sampled_from([-1e6, -3.5, 0.0, 0.25, 1.0, 1.0, 7.5, 1e4])
+_wq_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        _wq_vals,
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_wq_rows, q=st.sampled_from([0.1, 0.5, 0.9]), nb=st.sampled_from([1, 3, 16]))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_weighted_quantile_property(spark, rows, q, nb):
+    """For ANY grouped (value, weight) multiset — outliers, heavy ties,
+    tiny groups — and any q/bucket count, the crossing-bucket refinement
+    returns the same first-crossing value as the brute-force running-sum
+    walk."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from chdb_spark.functions.aggregate_ext import grouped_weighted_quantile
+
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    wspec = (
+        Window.partitionBy("g")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["g"]: r["m"]
+        for r in df.withColumn("cw", F.sum("w").over(wspec))
+        .withColumn("tw", F.sum("w").over(Window.partitionBy("g")))
+        .where(F.col("cw") >= F.col("tw") * q)
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    }
+    got = {
+        r["g"]: r["wquantile"]
+        for r in grouped_weighted_quantile(
+            df, "v", "w", ["g"], q=q, extra_order=["w"], n_buckets=nb
+        ).collect()
+    }
+    assert got == want
