@@ -1533,53 +1533,56 @@ def train_linear_classifier(
     spark = df.sparkSession
     from chdb_spark.operators import _repartition_feature_pass
 
-    sel = _repartition_feature_pass(df.select(vec_col, label_col)).persist()
+    # localCheckpoint (not persist): every iteration re-ANALYZES sel's
+    # plan — with a checkpoint that plan is a block scan, not the full
+    # repartition lineage — and the blocks are ContextCleaner-released
+    # when the plan is GC'd (the repo's caching policy).
+    sel = _repartition_feature_pass(df.select(vec_col, label_col)).localCheckpoint(
+        eager=True
+    )
     n = float(sel.count())
     w = [0.0] * dims
     schema = ", ".join(f"g{j} long" for j in range(dims))
-    try:
-        for _ in range(iters):
-            bc = spark.sparkContext.broadcast(w)
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(w)
 
-            def partials(batches):
-                wv = bc.value
-                d = len(wv)
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    X = np.stack(
-                        [
-                            np.asarray(v[:d], dtype=np.float64)
-                            for v in pdf[vec_col]
-                        ]
-                    )
-                    y = (
-                        pdf[label_col].to_numpy() < label_threshold
-                    ).astype(np.float64)
-                    t = X[:, 0] * wv[0]
-                    for j in range(1, d):
-                        t = t + X[:, j] * wv[j]
-                    p = 0.5 * (1.0 + (t / 2) / (1.0 + np.abs(t / 2)))
-                    e = p - y
-                    yield pd.DataFrame(
-                        [
-                            {
-                                f"g{j}": int(
-                                    np.floor(e * X[:, j] * 1e9 + 0.5)
-                                    .astype(np.int64)
-                                    .sum()
-                                )
-                                for j in range(d)
-                            }
-                        ]
-                    )
+        def partials(batches):
+            wv = bc.value
+            d = len(wv)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [
+                        np.asarray(v[:d], dtype=np.float64)
+                        for v in pdf[vec_col]
+                    ]
+                )
+                y = (
+                    pdf[label_col].to_numpy() < label_threshold
+                ).astype(np.float64)
+                t = X[:, 0] * wv[0]
+                for j in range(1, d):
+                    t = t + X[:, j] * wv[j]
+                p = 0.5 * (1.0 + (t / 2) / (1.0 + np.abs(t / 2)))
+                e = p - y
+                yield pd.DataFrame(
+                    [
+                        {
+                            f"g{j}": int(
+                                np.floor(e * X[:, j] * 1e9 + 0.5)
+                                .astype(np.int64)
+                                .sum()
+                            )
+                            for j in range(d)
+                        }
+                    ]
+                )
 
-            rows = sel.mapInPandas(partials, schema).collect()
-            g = [sum(r[f"g{j}"] for r in rows) for j in range(dims)]
-            w = [w[j] - lr * ((g[j] / 1e9) / n) for j in range(dims)]
-            bc.destroy()
-    finally:
-        sel.unpersist()
+        rows = sel.mapInPandas(partials, schema).collect()
+        g = [sum(r[f"g{j}"] for r in rows) for j in range(dims)]
+        w = [w[j] - lr * ((g[j] / 1e9) / n) for j in range(dims)]
+        bc.destroy()
     return w, int(n)
 
 
