@@ -572,3 +572,22 @@ def test_read_table_catalog_cache(spark, tmp_path):
     d3 = read_table(spark, p)
     assert d3 is not d2  # fingerprint change: fresh derivation
     assert d3.count() == 3 and set(d3.columns) == {"a", "b"}
+
+
+def test_state_partitions_scopes_and_restores(spark):
+    """state_partitions sets the shuffle-partition conf only inside the
+    block and restores the prior value on clean exit AND on exception —
+    a leaked conf would silently resize every later query's shuffles."""
+    import pytest
+
+    from chdb_spark.streaming.core import state_partitions
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_partitions(spark, 7):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+    with pytest.raises(RuntimeError, match="boom"):
+        with state_partitions(spark, 5):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
