@@ -493,3 +493,59 @@ def test_grouped_weighted_quantile_property(spark, rows, q, nb):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats lane property: pandas lane == distributed lane == brute force
+# ---------------------------------------------------------------------------
+
+_tri_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(pairs=_tri_edges)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_stats_lane_property(spark, pairs):
+    """For ANY directed multigraph (self-loops, duplicates, both
+    orientations), the small-graph lane and the distributed canonical
+    a<b<c join lane agree, and per-node triangle counts equal a
+    brute-force set-intersection count over the undirected simple
+    graph."""
+    from chdb_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src int, dst int, w int"
+    )
+    small = sorted(tuple(r) for r in triangle_stats(edges, top=100).collect())
+    dist = sorted(
+        tuple(r)
+        for r in triangle_stats(edges, top=100, small_edges=0).collect()
+    )
+    assert small == dist
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj: dict = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri_count = {k: 0 for k in adj}
+    for u, v in und:
+        for w_ in adj[u] & adj[v]:
+            # each triangle is found once per edge (3 finds); crediting
+            # all three corners per find gives every corner 3 credits
+            tri_count[u] += 1
+            tri_count[v] += 1
+            tri_count[w_] += 1
+    expected = {k: c // 3 for k, c in tri_count.items()}
+    got = {r[0]: r[2] for r in (tuple(x) for x in small)}
+    if und:
+        assert got == expected
+    else:
+        assert small == []
