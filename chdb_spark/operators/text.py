@@ -1303,13 +1303,16 @@ def perplexity_buckets(
     """
     from pyspark.sql.window import Window
 
-    # Single pass over the exploded bigram stream: per-(doc, bigram) counts
-    # first (map-side combinable within doc locality), then BOTH the model
-    # counts and the per-doc scores derive from that one relation — the
-    # explode never runs twice. n(c1) == sum over bigrams of n(c1·) because
-    # every position contributes exactly one bigram, so the prefix counts
-    # need no separate scan either.
-    dbc = (
+    # No (doc, bigram) intermediate agg: that shuffle's key cardinality is
+    # docs × per-doc-distinct-bigrams — far more groups than either thing
+    # we actually need (the ≤|alphabet|² model counts, and one score per
+    # doc), and it measured SLOWER than letting the bigram stream feed
+    # both consumers directly (same t13/t14 lesson recorded in SCALE.md
+    # round-8: the model agg collapses map-side to vocabulary keys, and
+    # per-doc scoring aggregates straight to one row per document).
+    # n(c1) == sum over bigrams of n(c1·) because every position
+    # contributes exactly one bigram, so prefix counts need no extra scan.
+    bg_stream = (
         docs.filter(F.length(text_col) >= 2)
         .select(
             F.col(id_col),
@@ -1322,11 +1325,9 @@ def perplexity_buckets(
             "_trusted",
             F.expr(f"substring({text_col}, i, 2)").alias("bg"),
         )
-        .groupBy(id_col, "_trusted", "bg")
-        .agg(F.count("*").alias("n"))
     )
     bg_counts = (
-        dbc.filter("_trusted").groupBy("bg").agg(F.sum("n").alias("n_bg"))
+        bg_stream.filter("_trusted").groupBy("bg").agg(F.count("*").alias("n_bg"))
     )
     c1_counts = (
         bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
@@ -1349,14 +1350,14 @@ def perplexity_buckets(
     unseen = F.round(F.log(F.lit(float(smoothing_vocab))) * 1000000, 0).cast("long")
 
     scored = (
-        dbc.join(F.broadcast(model), "bg", "left")
+        bg_stream.join(F.broadcast(model), "bg", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("n").alias("n_bigrams"),
+            F.count("*").alias("n_bigrams"),
             (
-                F.sum(F.col("n") * F.coalesce(F.col("nll_u"), unseen))
+                F.sum(F.coalesce(F.col("nll_u"), unseen))
                 / 1000000.0
-                / F.sum("n")
+                / F.count("*")
             ).alias("ppl_proxy"),
         )
     )
