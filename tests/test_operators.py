@@ -1705,3 +1705,26 @@ def test_grouped_weighted_quantile_matches_window_form(spark):
                 ).collect()
             }
             assert got == brute(q), (q, nb)
+
+
+def test_pagerank_overflow_guard_fires_in_both_lanes(spark):
+    """q_scale * max edge weight must fit int64 — the guard exists in the
+    small-graph lane (pandas max) and the distributed lane (agg max), so
+    neither can silently wrap."""
+    import pytest
+
+    from chdb_spark.operators.graph import pagerank
+
+    heavy = spark.createDataFrame(
+        [(1, 2, 10_000_000), (2, 1, 1)], "src int, dst int, w long"
+    )
+    with pytest.raises(AssertionError, match="overflow"):
+        pagerank(heavy, iters=1).collect()
+    with pytest.raises(AssertionError, match="overflow"):
+        pagerank(heavy, iters=1, small_edges=0).collect()
+    # and an empty edge list raises the documented error in both lanes
+    empty = spark.createDataFrame([], "src int, dst int, w long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty, iters=1)
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty, iters=1, small_edges=0)
