@@ -608,10 +608,16 @@ def grouped_weighted_quantile(
     whose weights sum to ≤ 0 is absent from the output). Weight sums are
     exact for integer-valued weights (the ``bucketed_running_sum``
     caveat on float summation order applies otherwise).
+
+    NULL values are IGNORED (aggregate-function semantics, matching
+    ClickHouse quantileExactWeighted): a NULL-valued row contributes
+    neither its value nor its weight to the group. Float NaN
+    participates and sorts greatest (Spark ordering).
     """
     if n_buckets is None:
         n_buckets = _default_buckets(df)
     extra_order = list(extra_order or [])
+    df = df.where(F.col(value_col).isNotNull())
     vcol = F.col(value_col).cast("double")
     is_float = dict(df.dtypes)[value_col] in ("float", "double")
     clean_rows = df.select(vcol.alias("_v")).where(F.col("_v").isNotNull())

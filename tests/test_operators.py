@@ -1728,3 +1728,31 @@ def test_pagerank_overflow_guard_fires_in_both_lanes(spark):
         pagerank(empty, iters=1)
     with pytest.raises(ValueError, match="empty edge list"):
         pagerank(empty, iters=1, small_edges=0)
+
+
+def test_grouped_weighted_quantile_ignores_null_values(spark):
+    """NULL values contribute neither value nor weight (aggregate
+    semantics, CH quantileExactWeighted); NaN participates and sorts
+    greatest. Caught in round 8: counting NULL rows' weight let an
+    all-NULL crossing bucket return NULL as the group's quantile."""
+    from pyspark.sql import functions as F
+
+    from chdb_spark.functions.aggregate_ext import grouped_weighted_quantile
+
+    rows = [
+        ("a", None, 3), ("a", 1.0, 1), ("a", 2.0, 1),
+        ("b", float("nan"), 2), ("b", 5.0, 1), ("b", 6.0, 4),
+        ("c", None, 1), ("c", float("nan"), 1), ("c", 4.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    for nb in (1, 4, 64):
+        got = {
+            r["g"]: r["wquantile"]
+            for r in grouped_weighted_quantile(
+                df, "v", "w", ["g"], q=0.5, extra_order=["w"], n_buckets=nb
+            ).collect()
+        }
+        # a: NULL(w3) ignored -> tw=2, target 1 -> 1.0
+        # b: order 5.0(cum1), 6.0(cum5), NaN last -> target 3.5 -> 6.0
+        # c: NULL ignored -> 4.0(cum1), NaN(cum2) -> target 1 -> 4.0
+        assert got == {"a": 1.0, "b": 6.0, "c": 4.0}, (nb, got)
