@@ -723,8 +723,40 @@ def _rank_map(df: DataFrame, col: str, out: str) -> DataFrame:
               "joined back (no row-level global sort), then Pearson corr of "
               "ranks (reference rankCorr :12300)")
 def rank_corr(df: DataFrame, x: str, y: str) -> DataFrame:
-    rx = _rank_map(df, x, "rx")
-    ry = _rank_map(df, y, "ry")
+    dt = dict(df.dtypes)
+    if dt[x] == dt[y]:
+        # Fused lane (same dtype → one shared value domain): BOTH columns'
+        # distinct-value counts come from one tag-keyed aggregation, so the
+        # cumulative-rank machinery (checkpoint + lane-pick count + window
+        # or bucketed cumsum) runs ONCE instead of once per column — same
+        # exact min-ranks, half the jobs. group_cols=["_t"] keeps the
+        # 100 TB path: each tag's cumulative goes bucketed when the
+        # distinct set is large (bounds shared across tags is fine — each
+        # (tag, bucket) population is a subset of its global bucket).
+        vals = df.select(F.col(x).alias("_x"), F.col(y).alias("_y"))
+        counts = (
+            vals.select(F.lit(0).alias("_t"), F.col("_x").alias("_v"))
+            .unionAll(vals.select(F.lit(1).alias("_t"), F.col("_y").alias("_v")))
+            .groupBy("_t", "_v")
+            .agg(F.count("*").alias("_c"))
+        )
+        below = bucketed_running_sum(
+            counts, "_v", ["_c"], group_cols=["_t"], inclusive=False,
+            cache_input=True,
+        )
+        ranks = below.select("_t", "_v", (F.col("_cum__c") + 1).alias("_r"))
+        rx = ranks.where(F.col("_t") == 0).select(
+            F.col("_v").alias(x), F.col("_r").alias("rx")
+        )
+        ry = ranks.where(F.col("_t") == 1).select(
+            F.col("_v").alias(y), F.col("_r").alias("ry")
+        )
+    else:
+        # mixed dtypes: a shared value column would need a lossy common
+        # cast (distinct values could collide after casting) — rank each
+        # column over its own native domain
+        rx = _rank_map(df, x, "rx")
+        ry = _rank_map(df, y, "ry")
     ranked = df.join(rx, x).join(ry, y)
     return ranked.agg(F.corr("rx", "ry").alias("rank_corr"))
 

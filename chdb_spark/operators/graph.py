@@ -78,19 +78,30 @@ def page_graph_edges(
     key_expr: str = "try_variant_get(parse_json(props), '$.k', 'bigint')",
     ts_col: str = "ts",
     tiebreak: str = "event_id",
+    weighted: bool = True,
 ) -> DataFrame:
     """Per-user consecutive page transitions → weighted directed edges
     (src, dst, w). Self-loops dropped (they only re-scale the diagonal).
-    One user-keyed window shuffle + one (src, dst) hash agg."""
+    One user-keyed window shuffle + one (src, dst) hash agg.
+
+    ``weighted=False`` skips the (src, dst) aggregation and returns the
+    raw transition stream (src, dst) — for consumers that deduplicate
+    anyway (triangle_stats' undirected distinct), the agg is a pure
+    extra shuffle: distinct over the transition stream is one exchange
+    where groupBy-then-distinct is two."""
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
     keyed = events.select(
         F.col(user_col), F.col(ts_col), F.col(tiebreak), F.expr(key_expr).alias("_k")
     ).where(F.col("_k").isNotNull())
-    return (
+    transitions = (
         keyed.withColumn("_prev", F.lag("_k").over(w))
         .where(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_k")))
-        .groupBy(F.col("_prev").alias("src"), F.col("_k").alias("dst"))
-        .agg(F.count("*").cast("long").alias("w"))
+        .select(F.col("_prev").alias("src"), F.col("_k").alias("dst"))
+    )
+    if not weighted:
+        return transitions
+    return transitions.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("w")
     )
 
 
@@ -143,6 +154,7 @@ def pagerank(
     q_scale: int = Q_SCALE,
     checkpoint_every: int | None = 8,
     small_edges: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85 as the rational 85/100) over a
     weighted directed edge list (src, dst, w).
@@ -173,7 +185,24 @@ def pagerank(
     conf, 200k) is the cost-based switch to the driver-local int64-exact
     iteration lane for small derived graphs — see
     :data:`SMALL_GRAPH_EDGES_CONF`; 0 forces the distributed shape.
+
+    ``input_rows``: caller-supplied upper bound on the edge count from
+    SOURCE statistics (parquet footer row counts / catalog stats — see
+    queries.table_rows_upper_bound). When the bound itself is ≤ the
+    small-graph threshold, the lane is decided WITHOUT the checkpoint +
+    limit-probe jobs: one job pulls the (statically known small) edge
+    relation straight into the local lane. This is ordinary cost-based
+    planning from table statistics — the runtime probe remains the
+    fallback when no bound is known.
     """
+    thr = _small_graph_threshold(edges, small_edges)
+    if thr > 0 and input_rows is not None and 0 < input_rows <= thr:
+        probe = edges.select(
+            "src", "dst", F.col("w").cast("long").alias("w")
+        ).toPandas()
+        if len(probe) == 0:
+            raise ValueError("pagerank: empty edge list")
+        return _pagerank_local(edges.sparkSession, probe, iters, q_scale)
     # Checkpoint the DERIVED edge list first (one pass over the raw log —
     # without this, the outw aggregate and the join probe each re-derive
     # the edge lineage unless exchange reuse happens to fire), then hang
@@ -188,7 +217,6 @@ def pagerank(
     # both decides the lane and (small case) delivers the whole edge set —
     # limit(thr+1) returns every row when the relation has ≤ thr, and the
     # pull is bounded by thr+1 rows either way.
-    thr = _small_graph_threshold(edges, small_edges)
     if thr > 0:
         probe = edges_m.limit(thr + 1).toPandas()
         if len(probe) == 0:
@@ -323,8 +351,15 @@ def _pr1_oracle_sql(iters: int = 5) -> str:
         "matches bit-exactly. Top-20 pages by final rank.",
 )
 def pr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     ev = table(spark, sf_dir, "events")
-    ranks = pagerank(page_graph_edges(ev), iters=5)
+    # events row count (parquet footers) bounds the derived edge count —
+    # the free catalog statistic that lets pagerank skip the probe job
+    ranks = pagerank(
+        page_graph_edges(ev), iters=5,
+        input_rows=table_rows_upper_bound(sf_dir, "events"),
+    )
     return ranks.orderBy(F.desc("rank_q"), "k").limit(20)
 
 
@@ -361,6 +396,13 @@ def _triangle_stats_local(spark, pdf, top: int) -> DataFrame:
             "triangles": corners.reindex(deg.index, fill_value=0).to_numpy(),
         }
     )
+    # top-k selection on the EXACT integer sort keys happens here in
+    # pandas (same (triangles DESC, k ASC) total order — k is unique), so
+    # only `top` rows cross into the Spark relation; the clustering
+    # division + round below stays a Spark expression for rounding parity
+    out = out.sort_values(
+        ["triangles", "k"], ascending=[False, True], kind="mergesort"
+    ).head(top)
     sdf = spark.createDataFrame(out, "k bigint, degree bigint, triangles bigint")
     return (
         sdf.select(
@@ -381,7 +423,10 @@ def _triangle_stats_local(spark, pdf, top: int) -> DataFrame:
 
 
 def triangle_stats(
-    edges: DataFrame, top: int = 20, small_edges: int | None = None
+    edges: DataFrame,
+    top: int = 20,
+    small_edges: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over the
     undirected version of a directed edge list; top ``top`` nodes by
@@ -401,11 +446,29 @@ def triangle_stats(
     candidate wedges concentrate on its id; AQE skew-join splitting
     handles it, and the canonical a<b<c orientation already halves
     wedge counts vs the naive formulation.
+
+    ``input_rows``: source-statistics upper bound on the edge count
+    (see :func:`pagerank`). A bound ≤ the threshold skips the
+    checkpoint + probe jobs AND the distinct exchange: the raw pair
+    stream (≤ input_rows rows by the bound) is pulled in one job and
+    deduplicated in pandas — the same distinct the distributed lane
+    computes, on a relation already measured driver-safe.
     """
+    thr = _small_graph_threshold(edges, small_edges)
+    if thr > 0 and input_rows is not None and 0 < input_rows <= thr:
+        pairs = (
+            edges.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .where(F.col("u") < F.col("v"))
+            .toPandas()
+            .drop_duplicates()
+        )
+        return _triangle_stats_local(edges.sparkSession, pairs, top)
     # three branches of one job read the edge list — checkpoint once
     # (ContextCleaner-released; no session-long cache growth)
     e = undirected_edges(edges).localCheckpoint(eager=True)
-    thr = _small_graph_threshold(edges, small_edges)
     if thr > 0:
         # limit-probe lane pick (see pagerank): one job decides the lane
         # and delivers the small-lane edge set
@@ -502,5 +565,13 @@ def triangle_stats(
         "triangle count.",
 )
 def tc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     ev = table(spark, sf_dir, "events")
-    return triangle_stats(page_graph_edges(ev), top=20)
+    # unweighted transitions: triangle_stats deduplicates anyway, so the
+    # (src, dst) agg would be a pure extra shuffle; the parquet row count
+    # bounds the transition count for the stats-hinted lane pick
+    return triangle_stats(
+        page_graph_edges(ev, weighted=False), top=20,
+        input_rows=table_rows_upper_bound(sf_dir, "events"),
+    )

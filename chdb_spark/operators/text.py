@@ -1293,42 +1293,66 @@ def perplexity_buckets(
     deterministic, engine-portable stand-in for KenLM with the identical
     pipeline shape (train counts → broadcast model → score every doc).
 
-    Scale shape (100 TB): bigram extraction is explode(sequence)+substring
-    codegen. The model aggregates collapse map-side to the bigram vocabulary
-    (<= |alphabet|^2 keys — a few KB), so the train shuffle moves bytes; the
-    model joins back **broadcast**. Per-doc scoring aggregates by doc_id
-    (uniform). The tercile split is one ntile window over (score, doc_id) —
-    a single global sort of one small row per *document* (not per token);
-    for a trillion-doc corpus swap in approx percentile cutoffs.
+    Scale shape (100 TB): bigram extraction never materializes a row per
+    bigram — an Arrow-batched kernel counts byte-pair codes per partition
+    (np.bincount over a 64 Ki array), so the train shuffle carries only
+    ≤|alphabet|² partial counts per task; scoring is one map-only kernel
+    pass (broadcast int64 nll table, one indexed-gather sum per doc) — no
+    explode, no join, scan speed. The model nll values and the unseen
+    default stay SPARK expressions (F.log/F.round, collected once —
+    vocabulary-bounded by contract), so rounding semantics are identical
+    to the explode-lane formulation and the SQL oracle. Non-ASCII rows
+    take an exact per-row dict fallback inside the same kernels (2-char
+    substrings — identical semantics, just not vectorized). Per-doc sums
+    are integer micro-units: associative, partial-agg-order-immune. The
+    tercile split is one ntile window over (score, doc_id) — a single
+    small row per *document*; for a trillion-doc corpus swap in approx
+    percentile cutoffs.
     """
-    from pyspark.sql.window import Window
+    import numpy as np
 
-    # No (doc, bigram) intermediate agg: that shuffle's key cardinality is
-    # docs × per-doc-distinct-bigrams — far more groups than either thing
-    # we actually need (the ≤|alphabet|² model counts, and one score per
-    # doc), and it measured SLOWER than letting the bigram stream feed
-    # both consumers directly (same t13/t14 lesson recorded in SCALE.md
-    # round-8: the model agg collapses map-side to vocabulary keys, and
-    # per-doc scoring aggregates straight to one row per document).
+    spark = docs.sparkSession
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def _count_bigrams(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            acc = np.zeros(65536, dtype=np.int64)
+            other: dict = {}
+            for s in pdf[text_col]:
+                if s is None or len(s) < 2:
+                    continue
+                if s.isascii():
+                    b = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    acc += np.bincount(b[:-1] * 256 + b[1:], minlength=65536)
+                else:
+                    for i in range(len(s) - 1):
+                        g = s[i : i + 2]
+                        other[g] = other.get(g, 0) + 1
+            codes = np.nonzero(acc)[0]
+            bgs = [chr(c >> 8) + chr(c & 255) for c in codes]
+            ns = acc[codes].tolist()
+            for g, n in other.items():
+                bgs.append(g)
+                ns.append(n)
+            yield pd.DataFrame(
+                {"bg": pd.Series(bgs, dtype="object"),
+                 "n_bg": pd.Series(ns, dtype="int64")}
+            )
+
+    bg_counts = (
+        docs.filter(trusted_filter)
+        .select(text_col)
+        .mapInPandas(_count_bigrams, "bg string, n_bg long")
+        .groupBy("bg")
+        .agg(F.sum("n_bg").alias("n_bg"))
+    )
     # n(c1) == sum over bigrams of n(c1·) because every position
     # contributes exactly one bigram, so prefix counts need no extra scan.
-    bg_stream = (
-        docs.filter(F.length(text_col) >= 2)
-        .select(
-            F.col(id_col),
-            trusted_filter.alias("_trusted"),
-            F.explode(F.sequence(F.lit(1), F.length(text_col) - 1)).alias("i"),
-            text_col,
-        )
-        .select(
-            id_col,
-            "_trusted",
-            F.expr(f"substring({text_col}, i, 2)").alias("bg"),
-        )
-    )
-    bg_counts = (
-        bg_stream.filter("_trusted").groupBy("bg").agg(F.count("*").alias("n_bg"))
-    )
     c1_counts = (
         bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1"))
         .agg(F.sum("n_bg").alias("n_c1"))
@@ -1347,18 +1371,60 @@ def perplexity_buckets(
         .cast("long")
         .alias("nll_u"),
     )
-    unseen = F.round(F.log(F.lit(float(smoothing_vocab))) * 1000000, 0).cast("long")
+    # the unseen default evaluated by the SAME JVM round(ln·1e6) pipeline
+    # as the model rows (local relation — no scan, no job of substance)
+    unseen = int(
+        spark.sql(
+            f"SELECT CAST(round(ln(CAST({smoothing_vocab} AS DOUBLE))"
+            " * 1000000, 0) AS BIGINT)"
+        ).first()[0]
+    )
+    # |model| ≤ |alphabet|² — driver-safe at any corpus size by contract
+    nll_map = {r["bg"]: r["nll_u"] for r in model.collect()}
+    arr = np.full(65536, unseen, dtype=np.int64)
+    for g, v in nll_map.items():
+        if len(g) == 2 and g.isascii():
+            arr[(ord(g[0]) << 8) | ord(g[1])] = v
+    bc = spark.sparkContext.broadcast((arr, nll_map, unseen))
+
+    def _score(it):
+        import numpy as np
+        import pandas as pd
+
+        arr_b, map_b, unseen_b = bc.value
+        for pdf in it:
+            ids, nb, su = [], [], []
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None or len(s) < 2:
+                    continue  # mirrors the length-≥2 bigram-stream filter
+                if s.isascii():
+                    b = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    total = int(arr_b[b[:-1] * 256 + b[1:]].sum())
+                else:
+                    total = sum(
+                        map_b.get(s[i : i + 2], unseen_b)
+                        for i in range(len(s) - 1)
+                    )
+                ids.append(doc_id)
+                nb.append(len(s) - 1)
+                su.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "n_bigrams": pd.Series(nb, dtype="int64"),
+                    "_sum_u": pd.Series(su, dtype="int64"),
+                }
+            )
 
     scored = (
-        bg_stream.join(F.broadcast(model), "bg", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            (
-                F.sum(F.coalesce(F.col("nll_u"), unseen))
-                / 1000000.0
-                / F.count("*")
-            ).alias("ppl_proxy"),
+        docs.select(id_col, text_col)
+        .mapInPandas(_score, f"{id_col} {id_type}, n_bigrams long, _sum_u long")
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_sum_u") / 1000000.0 / F.col("n_bigrams")).alias("ppl_proxy"),
         )
     )
     # Exact ntile(3) without a global single-reducer window: global rank

@@ -148,6 +148,35 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_rows_upper_bound(sf_dir: str, name: str) -> int | None:
+    """Row count of a source table from parquet footer metadata — the
+    catalog statistic a production metastore (or Spark CBO with ANALYZE
+    TABLE stats) provides for free, read here straight from the footers
+    (no Spark job, no scan). Callers use it as an UPPER BOUND on derived
+    relations (any per-row transformation without joins/explodes yields
+    ≤ this many rows) to pick cost-based lanes without a runtime probe
+    job — see pagerank/triangle_stats ``input_rows``. None when the path
+    is not local parquet (caller falls back to the probe)."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total
+    except Exception:
+        return None
+    return None
+
+
 def _r2(c) -> F.Column:
     return F.round(c, 2)
 

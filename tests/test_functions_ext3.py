@@ -411,6 +411,37 @@ def test_ttest_closed_forms(spark):
     assert abs(row["w"]["t_statistic"] - t_welch) < 1e-8
 
 
+def test_rank_corr_fused_and_fallback_lanes_exact(spark):
+    """rankCorr's same-dtype FUSED lane (one tag-keyed cumulative for both
+    columns) and the mixed-dtype two-map fallback both equal the
+    brute-force Pearson-of-min-ranks computed in pandas, ties included."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 12, 80).astype(float)   # heavy ties
+    ys = (xs * 0.5 + rng.normal(0, 3, 80)).round(1)
+
+    def spearman_minrank(x, y):
+        rx = pd.Series(x).rank(method="min")
+        ry = pd.Series(y).rank(method="min")
+        return float(np.corrcoef(rx, ry)[0, 1])
+
+    expected = spearman_minrank(xs, ys)
+
+    fused = spark.createDataFrame(
+        pd.DataFrame({"x": xs, "y": ys}), "x double, y double"
+    )
+    got = fn("rankCorr")(fused, "x", "y").collect()[0]["rank_corr"]
+    assert abs(got - expected) < 1e-9
+
+    mixed = spark.createDataFrame(
+        pd.DataFrame({"x": xs.astype(np.int64), "y": ys}), "x long, y double"
+    )
+    got_mixed = fn("rankCorr")(mixed, "x", "y").collect()[0]["rank_corr"]
+    assert abs(got_mixed - spearman_minrank(xs.astype(np.int64), ys)) < 1e-9
+
+
 def test_rank_stats_helpers(spark, events_df):
     rc = fn("rankCorr")(events_df, "v", "uid").collect()[0]["rank_corr"]
     assert -1.0 <= rc <= 1.0

@@ -1659,6 +1659,39 @@ def test_triangle_stats_lanes_equal(spark):
     assert deg == {1: 3, 2: 3, 3: 2, 4: 2}
 
 
+def test_graph_stats_hint_lane_matches_probe_lanes(spark):
+    """The source-statistics hinted lane (``input_rows`` ≤ threshold skips
+    the checkpoint + probe jobs) returns exactly what both runtime lanes
+    return, for triangle_stats AND pagerank; a bound ABOVE the threshold
+    falls through to the probe pick (still identical), and duplicate /
+    reversed raw pairs dedupe the same way the distributed distinct does."""
+    from chdb_spark.operators.graph import pagerank, triangle_stats
+
+    # duplicate + reversed pairs: (2,1) and a repeated (1,2) must collapse
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 3), (1, 2, 2), (1, 3, 1), (2, 3, 1), (3, 4, 1)],
+        "src int, dst int, w int",
+    )
+    base_t = {tuple(r) for r in triangle_stats(edges, top=10).collect()}
+    hint_t = {
+        tuple(r) for r in triangle_stats(edges, top=10, input_rows=6).collect()
+    }
+    big_hint_t = {
+        tuple(r)
+        for r in triangle_stats(
+            edges, top=10, small_edges=5, input_rows=6
+        ).collect()
+    }
+    assert hint_t == base_t
+    assert big_hint_t == base_t
+
+    base_p = sorted(tuple(r) for r in pagerank(edges, iters=3).collect())
+    hint_p = sorted(
+        tuple(r) for r in pagerank(edges, iters=3, input_rows=6).collect()
+    )
+    assert hint_p == base_p
+
+
 def test_grouped_weighted_quantile_matches_window_form(spark):
     """Crossing-bucket refinement == the full running-sum formulation:
     first value (ordered by value, weight) whose inclusive cumulative

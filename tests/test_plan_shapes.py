@@ -346,17 +346,47 @@ def test_t13_dsir_bucket_weights_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_t14_perplexity_model_broadcast_no_global_window(spark):
+def test_t14_perplexity_kernel_no_explode_no_global_window(spark):
     import re
 
     plan = plan_of(spark, "t14_perplexity_buckets")
-    assert "BroadcastHashJoin" in plan  # char-bigram model joins broadcast
+    # no per-bigram row stream (Generate/explode) anywhere in the final
+    # plan — the vocabulary-bounded model is a broadcast int64 table
+    # inside the Arrow-batched kernel (pinned on the scored sub-plan
+    # below; the ranked checkpoint truncates it out of the final plan)
+    assert "Generate" not in plan
     # tercile ranks come from the bucketed two-phase form: any sort-ordered
     # window must be _bk-bucket-local, not a global single-reducer sort
     for spec in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.group(1).split(",")[0].strip()
         if "ASC" in head or "DESC" in head:
             assert head.startswith("_bk"), f"global window over {head!r}"
+
+
+def test_t14_scoring_is_one_kernel_pass(spark):
+    """The per-doc scoring sub-plan (pre-checkpoint) must be ONE
+    map-only Arrow kernel over the doc scan: no explode (Generate), no
+    join, no exchange before the kernel."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from chdb_spark.operators.text import perplexity_buckets
+    from chdb_spark.queries import table
+
+    # reach the scored relation through the public operator: the bucket
+    # tail is driven by checkpointed blocks, so explain the columns that
+    # exist before the cumulative (id, n_bigrams, ppl_proxy projection
+    # comes straight off the kernel)
+    docs = table(spark, SF_CORRECT, "documents")
+    out = perplexity_buckets(docs, F.col("source") == "src0")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_dd9_substring_spans_single_scan_shape(spark):

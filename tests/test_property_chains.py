@@ -549,3 +549,85 @@ def test_triangle_stats_lane_property(spark, pairs):
         assert got == expected
     else:
         assert small == []
+
+
+# ---------------------------------------------------------------------------
+# perplexity kernel property: byte-code fast path + unicode fallback ==
+# the explode(substring) formulation, bit-for-bit
+# ---------------------------------------------------------------------------
+
+# mixes ASCII with multi-byte chars so both kernel lanes are exercised;
+# ' ' and repeats create shared bigrams between trusted/untrusted docs
+_PPL_ALPHABET = "ab é∆"
+
+
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.text(alphabet=_PPL_ALPHABET, min_size=0, max_size=12),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_perplexity_kernel_matches_explode_formulation(spark, texts):
+    """For ANY mix of ASCII and multi-byte documents, the Arrow byte-bigram
+    kernel (+ per-row unicode fallback) produces exactly the rows the
+    original explode(sequence)+substring+broadcast-join formulation
+    produces — same docs present, same exact n_bigrams, same ppl_proxy
+    doubles, same buckets."""
+    from chdb_spark.operators.text import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(i, t, trusted) for i, (t, trusted) in enumerate(texts)],
+        "doc_id long, text string, trusted boolean",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl_proxy"], r["bucket"])
+        for r in perplexity_buckets(df, F.col("trusted"), text_col="text").collect()
+    }
+
+    # reference formulation: the pre-round-8 explode lane, inline
+    bg_stream = (
+        df.filter(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            F.col("trusted").alias("_trusted"),
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+            "text",
+        )
+        .select("doc_id", "_trusted", F.expr("substring(text, i, 2)").alias("bg"))
+    )
+    bg_counts = bg_stream.filter("_trusted").groupBy("bg").agg(
+        F.count("*").alias("n_bg")
+    )
+    c1_counts = bg_counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n_bg").alias("n_c1")
+    )
+    model = (
+        bg_counts.withColumn("c1", F.substring("bg", 1, 1))
+        .join(c1_counts, "c1")
+        .select(
+            "bg",
+            F.round(
+                -(F.log(F.col("n_bg") + 1) - F.log(F.col("n_c1") + 256)) * 1000000,
+                0,
+            ).cast("long").alias("nll_u"),
+        )
+    )
+    unseen = F.round(F.log(F.lit(256.0)) * 1000000, 0).cast("long")
+    expected_scores = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl_proxy"])
+        for r in bg_stream.join(F.broadcast(model), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum(F.coalesce(F.col("nll_u"), unseen)) / 1000000.0 / F.count("*"))
+            .alias("ppl_proxy"),
+        )
+        .collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == expected_scores
