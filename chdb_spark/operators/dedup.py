@@ -969,11 +969,53 @@ def dd12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Cost-based small-pairs switch for connected_components (the pagerank
+# limit-probe pattern): a near-dup pair relation under this many rows is
+# a few MB, and label propagation's per-iteration cost (2 checkpoints +
+# a convergence count — ~3 jobs/iter) dwarfs a driver-side union-find
+# over the once-pulled edge list. The probe job pays the (possibly
+# expensive LSH-join) pair lineage exactly once either way. Conf 0
+# forces the distributed shape.
+SMALL_PAIRS_CONF = "spark.chdb_spark.dedup.smallPairs"
+SMALL_PAIRS_DEFAULT = 200_000
+
+
+def _components_local(spark, pdf, id_type: str) -> DataFrame:
+    """Small-pairs lane of :func:`connected_components`: union-find with
+    path compression over the pulled pair list. Exactly the distributed
+    fixpoint by construction — both compute, per vertex, the minimum id
+    (same ``<`` ordering F.least uses) reachable in its component."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def py(v):  # numpy scalar → python native for createDataFrame
+        return v.item() if hasattr(v, "item") else v
+
+    for a, b in zip(pdf.iloc[:, 0], pdf.iloc[:, 1]):
+        ra, rb = find(py(a)), find(py(b))
+        if ra != rb:
+            # union by min id: the root IS the cluster label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((v, find(v)) for v in parent)
+    return spark.createDataFrame(
+        rows, f"doc_id {id_type}, cluster_id {id_type}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 20,
+    small_pairs: int | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs by min-label propagation —
     the step between pairwise dedup output and "keep one doc per duplicate
@@ -986,7 +1028,31 @@ def connected_components(
     changed-label count). Iterations needed = graph diameter in hops
     (near-dup clusters are shallow — boilerplate families converge in
     2-3). Deterministic: min-label is order-free.
+
+    ``small_pairs`` (default: the ``spark.chdb_spark.dedup.smallPairs``
+    conf, 200k): limit-probe lane pick — one job pulls at most
+    ``small_pairs``+1 pair rows; when the relation fits, a driver-side
+    union-find replaces the whole iteration (same min-id labels, no
+    per-iteration job floor). 0 forces the distributed shape.
     """
+    thr = small_pairs
+    if thr is None:
+        try:
+            thr = int(
+                pairs.sparkSession.conf.get(
+                    SMALL_PAIRS_CONF, str(SMALL_PAIRS_DEFAULT)
+                )
+            )
+        except Exception:
+            thr = SMALL_PAIRS_DEFAULT
+    if thr and thr > 0:
+        probe = pairs.select(a_col, b_col).limit(thr + 1).toPandas()
+        if len(probe) <= thr:
+            return _components_local(
+                pairs.sparkSession,
+                probe,
+                pairs.schema[a_col].dataType.simpleString(),
+            )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -1374,6 +1440,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_rows: int = 200_000,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, then find
     cosine near-duplicates WITHIN each cluster only.
@@ -1408,6 +1475,7 @@ def semdedup(
         id_col=id_col,
         vec_col=vec_col,
         return_vectors=True,
+        input_rows=input_rows,
     )
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1484,8 +1552,13 @@ def _dd10_oracle_sql(threshold: float = 0.45) -> str:
         "cluster pairwise cosine; integer-only output.",
 )
 def dd10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     emb = table(spark, sf_dir, "embeddings")
-    pairs = semdedup(emb, k=8, threshold=0.45)
+    pairs = semdedup(
+        emb, k=8, threshold=0.45,
+        input_rows=table_rows_upper_bound(sf_dir, "embeddings"),
+    )
     return (
         pairs.groupBy("cluster")
         .agg(

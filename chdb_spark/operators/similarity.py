@@ -329,6 +329,29 @@ def train_ivf_centroids(
     return _lloyd_numpy(S, _farthest_point_init(S, n_centroids), iters)
 
 
+# Cost-based small-corpus switch for the iterative trainers (the
+# pagerank/triangle_stats pattern): below this many vectors, max_iters
+# Spark jobs (broadcast + mapInPandas collect each) cost more than the
+# whole computation, and the identical deterministic update runs
+# driver-side on the once-pulled matrix. Above it, the map-only partials
+# iteration is the shape that scales. Conf 0 forces distributed.
+SMALL_CORPUS_ROWS_CONF = "spark.chdb_spark.similarity.smallCorpusRows"
+SMALL_CORPUS_ROWS_DEFAULT = 65536
+
+
+def _small_corpus_threshold(df: DataFrame, override: int | None) -> int:
+    if override is not None:
+        return int(override)
+    try:
+        return int(
+            df.sparkSession.conf.get(
+                SMALL_CORPUS_ROWS_CONF, str(SMALL_CORPUS_ROWS_DEFAULT)
+            )
+        )
+    except Exception:
+        return SMALL_CORPUS_ROWS_DEFAULT
+
+
 def kmeans(
     corpus: DataFrame,
     k: int = 16,
@@ -337,6 +360,8 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_vectors: bool = False,
+    input_rows: int | None = None,
+    small_corpus_rows: int | None = None,
 ):
     """Distributed Lloyd's k-means over an embedding column.
 
@@ -354,9 +379,64 @@ def kmeans(
     vectors, so consumers that need (id, vector, cluster) together (e.g.
     SemDeDup's per-cluster pair scan) avoid a corpus-sized join back onto
     the embedding table.
+
+    ``input_rows``: source-statistics upper bound on the corpus size
+    (parquet footer row counts / catalog stats — see
+    queries.table_rows_upper_bound). When it is ≤ the small-corpus
+    threshold (``spark.chdb_spark.similarity.smallCorpusRows``, default
+    64 Ki), the whole run is ONE pull job plus driver-side numpy: the
+    same deterministic init, the same argmin/tie rule (one shared
+    assignment kernel), the same mean update and tol check. Assignment
+    robustness to float summation-order differences between the lanes is
+    the documented oracle contract (margins dwarf rounding noise —
+    test_s2_oracle_margins).
     """
     spark = corpus.sparkSession
     dim = _dim_of(corpus, vec_col)
+
+    thr = _small_corpus_threshold(corpus, small_corpus_rows)
+    if thr > 0 and input_rows is not None and 0 < input_rows <= thr:
+        rows = corpus.select(id_col, vec_col).collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.array([list(rows[i][1]) for i in order], dtype=np.float64)
+        S = X[: max(k * 8, 64)]
+        C = _farthest_point_init(S, k)
+        for _ in range(max_iters):
+            d = (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
+            cell = np.argmin(d, axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, cell, X)
+            counts = np.bincount(cell, minlength=C.shape[0])
+            newC = C.copy()
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz][:, None]
+            shift = float(np.abs(newC - C).max())
+            C = newC
+            if shift < tol:
+                break
+        d = (X**2).sum(1)[:, None] - 2 * X @ C.T + (C**2).sum(1)[None, :]
+        cell = np.argmin(d, axis=1).astype(np.int64)
+        if return_vectors:
+            vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+            assignments = spark.createDataFrame(
+                [
+                    (int(ids[i]), int(cell[i]), [float(x) for x in X[i]])
+                    for i in range(len(ids))
+                ],
+                f"{id_col} long, cluster long, {vec_col} {vec_ddl}",
+            )
+        else:
+            assignments = spark.createDataFrame(
+                [(int(ids[i]), int(cell[i])) for i in range(len(ids))],
+                f"{id_col} long, cluster long",
+            )
+        centroids = spark.createDataFrame(
+            [(int(i), [float(x) for x in C[i]]) for i in range(C.shape[0])],
+            "c_id long, c_vec array<double>",
+        )
+        return centroids, assignments
 
     sample_rows = (
         corpus.orderBy(id_col).limit(max(k * 8, 64)).select(vec_col).collect()
@@ -902,8 +982,13 @@ def _km1_oracle_sql(k: int = 8, iters: int = 5, dim: int = 64, sample_n: int = 6
         "pure-numpy reference in tests/test_operators.py.",
 )
 def km1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     emb = table(spark, sf_dir, "embeddings")
-    _, assignments = kmeans(emb, k=8, max_iters=5)
+    _, assignments = kmeans(
+        emb, k=8, max_iters=5,
+        input_rows=table_rows_upper_bound(sf_dir, "embeddings"),
+    )
     return (
         assignments.groupBy("cluster")
         .agg(F.count("*").alias("n"))
@@ -1504,6 +1589,8 @@ def train_linear_classifier(
     label_threshold: int = 5,
     vec_col: str = "embedding",
     label_col: str = "label",
+    input_rows: int | None = None,
+    small_corpus_rows: int | None = None,
 ):
     """Distributed full-batch gradient descent for a linear probe over an
     embedding column (binary target ``label < label_threshold``) — the
@@ -1529,7 +1616,39 @@ def train_linear_classifier(
     shard the sum.
 
     Returns ``(weights: list[float], n_rows: int)``.
+
+    ``input_rows``: the same source-statistics bound as :func:`kmeans` —
+    ≤ the small-corpus threshold runs the IDENTICAL update driver-side
+    on one pulled matrix (one job total instead of 1 + iters). Unlike
+    k-means this lane is BIT-exact by construction: per-row gradient
+    components quantize to int64 before any summation, so the sum is
+    order-free and the weight trajectory is the same to the last bit.
     """
+    thr_rows = _small_corpus_threshold(df, small_corpus_rows)
+    if thr_rows > 0 and input_rows is not None and 0 < input_rows <= thr_rows:
+        pdf = df.select(vec_col, label_col).toPandas()
+        if len(pdf):
+            X = np.stack(
+                [np.asarray(v[:dims], dtype=np.float64) for v in pdf[vec_col]]
+            )
+            y = (pdf[label_col].to_numpy() < label_threshold).astype(np.float64)
+            n_local = float(len(pdf))
+            w = [0.0] * dims
+            for _ in range(iters):
+                t = X[:, 0] * w[0]
+                for j in range(1, dims):
+                    t = t + X[:, j] * w[j]
+                p = 0.5 * (1.0 + (t / 2) / (1.0 + np.abs(t / 2)))
+                e = p - y
+                g = [
+                    int(np.floor(e * X[:, j] * 1e9 + 0.5).astype(np.int64).sum())
+                    for j in range(dims)
+                ]
+                w = [w[j] - lr * ((g[j] / 1e9) / n_local) for j in range(dims)]
+            return w, int(n_local)
+        # empty relation: fall through — the distributed lane owns the
+        # (error) semantics of training on zero rows
+
     spark = df.sparkSession
     from chdb_spark.operators import _repartition_feature_pass
 
@@ -1659,8 +1778,13 @@ def _cl1_oracle_sql(
         "count exactly.",
 )
 def cl1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     emb = table(spark, sf_dir, "embeddings")
-    w, _ = train_linear_classifier(emb, dims=8, iters=3, lr=0.5)
+    w, _ = train_linear_classifier(
+        emb, dims=8, iters=3, lr=0.5,
+        input_rows=table_rows_upper_bound(sf_dir, "embeddings"),
+    )
     xj = lambda j: F.element_at(F.col("embedding"), j + 1).cast("double")  # noqa: E731
     t = xj(0) * F.lit(w[0])
     for j in range(1, 8):

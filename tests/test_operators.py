@@ -216,6 +216,36 @@ def test_kmeans_matches_numpy_reference(spark):
     assert got == want
 
 
+def test_kmeans_and_linear_probe_hinted_lanes_match(spark):
+    """The source-statistics hinted lanes (input_rows ≤ threshold → one
+    pull job + driver-side numpy) agree with the distributed lanes:
+    k-means assignments identically (margins dwarf summation-order
+    noise), the linear probe BIT-exactly (int64-quantized gradients are
+    order-free); a bound above the threshold falls through."""
+    from chdb_spark.operators.similarity import kmeans, train_linear_classifier
+    from chdb_spark.session import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+
+    _, a_dist = kmeans(emb, k=5, max_iters=3)
+    _, a_hint = kmeans(emb, k=5, max_iters=3, input_rows=n)
+    _, a_fall = kmeans(emb, k=5, max_iters=3, input_rows=n, small_corpus_rows=2)
+    dist = {r.vec_id: r.cluster for r in a_dist.collect()}
+    assert {r.vec_id: r.cluster for r in a_hint.collect()} == dist
+    assert {r.vec_id: r.cluster for r in a_fall.collect()} == dist
+
+    w_dist, n_dist = train_linear_classifier(emb, dims=6, iters=2)
+    w_hint, n_hint = train_linear_classifier(emb, dims=6, iters=2, input_rows=n)
+    assert (w_hint, n_hint) == (w_dist, n_dist)  # bit-exact
+
+    # return_vectors parity: the hinted assignments carry the same vectors
+    _, tv = kmeans(emb, k=5, max_iters=2, return_vectors=True, input_rows=n)
+    row = tv.orderBy("vec_id").first()
+    src = emb.orderBy("vec_id").first()
+    assert list(row[2]) == list(src["embedding"])
+
+
 def test_connected_components_chain_and_pair(spark):
     """A 4-chain and a detached pair: one component labeled by its min id
     each; labels converge through multi-hop propagation (chain diameter 3)."""
@@ -238,16 +268,20 @@ def test_connected_components_warns_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
     )
+    # small_pairs=0 forces the distributed propagation — the union-find
+    # lane has no iteration cap to warn about
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        connected_components(chain, max_iters=2).collect()
+        connected_components(chain, max_iters=2, small_pairs=0).collect()
     assert any("not converged" in str(x.message) for x in w)
     # and with enough iterations it converges quietly to one cluster
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         got = {
             r.doc_id: r.cluster_id
-            for r in connected_components(chain, max_iters=20).collect()
+            for r in connected_components(
+                chain, max_iters=20, small_pairs=0
+            ).collect()
         }
     assert not any("not converged" in str(x.message) for x in w)
     assert set(got.values()) == {0}

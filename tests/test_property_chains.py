@@ -631,3 +631,55 @@ def test_perplexity_kernel_matches_explode_formulation(spark, texts):
         .collect()
     }
     assert {k: v[:2] for k, v in got.items()} == expected_scores
+
+
+# ---------------------------------------------------------------------------
+# connected-components lane property: driver union-find == distributed
+# min-label propagation, for any random pair list (int and string ids)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_lane_property(spark, pairs):
+    """For ANY pair multiset (self-loops and duplicates included), the
+    small-pairs union-find lane labels every vertex with the same
+    min-reachable id the distributed propagation converges to — for long
+    ids AND for string ids (F.least's ordering == Python's ``<`` here)."""
+    from chdb_spark.operators.dedup import connected_components
+
+    if pairs:
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        local = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(df, small_pairs=0).collect()
+        }
+        assert local == dist
+
+        sdf = spark.createDataFrame(
+            [(f"d{a:02d}", f"d{b:02d}") for a, b in pairs],
+            "doc_a string, doc_b string",
+        )
+        slocal = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(sdf).collect()
+        }
+        sdist = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(sdf, small_pairs=0).collect()
+        }
+        assert slocal == sdist
