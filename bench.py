@@ -82,6 +82,13 @@ def main() -> None:
     # BENCH_full_r{N}.json, N = the next round judging from the driver's
     # BENCH_r{N}.json files, so a judge can diff per-query regressions
     # instead of only suite totals. Overwritten within a round, kept across.
+    # Snapshot ONLY the driver-shaped run (default sf dir): a quick
+    # sf0.01 dev drive must not clobber the round's sf0.1 artifact
+    # (happened in r8 — restored from git).
+    snapshot_round = os.environ.get("SPARK_GRAFT_SF_DIR") in (
+        None,
+        "/root/testdata/sf0.1",
+    )
     import glob as _glob
 
     rounds = [
@@ -137,8 +144,11 @@ def main() -> None:
     }
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
-    with open(os.path.join(here, f"BENCH_full_r{r_next:02d}.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    if snapshot_round:
+        with open(
+            os.path.join(here, f"BENCH_full_r{r_next:02d}.json"), "w"
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
