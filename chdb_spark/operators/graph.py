@@ -110,9 +110,11 @@ def _pagerank_local(spark, pdf, iters: int, q_scale: int) -> DataFrame:
     update bit-for-bit in int64 numpy on the (already reduced, already
     measured ≤ threshold) edge relation. Operands are non-negative, so
     numpy floor division equals Spark's truncating ``div``; ``np.add.at``
-    sums in exact int64. The final ``rank`` double still goes through the
-    same Spark ``round(r / Q, 9)`` expression as the distributed lane so
-    rounding semantics (HALF_UP) cannot diverge."""
+    sums in exact int64. The final ``rank`` double is the identical
+    ``r / Q`` IEEE division rounded by the HALF_UP replica
+    (:func:`_round_half_up`), emitted as a pre-computed LocalRelation —
+    the lane-equality property test pins it against the distributed
+    lane's Spark ``round``."""
     import numpy as np
     import pandas as pd
 
@@ -137,14 +139,14 @@ def _pagerank_local(spark, pdf, iters: int, q_scale: int) -> DataFrame:
         s = np.zeros(n, dtype=np.int64)
         np.add.at(s, dst, contrib)
         r = tele + (np.int64(85) * s) // np.int64(100)
-    out = spark.createDataFrame(
-        pd.DataFrame({"k": ks, "rank_q": r}),
-        "k bigint, rank_q bigint",
-    )
-    return out.select(
-        "k",
-        "rank_q",
-        F.round(F.col("rank_q") / F.lit(float(q_scale)), 9).alias("rank"),
+    # pre-rounded LocalRelation (see _round_half_up): rank_q / Q is the
+    # same double division the distributed lane's expression performs
+    return spark.createDataFrame(
+        [
+            (int(k), int(rq), _round_half_up(int(rq) / float(q_scale), 9))
+            for k, rq in zip(ks, r)
+        ],
+        "k bigint, rank_q bigint, rank double",
     )
 
 
@@ -374,13 +376,31 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def _round_half_up(x: float, scale: int) -> float:
+    """Python replica of Spark's ``round(double, scale)``: Spark goes
+    ``BigDecimal.valueOf(x)`` (the shortest round-trip decimal repr —
+    exactly what Python ``repr`` produces) → ``setScale(HALF_UP)`` →
+    ``doubleValue()``. Replicated digit-for-digit so the driver-local
+    lanes can emit pre-rounded LocalRelations (zero-task collect) instead
+    of paying a Spark job for one round() projection; the lane-equality
+    property tests (random graphs, both lanes) guard the equivalence."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def _triangle_stats_local(spark, pdf, top: int) -> DataFrame:
     """Small-graph lane of :func:`triangle_stats` — the same canonical
     a<b<c two-join formulation, replayed as pandas merges on the (already
     reduced, already measured ≤ threshold) undirected edge list. Counts
-    are exact integers; the clustering division + round stays a Spark
-    expression so HALF_UP rounding cannot diverge from the distributed
-    lane."""
+    are exact integers; the clustering division is the same IEEE ops as
+    the distributed lane's expression and the round is the HALF_UP
+    replica above, so the returned relation is a pre-sorted LocalRelation
+    (Catalyst folds it; collect runs driver-side with no job)."""
     import pandas as pd  # noqa: F401 — concat/merge below
 
     ab = pdf.rename(columns={"u": "a", "v": "b"})
@@ -398,27 +418,25 @@ def _triangle_stats_local(spark, pdf, top: int) -> DataFrame:
     )
     # top-k selection on the EXACT integer sort keys happens here in
     # pandas (same (triangles DESC, k ASC) total order — k is unique), so
-    # only `top` rows cross into the Spark relation; the clustering
-    # division + round below stays a Spark expression for rounding parity
+    # only `top` pre-sorted rows cross into the LocalRelation
     out = out.sort_values(
         ["triangles", "k"], ascending=[False, True], kind="mergesort"
     ).head(top)
-    sdf = spark.createDataFrame(out, "k bigint, degree bigint, triangles bigint")
-    return (
-        sdf.select(
-            "k",
-            "degree",
-            "triangles",
-            F.round(
-                F.when(
-                    F.col("degree") >= 2,
-                    2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
-                ).otherwise(0.0),
-                6,
-            ).alias("clustering"),
+    rows = [
+        (
+            int(k),
+            int(d),
+            int(t),
+            # same op order as the distributed expression:
+            # (2.0 * T) / (d * (d - 1)), both IEEE double
+            _round_half_up(2.0 * int(t) / (int(d) * (int(d) - 1)), 6)
+            if d >= 2
+            else 0.0,
         )
-        .orderBy(F.desc("triangles"), "k")
-        .limit(top)
+        for k, d, t in zip(out["k"], out["degree"], out["triangles"])
+    ]
+    return spark.createDataFrame(
+        rows, "k bigint, degree bigint, triangles bigint, clustering double"
     )
 
 

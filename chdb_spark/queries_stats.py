@@ -83,8 +83,15 @@ def st1_student_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "only global cumulative touches |distinct| rows, never |rows|.",
 )
 def st2_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     li = table(spark, sf_dir, "lineitem")
-    out = fn("rankCorr")(li, "l_quantity", "l_extendedprice")
+    # parquet footer row count bounds both distinct-value sets — the rank
+    # cumulatives skip their checkpoint + lane-pick count jobs
+    out = fn("rankCorr")(
+        li, "l_quantity", "l_extendedprice",
+        input_rows=table_rows_upper_bound(sf_dir, "lineitem"),
+    )
     return out.select(F.round("rank_corr", 4).alias("rank_corr"))
 
 

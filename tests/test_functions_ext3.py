@@ -411,10 +411,10 @@ def test_ttest_closed_forms(spark):
     assert abs(row["w"]["t_statistic"] - t_welch) < 1e-8
 
 
-def test_rank_corr_fused_and_fallback_lanes_exact(spark):
-    """rankCorr's same-dtype FUSED lane (one tag-keyed cumulative for both
-    columns) and the mixed-dtype two-map fallback both equal the
-    brute-force Pearson-of-min-ranks computed in pandas, ties included."""
+def test_rank_corr_exact_against_bruteforce(spark):
+    """rankCorr equals the brute-force Pearson-of-min-ranks computed in
+    pandas, ties included, for same-dtype and mixed-dtype column pairs
+    (and with the stats-hinted no-checkpoint cumulative lane)."""
     import numpy as np
     import pandas as pd
 
@@ -429,11 +429,15 @@ def test_rank_corr_fused_and_fallback_lanes_exact(spark):
 
     expected = spearman_minrank(xs, ys)
 
-    fused = spark.createDataFrame(
+    same = spark.createDataFrame(
         pd.DataFrame({"x": xs, "y": ys}), "x double, y double"
     )
-    got = fn("rankCorr")(fused, "x", "y").collect()[0]["rank_corr"]
+    got = fn("rankCorr")(same, "x", "y").collect()[0]["rank_corr"]
     assert abs(got - expected) < 1e-9
+    hinted = fn("rankCorr")(same, "x", "y", input_rows=80).collect()[0][
+        "rank_corr"
+    ]
+    assert abs(hinted - expected) < 1e-9
 
     mixed = spark.createDataFrame(
         pd.DataFrame({"x": xs.astype(np.int64), "y": ys}), "x long, y double"

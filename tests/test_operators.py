@@ -1693,6 +1693,29 @@ def test_triangle_stats_lanes_equal(spark):
     assert deg == {1: 3, 2: 3, 3: 2, 4: 2}
 
 
+def test_round_half_up_replica_matches_spark_round(spark):
+    """_round_half_up (the BigDecimal-on-shortest-repr replica that lets
+    local lanes emit pre-rounded LocalRelations) equals Spark's round()
+    on adversarial values: clustering-style ratios, Q-unit ranks, and
+    exact .5 boundaries at the target scale."""
+    import random
+
+    from chdb_spark.operators.graph import _round_half_up
+
+    random.seed(13)
+    vals = []
+    for _ in range(500):
+        d = random.randint(2, 500)
+        t = random.randint(0, d * (d - 1) // 2)
+        vals.append(2.0 * t / (d * (d - 1)))
+    vals += [random.randint(0, 10**12) / 1e12 for _ in range(500)]
+    vals += [i / 2e6 for i in range(200)]  # exact .5 boundaries, scale 6
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    for scale in (6, 9):
+        got = [r[0] for r in df.select(F.round("x", scale)).collect()]
+        assert got == [_round_half_up(v, scale) for v in vals]
+
+
 def test_graph_stats_hint_lane_matches_probe_lanes(spark):
     """The source-statistics hinted lane (``input_rows`` ≤ threshold skips
     the checkpoint + probe jobs) returns exactly what both runtime lanes
