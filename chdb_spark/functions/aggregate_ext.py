@@ -829,13 +829,17 @@ def theils_u(df: DataFrame, a: str, b: str) -> DataFrame:
               "per-distinct-value counts (rank(v) = cum count below v + "
               "(count(v)+1)/2), so the only global cumulative runs over "
               "distinct values — no row-level sort (reference :9862)")
-def mann_whitney_u_test(df: DataFrame, value: str, is_treatment: str) -> DataFrame:
+def mann_whitney_u_test(
+    df: DataFrame, value: str, is_treatment: str, input_rows: int | None = None
+) -> DataFrame:
     t = F.col(is_treatment).cast("boolean")
     counts = df.groupBy(value).agg(
         F.count("*").alias("_c"),
         F.count(F.when(t, 1)).alias("_c1"),
     )
-    cum = _bucketed_cumsum(counts, value, ["_c"], inclusive=False)
+    cum = _bucketed_cumsum(
+        counts, value, ["_c"], inclusive=False, input_rows=input_rows
+    )
     midranks = cum.select(
         F.col("_c1"),
         (F.col("_cum__c") + (F.col("_c") + 1) / 2.0).alias("r"),
@@ -864,13 +868,17 @@ def mann_whitney_u_test(df: DataFrame, value: str, is_treatment: str) -> DataFra
               "distinct values only (ECDFs are step functions — the sup is "
               "attained at a step). Pre-aggregation by value keeps the "
               "global cumulative on |distinct| rows (reference :9890)")
-def kolmogorov_smirnov_test(df: DataFrame, value: str, is_treatment: str) -> DataFrame:
+def kolmogorov_smirnov_test(
+    df: DataFrame, value: str, is_treatment: str, input_rows: int | None = None
+) -> DataFrame:
     t = F.col(is_treatment).cast("boolean")
     counts = df.groupBy(value).agg(
         F.count(F.when(t, 1)).alias("_c1"),
         F.count(F.when(~t, 1)).alias("_c2"),
     )
-    cum = _bucketed_cumsum(counts, value, ["_c1", "_c2"], inclusive=True).select(
+    cum = _bucketed_cumsum(
+        counts, value, ["_c1", "_c2"], inclusive=True, input_rows=input_rows
+    ).select(
         F.col("_cum__c1").alias("c1"),
         F.col("_cum__c2").alias("c2"),
     )

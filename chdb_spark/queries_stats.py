@@ -124,9 +124,12 @@ def st2_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "both engines by construction.",
 )
 def st3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     ev = table(spark, sf_dir, "events")
     out = fn("mannWhitneyUTest")(
-        ev.withColumn("is_click", F.col("event_type") == "click"), "value", "is_click"
+        ev.withColumn("is_click", F.col("event_type") == "click"), "value", "is_click",
+        input_rows=table_rows_upper_bound(sf_dir, "events"),
     )
     return out.select(
         F.round("u_statistic", 2).alias("u_stat"),
@@ -165,9 +168,12 @@ def st3_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the global cumulative small.",
 )
 def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.queries import table_rows_upper_bound
+
     ev = table(spark, sf_dir, "events")
     out = fn("kolmogorovSmirnovTest")(
-        ev.withColumn("is_click", F.col("event_type") == "click"), "value", "is_click"
+        ev.withColumn("is_click", F.col("event_type") == "click"), "value", "is_click",
+        input_rows=table_rows_upper_bound(sf_dir, "events"),
     )
     return out.select(
         (F.floor(F.col("d_statistic") * 10000 + 0.5) / 10000).alias("d_stat")
