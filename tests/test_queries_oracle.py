@@ -61,3 +61,30 @@ def test_every_query_runs_at_smoke_sf(spark):
         if q.oracle is None:
             df = q.spark(spark, "/root/testdata/sf0.001")
             assert df.count() >= 0, name
+
+
+def test_table_rows_upper_bound_sources():
+    """Footer-statistics helper: exact count for a single parquet file,
+    summed footers for a partitioned directory, None for a missing path
+    (callers fall back to runtime probes)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chdb_spark.queries import table_rows_upper_bound
+
+    n = table_rows_upper_bound("/root/testdata/sf0.001", "events")
+    f = pq.ParquetFile("/root/testdata/sf0.001/events.parquet")
+    assert n == f.metadata.num_rows
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sub = os.path.join(d, "t.parquet", "part=a")
+        os.makedirs(sub)
+        pq.write_table(pa.table({"x": [1, 2, 3]}), os.path.join(sub, "0.parquet"))
+        pq.write_table(pa.table({"x": [4]}), os.path.join(sub, "1.parquet"))
+        assert table_rows_upper_bound(d, "t") == 4
+
+    assert table_rows_upper_bound("/nonexistent/dir", "t") is None
