@@ -196,15 +196,39 @@ def pagerank(
     relation straight into the local lane. This is ordinary cost-based
     planning from table statistics — the runtime probe remains the
     fallback when no bound is known.
+
+    ``edges`` may also be an UNWEIGHTED transition stream (no ``w``
+    column — e.g. ``page_graph_edges(weighted=False)``): each row then
+    counts as one transition, grouped to the identical weighted relation
+    (in pandas on the hinted small lane — saving the agg exchange in the
+    pull plan — or by a Spark groupBy on the distributed lane).
     """
     thr = _small_graph_threshold(edges, small_edges)
     if thr > 0 and input_rows is not None and 0 < input_rows <= thr:
-        probe = edges.select(
-            "src", "dst", F.col("w").cast("long").alias("w")
-        ).toPandas()
+        if "w" in edges.columns:
+            probe = edges.select(
+                "src", "dst", F.col("w").cast("long").alias("w")
+            ).toPandas()
+        else:
+            # transition-stream form (page_graph_edges(weighted=False)):
+            # the (src, dst) count-aggregation happens HERE in pandas —
+            # the same grouped relation the weighted form carries, minus
+            # its exchange in the pull plan (one shuffle instead of two)
+            raw = edges.select("src", "dst").toPandas()
+            probe = (
+                raw.groupby(["src", "dst"], sort=False)
+                .size()
+                .rename("w")
+                .reset_index()
+            )
         if len(probe) == 0:
             raise ValueError("pagerank: empty edge list")
         return _pagerank_local(edges.sparkSession, probe, iters, q_scale)
+    if "w" not in edges.columns:
+        # distributed lane needs the grouped weighted form
+        edges = edges.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("w")
+        )
     # Checkpoint the DERIVED edge list first (one pass over the raw log —
     # without this, the outw aggregate and the join probe each re-derive
     # the edge lineage unless exchange reuse happens to fire), then hang
@@ -357,9 +381,11 @@ def pr1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     # events row count (parquet footers) bounds the derived edge count —
-    # the free catalog statistic that lets pagerank skip the probe job
+    # the free catalog statistic that lets pagerank skip the probe job;
+    # the unweighted transition stream lets the small lane group in
+    # pandas (one shuffle in the pull plan instead of two)
     ranks = pagerank(
-        page_graph_edges(ev), iters=5,
+        page_graph_edges(ev, weighted=False), iters=5,
         input_rows=table_rows_upper_bound(sf_dir, "events"),
     )
     return ranks.orderBy(F.desc("rank_q"), "k").limit(20)

@@ -1748,6 +1748,28 @@ def test_graph_stats_hint_lane_matches_probe_lanes(spark):
     )
     assert hint_p == base_p
 
+    # unweighted transition-stream form: each row counts once; the pandas
+    # (hinted) and Spark (distributed) groupings produce the same ranks
+    # as the pre-weighted relation carrying those counts
+    tr = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 1), (2, 1), (1, 2), (1, 2), (1, 3), (2, 3),
+         (3, 4)],
+        "src int, dst int",
+    )
+    w_eq = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 3), (1, 3, 1), (2, 3, 1), (3, 4, 1)],
+        "src int, dst int, w int",
+    )
+    want = sorted(tuple(r) for r in pagerank(w_eq, iters=3).collect())
+    got_hint = sorted(
+        tuple(r) for r in pagerank(tr, iters=3, input_rows=9).collect()
+    )
+    got_dist = sorted(
+        tuple(r) for r in pagerank(tr, iters=3, small_edges=0).collect()
+    )
+    assert got_hint == want
+    assert got_dist == want
+
 
 def test_grouped_weighted_quantile_matches_window_form(spark):
     """Crossing-bucket refinement == the full running-sum formulation:
