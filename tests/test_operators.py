@@ -1868,3 +1868,43 @@ def test_grouped_weighted_quantile_ignores_null_values(spark):
         # b: order 5.0(cum1), 6.0(cum5), NaN last -> target 3.5 -> 6.0
         # c: NULL ignored -> 4.0(cum1), NaN(cum2) -> target 1 -> 4.0
         assert got == {"a": 1.0, "b": 6.0, "c": 4.0}, (nb, got)
+
+
+def test_round8_lanes_degenerate_inputs(spark):
+    """Empty / single-row / null-text inputs through every round-8 lane:
+    the local lanes must degrade exactly like their distributed twins
+    (empty results or the same documented error), never crash in numpy
+    on a zero-length pull."""
+    from chdb_spark.functions import fn as cf
+    from chdb_spark.operators.dedup import connected_components
+    from chdb_spark.operators.graph import pagerank, triangle_stats
+    from chdb_spark.operators.text import perplexity_buckets
+
+    empty_edges = spark.createDataFrame([], "src long, dst long, w long")
+    assert triangle_stats(empty_edges).collect() == []
+    assert triangle_stats(empty_edges, input_rows=1).collect() == []
+    assert triangle_stats(empty_edges, small_edges=0).collect() == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty_edges, input_rows=1)
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(spark.createDataFrame([], "src long, dst long"), input_rows=1)
+
+    assert connected_components(
+        spark.createDataFrame([], "doc_a long, doc_b long")
+    ).collect() == []
+
+    short_docs = spark.createDataFrame(
+        [(1, "a", True), (2, "", False), (3, None, True)],
+        "doc_id long, text string, trusted boolean",
+    )
+    assert perplexity_buckets(short_docs, F.col("trusted")).collect() == []
+    one = spark.createDataFrame(
+        [(1, "ab", True)], "doc_id long, text string, trusted boolean"
+    )
+    rows = perplexity_buckets(one, F.col("trusted")).collect()
+    assert len(rows) == 1 and rows[0]["n_bigrams"] == 1
+
+    empty_xy = spark.createDataFrame([], "x double, y double")
+    assert cf("rankCorr")(empty_xy, "x", "y").collect()[0]["rank_corr"] is None
