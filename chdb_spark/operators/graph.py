@@ -105,7 +105,9 @@ def page_graph_edges(
     )
 
 
-def _pagerank_local(spark, pdf, iters: int, q_scale: int) -> DataFrame:
+def _pagerank_local(
+    spark, pdf, iters: int, q_scale: int, top: int | None = None
+) -> DataFrame:
     """Small-graph lane of :func:`pagerank` — replays the distributed
     update bit-for-bit in int64 numpy on the (already reduced, already
     measured ≤ threshold) edge relation. Operands are non-negative, so
@@ -140,12 +142,16 @@ def _pagerank_local(spark, pdf, iters: int, q_scale: int) -> DataFrame:
         np.add.at(s, dst, contrib)
         r = tele + (np.int64(85) * s) // np.int64(100)
     # pre-rounded LocalRelation (see _round_half_up): rank_q / Q is the
-    # same double division the distributed lane's expression performs
+    # same double division the distributed lane's expression performs;
+    # `top` sorts the exact integers driver-side (rank_q DESC, k ASC)
+    pairs = sorted(
+        ((int(k), int(rq)) for k, rq in zip(ks, r)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    if top is not None:
+        pairs = pairs[:top]
     return spark.createDataFrame(
-        [
-            (int(k), int(rq), _round_half_up(int(rq) / float(q_scale), 9))
-            for k, rq in zip(ks, r)
-        ],
+        [(k, rq, _round_half_up(rq / float(q_scale), 9)) for k, rq in pairs],
         "k bigint, rank_q bigint, rank double",
     )
 
@@ -157,6 +163,7 @@ def pagerank(
     checkpoint_every: int | None = 8,
     small_edges: int | None = None,
     input_rows: int | None = None,
+    top: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank (damping 0.85 as the rational 85/100) over a
     weighted directed edge list (src, dst, w).
@@ -202,6 +209,11 @@ def pagerank(
     counts as one transition, grouped to the identical weighted relation
     (in pandas on the hinted small lane — saving the agg exchange in the
     pull plan — or by a Spark groupBy on the distributed lane).
+
+    ``top``: keep only the ``top`` nodes by (rank_q DESC, k ASC) — the
+    same operator-level top-k triangle_stats exposes. On the local lane
+    the exact-integer sort happens driver-side (the result stays a
+    zero-task LocalRelation); distributed, it is one TakeOrdered.
     """
     thr = _small_graph_threshold(edges, small_edges)
     if thr > 0 and input_rows is not None and 0 < input_rows <= thr:
@@ -223,7 +235,7 @@ def pagerank(
             )
         if len(probe) == 0:
             raise ValueError("pagerank: empty edge list")
-        return _pagerank_local(edges.sparkSession, probe, iters, q_scale)
+        return _pagerank_local(edges.sparkSession, probe, iters, q_scale, top)
     if "w" not in edges.columns:
         # distributed lane needs the grouped weighted form
         edges = edges.groupBy("src", "dst").agg(
@@ -248,7 +260,7 @@ def pagerank(
         if len(probe) == 0:
             raise ValueError("pagerank: empty edge list")
         if len(probe) <= thr:
-            return _pagerank_local(edges_m.sparkSession, probe, iters, q_scale)
+            return _pagerank_local(edges_m.sparkSession, probe, iters, q_scale, top)
     max_w, n_edges = edges_m.agg(F.max("w"), F.count("*")).first()
     if max_w is None:
         raise ValueError("pagerank: empty edge list")
@@ -300,6 +312,8 @@ def pagerank(
         F.col("r").alias("rank_q"),
         F.round(F.col("r") / F.lit(float(q_scale)), 9).alias("rank"),
     )
+    if top is not None:
+        out = out.orderBy(F.desc("rank_q"), "k").limit(top)
     return out
 
 
@@ -383,12 +397,13 @@ def pr1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events row count (parquet footers) bounds the derived edge count —
     # the free catalog statistic that lets pagerank skip the probe job;
     # the unweighted transition stream lets the small lane group in
-    # pandas (one shuffle in the pull plan instead of two)
-    ranks = pagerank(
+    # pandas (one shuffle in the pull plan instead of two); top=20 keeps
+    # the local lane a zero-task LocalRelation (sorted driver-side)
+    return pagerank(
         page_graph_edges(ev, weighted=False), iters=5,
         input_rows=table_rows_upper_bound(sf_dir, "events"),
+        top=20,
     )
-    return ranks.orderBy(F.desc("rank_q"), "k").limit(20)
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:

@@ -1770,6 +1770,21 @@ def test_graph_stats_hint_lane_matches_probe_lanes(spark):
     assert got_hint == want
     assert got_dist == want
 
+    # top-k parity: the local lane's driver-side (rank_q DESC, k ASC)
+    # cut equals the distributed TakeOrdered
+    top_hint = [
+        tuple(r) for r in pagerank(tr, iters=3, input_rows=9, top=2).collect()
+    ]
+    top_dist = [
+        tuple(r)
+        for r in pagerank(tr, iters=3, small_edges=0, top=2)
+        .orderBy("rank_q", ascending=False)
+        .collect()
+    ]
+    assert sorted(top_hint) == sorted(top_dist)
+    assert len(top_hint) == 2
+    assert top_hint == sorted(top_hint, key=lambda t: (-t[1], t[0]))
+
 
 def test_grouped_weighted_quantile_matches_window_form(spark):
     """Crossing-bucket refinement == the full running-sum formulation:
