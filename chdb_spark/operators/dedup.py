@@ -1047,7 +1047,10 @@ def connected_components(
             thr = SMALL_PAIRS_DEFAULT
     if thr and thr > 0:
         probe = pairs.select(a_col, b_col).limit(thr + 1).toPandas()
-        if len(probe) <= thr:
+        # NULL ids: pandas null-promotion would turn long ids into floats
+        # and relabel silently — the distributed propagation owns the
+        # (null-key) semantics, so nulls fall through to it
+        if len(probe) <= thr and not probe.isnull().values.any():
             return _components_local(
                 pairs.sparkSession,
                 probe,
