@@ -749,3 +749,74 @@ def sm8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# dl1 — pure-Python Delta Lake round-trip with time travel
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "dl1_delta_time_travel",
+    """
+    WITH v0 AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 2 = 0),
+         v1a AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 2 = 1),
+         v2 AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST((SELECT count(*) FROM v0) AS BIGINT)                 AS n_v0,
+           CAST((SELECT sum(n) FROM v0) AS BIGINT)                   AS chars_v0,
+           CAST((SELECT count(*) FROM v0) + (SELECT count(*) FROM v1a) AS BIGINT) AS n_v1,
+           CAST((SELECT sum(n) FROM v0) + (SELECT sum(n) FROM v1a) AS BIGINT)     AS chars_v1,
+           CAST((SELECT count(*) FROM v2) AS BIGINT)                 AS n_v2,
+           CAST((SELECT sum(n) FROM v2) AS BIGINT)                   AS chars_v2
+    """,
+    doc="Delta Lake round-trip WITHOUT jars: the pure-Python log client "
+        "(sources/delta_py.py — public delta.io protocol replay) creates a "
+        "table from the even documents (v0), appends the odd ones (v1), "
+        "then OVERWRITES with the doc_id%3 subset (v2); the query reads "
+        "all three snapshots back via versionAsOf time travel and "
+        "aggregates each. Oracle recomputes every snapshot straight from "
+        "the parquet source. Scan stays distributed parquet (column-"
+        "pruned, filter-pushed); only the metadata-sized log replay is "
+        "driver-side — the same split delta-spark's DeltaLog makes.",
+)
+def dl1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.delta_py import (
+        delta_table_version,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    path = scratch_dir("delta_dl1", sf_dir)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta_py(docs.filter(F.col("doc_id") % 2 == 0), path, "overwrite")
+        write_delta_py(docs.filter(F.col("doc_id") % 2 == 1), path, "append")
+        write_delta_py(docs.filter(F.col("doc_id") % 3 == 0), path, "overwrite")
+
+    try:
+        ok = delta_table_version(path) == 2
+    except Exception:
+        ok = False
+    if not ok:
+        _build()
+
+    def _agg(version, tag):
+        return read_delta_py(spark, path, version=version).agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum("n").cast("long").alias(f"chars_{tag}"),
+        )
+
+    return (
+        _agg(0, "v0")
+        .crossJoin(_agg(1, "v1"))
+        .crossJoin(_agg(2, "v2"))
+        .select("n_v0", "chars_v0", "n_v1", "chars_v1", "n_v2", "chars_v2")
+    )

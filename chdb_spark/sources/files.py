@@ -86,6 +86,22 @@ def read_auto(
         from chdb_spark.session import read_table
 
         return read_table(spark, uri)
+    if fmt == "delta" and not uri.startswith(_REMOTE_SCHEMES):
+        # jars present → the real DeltaLog client; absent → the
+        # pure-Python log replay (sources/delta_py.py) so local Delta
+        # tables read without any classpath additions
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.delta.DeltaLog"
+            )
+        except Exception:
+            from chdb_spark.sources.delta_py import read_delta_py
+
+            version = options.pop("versionAsOf", None)
+            return read_delta_py(
+                spark, uri,
+                version=None if version is None else int(version),
+            )
     reader = spark.read
     if fmt == "csv":
         options.setdefault("header", "true")

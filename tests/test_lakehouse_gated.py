@@ -12,6 +12,13 @@ legitimately environment-gated; nothing in the code blocks it.
 The read path under test is the same passthrough the table functions use
 (sources/files.py read_auto(fmt=...); dialect.py iceberg()/deltaLake()/
 hudi() — reference table_functions.py:868,915,956).
+
+r8 note: Delta no longer NEEDS the jars for local tables — read_auto
+falls back to the pure-Python protocol-replay client
+(sources/delta_py.py, tested jar-free in tests/test_delta_py.py and
+driver-checked by dl1_delta_time_travel). The tests here still pin the
+jar path for environments that ship it (and for remote/catalog tables
+the jars remain the only route); Iceberg/Hudi stay fully jar-gated.
 """
 
 from __future__ import annotations
