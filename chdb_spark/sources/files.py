@@ -86,6 +86,19 @@ def read_auto(
         from chdb_spark.session import read_table
 
         return read_table(spark, uri)
+    if fmt == "hudi" and not uri.startswith(_REMOTE_SCHEMES):
+        # same jar-or-fallback split as delta below: the bundle when the
+        # classpath has it, else the pure-Python CoW snapshot reader
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.hudi.DefaultSource"
+            )
+        except Exception:
+            from chdb_spark.sources.hudi_py import read_hudi_py
+
+            return read_hudi_py(
+                spark, uri, drop_meta=bool(options.pop("dropMeta", False))
+            )
     if fmt == "delta" and not uri.startswith(_REMOTE_SCHEMES):
         # jars present → the real DeltaLog client; absent → the
         # pure-Python log replay (sources/delta_py.py) so local Delta
