@@ -1785,7 +1785,13 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
         elif name.lower() in ("iceberg", "deltalake", "hudi"):
             fmtname = {"deltalake": "delta"}.get(name.lower(), name.lower())
             path = _tf_literal(args[0])
-            spark.read.format(fmtname).load(path).createOrReplaceTempView(view)
+            # read_auto owns the jar-vs-pure-Python split for delta/hudi
+            # (sources/delta_py.py log replay, sources/hudi_py.py CoW
+            # file-slice resolution) — the dialect table function works
+            # jar-free the same way the reference's delta_scan does
+            from chdb_spark.sources.files import read_auto
+
+            read_auto(spark, path, fmt=fmtname).createOrReplaceTempView(view)
         elif name.lower() == "sqlite":
             # sqlite('db_path', 'table') — reference table_functions.py:772
             db = _tf_literal(args[0])

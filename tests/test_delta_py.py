@@ -261,3 +261,16 @@ def test_delta_write_read_round_trip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="partition columns"):
         write_delta_py(pdf, ppath, mode="append", partition_by=[])
+
+
+def test_dialect_delta_lake_table_function_executes(spark, tmp_path):
+    """The CH-dialect `deltaLake('<path>')` table function (reference
+    table_functions.py:915) executes jar-free end-to-end through the
+    pure-Python log client."""
+    from chdb_spark.sources.delta_py import write_delta_py
+    import chdb_spark.session as chs
+
+    path = str(tmp_path / "dialect_t")
+    write_delta_py(spark.range(5).selectExpr("id", "id * 2 AS v"), path)
+    out = chs.query(spark, f"SELECT sum(v) AS s FROM deltaLake('{path}')", "Pandas")
+    assert out.to_dict("records") == [{"s": 20}]
