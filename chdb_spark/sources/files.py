@@ -86,6 +86,21 @@ def read_auto(
         from chdb_spark.session import read_table
 
         return read_table(spark, uri)
+    if fmt == "iceberg" and not uri.startswith(_REMOTE_SCHEMES):
+        # jar-or-fallback: the real SparkCatalog when present, else the
+        # jar-light metadata walk (sources/iceberg_py.py — avro manifests
+        # read through Spark's own bundled avro classes)
+        try:
+            spark.sparkContext._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception:
+            from chdb_spark.sources.iceberg_py import read_iceberg_py
+
+            snap = options.pop("snapshotId", None)
+            return read_iceberg_py(
+                spark, uri, snapshot_id=None if snap is None else int(snap)
+            )
     if fmt == "hudi" and not uri.startswith(_REMOTE_SCHEMES):
         # same jar-or-fallback split as delta below: the bundle when the
         # classpath has it, else the pure-Python CoW snapshot reader
