@@ -121,3 +121,15 @@ def test_hudi_routes_through_read_auto(spark, tmp_path):
 
     got = {r.id: r.v for r in read_auto(spark, table, fmt="hudi").collect()}
     assert got == {1: 1.0, 2: 2.0}
+
+
+def test_dialect_hudi_table_function_executes(spark, tmp_path):
+    """CH-dialect `hudi('<path>')` (reference table_functions.py:956)
+    executes jar-free through the CoW snapshot reader."""
+    import chdb_spark.session as chs
+
+    table, hoodie = _mk_table(tmp_path, name="dialect")
+    _base_file(table, "", FILE_ID_A, "20260101000000000", [1, 2], [1.0, 2.0])
+    _commit(hoodie, "20260101000000000")
+    out = chs.query(spark, f"SELECT sum(v) AS s FROM hudi('{table}')", "Pandas")
+    assert out.to_dict("records") == [{"s": 3.0}]

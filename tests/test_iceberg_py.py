@@ -237,3 +237,25 @@ def test_iceberg_routes_through_read_auto(spark, tmp_path):
 
     got = {r.id for r in read_auto(spark, table, fmt="iceberg").collect()}
     assert got == {5, 6}
+
+
+def test_dialect_iceberg_table_function_executes(spark, tmp_path):
+    """CH-dialect `iceberg('<path>')` (reference table_functions.py:868)
+    executes without iceberg-runtime through the jar-light reader."""
+    import chdb_spark.session as chs
+
+    table = str(tmp_path / "dialect")
+    f1 = _data_file(table, "data/f1.parquet", [4, 5])
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    m1 = os.path.join(md, "m1.avro")
+    _write_avro(spark, m1, _MANIFEST_SCHEMA, [_entry(f1)])
+    ml = os.path.join(md, "ml.avro")
+    _write_avro(
+        spark, ml, _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}],
+    )
+    _metadata(table, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    out = chs.query(spark, f"SELECT sum(id) AS s FROM iceberg('{table}')", "Pandas")
+    assert out.to_dict("records") == [{"s": 9}]
