@@ -1005,6 +1005,15 @@ def _components_local(spark, pdf, id_type: str) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = sorted((v, find(v)) for v in parent)
+    if len(rows) <= 1024 and id_type in ("bigint", "int", "smallint"):
+        # zero-task LocalRelation (utils.values_relation); string ids
+        # keep createDataFrame (repr-quoting SQL strings isn't worth it)
+        from chdb_spark.utils import values_relation
+
+        t = id_type.upper()
+        return values_relation(
+            spark, rows, [("doc_id", t), ("cluster_id", t)]
+        )
     return spark.createDataFrame(
         rows, f"doc_id {id_type}, cluster_id {id_type}"
     )

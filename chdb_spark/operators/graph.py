@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from chdb_spark.queries import defquery, table
+from chdb_spark.utils import values_relation as _values_relation
 
 Q_SCALE = 10**12
 
@@ -150,9 +151,12 @@ def _pagerank_local(
     )
     if top is not None:
         pairs = pairs[:top]
+    rows = [(k, rq, _round_half_up(rq / float(q_scale), 9)) for k, rq in pairs]
+    cols = [("k", "BIGINT"), ("rank_q", "BIGINT"), ("rank", "DOUBLE")]
+    if len(rows) <= 1024:  # zero-task collect; SQL text scales with rows
+        return _values_relation(spark, rows, cols)
     return spark.createDataFrame(
-        [(k, rq, _round_half_up(rq / float(q_scale), 9)) for k, rq in pairs],
-        "k bigint, rank_q bigint, rank double",
+        rows, "k bigint, rank_q bigint, rank double"
     )
 
 
@@ -476,6 +480,12 @@ def _triangle_stats_local(spark, pdf, top: int) -> DataFrame:
         )
         for k, d, t in zip(out["k"], out["degree"], out["triangles"])
     ]
+    cols = [
+        ("k", "BIGINT"), ("degree", "BIGINT"),
+        ("triangles", "BIGINT"), ("clustering", "DOUBLE"),
+    ]
+    if len(rows) <= 1024:  # zero-task collect (see _values_relation)
+        return _values_relation(spark, rows, cols)
     return spark.createDataFrame(
         rows, "k bigint, degree bigint, triangles bigint, clustering double"
     )

@@ -206,3 +206,33 @@ class _Trace:
 
 
 trace = _Trace()
+
+
+def values_relation(spark, rows, cols):
+    """Driver rows → a TRUE LocalRelation via an inline VALUES table.
+
+    PySpark's ``createDataFrame(list)`` parallelizes through an RDD —
+    its ``collect()`` schedules a job (~0.3 s measured on 20 rows).
+    ``VALUES`` parses to a LocalRelation, so Catalyst folds projections
+    into it and ``collect()`` runs driver-side with zero tasks (45 ms
+    measured, same rows). Every literal is CAST to its column type
+    (bare SQL decimal literals would otherwise type as DECIMAL, and
+    ints as INT); float literals render via ``repr`` — the shortest
+    round-trip decimal, which Spark's decimal-parse + cast-to-double
+    maps back to the identical double. Only for SMALL row sets (the
+    caller bounds them — SQL text scales with rows)."""
+    if not rows:
+        return spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in cols)
+        )
+    vals = ",".join(
+        "("
+        + ",".join(
+            f"CAST(NULL AS {t})" if v is None else f"CAST({v!r} AS {t})"
+            for v, (_n, t) in zip(row, cols)
+        )
+        + ")"
+        for row in rows
+    )
+    names = ", ".join(f"col{i + 1} AS {n}" for i, (n, _t) in enumerate(cols))
+    return spark.sql(f"SELECT {names} FROM VALUES {vals}")
