@@ -683,3 +683,44 @@ def test_connected_components_lane_property(spark, pairs):
             for r in connected_components(sdf, small_pairs=0).collect()
         }
         assert slocal == sdist
+
+
+# ---------------------------------------------------------------------------
+# Delta log-replay property: any overwrite/append sequence through the
+# pure-Python writer reads back exactly, at EVERY version
+# ---------------------------------------------------------------------------
+
+
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["overwrite", "append"]),
+            st.lists(
+                st.integers(min_value=0, max_value=99),
+                min_size=0, max_size=5, unique=True,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_delta_write_read_property(spark, steps, tmp_path_factory):
+    """For ANY sequence of overwrite/append commits (including empty
+    writes), reading the table back at EVERY version equals the state a
+    plain in-memory replay predicts — multiset semantics, appends
+    accumulate, overwrites reset."""
+    from chdb_spark.sources.delta_py import read_delta_py, write_delta_py
+
+    path = str(tmp_path_factory.mktemp("dprop") / "t")
+    expected_states = []
+    state: list[int] = []
+    for mode, ids in steps:
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        write_delta_py(df, path, mode=mode)
+        state = sorted(ids) if mode == "overwrite" else sorted(state + ids)
+        expected_states.append(list(state))
+    for v, want in enumerate(expected_states):
+        got = sorted(r.id for r in read_delta_py(spark, path, version=v).collect())
+        assert got == want, f"version {v}: {got} != {want}"
