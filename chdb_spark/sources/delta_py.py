@@ -235,11 +235,31 @@ def delta_table_version(path: str) -> int:
     return max(list(commits) + list(checkpoints))
 
 
+def _normalize_schema(dt: T.DataType) -> T.DataType:
+    """Recursively force nullable=True and drop field metadata so schema
+    comparison is purely names + types."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _normalize_schema(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_normalize_schema(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _normalize_schema(dt.keyType), _normalize_schema(dt.valueType), True
+        )
+    return dt
+
+
 def write_delta_py(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    overwrite_schema: bool = False,
 ) -> int:
     """Minimal pure-Python Delta writer: Spark writes the parquet data
     files (fully distributed — the driver only stages/renames and writes
@@ -260,6 +280,16 @@ def write_delta_py(
     version file already exists… os.rename overwrites on POSIX, so a
     link+unlink pair is used to get EEXIST semantics).
 
+    Schema guard (fail-loud contract): when the table already exists,
+    ``df``'s schema must structurally equal the replayed
+    ``metaData.schemaString`` — otherwise the stale schemaString would
+    be applied to the new files on read and added columns silently
+    vanish (dropped columns read as NULL). Appends always raise on
+    mismatch; overwrites raise unless ``overwrite_schema=True``, which
+    commits an updated metaData action in the same commit
+    (delta-spark's ``overwriteSchema`` semantics — the table id is
+    preserved, only the schemaString changes).
+
     Returns the committed version.
     """
     import shutil
@@ -277,6 +307,8 @@ def write_delta_py(
     )
     prior_live: dict[str, dict] = {}
     version = 0
+    prior_meta: dict | None = None
+    schema_changed = False
     if exists:
         prior_live, prior_meta, _proto, v_latest = _replay(path, None)
         version = v_latest + 1
@@ -285,6 +317,27 @@ def write_delta_py(
             raise ValueError(
                 f"partition columns {partition_by} != existing table's "
                 f"{prior_parts}"
+            )
+        # structural comparison on names + types (nullability and field
+        # metadata normalized away — writing non-nullable data into a
+        # nullable column is legal and cannot misread; the silent-misread
+        # hazard is added/dropped/retyped columns)
+        prior_schema = T.StructType.fromJson(
+            json.loads(prior_meta["schemaString"])
+        )
+        schema_changed = _normalize_schema(df.schema) != _normalize_schema(
+            prior_schema
+        )
+        if schema_changed and not (mode == "overwrite" and overwrite_schema):
+            raise ValueError(
+                f"write_delta_py: DataFrame schema differs from the "
+                f"table's committed schema at {path} — a stale "
+                f"schemaString would silently drop/null the changed "
+                f"columns on read. Pass overwrite_schema=True with "
+                f"mode='overwrite' to commit the new schema "
+                f"(delta-spark overwriteSchema semantics).\n"
+                f"  table: {prior_schema.simpleString()}\n"
+                f"  frame: {df.schema.simpleString()}"
             )
     os.makedirs(log_dir, exist_ok=True)
 
@@ -352,6 +405,14 @@ def write_delta_py(
                 }
             }
         )
+    elif schema_changed:
+        # overwriteSchema commit: same table id, new schemaString — a
+        # metaData action in the commit makes readers of this and later
+        # versions use the NEW schema while time travel keeps the old one
+        new_meta = dict(prior_meta or {})
+        new_meta["schemaString"] = df.schema.json()
+        new_meta["partitionColumns"] = partition_by
+        actions.append({"metaData": new_meta})
     if mode == "overwrite":
         actions += [
             {
