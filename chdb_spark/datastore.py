@@ -1056,10 +1056,19 @@ class DataStore:
         self._df.write.mode("overwrite").orc(path)
 
     def to_iceberg(self, table: str, mode: str = "append", **kw):
-        """Iceberg table write (reference table_functions.py Iceberg leg) —
-        passthrough to the Spark Iceberg connector; requires the iceberg
-        runtime jar + catalog conf (jar-gated like the read path,
+        """Iceberg table write (reference table_functions.py Iceberg leg).
+        Filesystem paths go through the jar-free pure-Python v2 writer
+        (sources/iceberg_py.py write_iceberg_py — unpartitioned,
+        primitive types, fail-loud outside that scope); catalog table
+        identifiers pass through to the Spark Iceberg connector, which
+        requires the iceberg runtime jar + catalog conf (jar-gated,
         tests/test_lakehouse_gated.py)."""
+        import os as _os
+
+        if _os.sep in table or "/" in table or _os.path.isdir(table):
+            from chdb_spark.sources.iceberg_py import write_iceberg_py
+
+            return write_iceberg_py(self._df, table, mode=mode)
         self._df.writeTo(table).append() if mode == "append" else (
             self._df.writeTo(table).createOrReplace()
         )

@@ -820,3 +820,307 @@ def dl1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(_agg(2, "v2"))
         .select("n_v0", "chars_v0", "n_v1", "chars_v1", "n_v2", "chars_v2")
     )
+
+
+# ---------------------------------------------------------------------------
+# ic1 / ic0 / hu1 — jar-free lakehouse round-trips (Iceberg write+read,
+# Iceberg snapshot-semantics read, Hudi CoW file-slice read)
+# ---------------------------------------------------------------------------
+
+
+@defquery(
+    "ic1_iceberg_roundtrip",
+    """
+    WITH s1 AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 2 = 0),
+         s2a AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 2 = 1),
+         s3 AS (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT)                 AS n_s1,
+           CAST((SELECT sum(n) FROM s1) AS BIGINT)                   AS chars_s1,
+           CAST((SELECT count(*) FROM s1) + (SELECT count(*) FROM s2a) AS BIGINT) AS n_s2,
+           CAST((SELECT sum(n) FROM s1) + (SELECT sum(n) FROM s2a) AS BIGINT)     AS chars_s2,
+           CAST((SELECT count(*) FROM s3) AS BIGINT)                 AS n_s3,
+           CAST((SELECT sum(n) FROM s3) AS BIGINT)                   AS chars_s3
+    """,
+    doc="Iceberg round-trip WITHOUT jars (reference to_iceberg, "
+        "pandas_compat.py:2177): the pure-Python v2 writer "
+        "(sources/iceberg_py.py write_iceberg_py — spec-shaped metadata "
+        "JSON + Avro manifest/manifest-list, EEXIST-atomic commit) appends "
+        "the even documents (snapshot 1), appends the odd ones (snapshot "
+        "2 — the prior snapshot's manifests carried forward in the new "
+        "manifest list), then OVERWRITES with the doc_id%3 subset "
+        "(snapshot 3). The query reads all three snapshots back by "
+        "snapshot-id time travel and aggregates each; the oracle "
+        "recomputes every snapshot from the parquet source. Data files "
+        "are written distributed; only metadata-sized manifest I/O is "
+        "driver-side — the same split the real Iceberg client makes.",
+)
+def ic1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.iceberg_py import (
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    path = scratch_dir("iceberg_ic1", sf_dir)
+
+    def _build() -> list[int]:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        s1 = write_iceberg_py(docs.filter(F.col("doc_id") % 2 == 0), path, "append")
+        s2 = write_iceberg_py(docs.filter(F.col("doc_id") % 2 == 1), path, "append")
+        s3 = write_iceberg_py(docs.filter(F.col("doc_id") % 3 == 0), path, "overwrite")
+        return [s1, s2, s3]
+
+    try:
+        sids = iceberg_snapshot_ids(path)
+        assert len(sids) == 3
+    except Exception:
+        sids = _build()
+
+    def _agg(sid, tag):
+        return read_iceberg_py(spark, path, snapshot_id=sid).agg(
+            F.count("*").alias(f"n_{tag}"),
+            F.sum("n").cast("long").alias(f"chars_{tag}"),
+        )
+
+    return (
+        _agg(sids[0], "s1")
+        .crossJoin(_agg(sids[1], "s2"))
+        .crossJoin(_agg(sids[2], "s3"))
+        .select("n_s1", "chars_s1", "n_s2", "chars_s2", "n_s3", "chars_s3")
+    )
+
+
+@defquery(
+    "ic0_iceberg_snapshot",
+    """
+    WITH live AS (
+        SELECT length(text) AS n FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 3 * length(text) AS n FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS chars
+    FROM live
+    """,
+    doc="Iceberg READER snapshot semantics on a table this repo's writer "
+        "did NOT produce (reference table_functions.py:868): the fixture "
+        "hand-builds spec-shaped metadata where snapshot 2's manifest "
+        "list re-lists snapshot 1's manifest with the odd-docs file "
+        "marked status=2 DELETED and one EXISTING file, plus a new "
+        "manifest ADDING a doc_id%5 file with tripled lengths — the "
+        "reader must keep exactly the non-DELETED entries across "
+        "manifests (iceberg_py.py read_iceberg_py). Oracle recomputes "
+        "the expected live multiset from the parquet source.",
+)
+def ic0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.iceberg_py import (
+        _MANIFEST_AVRO,
+        _MANIFEST_LIST_AVRO,
+        _write_avro_file,
+        read_iceberg_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    path = scratch_dir("iceberg_ic0", sf_dir)
+    md = os.path.join(path, "metadata")
+    marker = os.path.join(md, "v2.metadata.json")
+
+    def _one_file(df: DataFrame, dest: str) -> None:
+        """One parquet data file at dest (distributed compute, single
+        committed part moved into place — fixture-sized by doc filter)."""
+        import glob
+        import shutil
+
+        stage = dest + "_stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(md, exist_ok=True)
+        f_even = os.path.join(path, "data", "even.parquet")
+        f_odd = os.path.join(path, "data", "odd.parquet")
+        f_five = os.path.join(path, "data", "five.parquet")
+        _one_file(docs.filter(F.col("doc_id") % 2 == 0).select("n"), f_even)
+        _one_file(docs.filter(F.col("doc_id") % 2 == 1).select("n"), f_odd)
+        _one_file(
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("n") * 3).alias("n")),
+            f_five,
+        )
+
+        def _entry(fp, status):
+            return {
+                "status": status,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path": fp,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.stat(fp).st_size,
+                },
+            }
+
+        # snapshot 1: even + odd ADDED
+        m1 = os.path.join(md, "m1.avro")
+        _write_avro_file(
+            spark, m1, _MANIFEST_AVRO, [_entry(f_even, 1), _entry(f_odd, 1)]
+        )
+        # snapshot 2: m1 rewritten (even EXISTING, odd DELETED) + m2 ADDS five
+        m1b = os.path.join(md, "m1b.avro")
+        _write_avro_file(
+            spark, m1b, _MANIFEST_AVRO, [_entry(f_even, 0), _entry(f_odd, 2)]
+        )
+        m2 = os.path.join(md, "m2.avro")
+        _write_avro_file(spark, m2, _MANIFEST_AVRO, [_entry(f_five, 1)])
+
+        def _ml(dest, rows):
+            _write_avro_file(
+                spark, dest, _MANIFEST_LIST_AVRO,
+                [
+                    {
+                        "manifest_path": mp,
+                        "manifest_length": os.stat(mp).st_size,
+                        "partition_spec_id": 0,
+                        "content": 0,
+                        "added_snapshot_id": sid,
+                    }
+                    for mp, sid in rows
+                ],
+            )
+
+        ml1 = os.path.join(md, "ml1.avro")
+        _ml(ml1, [(m1, 1)])
+        ml2 = os.path.join(md, "ml2.avro")
+        _ml(ml2, [(m1b, 1), (m2, 2)])
+        meta = {
+            "format-version": 2,
+            "table-uuid": "00000000-0000-0000-0000-00000000ic00",
+            "location": path,
+            "current-snapshot-id": 2,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": [
+                        {"id": 1, "name": "n", "required": False,
+                         "type": "long"}
+                    ],
+                }
+            ],
+            "current-schema-id": 0,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": ml1},
+                {"snapshot-id": 2, "manifest-list": ml2},
+            ],
+        }
+        with open(marker, "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(md, "version-hint.text"), "w") as f:
+            f.write("2")
+
+    if not os.path.isfile(marker):
+        _build()
+    return read_iceberg_py(spark, path).agg(
+        F.count("*").alias("n_rows"), F.sum("n").cast("long").alias("chars")
+    )
+
+
+@defquery(
+    "hu1_hudi_snapshot",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 2 * length(text)
+                         ELSE length(text) END) AS BIGINT) AS chars
+    FROM documents
+    """,
+    doc="Hudi Copy-on-Write snapshot read WITHOUT the hudi-spark bundle "
+        "(reference table_functions.py:956): the fixture builds a "
+        "spec-shaped CoW table — two file groups (even/odd docs) at "
+        "instant t1, the even group REWRITTEN at committed instant t2 "
+        "with doubled lengths (file-slice supersession), and an "
+        "UNCOMMITTED inflight rewrite of the odd group that must stay "
+        "invisible. read_hudi_py must select the newest committed base "
+        "file per file group (hudi_py.py). Oracle computes the expected "
+        "final state straight from the parquet source.",
+)
+def hu1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    path = scratch_dir("hudi_hu1", sf_dir)
+    hoodie = os.path.join(path, ".hoodie")
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    marker = os.path.join(hoodie, f"{t2}.commit")
+
+    def _one_file(df: DataFrame, dest: str) -> None:
+        import glob
+        import shutil
+
+        stage = dest + "_stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(hoodie, exist_ok=True)
+        with open(os.path.join(hoodie, "hoodie.properties"), "w") as f:
+            f.write("hoodie.table.name=hu1\n")
+            f.write("hoodie.table.type=COPY_ON_WRITE\n")
+        even = docs.filter(F.col("doc_id") % 2 == 0)
+        odd = docs.filter(F.col("doc_id") % 2 == 1)
+        # file group fgA: t1 slice superseded by committed t2 (n doubled)
+        _one_file(even, os.path.join(path, f"fgA_0-0-0_{t1}.parquet"))
+        _one_file(
+            even.select("doc_id", (F.col("n") * 2).alias("n")),
+            os.path.join(path, f"fgA_0-0-0_{t2}.parquet"),
+        )
+        # file group fgB: t1 slice + an INFLIGHT t3 rewrite (garbage values
+        # that must never surface — t3 has no completed timeline instant)
+        _one_file(odd, os.path.join(path, f"fgB_0-0-0_{t1}.parquet"))
+        _one_file(
+            odd.select("doc_id", F.lit(-1).cast("long").alias("n")),
+            os.path.join(path, f"fgB_0-0-0_{t3}.parquet"),
+        )
+        with open(os.path.join(hoodie, f"{t1}.commit"), "w") as f:
+            f.write("{}")
+        with open(os.path.join(hoodie, f"{t3}.inflight"), "w") as f:
+            f.write("")
+        with open(marker, "w") as f:
+            f.write("{}")
+
+    if not os.path.isfile(marker):
+        _build()
+    return read_hudi_py(spark, path, drop_meta=True).agg(
+        F.count("*").alias("n_rows"), F.sum("n").cast("long").alias("chars")
+    )

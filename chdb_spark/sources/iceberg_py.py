@@ -205,6 +205,300 @@ def _spark_schema_from_iceberg(meta: dict):
     return T.StructType(fields)
 
 
+# ---------------------------------------------------------------------------
+# jar-free writer (reference surface: to_iceberg, pandas_compat.py:2177)
+# ---------------------------------------------------------------------------
+
+#: Avro schemas for the manifest list / manifest files this writer emits —
+#: the spec's core required fields (iceberg.apache.org/spec §Manifests,
+#: §Manifest Lists); optional stats/partition fields are omitted, which
+#: the spec allows (they are nullable/optional for readers).
+_MANIFEST_LIST_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int", "default": 0},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+)
+
+_MANIFEST_AVRO = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int", "default": 0},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+#: Spark primitive → Iceberg type-string (inverse of the reader's map)
+_ICEBERG_TYPE_OF_SPARK = {
+    "boolean": "boolean", "integer": "int", "long": "long",
+    "float": "float", "double": "double", "date": "date",
+    "timestamp": "timestamptz", "string": "string", "binary": "binary",
+    "short": "int", "byte": "int",
+}
+
+
+def _write_avro_file(spark: SparkSession, path: str, schema_json: str,
+                     rows: list[dict]) -> None:
+    """Write an Avro container file through Spark's bundled
+    org.apache.avro classes (same classes the reader decodes with)."""
+    jvm = spark.sparkContext._jvm
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    dfw.create(sch, jvm.java.io.File(path))
+
+    def mk(schema, d):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        for k, v in d.items():
+            if isinstance(v, dict):
+                fschema = schema.getField(k).schema()
+                rec.put(k, mk(fschema, v))
+            else:
+                rec.put(k, v)
+        return rec
+
+    try:
+        for d in rows:
+            dfw.append(mk(sch, d))
+    finally:
+        dfw.close()
+
+
+def _iceberg_schema_of(df: DataFrame) -> list[dict]:
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        tn = f.dataType.typeName()
+        it = _ICEBERG_TYPE_OF_SPARK.get(tn)
+        if it is None:
+            raise NotImplementedError(
+                f"write_iceberg_py: column {f.name!r} has non-primitive "
+                f"type {tn} — nested/decimal types need the "
+                "iceberg-spark runtime"
+            )
+        fields.append(
+            {"id": i + 1, "name": f.name, "required": False, "type": it}
+        )
+    return fields
+
+
+def write_iceberg_py(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Minimal pure-Python Iceberg v2 writer for local filesystem tables
+    (HadoopTables layout): Spark writes the parquet data files (fully
+    distributed), the driver writes the metadata-sized Avro manifest +
+    manifest list and commits a new ``v{N}.metadata.json`` with an
+    EEXIST-atomic link (concurrent-writer safe on one filesystem), then
+    bumps ``version-hint.text``.
+
+    Scope (fail-loud outside it, per the module's honesty contract):
+    unpartitioned tables, primitive column types, ``append`` /
+    ``overwrite`` only. Appends carry the prior snapshot's manifests
+    forward in the new manifest list; overwrite starts a fresh file set
+    — prior snapshots remain time-travelable by snapshot id. Schema
+    changes against an existing table raise (names+types comparison),
+    mirroring write_delta_py's guard.
+
+    Returns the committed snapshot id.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"write_iceberg_py: unsupported mode {mode!r}")
+    spark = df.sparkSession
+    os.makedirs(path, exist_ok=True)
+    md = os.path.join(path, "metadata")
+    exists = os.path.isdir(md) and any(
+        n.endswith(".metadata.json") for n in os.listdir(md)
+    )
+    prior_meta: dict = {}
+    prior_version = 0
+    if exists:
+        cur = _current_metadata_file(md)
+        with open(cur) as f:
+            prior_meta = json.load(f)
+        m = re.match(r"^v?(\d+)", os.path.basename(cur))
+        prior_version = int(m.group(1)) if m else 0
+        specs = prior_meta.get("partition-specs") or []
+        if any(s.get("fields") for s in specs):
+            raise NotImplementedError(
+                "write_iceberg_py: partitioned Iceberg tables need the "
+                "iceberg-spark runtime"
+            )
+        prior_fields = [
+            {"name": f["name"], "type": f["type"]}
+            for f in (_current_iceberg_schema(prior_meta)).get("fields", [])
+        ]
+        new_fields = [
+            {"name": f["name"], "type": f["type"]}
+            for f in _iceberg_schema_of(df)
+        ]
+        if prior_fields != new_fields:
+            raise ValueError(
+                f"write_iceberg_py: DataFrame schema differs from the "
+                f"table's committed schema at {path} — schema evolution "
+                f"needs the iceberg-spark runtime.\n"
+                f"  table: {prior_fields}\n  frame: {new_fields}"
+            )
+    os.makedirs(md, exist_ok=True)
+
+    # --- data files: distributed write, then move under data/ ----------
+    stage = tempfile.mkdtemp(prefix="_iceberg_stage_", dir=path)
+    data_dir = os.path.join(path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    entries: list[dict] = []
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        import pyarrow.parquet as pq
+
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(stage, name)
+            dest = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
+            n_rows = pq.read_metadata(src).num_rows
+            st = os.stat(src)
+            os.rename(src, dest)
+            entries.append(
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": dest,
+                        "file_format": "PARQUET",
+                        "record_count": n_rows,
+                        "file_size_in_bytes": st.st_size,
+                    },
+                }
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+    # --- snapshot id / manifest list -----------------------------------
+    snapshots = list(prior_meta.get("snapshots") or [])
+    snap_id = max((s["snapshot-id"] for s in snapshots), default=0) + 1
+    manifest_path = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
+    _write_avro_file(spark, manifest_path, _MANIFEST_AVRO, entries)
+
+    list_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.stat(manifest_path).st_size,
+            "partition_spec_id": 0,
+            "content": 0,
+            "added_snapshot_id": snap_id,
+        }
+    ]
+    if mode == "append" and exists and prior_meta.get("current-snapshot-id", -1) != -1:
+        prior_snap = next(
+            s for s in snapshots
+            if s["snapshot-id"] == prior_meta["current-snapshot-id"]
+        )
+        for rec in _avro_records(
+            spark, _local_path(prior_snap["manifest-list"], path)
+        ):
+            list_rows.append(
+                {
+                    "manifest_path": _jstr(rec.get("manifest_path")),
+                    "manifest_length": int(str(rec.get("manifest_length") or 0)),
+                    "partition_spec_id": 0,
+                    "content": int(str(rec.get("content") or 0)),
+                    "added_snapshot_id": int(
+                        str(rec.get("added_snapshot_id") or snap_id)
+                    ),
+                }
+            )
+    ml_path = os.path.join(md, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    _write_avro_file(spark, ml_path, _MANIFEST_LIST_AVRO, list_rows)
+
+    # --- metadata json + atomic publish ---------------------------------
+    snapshots.append(
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": snap_id,
+            "manifest-list": ml_path,
+            "summary": {"operation": mode},
+        }
+    )
+    version = prior_version + 1
+    meta = {
+        "format-version": 2,
+        "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),
+        "location": path,
+        "last-sequence-number": snap_id,
+        "last-column-id": len(df.schema.fields),
+        "current-snapshot-id": snap_id,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": _iceberg_schema_of(df),
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": snapshots,
+    }
+    tmp = os.path.join(md, f".{uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    meta_path = os.path.join(md, f"v{version}.metadata.json")
+    try:
+        os.link(tmp, meta_path)  # EEXIST-atomic: refuse concurrent commit
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Iceberg commit detected at version {version}; "
+            "this pure-Python writer is single-writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    hint_tmp = os.path.join(md, f".hint-{uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
+    return snap_id
+
+
+def _current_iceberg_schema(meta: dict) -> dict:
+    if meta.get("schemas"):
+        cur = meta.get("current-schema-id", 0)
+        return next(
+            (s for s in meta["schemas"] if s.get("schema-id") == cur),
+            meta["schemas"][0],
+        )
+    return meta.get("schema") or {"fields": []}
+
+
 def iceberg_snapshot_ids(path: str) -> list[int]:
     """Snapshot ids recorded in the current metadata file (newest last)."""
     with open(_current_metadata_file(_metadata_dir(path))) as f:

@@ -259,3 +259,67 @@ def test_dialect_iceberg_table_function_executes(spark, tmp_path):
     _metadata(table, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
     out = chs.query(spark, f"SELECT sum(id) AS s FROM iceberg('{table}')", "Pandas")
     assert out.to_dict("records") == [{"s": 9}]
+
+
+# ---------------------------------------------------------------------------
+# jar-free writer (write_iceberg_py)
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_write_read_round_trip(spark, tmp_path):
+    """append → append → overwrite: every snapshot stays readable by
+    snapshot-id, appends carry prior manifests forward, overwrite starts
+    a fresh file set."""
+    from chdb_spark.sources.iceberg_py import (
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "w")
+    s1 = write_iceberg_py(
+        spark.range(4).selectExpr("id", "id * 2 AS v"), path, mode="append"
+    )
+    s2 = write_iceberg_py(
+        spark.range(4, 6).selectExpr("id", "id * 2 AS v"), path, mode="append"
+    )
+    s3 = write_iceberg_py(
+        spark.range(100, 102).selectExpr("id", "id * 2 AS v"),
+        path, mode="overwrite",
+    )
+    assert iceberg_snapshot_ids(path) == [s1, s2, s3]
+    assert {r.id for r in read_iceberg_py(spark, path).collect()} == {100, 101}
+    assert {r.id for r in read_iceberg_py(spark, path, snapshot_id=s1).collect()} == set(range(4))
+    assert {r.id for r in read_iceberg_py(spark, path, snapshot_id=s2).collect()} == set(range(6))
+
+
+def test_iceberg_write_guards(spark, tmp_path):
+    from chdb_spark.sources.iceberg_py import write_iceberg_py
+
+    path = str(tmp_path / "g")
+    write_iceberg_py(spark.range(3).selectExpr("id", "id * 2 AS v"), path)
+    # schema change → loud failure (mirrors write_delta_py's guard)
+    with pytest.raises(ValueError, match="schema"):
+        write_iceberg_py(
+            spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s"),
+            path, mode="append",
+        )
+    # non-primitive column types → loud failure
+    with pytest.raises(NotImplementedError, match="non-primitive"):
+        write_iceberg_py(
+            spark.range(3).selectExpr("id", "array(id) AS a"),
+            str(tmp_path / "g2"),
+        )
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_iceberg_py(spark.range(1), path, mode="merge")
+
+
+def test_datastore_to_iceberg_path_routes_jar_free(spark, tmp_path):
+    """DataStore.to_iceberg with a filesystem path target goes through
+    the pure-Python writer (reference to_iceberg, pandas_compat.py:2177)."""
+    from chdb_spark.datastore import DataStore
+    from chdb_spark.sources.iceberg_py import read_iceberg_py
+
+    path = str(tmp_path / "ds")
+    DataStore(spark.range(5).selectExpr("id", "id + 1 AS v")).to_iceberg(path)
+    assert {r.id for r in read_iceberg_py(spark, path).collect()} == set(range(5))
