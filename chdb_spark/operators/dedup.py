@@ -1043,6 +1043,15 @@ def connected_components(
     ``small_pairs``+1 pair rows; when the relation fits, a driver-side
     union-find replaces the whole iteration (same min-id labels, no
     per-iteration job floor). 0 forces the distributed shape.
+
+    Lane-agreement contract: the union-find lane is exact at ANY
+    component diameter (it ignores ``max_iters``); the distributed lane
+    propagates at most ``max_iters`` hops and emits a loud
+    ``RuntimeWarning`` when labels are still changing at the cap — so
+    the two lanes are guaranteed equal only for graphs with diameter ≤
+    ``max_iters`` (every near-dup cluster in practice; a 200k-edge path
+    graph with ``small_pairs=0`` is the documented counterexample — the
+    warning, not silence, is the signal there).
     """
     thr = small_pairs
     if thr is None:

@@ -231,15 +231,26 @@ def pagerank(
             # the same grouped relation the weighted form carries, minus
             # its exchange in the pull plan (one shuffle instead of two)
             raw = edges.select("src", "dst").toPandas()
-            probe = (
-                raw.groupby(["src", "dst"], sort=False)
-                .size()
-                .rename("w")
-                .reset_index()
+            if not raw.isnull().values.any():
+                probe = (
+                    raw.groupby(["src", "dst"], sort=False)
+                    .size()
+                    .rename("w")
+                    .reset_index()
+                )
+            else:
+                probe = raw  # null keys → distributed fall-through below
+        # NULL src/dst: pandas groupby drops NULL keys (dropna default)
+        # and toPandas null-promotion turns int64 ids into float64 —
+        # both diverge from the distributed lane's Spark groupBy, which
+        # keeps NULL keys. Same guard as connected_components
+        # (dedup.py): fall through to the distributed lane.
+        if len(probe) > 0 and not probe.isnull().values.any():
+            return _pagerank_local(
+                edges.sparkSession, probe, iters, q_scale, top
             )
         if len(probe) == 0:
             raise ValueError("pagerank: empty edge list")
-        return _pagerank_local(edges.sparkSession, probe, iters, q_scale, top)
     if "w" not in edges.columns:
         # distributed lane needs the grouped weighted form
         edges = edges.groupBy("src", "dst").agg(
@@ -263,7 +274,9 @@ def pagerank(
         probe = edges_m.limit(thr + 1).toPandas()
         if len(probe) == 0:
             raise ValueError("pagerank: empty edge list")
-        if len(probe) <= thr:
+        # same NULL guard as the hinted lane above (and dedup.py's
+        # connected_components): null ids stay on the distributed lane
+        if len(probe) <= thr and not probe.isnull().values.any():
             return _pagerank_local(edges_m.sparkSession, probe, iters, q_scale, top)
     max_w, n_edges = edges_m.agg(F.max("w"), F.count("*")).first()
     if max_w is None:
@@ -423,12 +436,20 @@ def undirected_edges(edges: DataFrame) -> DataFrame:
 
 def _round_half_up(x: float, scale: int) -> float:
     """Python replica of Spark's ``round(double, scale)``: Spark goes
-    ``BigDecimal.valueOf(x)`` (the shortest round-trip decimal repr —
-    exactly what Python ``repr`` produces) → ``setScale(HALF_UP)`` →
-    ``doubleValue()``. Replicated digit-for-digit so the driver-local
-    lanes can emit pre-rounded LocalRelations (zero-task collect) instead
-    of paying a Spark job for one round() projection; the lane-equality
-    property tests (random graphs, both lanes) guard the equivalence."""
+    ``BigDecimal.valueOf(x)`` (``Double.toString``) → ``setScale(HALF_UP)``
+    → ``doubleValue()``. Python ``repr`` emits the SHORTEST round-trip
+    decimal; ``Double.toString`` is only guaranteed shortest on JDK 19+
+    (JDK-4511638) — on older JVMs (this environment runs JDK 17) it may
+    emit non-minimal digits, so the digit-for-digit equivalence is
+    environment-dependent rather than spec-guaranteed. A 300k-value fuzz
+    on JDK 17 found no value-level divergence after quantize, and
+    ``test_round_half_up_replica_matches_spark_round`` re-fuzzes the replica
+    against Spark's own ``round()`` on every test run, so a JVM where the
+    equivalence breaks fails loudly instead of silently diverging.
+    Replicated so the driver-local lanes can emit pre-rounded
+    LocalRelations (zero-task collect) instead of paying a Spark job for
+    one round() projection; the lane-equality property tests (random
+    graphs, both lanes) also guard it end-to-end."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(

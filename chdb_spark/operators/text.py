@@ -1278,6 +1278,13 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: driver-pull bound for the perplexity bigram model — within it the
+#: model ships as task-closure state (kernel lane); past it the join
+#: lane keeps the model distributed (module-level so tests force the
+#: lane switch)
+_PPL_MODEL_DRIVER_MAX = 300_000
+
+
 def perplexity_buckets(
     docs: DataFrame,
     trusted_filter,
@@ -1379,19 +1386,30 @@ def perplexity_buckets(
             " * 1000000, 0) AS BIGINT)"
         ).first()[0]
     )
-    # |model| ≤ |alphabet|² — driver-safe at any corpus size by contract
-    nll_map = {r["bg"]: r["nll_u"] for r in model.collect()}
+    # |model| ≤ |alphabet|² — small for byte-ish alphabets, but a CJK
+    # trusted corpus makes the distinct-bigram set enormous, so the
+    # driver pull is LIMIT-guarded: within the bound, the model ships as
+    # task-closure state (no explicit sc.broadcast handle — nothing to
+    # leak per call; the pickled command is task-bounded by the guard);
+    # past it, scoring falls back to the distributed join lane below,
+    # which keeps the model on executors.
+    model_rows = model.limit(_PPL_MODEL_DRIVER_MAX + 1).collect()
+    if len(model_rows) > _PPL_MODEL_DRIVER_MAX:
+        scored = _perplexity_score_join_lane(
+            docs, model, unseen, id_col, text_col, id_type
+        )
+        return _perplexity_tercile_tail(scored, id_col)
+    nll_map = {r["bg"]: r["nll_u"] for r in model_rows}
     arr = np.full(65536, unseen, dtype=np.int64)
     for g, v in nll_map.items():
         if len(g) == 2 and g.isascii():
             arr[(ord(g[0]) << 8) | ord(g[1])] = v
-    bc = spark.sparkContext.broadcast((arr, nll_map, unseen))
+    arr_b, map_b, unseen_b = arr, nll_map, unseen
 
     def _score(it):
         import numpy as np
         import pandas as pd
 
-        arr_b, map_b, unseen_b = bc.value
         for pdf in it:
             ids, nb, su = [], [], []
             for doc_id, s in zip(pdf[id_col], pdf[text_col]):
@@ -1427,6 +1445,55 @@ def perplexity_buckets(
             (F.col("_sum_u") / 1000000.0 / F.col("n_bigrams")).alias("ppl_proxy"),
         )
     )
+    return _perplexity_tercile_tail(scored, id_col)
+
+
+def _perplexity_score_join_lane(
+    docs: DataFrame, model: DataFrame, unseen: int,
+    id_col: str, text_col: str, id_type: str,
+) -> DataFrame:
+    """Big-alphabet fallback for :func:`perplexity_buckets`: when the
+    bigram model exceeds the driver-pull bound (CJK-scale alphabets), the
+    model stays DISTRIBUTED — docs explode to (doc, bigram) pairs that
+    shuffle-join the model on ``bg`` and re-aggregate per doc. Costs the
+    row inflation the kernel lane avoids, but never moves the model to
+    one machine — the correct trade at that alphabet size."""
+
+    def _pairs(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, bgs = [], []
+            for doc_id, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None or len(s) < 2:
+                    continue
+                for i in range(len(s) - 1):
+                    ids.append(doc_id)
+                    bgs.append(s[i : i + 2])
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                 "bg": pd.Series(bgs, dtype="object")}
+            )
+
+    pairs = docs.select(id_col, text_col).mapInPandas(
+        _pairs, f"{id_col} {id_type}, bg string"
+    )
+    return (
+        pairs.join(model, "bg", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("nll_u"), F.lit(unseen))).alias("_sum_u"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.col("_sum_u") / 1000000.0 / F.col("n_bigrams")).alias("ppl_proxy"),
+        )
+    )
+
+
+def _perplexity_tercile_tail(scored: DataFrame, id_col: str) -> DataFrame:
     # Exact ntile(3) without a global single-reducer window: global rank
     # from the bucketed two-phase cumulative (integer counts — bit-exact),
     # then the ANSI ntile arithmetic on (rank, N). Ties share a range

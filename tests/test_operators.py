@@ -1923,3 +1923,55 @@ def test_round8_lanes_degenerate_inputs(spark):
 
     empty_xy = spark.createDataFrame([], "x double, y double")
     assert cf("rankCorr")(empty_xy, "x", "y").collect()[0]["rank_corr"] is None
+
+
+def test_perplexity_join_lane_matches_kernel_lane(spark, monkeypatch):
+    """Forcing the distributed join lane (model past the driver-pull
+    bound — the CJK-alphabet case) returns the same scores and buckets
+    as the closure-kernel lane, including non-ASCII text and unseen
+    bigrams."""
+    import chdb_spark.operators.text as textmod
+    from chdb_spark.operators.text import perplexity_buckets
+
+    rows = (
+        [(i, "the cat sat on the mat", "good") for i in range(4)]
+        + [(10, "日本語のテキストです", "good")]
+        + [(20, "zq xv jk 中文 qz", "web"), (21, "the cat sat", "web")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    trusted = F.col("source") == "good"
+    kernel = sorted(
+        tuple(r) for r in perplexity_buckets(df, trusted).collect()
+    )
+    monkeypatch.setattr(textmod, "_PPL_MODEL_DRIVER_MAX", 0)
+    joined = sorted(
+        tuple(r) for r in perplexity_buckets(df, trusted).collect()
+    )
+    assert kernel == joined
+
+
+def test_pagerank_null_ids_fall_to_distributed_lane(spark):
+    """NULL src/dst edges must not silently vanish (pandas groupby
+    dropna) or relabel (float64 promotion) on the local lanes — both the
+    stats-hinted and the limit-probe pick fall through to the
+    distributed lane, whose Spark groupBy keeps NULL keys."""
+    from chdb_spark.operators.graph import pagerank
+
+    rows = [(1, 2), (2, 1), (None, 3), (3, None), (1, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    # distributed reference (lane forced off)
+    ref = {
+        r["k"]: r["rank_q"]
+        for r in pagerank(edges, iters=3, small_edges=0).collect()
+    }
+    hinted = {
+        r["k"]: r["rank_q"]
+        for r in pagerank(edges, iters=3, small_edges=100,
+                          input_rows=5).collect()
+    }
+    probed = {
+        r["k"]: r["rank_q"]
+        for r in pagerank(edges, iters=3, small_edges=100).collect()
+    }
+    assert hinted == ref and probed == ref
+    assert None in ref  # the null vertex survives, matching Spark groupBy
