@@ -132,13 +132,20 @@ def all_queries() -> dict[str, QueryDef]:
     # tier 0: queries whose MOST RECENT driver sample was RED — after a fix
     #   they are the only rows the brief counts as fail, so they must be
     #   re-verified before the backlog drains (VERDICT r6 next-round #2),
-    # tier 1: everything the driver has NEVER checked (family-interleaved),
-    # tier 2: checked-green queries, least-recently-checked first
+    # tier 1: everything the driver has NEVER checked (family-interleaved —
+    #   the backlog should drain family-representative),
+    # tier 2: checked-green queries in STRICT least-recently-checked order
+    #   (no family interleave: once the backlog is empty the goal flips
+    #   from family coverage to bounded staleness — strict LRU re-verifies
+    #   every green within ceil(N/50) rounds, where the r8-era interleave
+    #   let a large family's old members age ~indefinitely behind other
+    #   families' fresher heads; VERDICT r8 next-round #7)
     qs = list(_QUERIES.values())
     _interleave([q for q in qs if q.name in history and not history[q.name][1]])
     _interleave([q for q in qs if q.name not in history])
-    _interleave(sorted((q for q in qs if q.name in history and history[q.name][1]),
-                       key=lambda q: history[q.name][0]))
+    for q in sorted((q for q in qs if q.name in history and history[q.name][1]),
+                    key=lambda q: history[q.name][0]):
+        out[q.name] = q
     return out
 
 

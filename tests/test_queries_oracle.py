@@ -53,6 +53,13 @@ def test_driver_sample_rotation_order():
     assert set(reds) <= set(names[:50]), "a failed-then-fixed query missed the sample"
     k = min(50, len(reds) + sum(1 for t in tiers if t == 1))
     assert all(tier(n) <= 1 for n in names[:k])
+    # tier 2 is STRICT least-recently-checked (r9: bounded staleness —
+    # every green re-verifies within ceil(N/50) rounds; the old family
+    # interleave let large families' old members age indefinitely)
+    green_rounds = [history[n][0] for n in names if tier(n) == 2]
+    assert green_rounds == sorted(green_rounds), (
+        "tier-2 greens not in least-recently-checked order"
+    )
 
 
 def test_every_query_runs_at_smoke_sf(spark):
