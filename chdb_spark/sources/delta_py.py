@@ -235,6 +235,84 @@ def delta_table_version(path: str) -> int:
     return max(list(commits) + list(checkpoints))
 
 
+def _write_checkpoint(
+    log_dir: str, version: int, live: dict[str, dict],
+    meta: dict | None, protocol: dict,
+) -> None:
+    """Classic single-file checkpoint parquet + ``_last_checkpoint``
+    pointer (PROTOCOL.md §Checkpoints): one row per live ``add`` plus one
+    ``metaData`` and one ``protocol`` row, nullable-struct columns.
+    Tombstones are omitted — every JSON commit is retained, so pre-
+    checkpoint time travel replays from the commits (this writer never
+    VACUUMs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if meta is None:
+        raise ValueError("checkpoint without metaData — corrupt state")
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()),
+                 ("options", pa.map_(pa.string(), pa.string()))]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    adds = [live[p] for p in sorted(live)]
+    n = len(adds) + 2
+    meta_row = {
+        "id": meta.get("id"),
+        "format": {
+            "provider": (meta.get("format") or {}).get("provider", "parquet"),
+            "options": (meta.get("format") or {}).get("options") or {},
+        },
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": meta.get("configuration") or {},
+        "createdTime": meta.get("createdTime") or 0,
+    }
+    proto_row = {
+        "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+        "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+    }
+    tbl = pa.table(
+        {
+            "add": pa.array(adds + [None, None], type=add_t),
+            "metaData": pa.array(
+                [None] * len(adds) + [meta_row, None], type=meta_t
+            ),
+            "protocol": pa.array(
+                [None] * (len(adds) + 1) + [proto_row], type=proto_t
+            ),
+        }
+    )
+    cp_path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = cp_path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, cp_path)
+    lc_tmp = os.path.join(log_dir, "._last_checkpoint.tmp")
+    with open(lc_tmp, "w") as f:
+        json.dump({"version": version, "size": n}, f)
+    os.replace(lc_tmp, os.path.join(log_dir, "_last_checkpoint"))
+
+
 def _normalize_schema(dt: T.DataType) -> T.DataType:
     """Recursively force nullable=True and drop field metadata so schema
     comparison is purely names + types."""
@@ -260,6 +338,7 @@ def write_delta_py(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     overwrite_schema: bool = False,
+    checkpoint_interval: int = 10,
 ) -> int:
     """Minimal pure-Python Delta writer: Spark writes the parquet data
     files (fully distributed — the driver only stages/renames and writes
@@ -269,6 +348,11 @@ def write_delta_py(
       file + ``add`` for the new ones (the spec's REPLACE-style commit —
       old snapshots stay time-travelable).
     - ``append``: one commit with ``add`` actions only.
+
+    Every ``checkpoint_interval`` commits (default 10, 0 disables) a
+    classic single-file checkpoint parquet + ``_last_checkpoint`` pointer
+    is written after the commit publishes, so replay cost on a
+    long-lived table stays bounded instead of growing with commit count.
 
     Partitioned writes go through Spark's ``partitionBy`` (data files do
     NOT contain the partition columns, per the spec); partitionValues
@@ -308,9 +392,10 @@ def write_delta_py(
     prior_live: dict[str, dict] = {}
     version = 0
     prior_meta: dict | None = None
+    prior_proto: dict | None = None
     schema_changed = False
     if exists:
-        prior_live, prior_meta, _proto, v_latest = _replay(path, None)
+        prior_live, prior_meta, prior_proto, v_latest = _replay(path, None)
         version = v_latest + 1
         prior_parts = list(prior_meta.get("partitionColumns") or [])
         if prior_parts != partition_by:
@@ -442,4 +527,25 @@ def write_delta_py(
         ) from None
     finally:
         os.unlink(commit_tmp)
+
+    # classic checkpoint every `checkpoint_interval` commits, so replay
+    # cost on a long-lived table stays bounded (the reader starts from
+    # the newest checkpoint ≤ target). The checkpoint is metadata-sized
+    # (live add list) and written AFTER the commit publishes — a crash
+    # between the two leaves a valid table, just without the checkpoint.
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        live_after: dict[str, dict] = (
+            {} if mode == "overwrite" else dict(prior_live)
+        )
+        for a in adds:
+            live_after[a["add"]["path"]] = a["add"]
+        meta_after = next(
+            (a["metaData"] for a in actions if "metaData" in a), prior_meta
+        )
+        proto_after = (
+            next((a["protocol"] for a in actions if "protocol" in a), None)
+            or prior_proto
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        _write_checkpoint(log_dir, version, live_after, meta_after, proto_after)
     return version

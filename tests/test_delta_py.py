@@ -274,3 +274,68 @@ def test_dialect_delta_lake_table_function_executes(spark, tmp_path):
     write_delta_py(spark.range(5).selectExpr("id", "id * 2 AS v"), path)
     out = chs.query(spark, f"SELECT sum(v) AS s FROM deltaLake('{path}')", "Pandas")
     assert out.to_dict("records") == [{"s": 20}]
+
+
+def test_delta_writer_emits_checkpoints(spark, tmp_path):
+    """write_delta_py writes a classic checkpoint every
+    checkpoint_interval commits (+ _last_checkpoint): replay works from
+    the checkpoint alone after pre-checkpoint commits are deleted, with
+    partitioned tables incl. null partition values, and a schema-
+    evolving overwrite lands its NEW metaData in the checkpoint."""
+    import json as _json
+
+    from chdb_spark.sources.delta_py import (
+        _list_versions,
+        _log_dir,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    p = str(tmp_path / "t")
+    kw = dict(partition_by=["p"], checkpoint_interval=2)
+    write_delta_py(
+        spark.range(3).selectExpr("id", "CAST(id AS STRING) AS p"),
+        p, "overwrite", **kw,
+    )
+    write_delta_py(
+        spark.range(3, 5).selectExpr("id", "CAST(NULL AS STRING) AS p"),
+        p, "append", **kw,
+    )
+    write_delta_py(
+        spark.range(10, 12).selectExpr("id", "CAST(id AS STRING) AS p"),
+        p, "append", **kw,
+    )
+    commits, cps = _list_versions(_log_dir(p))
+    assert sorted(cps) == [2]
+    lc = _json.load(open(os.path.join(p, "_delta_log", "_last_checkpoint")))
+    assert lc["version"] == 2
+    # force checkpoint replay: drop every pre-checkpoint commit
+    for v in (0, 1, 2):
+        os.remove(commits[v])
+    assert sorted(r.id for r in read_delta_py(spark, p).collect()) == [
+        0, 1, 2, 3, 4, 10, 11,
+    ]
+    null_p = [r.p for r in read_delta_py(spark, p, version=2).collect()
+              if r.id in (3, 4)]
+    assert null_p == [None, None]
+
+    # schema-evolving overwrite at a checkpoint version: the checkpoint
+    # must carry the NEW metaData (v4 = 2nd interval)
+    write_delta_py(
+        spark.range(50, 52).selectExpr("id", "CAST(id AS STRING) AS p"),
+        p, "overwrite", **kw,
+    )
+    write_delta_py(
+        spark.range(60, 62).selectExpr(
+            "id", "CAST(id AS STRING) AS p", "id * 2 AS extra"
+        ),
+        p, "overwrite", overwrite_schema=True, **kw,
+    )
+    commits, cps = _list_versions(_log_dir(p))
+    assert sorted(cps) == [2, 4]
+    os.remove(commits[3])  # v4 must be readable from its checkpoint alone
+    out = read_delta_py(spark, p)
+    assert out.columns == ["id", "p", "extra"]
+    assert sorted((r.id, r.extra) for r in out.collect()) == [
+        (60, 120), (61, 122),
+    ]
