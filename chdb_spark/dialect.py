@@ -1955,6 +1955,101 @@ _SYS_VIEW_RE = re.compile(
     r"|query_log)\b"
 )
 
+#: `INSERT INTO [TABLE] FUNCTION name(args) [(cols)] SELECT …` — the CH
+#: write-to-table-function statement (reference core.py:5502 emits it for
+#: remote writes; examples/example_table_functions.py:358 documents it for
+#: file/object-store targets)
+_INSERT_TF_RE = re.compile(
+    r"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?FUNCTION\s+(\w+)\s*\("
+)
+
+
+def parse_insert_table_function(sql: str):
+    """``(name, args, cols, select_sql)`` for an INSERT INTO [TABLE]
+    FUNCTION statement, else None. ``cols`` is the optional column list;
+    ``select_sql`` is the SELECT/VALUES tail, untranslated (the caller
+    runs it through the full dialect pipeline)."""
+    m = _INSERT_TF_RE.match(sql)
+    if not m:
+        return None
+    name = m.group(1)
+    inner, end = _balanced(sql, m.end() - 1)
+    args = _split_args(inner) if inner.strip() else []
+    rest = sql[end:].strip()
+    cols: list[str] | None = None
+    if rest.startswith("("):
+        cinner, cend = _balanced(rest, 0)
+        cols = [c.strip().strip("`") for c in _split_args(cinner)]
+        rest = rest[cend:].strip()
+    rest = rest.rstrip(";").strip()
+    if not rest:
+        raise ValueError(
+            "INSERT INTO TABLE FUNCTION: missing SELECT/VALUES source"
+        )
+    if re.match(r"(?is)^VALUES\b", rest):
+        # VALUES tail → a SELECT the dialect pipeline can run unchanged
+        # (Spark SQL accepts inline VALUES as a relation)
+        rest = f"SELECT * FROM {rest}"
+    return name, args, cols, rest
+
+
+def write_table_function(spark, name: str, args: list[str], df,
+                         http_factory=None) -> None:
+    """Dispatch a DataFrame write to a table-function target — the write
+    half of :func:`resolve_table_functions`. CH INSERT semantics: rows
+    are APPENDED to the target. Every write stays distributed (Spark
+    writers / per-partition HTTP posts / the jar-free lakehouse
+    clients); unsupported targets fail loudly."""
+    kind = name.lower()
+    lit = [_tf_literal(a) or a.strip().strip("'\"") for a in args]
+    if kind == "file":
+        if not lit:
+            raise ValueError("file(): missing path")
+        path = lit[0]
+        fmt_name = (lit[1] if len(lit) > 1 else "").lower()
+        from chdb_spark.sinks import write_auto
+        from chdb_spark.sources.files import infer_format
+
+        if fmt_name in _TF_FORMATS:
+            fmt, opts = _TF_FORMATS[fmt_name]
+        else:
+            fmt, opts = (infer_format(path) or "parquet"), {}
+        wopts = {k: v for k, v in opts.items() if k in ("header", "sep")}
+        write_auto(df, path, fmt, mode="append", **wopts)
+    elif kind in ("remote", "remotesecure"):
+        from chdb_spark.sources.remote_ch import to_clickhouse
+
+        host = lit[0]
+        if len(lit) > 2:
+            database, table = lit[1], lit[2]
+            tail = lit[3:]
+        else:
+            database, _, table = lit[1].rpartition(".")
+            database = database or "default"
+            tail = lit[2:]
+        user = tail[0] if tail else "default"
+        password = tail[1] if len(tail) > 1 else ""
+        to_clickhouse(
+            df, host, database, table, user=user, password=password,
+            secure=(kind == "remotesecure"), if_exists="append",
+            http_factory=http_factory,
+        )
+    elif kind == "deltalake":
+        from chdb_spark.sources.delta_py import write_delta_py
+
+        write_delta_py(df, lit[0], mode="append")
+    elif kind == "iceberg":
+        from chdb_spark.sources.iceberg_py import write_iceberg_py
+
+        write_iceberg_py(df, lit[0], mode="append")
+    else:
+        raise NotImplementedError(
+            f"INSERT INTO TABLE FUNCTION {name}(...): writable targets "
+            "are file/remote/remoteSecure/deltaLake/iceberg "
+            "(object stores and Hudi need their runtime jars)"
+        )
+
+
 #: names SQL text can call as table functions (the _TF_RE set + generators)
 _TABLE_FUNCTION_NAMES = (
     "azureBlobStorage deltaLake file gcs generateRandom hdfs hudi iceberg "

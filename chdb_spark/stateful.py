@@ -319,6 +319,26 @@ class Session:
         sql, suffix_fmt = split_format_suffix(sql)
         if suffix_fmt is not None:
             fmt = suffix_fmt
+        # CH `INSERT INTO [TABLE] FUNCTION target(...) SELECT …`
+        # (reference core.py:5502): the SELECT re-enters this method (full
+        # dialect + session-table resolution), the write dispatches to the
+        # target, and an empty status result returns like DDL.
+        from chdb_spark.dialect import (
+            parse_insert_table_function,
+            write_table_function,
+        )
+
+        ins = parse_insert_table_function(sql)
+        if ins is not None:
+            tf_name, tf_args, ins_cols, select_sql = ins
+            src = self.query(select_sql, fmt="DataFrame")
+            if ins_cols:
+                src = src.select(*ins_cols)
+            write_table_function(self.spark, tf_name, tf_args, src)
+            return format_result(
+                self.spark.sql("SELECT '' AS status WHERE false"),
+                fmt or "DataFrame",
+            )
         # CH-dialect acceptance, same layer as session.query (DDL with
         # ENGINE/CH types, CH function names, table functions)
         # CH `SET key = value`: persist for the session (engine settings,

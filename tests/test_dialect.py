@@ -970,3 +970,101 @@ def test_group_array_state_merge(spark):
     assert out[0]["all_v"] == [0, 2, 4, 6, 8, 10]
     assert out[0]["uniq_g"] == [0, 2]
     assert out[1]["uniq_g"] == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# INSERT INTO [TABLE] FUNCTION (reference core.py:5502;
+# examples/example_table_functions.py:358)
+# ---------------------------------------------------------------------------
+
+
+def test_insert_into_table_function_file_and_lakehouse(spark, tmp_path):
+    """file / deltaLake / iceberg targets: the SELECT runs through the
+    full dialect pipeline (numbers(), Python()), rows APPEND, and
+    reading back through the matching table function round-trips."""
+    import pandas as pd
+
+    import chdb_spark.session as chs
+
+    p_csv = str(tmp_path / "out_csv")
+    chs.query(
+        spark,
+        f"INSERT INTO TABLE FUNCTION file('{p_csv}', CSVWithNames) "
+        "SELECT number AS n, number * 2 AS v FROM numbers(5)",
+    )
+    assert chs.query(
+        spark,
+        f"SELECT sum(n) AS s, sum(v) AS sv FROM file('{p_csv}', CSVWithNames)",
+        "CSV",
+    ).strip() == "10,20"
+
+    # deltaLake: jar-free writer; second INSERT appends (CH semantics)
+    p_dl = str(tmp_path / "dl")
+    chs.query(spark, f"INSERT INTO FUNCTION deltaLake('{p_dl}') "
+                     "SELECT number AS n FROM numbers(3)")
+    chs.query(spark, f"INSERT INTO TABLE FUNCTION deltaLake('{p_dl}') "
+                     "SELECT number AS n FROM numbers(3, 2)")
+    assert chs.query(
+        spark, f"SELECT count(*) AS c, sum(n) AS s FROM deltaLake('{p_dl}')",
+        "CSV",
+    ).strip() == "5,10"
+
+    # iceberg with a column list
+    p_ic = str(tmp_path / "ic")
+    chs.query(
+        spark,
+        f"INSERT INTO TABLE FUNCTION iceberg('{p_ic}') (a, b) "
+        "SELECT number AS a, number + 10 AS b FROM numbers(4)",
+    )
+    assert chs.query(
+        spark, f"SELECT count(*) AS c, sum(b) AS s FROM iceberg('{p_ic}')",
+        "CSV",
+    ).strip() == "4,46"
+
+    # Python(df) source resolves through the recursive SELECT
+    df = pd.DataFrame({"x": [1, 2, 3]})
+    p_pq = str(tmp_path / "pq")
+    chs.query(spark, f"INSERT INTO TABLE FUNCTION file('{p_pq}', Parquet) "
+                     "SELECT x * 10 AS x FROM Python(df)")
+    assert chs.query(
+        spark, f"SELECT sum(x) AS s FROM file('{p_pq}', Parquet)", "CSV"
+    ).strip() == "60"
+
+    # unsupported target fails loudly
+    with pytest.raises(NotImplementedError, match="runtime jars"):
+        chs.query(spark, "INSERT INTO TABLE FUNCTION s3('s3://b/k', Parquet) "
+                         "SELECT 1 AS x")
+
+
+def test_insert_into_table_function_remote_and_session(spark, tmp_path):
+    """remote() target posts per-partition over real localhost HTTP;
+    the stateful Session path resolves session tables in the SELECT."""
+    import chdb_spark.session as chs
+    from chdb_spark.sources.remote_ch import FakeChServer, remote
+    from chdb_spark.stateful import Session
+
+    server = FakeChServer()
+    host, httpd = server.serve()
+    try:
+        chs.query(
+            spark,
+            f"INSERT INTO TABLE FUNCTION remote('{host}', 'default', 'tw') "
+            "SELECT number AS id FROM numbers(7)",
+        )
+        back = remote(spark, host, "default", "tw")
+        assert sorted(r.id for r in back.collect()) == list(range(7))
+    finally:
+        httpd.shutdown()
+
+    s = Session()
+    try:
+        s.query("CREATE TABLE t9 (id Int64) ENGINE = MergeTree ORDER BY id")
+        s.query("INSERT INTO t9 VALUES (1), (2), (3)")
+        p = str(tmp_path / "sess_out")
+        s.query(f"INSERT INTO TABLE FUNCTION file('{p}', Parquet) "
+                "SELECT id * 2 AS id FROM t9")
+        assert chs.query(
+            spark, f"SELECT sum(id) AS s FROM file('{p}', Parquet)", "CSV"
+        ).strip() == "12"
+    finally:
+        s.close()
