@@ -363,7 +363,9 @@ class DataStore:
         Valid on a target-descriptor DataStore (``DataStore("file", ...)``)."""
         if self._target is None:
             raise ValueError("insert_into: this DataStore is not a write target")
-        return _InsertBuilder(self._target, list(cols))
+        return _InsertBuilder(
+            self._target, list(cols), self._target_kind or "file"
+        )
 
     def to_sql(self) -> str:
         """The generated-query view (reference ``DataStore.to_sql`` —
@@ -1424,9 +1426,10 @@ class _InsertBuilder:
     execute(), then writes via the auto-dispatch sink (one distributed
     write job, no driver materialization)."""
 
-    def __init__(self, target: dict, cols: list[str]):
+    def __init__(self, target: dict, cols: list[str], kind: str = "file"):
         self._target = target
         self._cols = cols
+        self._kind = kind
         self._source: DataStore | None = None
 
     def select_from(self, source: "DataStore") -> "_InsertBuilder":
@@ -1436,13 +1439,31 @@ class _InsertBuilder:
     def execute(self) -> None:
         if self._source is None:
             raise ValueError("select_from(...) must be called before execute()")
-        from chdb_spark.sinks import write_auto
-
         df = self._source._df
         if self._cols:
             df = df.select(*self._cols)
+        kind = (self._kind or "file").lower()
+        path = self._target.get("path") or self._target.get("url")
+        if kind in ("deltalake", "delta"):
+            from chdb_spark.sources.delta_py import write_delta_py
+
+            write_delta_py(df, path, mode="append")
+            return
+        if kind == "iceberg":
+            from chdb_spark.sources.iceberg_py import write_iceberg_py
+
+            write_iceberg_py(df, path, mode="append")
+            return
+        if kind != "file":
+            raise NotImplementedError(
+                f"insert_into target kind {kind!r}: writable targets are "
+                "file/deltaLake/iceberg (object stores and Hudi need "
+                "their runtime jars)"
+            )
+        from chdb_spark.sinks import write_auto
+
         fmt = (self._target.get("format") or "parquet").lower()
-        write_auto(df, self._target["path"], fmt=fmt)
+        write_auto(df, path, fmt=fmt)
 
 
 # -- factories (reference entry points) --------------------------------------

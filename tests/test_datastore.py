@@ -673,3 +673,28 @@ def test_sql_short_form(spark):
     assert [r.name for r in d.sql("ORDER BY name").collect()] == ["a", "b", "c"]
     assert d.sql("SELECT count(*) AS n FROM __df__").collect()[0].n == 3
     assert d.sql("SELECT max(value) AS m FROM __ds__").collect()[0].m == 350
+
+
+def test_insert_into_lakehouse_targets(spark, tmp_path):
+    """insert_into/select_from dispatches deltaLake/iceberg target kinds
+    to the jar-free writers (appending, CH semantics); file targets keep
+    the auto-dispatch sink; unsupported kinds fail loudly."""
+    import pytest as _pytest
+
+    from chdb_spark.datastore import DataStore
+    from chdb_spark.sources.delta_py import read_delta_py
+    from chdb_spark.sources.iceberg_py import read_iceberg_py
+
+    src = DataStore(spark.range(5).selectExpr("id", "id * 3 AS v"))
+    dl = str(tmp_path / "dl")
+    t = DataStore("deltalake", path=dl)
+    t.insert_into("id").select_from(src).execute()
+    t.insert_into("id").select_from(src).execute()
+    assert read_delta_py(spark, dl).count() == 10
+
+    ic = str(tmp_path / "ic")
+    DataStore("iceberg", path=ic).insert_into("id", "v").select_from(src).execute()
+    assert {r.v for r in read_iceberg_py(spark, ic).collect()} == {0, 3, 6, 9, 12}
+
+    with _pytest.raises(NotImplementedError, match="runtime jars"):
+        DataStore("s3", url="s3://b/k").insert_into("id").select_from(src).execute()
