@@ -1973,6 +1973,11 @@ def parse_insert_table_function(sql: str):
     if not m:
         return None
     name = m.group(1)
+    # a table literally named "function" (`INSERT INTO function VALUES …`)
+    # must fall through to plain SQL — only known table-function names
+    # (incl. jar-gated ones, which error loudly in the dispatcher) engage
+    if name.lower() not in {n.lower() for n in _TABLE_FUNCTION_NAMES}:
+        return None
     inner, end = _balanced(sql, m.end() - 1)
     args = _split_args(inner) if inner.strip() else []
     rest = sql[end:].strip()

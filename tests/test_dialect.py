@@ -1068,3 +1068,21 @@ def test_insert_into_table_function_remote_and_session(spark, tmp_path):
         ).strip() == "12"
     finally:
         s.close()
+
+
+def test_insert_into_table_function_parse_guards():
+    """A table literally named `function` (or any non-table-function
+    name) falls through to plain SQL; known names parse with args,
+    column lists, and VALUES tails."""
+    from chdb_spark.dialect import parse_insert_table_function as p
+
+    assert p("INSERT INTO function VALUES (1), (2)") is None
+    assert p("INSERT INTO t SELECT 1") is None
+    name, args, cols, sel = p(
+        "INSERT INTO TABLE FUNCTION file('/x', Parquet) (a, b) "
+        "SELECT 1 AS a, 2 AS b"
+    )
+    assert (name, cols) == ("file", ["a", "b"])
+    assert args == ["'/x'", "Parquet"] and sel.startswith("SELECT")
+    _, _, _, sel2 = p("insert into function deltaLake('/y') values (1)")
+    assert sel2.lower().startswith("select * from values")
