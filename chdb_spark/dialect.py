@@ -2047,10 +2047,14 @@ def write_table_function(spark, name: str, args: list[str], df,
         from chdb_spark.sources.iceberg_py import write_iceberg_py
 
         write_iceberg_py(df, lit[0], mode="append")
+    elif kind == "url":
+        from chdb_spark.sources.uri import write_url
+
+        write_url(df, lit[0], lit[1] if len(lit) > 1 else "CSVWithNames")
     else:
         raise NotImplementedError(
             f"INSERT INTO TABLE FUNCTION {name}(...): writable targets "
-            "are file/remote/remoteSecure/deltaLake/iceberg "
+            "are file/url/remote/remoteSecure/deltaLake/iceberg "
             "(object stores and Hudi need their runtime jars)"
         )
 

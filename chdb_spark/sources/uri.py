@@ -118,3 +118,47 @@ def _read_url(spark: SparkSession, url: str, fmt: str | None = None, **options) 
     os.close(fd)
     urllib.request.urlretrieve(url, tmp)
     return read_auto(spark, tmp, fmt=fmt, **options)
+
+
+def write_url(df, url: str, fmt: str = "CSVWithNames") -> int:
+    """HTTP(S) sink — the write half of the ``url()`` table function
+    (ClickHouse semantics: ``INSERT INTO FUNCTION url(...)`` POSTs the
+    formatted payload). Each executor partition POSTs its own chunk, so
+    row data never funnels through the driver (the same per-partition
+    transport ``to_clickhouse`` uses); the endpoint must accept multiple
+    POSTs, which is also how ClickHouse streams multi-block inserts.
+    Returns rows written. Formats: CSV / CSVWithNames / TSV(WithNames) /
+    JSONEachRow."""
+    import io
+    import urllib.request as _rq
+
+    f = fmt.lower()
+    if f not in ("csv", "csvwithnames", "tsv", "tsvwithnames",
+                 "tabseparated", "tabseparatedwithnames", "jsoneachrow",
+                 "ndjson"):
+        raise ValueError(f"write_url: unsupported INSERT format {fmt!r}")
+    cols = df.columns
+
+    def _post(it):
+        import pandas as pd
+
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            buf = io.StringIO()
+            if f in ("jsoneachrow", "ndjson"):
+                pdf.to_json(buf, orient="records", lines=True)
+            else:
+                sep = "\t" if f.startswith(("tsv", "tabseparated")) else ","
+                pdf.to_csv(buf, index=False, sep=sep,
+                           header=f.endswith("withnames"))
+            body = buf.getvalue().encode()
+            req = _rq.Request(url, data=body, method="POST")
+            with _rq.urlopen(req) as resp:
+                resp.read()
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    out = df.mapInPandas(_post, "n long").agg({"n": "sum"}).first()[0]
+    return int(out or 0)

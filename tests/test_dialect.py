@@ -1086,3 +1086,49 @@ def test_insert_into_table_function_parse_guards():
     assert args == ["'/x'", "Parquet"] and sel.startswith("SELECT")
     _, _, _, sel2 = p("insert into function deltaLake('/y') values (1)")
     assert sel2.lower().startswith("select * from values")
+
+
+def test_insert_into_table_function_url(spark):
+    """url() INSERT target: each executor partition POSTs its formatted
+    chunk to a REAL localhost HTTP endpoint (CH INSERT INTO FUNCTION
+    url semantics); rows never funnel through the driver."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import chdb_spark.session as chs
+
+    chunks: list[bytes] = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                chunks.append(body)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/ingest"
+        chs.query(
+            spark,
+            f"INSERT INTO TABLE FUNCTION url('{url}', JSONEachRow) "
+            "SELECT number AS n FROM numbers(10)",
+        )
+        import json as _json
+
+        rows = []
+        for body in chunks:
+            rows += [
+                _json.loads(line) for line in body.decode().splitlines() if line
+            ]
+        assert sorted(r["n"] for r in rows) == list(range(10))
+    finally:
+        srv.shutdown()
