@@ -20,9 +20,12 @@ client works. Partition values come from the log (``add.partitionValues``
 attached as typed literal columns per partition group.
 
 Honesty guard: tables using reader features this replay cannot honor
-(deletion vectors, column mapping — ``protocol.minReaderVersion > 1``
-without an explicitly supported feature set) raise instead of silently
-returning wrong rows.
+(deletion vectors; columnMapping mode='id') raise instead of silently
+returning wrong rows. columnMapping mode='name' IS implemented — the
+scan reads the physical parquet names from the schemaString field
+metadata and restores logical names via positional struct casts; the
+pure-Python WRITER refuses mapped tables (it emits logical-named
+files).
 
 Reference surface: the chdb reference reaches Delta through its
 ``delta_scan`` table function (reference table_functions.py:915); this
@@ -42,8 +45,9 @@ from pyspark.sql import types as T
 
 #: reader features this replay genuinely implements — anything else in a
 #: protocol v3 readerFeatures list is a hard error, per the spec's rule
-#: that unknown reader features MUST fail the read
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
+#: that unknown reader features MUST fail the read. columnMapping is
+#: implemented for mode='name' (mode='id' re-raises in read_delta_py).
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "columnMapping"}
 
 
 def _log_dir(path: str) -> str:
@@ -163,13 +167,11 @@ def _check_protocol(protocol: dict | None) -> None:
             f"replay: {sorted(unsupported)} (deletion vectors / column "
             f"mapping need the delta-spark jars)"
         )
-    if reader_v == 2:
-        # reader version 2 == column mapping capable; only safe when the
-        # table doesn't actually map columns
-        raise NotImplementedError(
-            "Delta minReaderVersion=2 (column mapping) is not supported "
-            "by the pure-Python replay; add delta-spark jars"
-        )
+    # minReaderVersion=2 == column-mapping capable; the mode check happens
+    # in read_delta_py against metaData.configuration ('name' mode is
+    # implemented — physical names come from schemaString field metadata
+    # per PROTOCOL.md §Column Mapping; 'id' mode needs parquet field-id
+    # resolution and stays jar-gated)
 
 
 def read_delta_py(
@@ -184,9 +186,55 @@ def read_delta_py(
     _check_protocol(protocol)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
+
+    # Column mapping (PROTOCOL.md §Column Mapping): mode='name' stores
+    # each column's PHYSICAL parquet name in the schemaString field
+    # metadata ('delta.columnMapping.physicalName'); the scan reads the
+    # physical schema and the logical names come back via a positional
+    # struct cast + alias. mode='id' resolves by parquet field id —
+    # jar-gated, refused loudly.
+    cm_mode = (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if cm_mode == "id":
+        raise NotImplementedError(
+            "Delta columnMapping.mode='id' (parquet field-id resolution) "
+            "is not supported by the pure-Python replay; add delta-spark "
+            "jars (mode='name' IS supported)"
+        )
+    mapped = cm_mode == "name"
+    phys_of = {
+        f.name: (
+            (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+            if mapped
+            else f.name
+        )
+        for f in schema.fields
+    }
     data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [
+            T.StructField(
+                phys_of[f.name],
+                _physical_type(f.dataType) if mapped else f.dataType,
+                f.nullable,
+            )
+            for f in data_fields
+        ]
+    )
     by_type = {f.name: f.dataType for f in schema.fields}
+
+    def relogical(df: DataFrame) -> DataFrame:
+        if not mapped:
+            return df
+        # positional struct cast restores LOGICAL nested field names;
+        # top-level names come back via alias
+        return df.select(
+            *[
+                F.col(phys_of[f.name]).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ]
+        )
 
     if not live:
         return spark.createDataFrame([], schema)
@@ -199,20 +247,24 @@ def read_delta_py(
 
     if not part_cols:
         files = sorted(abs_path(p) for p in live)
-        return spark.read.schema(data_schema).parquet(*files)
+        return relogical(spark.read.schema(data_schema).parquet(*files))
 
     # group live files by their log-declared partition values (the
     # authoritative source — directory names are advisory per the spec),
     # attach typed literals per group, union. Group count == live
     # partition count of the snapshot — metadata-sized by definition.
+    # Under column mapping, partitionValues keys are the PHYSICAL names
+    # (delta-spark writes them that way); logical keys are accepted too.
     groups: dict[tuple, list[str]] = {}
     for p, a in live.items():
         pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
+        key = tuple(
+            pv.get(phys_of[c], pv.get(c)) for c in part_cols
+        )
         groups.setdefault(key, []).append(abs_path(p))
     parts: list[DataFrame] = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*sorted(files))
+        df = relogical(spark.read.schema(data_schema).parquet(*sorted(files)))
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None).cast(by_type[c])
@@ -225,6 +277,33 @@ def read_delta_py(
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Rename nested struct fields to their columnMapping physicalName
+    (recursively) so the parquet scan schema matches the files."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    (f.metadata or {}).get(
+                        "delta.columnMapping.physicalName", f.name
+                    ),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
 
 
 def delta_table_version(path: str) -> int:
@@ -402,6 +481,17 @@ def write_delta_py(
             raise ValueError(
                 f"partition columns {partition_by} != existing table's "
                 f"{prior_parts}"
+            )
+        if (prior_meta.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        ) != "none":
+            # this writer emits LOGICAL-named parquet files; a mapped
+            # table's reader resolves PHYSICAL names, so the new files
+            # would silently read as all-NULL — refuse instead
+            raise NotImplementedError(
+                "write_delta_py: table uses columnMapping — writing needs "
+                "the delta-spark jars (the pure-Python reader still reads "
+                "mode='name' tables)"
             )
         # structural comparison on names + types (nullability and field
         # metadata normalized away — writing non-nullable data into a

@@ -339,3 +339,139 @@ def test_delta_writer_emits_checkpoints(spark, tmp_path):
     assert sorted((r.id, r.extra) for r in out.collect()) == [
         (60, 120), (61, 122),
     ]
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """columnMapping mode='name' (PROTOCOL.md §Column Mapping): parquet
+    files carry PHYSICAL column names (col-<uuid>); logical names come
+    from schemaString field metadata. Covers flat columns, a nested
+    struct (positional cast restores inner logical names), a mapped
+    partition column (partitionValues keyed by physical name), and the
+    mode='id' loud refusal."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_dir, log_dir = _mk_table(tmp_path, name="cm")
+    # physical file: col-a (long), col-b (struct<col-c: double>)
+    inner = pa.array([{"col-c": 1.5}, {"col-c": 2.5}],
+                     type=pa.struct([("col-c", pa.float64())]))
+    pq.write_table(
+        pa.table({"col-a": pa.array([1, 2], pa.int64()), "col-b": inner}),
+        os.path.join(table_dir, "f1.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+            {"name": "s", "nullable": True,
+             "type": {"type": "struct", "fields": [
+                 {"name": "x", "type": "double", "nullable": True,
+                  "metadata": {"delta.columnMapping.id": 3,
+                               "delta.columnMapping.physicalName": "col-c"}}]},
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-b"}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 4,
+                          "delta.columnMapping.physicalName": "col-p"}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-0000000000cm",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "4"},
+            "createdTime": 0,
+        }
+    }
+    _commit(
+        log_dir, 0,
+        [
+            _protocol(reader=2, writer=5),
+            meta,
+            _add("f1.parquet", pv={"col-p": "east"}),  # physical pv key
+        ],
+    )
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    out = read_delta_py(spark, table_dir)
+    assert out.columns == ["n", "s", "p"]
+    rows = {r.n: (r.s.x, r.p) for r in out.collect()}
+    assert rows == {1: (1.5, "east"), 2: (2.5, "east")}
+
+    # v3 readerFeatures=[columnMapping] is accepted for name mode too
+    table2, log2 = _mk_table(tmp_path, name="cm3")
+    pq.write_table(
+        pa.table({"col-a": pa.array([7], pa.int64())}),
+        os.path.join(table2, "f1.parquet"),
+    )
+    schema2 = {"type": "struct", "fields": [schema["fields"][0]]}
+    meta2 = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-0000000000c3",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema2),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }
+    }
+    _commit(log2, 0, [
+        _protocol(reader=3, writer=7, reader_features=["columnMapping"]),
+        meta2, _add("f1.parquet"),
+    ])
+    assert [r.n for r in read_delta_py(spark, table2).collect()] == [7]
+
+    # mode='id' refuses loudly
+    table3, log3 = _mk_table(tmp_path, name="cmid")
+    meta3 = json.loads(json.dumps(meta2))
+    meta3["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
+    pq.write_table(
+        pa.table({"col-a": pa.array([7], pa.int64())}),
+        os.path.join(table3, "f1.parquet"),
+    )
+    _commit(log3, 0, [_protocol(reader=2, writer=5), meta3, _add("f1.parquet")])
+    with pytest.raises(NotImplementedError, match="mode='id'"):
+        read_delta_py(spark, table3)
+
+
+def test_delta_writer_refuses_column_mapped_tables(spark, tmp_path):
+    """The jar-free writer emits logical-named parquet; appending to a
+    columnMapping table would silently read back all-NULL, so it refuses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chdb_spark.sources.delta_py import write_delta_py
+
+    table_dir, log_dir = _mk_table(tmp_path, name="cmw")
+    pq.write_table(
+        pa.table({"col-a": pa.array([1], pa.int64())}),
+        os.path.join(table_dir, "f1.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}}
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-0000000000cw",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }
+    }
+    _commit(log_dir, 0, [_protocol(reader=2, writer=5), meta, _add("f1.parquet")])
+    with pytest.raises(NotImplementedError, match="columnMapping"):
+        write_delta_py(
+            spark.createDataFrame([(2,)], "n long"), table_dir, mode="append"
+        )
