@@ -1067,7 +1067,10 @@ class DataStore:
         tests/test_lakehouse_gated.py)."""
         import os as _os
 
-        if _os.sep in table or "/" in table or _os.path.isdir(table):
+        # explicit path-likes only (contain a separator): a bare catalog
+        # identifier must NOT be hijacked by a same-named directory in
+        # the driver's cwd (write './dir' to target a relative path)
+        if _os.sep in table or "/" in table:
             from chdb_spark.sources.iceberg_py import write_iceberg_py
 
             return write_iceberg_py(self._df, table, mode=mode)
@@ -1463,7 +1466,11 @@ class _InsertBuilder:
         from chdb_spark.sinks import write_auto
 
         fmt = (self._target.get("format") or "parquet").lower()
-        write_auto(df, path, fmt=fmt)
+        # INSERT semantics append for every target kind (matching the
+        # SQL lane's `INSERT INTO TABLE FUNCTION file(...)` and CH
+        # itself) — an overwrite here would silently destroy prior
+        # batches on file targets while lakehouse targets accumulate
+        write_auto(df, path, fmt=fmt, mode="append")
 
 
 # -- factories (reference entry points) --------------------------------------

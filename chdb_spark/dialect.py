@@ -2025,12 +2025,19 @@ def write_table_function(spark, name: str, args: list[str], df,
         from chdb_spark.sources.remote_ch import to_clickhouse
 
         host = lit[0]
-        if len(lit) > 2:
+        # CH resolves the dotted form by the SECOND argument's shape, not
+        # the arg count: remote(host, 'db.table'[, user[, pw]]) vs
+        # remote(host, db, table[, user[, pw]]) (database names cannot
+        # contain dots)
+        if "." in lit[1]:
+            database, _, table = lit[1].rpartition(".")
+            database = database or "default"
+            tail = lit[2:]
+        elif len(lit) > 2:
             database, table = lit[1], lit[2]
             tail = lit[3:]
         else:
-            database, _, table = lit[1].rpartition(".")
-            database = database or "default"
+            database, table = "default", lit[1]
             tail = lit[2:]
         user = tail[0] if tail else "default"
         password = tail[1] if len(tail) > 1 else ""
@@ -2057,6 +2064,30 @@ def write_table_function(spark, name: str, args: list[str], df,
             "are file/url/remote/remoteSecure/deltaLake/iceberg "
             "(object stores and Hudi need their runtime jars)"
         )
+
+
+def handle_insert_table_function(sql: str, run_select) -> bool:
+    """Shared INSERT-INTO-FUNCTION dispatch for both query lanes
+    (session.query and stateful.Session.query): parse, run the SELECT
+    through the caller's own pipeline (``run_select(select_sql) ->
+    DataFrame``), map the optional column list POSITIONALLY onto the
+    SELECT output (CH semantics — names need not match), write, return
+    True. Returns False when the statement is not an INSERT-TF."""
+    ins = parse_insert_table_function(sql)
+    if ins is None:
+        return False
+    name, args, cols, select_sql = ins
+    df = run_select(select_sql)
+    if cols:
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"INSERT INTO TABLE FUNCTION {name}: column list has "
+                f"{len(cols)} names but the source produces "
+                f"{len(df.columns)} columns"
+            )
+        df = df.toDF(*cols)
+    write_table_function(df.sparkSession, name, args, df)
+    return True
 
 
 #: names SQL text can call as table functions (the _TF_RE set + generators)

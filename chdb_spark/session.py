@@ -507,23 +507,15 @@ def query(
         bound = bind_params(sql_text, params)
         # CH `INSERT INTO [TABLE] FUNCTION target(...) SELECT …`
         # (reference core.py:5502): run the SELECT through this same
-        # pipeline, dispatch the write to the target (file / remote /
-        # jar-free deltaLake / iceberg), return an empty status result.
-        from chdb_spark.dialect import (
-            parse_insert_table_function,
-            write_table_function,
-        )
+        # pipeline, dispatch the write to the target (file / url / remote
+        # / jar-free deltaLake / iceberg), return an empty status result.
+        from chdb_spark.dialect import handle_insert_table_function
 
-        ins = parse_insert_table_function(bound)
-        if ins is not None:
-            tf_name, tf_args, ins_cols, select_sql = ins
-            src = query(spark, select_sql, "DataFrame", params=None)
-            if ins_cols:
-                src = src.select(*ins_cols)
-            write_table_function(spark, tf_name, tf_args, src)
+        if handle_insert_table_function(
+            bound, lambda s: query(spark, s, "DataFrame")
+        ):
             return format_result(
-                spark.sql("SELECT '' AS status WHERE false"),
-                fmt if fmt not in ("DataFrame", "dataframe") else fmt,
+                spark.sql("SELECT '' AS status WHERE false"), fmt
             )
         # CH-dialect acceptance (reference chdb/__init__.py:145-217 — every
         # README example is CH SQL): rewrite CH function names/clauses onto

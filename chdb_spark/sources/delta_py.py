@@ -126,7 +126,19 @@ def _replay(path: str, version: int | None):
         elif "remove" in action and action["remove"] is not None:
             live.pop(action["remove"]["path"], None)
         elif "metaData" in action and action["metaData"] is not None:
-            meta = action["metaData"]
+            m = dict(action["metaData"])
+            # checkpoint MAP columns surface as (k, v) tuple lists too —
+            # normalize configuration and format.options to dicts so
+            # downstream .get() reads work for checkpoint-replayed state
+            if isinstance(m.get("configuration"), list):
+                m["configuration"] = dict(m["configuration"])
+            if isinstance(m.get("format"), dict) and isinstance(
+                m["format"].get("options"), list
+            ):
+                m["format"] = {
+                    **m["format"], "options": dict(m["format"]["options"])
+                }
+            meta = m
         elif "protocol" in action and action["protocol"] is not None:
             protocol = action["protocol"]
 
@@ -182,6 +194,9 @@ def read_delta_py(
 ) -> DataFrame:
     """Read a local Delta table by pure-Python log replay (see module
     docstring). ``version`` = Delta's ``versionAsOf`` time travel."""
+    # absolute from here on: the Spark parquet scan resolves relative
+    # paths against the JVM's cwd, not Python's
+    path = os.path.abspath(path)
     live, meta, protocol, _v = _replay(path, version)
     _check_protocol(protocol)
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -462,6 +477,7 @@ def write_delta_py(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_delta_py: unsupported mode {mode!r}")
     partition_by = list(partition_by or [])
+    path = os.path.abspath(path)  # Spark writes resolve against JVM cwd
     os.makedirs(path, exist_ok=True)
     log_dir = os.path.join(path, "_delta_log")
     exists = os.path.isdir(log_dir) and any(

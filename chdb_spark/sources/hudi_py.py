@@ -113,6 +113,7 @@ def read_hudi_py(
     """Snapshot-read a local Hudi Copy-on-Write table by file-slice
     resolution (see module docstring). ``drop_meta=True`` strips the
     five ``_hoodie_*`` meta columns."""
+    path = os.path.abspath(path)  # Spark scans resolve against JVM cwd
     hoodie = _hoodie_dir(path)
     ttype = _table_type(hoodie)
     if ttype.upper() != "COPY_ON_WRITE":

@@ -114,6 +114,9 @@ def read_iceberg_py(
 ) -> DataFrame:
     """Read a local filesystem Iceberg table at its current (or a named)
     snapshot — see module docstring for the exact guarantees."""
+    # absolute from here on: the JVM (avro reader) and Spark scans resolve
+    # relative paths against the JVM's cwd, not Python's
+    path = os.path.abspath(path)
     md = _metadata_dir(path)
     with open(_current_metadata_file(md)) as f:
         meta = json.load(f)
@@ -334,6 +337,9 @@ def write_iceberg_py(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"write_iceberg_py: unsupported mode {mode!r}")
     spark = df.sparkSession
+    # absolute from here on: the JVM (avro writer) and the Spark parquet
+    # write resolve relative paths against the JVM's cwd, not Python's
+    path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     md = os.path.join(path, "metadata")
     exists = os.path.isdir(md) and any(

@@ -128,7 +128,14 @@ def write_url(df, url: str, fmt: str = "CSVWithNames") -> int:
     transport ``to_clickhouse`` uses); the endpoint must accept multiple
     POSTs, which is also how ClickHouse streams multi-block inserts.
     Returns rows written. Formats: CSV / CSVWithNames / TSV(WithNames) /
-    JSONEachRow."""
+    JSONEachRow.
+
+    Delivery contract: AT-LEAST-ONCE. The POST is a side effect inside a
+    Spark task, so a task retry or speculative duplicate re-sends that
+    partition's rows — same as any non-transactional HTTP sink. Point it
+    at idempotent endpoints (dedup on a key, or CH ReplacingMergeTree);
+    keep speculation off for exactly-once-ish behavior on stable
+    clusters."""
     import io
     import urllib.request as _rq
 
@@ -137,7 +144,6 @@ def write_url(df, url: str, fmt: str = "CSVWithNames") -> int:
                  "tabseparated", "tabseparatedwithnames", "jsoneachrow",
                  "ndjson"):
         raise ValueError(f"write_url: unsupported INSERT format {fmt!r}")
-    cols = df.columns
 
     def _post(it):
         import pandas as pd

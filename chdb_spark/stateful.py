@@ -323,18 +323,11 @@ class Session:
         # (reference core.py:5502): the SELECT re-enters this method (full
         # dialect + session-table resolution), the write dispatches to the
         # target, and an empty status result returns like DDL.
-        from chdb_spark.dialect import (
-            parse_insert_table_function,
-            write_table_function,
-        )
+        from chdb_spark.dialect import handle_insert_table_function
 
-        ins = parse_insert_table_function(sql)
-        if ins is not None:
-            tf_name, tf_args, ins_cols, select_sql = ins
-            src = self.query(select_sql, fmt="DataFrame")
-            if ins_cols:
-                src = src.select(*ins_cols)
-            write_table_function(self.spark, tf_name, tf_args, src)
+        if handle_insert_table_function(
+            sql, lambda s: self.query(s, fmt="DataFrame")
+        ):
             return format_result(
                 self.spark.sql("SELECT '' AS status WHERE false"),
                 fmt or "DataFrame",

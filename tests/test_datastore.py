@@ -698,3 +698,36 @@ def test_insert_into_lakehouse_targets(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="runtime jars"):
         DataStore("s3", url="s3://b/k").insert_into("id").select_from(src).execute()
+
+
+def test_insert_into_file_appends(spark, tmp_path):
+    """insert_into APPENDS on file targets too (CH INSERT semantics,
+    matching the SQL lane) — two batches accumulate instead of the
+    second silently erasing the first (r9 review finding)."""
+    from chdb_spark.datastore import DataStore
+
+    p = str(tmp_path / "acc")
+    src = DataStore(spark.range(3).selectExpr("id"))
+    t = DataStore("file", path=p, format="Parquet")
+    t.insert_into("id").select_from(src).execute()
+    t.insert_into("id").select_from(src).execute()
+    assert spark.read.parquet(p).count() == 6
+
+
+def test_to_iceberg_bare_identifier_not_hijacked_by_cwd_dir(spark, tmp_path, monkeypatch):
+    """A bare catalog identifier must route to the connector even when a
+    same-named directory exists in the driver's cwd (r9 review finding);
+    only explicit path-likes take the jar-free writer."""
+    import os
+
+    from chdb_spark.datastore import DataStore
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("sales", exist_ok=True)
+    ds = DataStore(spark.range(2).selectExpr("id"))
+    with pytest.raises(Exception):  # no iceberg catalog in this env
+        ds.to_iceberg("sales")
+    assert not os.path.isdir(os.path.join("sales", "metadata"))
+    # explicit relative path still takes the jar-free writer
+    ds.to_iceberg(os.path.join(".", "sales"))
+    assert os.path.isdir(os.path.join("sales", "metadata"))

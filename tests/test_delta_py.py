@@ -475,3 +475,39 @@ def test_delta_writer_refuses_column_mapped_tables(spark, tmp_path):
         write_delta_py(
             spark.createDataFrame([(2,)], "n long"), table_dir, mode="append"
         )
+
+
+def test_delta_checkpoint_replay_preserves_configuration_maps(spark, tmp_path):
+    """metaData replayed from a checkpoint parquet surfaces MAP columns
+    (configuration, format.options) as (k,v) tuple lists — the replay
+    must normalize them to dicts or every downstream .get() crashes
+    (r9 review finding: any checkpointed table with table properties
+    became unreadable)."""
+    from chdb_spark.sources.delta_py import (
+        _list_versions,
+        _log_dir,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    table_dir, log_dir = _mk_table(tmp_path, name="cfg")
+    f1 = _data_file(table_dir, "part-0001.parquet", [1], [1.0])
+    meta = _meta()
+    meta["metaData"]["configuration"] = {"delta.appendOnly": "false"}
+    _commit(log_dir, 0, [_protocol(), meta, _add(f1)])
+    # our writer checkpoints at every commit; the checkpoint carries the
+    # prior metaData with its non-empty configuration map
+    write_delta_py(
+        spark.createDataFrame([(2, 2.0)], "id long, v double"),
+        table_dir, mode="append", checkpoint_interval=1,
+    )
+    commits, cps = _list_versions(_log_dir(table_dir))
+    assert sorted(cps) == [1]
+    os.remove(commits[0])  # force checkpoint-only replay
+    assert {r.id for r in read_delta_py(spark, table_dir).collect()} == {1, 2}
+    # and a further write replays that checkpointed metaData cleanly
+    write_delta_py(
+        spark.createDataFrame([(3, 3.0)], "id long, v double"),
+        table_dir, mode="append", checkpoint_interval=0,
+    )
+    assert read_delta_py(spark, table_dir).count() == 3

@@ -1132,3 +1132,56 @@ def test_insert_into_table_function_url(spark):
         assert sorted(r["n"] for r in rows) == list(range(10))
     finally:
         srv.shutdown()
+
+
+def test_insert_into_table_function_positional_columns(spark, tmp_path):
+    """The column list maps POSITIONALLY onto the SELECT output (CH
+    semantics — names need not match) in both query lanes; a length
+    mismatch fails loudly."""
+    import chdb_spark.session as chs
+    from chdb_spark.stateful import Session
+
+    p = str(tmp_path / "pos")
+    chs.query(spark, f"INSERT INTO TABLE FUNCTION file('{p}', Parquet) (a, b) "
+                     "SELECT 1 AS x, 2 AS y")
+    chs.query(spark, f"INSERT INTO TABLE FUNCTION file('{p}', Parquet) (a, b) "
+                     "VALUES (3, 4)")
+    out = spark.read.parquet(p)
+    assert sorted(out.columns) == ["a", "b"]
+    assert sorted((r.a, r.b) for r in out.collect()) == [(1, 2), (3, 4)]
+
+    with pytest.raises(ValueError, match="column list"):
+        chs.query(spark, f"INSERT INTO TABLE FUNCTION file('{p}', Parquet) "
+                         "(a, b, c) SELECT 1 AS x, 2 AS y")
+
+    s = Session()
+    try:
+        p2 = str(tmp_path / "pos2")
+        s.query(f"INSERT INTO TABLE FUNCTION file('{p2}', Parquet) (m) "
+                "SELECT number AS whatever FROM numbers(3)")
+        assert spark.read.parquet(p2).columns == ["m"]
+    finally:
+        s.close()
+
+
+def test_insert_into_table_function_remote_dotted_form(spark):
+    """remote(host, 'db.table', user[, pw]) resolves by the dot in the
+    SECOND argument, not by arg count (r9 review finding: the 3-arg
+    dotted form misparsed as database='db.t', table=user)."""
+    from chdb_spark.sources.remote_ch import FakeChServer, remote
+
+    import chdb_spark.session as chs
+
+    server = FakeChServer()
+    host, httpd = server.serve()
+    try:
+        chs.query(
+            spark,
+            f"INSERT INTO TABLE FUNCTION remote('{host}', 'default.dt', "
+            "'default') SELECT number AS id FROM numbers(4)",
+        )
+        assert "default.dt" in server.tables
+        back = remote(spark, host, "default", "dt")
+        assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3]
+    finally:
+        httpd.shutdown()
