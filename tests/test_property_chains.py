@@ -795,3 +795,42 @@ def test_delta_write_schema_evolution_property(spark, steps, tmp_path_factory):
         assert out.columns == cols, f"version {v}: schema {out.columns}"
         got = sorted(tuple(r) for r in out.select(*cols).collect())
         assert got == want, f"version {v}: {got} != {want}"
+
+
+@given(
+    fmt=st.sampled_from(["Parquet", "CSVWithNames", "JSONEachRow", "ORC"]),
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-10**9, max_value=10**9),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("L", "Nd"), max_codepoint=0x2FF
+                ),
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_insert_table_function_roundtrip_property(spark, fmt, rows, tmp_path_factory):
+    """INSERT INTO TABLE FUNCTION file(..., <fmt>) followed by a read
+    through the same table function round-trips arbitrary (int, text)
+    rows for every writable text/binary format."""
+    import chdb_spark.session as chs
+
+    p = str(tmp_path_factory.mktemp("itf") / "t")
+    df = spark.createDataFrame(rows, "k long, s string")
+    df.createOrReplaceTempView("itf_src")
+    chs.query(
+        spark,
+        f"INSERT INTO TABLE FUNCTION file('{p}', {fmt}) "
+        "SELECT k, s FROM itf_src",
+    )
+    back = chs.query(spark, f"SELECT k, s FROM file('{p}', {fmt})")
+    got = sorted((r.k, r.s or "") for r in back.collect())
+    want = sorted((k, s) for k, s in rows)
+    assert got == want, f"{fmt}: {got} != {want}"
