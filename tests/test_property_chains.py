@@ -834,3 +834,46 @@ def test_insert_table_function_roundtrip_property(spark, fmt, rows, tmp_path_fac
     got = sorted((r.k, r.s or "") for r in back.collect())
     want = sorted((k, s) for k, s in rows)
     assert got == want, f"{fmt}: {got} != {want}"
+
+
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["overwrite", "append"]),
+            st.lists(
+                st.integers(min_value=0, max_value=99),
+                min_size=1, max_size=4, unique=True,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_iceberg_write_read_property(spark, steps, tmp_path_factory):
+    """For ANY overwrite/append commit sequence, every snapshot of the
+    jar-free Iceberg writer reads back (by snapshot-id time travel)
+    exactly the state an in-memory replay predicts — appends carry
+    prior manifests forward, overwrites reset the file set."""
+    from chdb_spark.sources.iceberg_py import (
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path_factory.mktemp("iprop") / "t")
+    expected: list[list[int]] = []
+    state: list[int] = []
+    sids: list[int] = []
+    for mode, ids in steps:
+        df = spark.createDataFrame([(i,) for i in ids], "id long")
+        sids.append(write_iceberg_py(df, path, mode=mode))
+        state = sorted(ids) if mode == "overwrite" else sorted(state + ids)
+        expected.append(list(state))
+    assert iceberg_snapshot_ids(path) == sids
+    for sid, want in zip(sids, expected):
+        got = sorted(
+            r.id for r in read_iceberg_py(spark, path, snapshot_id=sid).collect()
+        )
+        assert got == want, f"snapshot {sid}: {got} != {want}"
