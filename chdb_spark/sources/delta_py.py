@@ -148,12 +148,51 @@ def _replay(path: str, version: int | None):
         start = cp_version + 1
     else:
         start = min(commits)
+        if start > 0:
+            # log cleanup removed commits 0..start-1 and no CLASSIC
+            # checkpoint covers them — replaying the surviving suffix
+            # would silently return a partial file set, so refuse
+            hint = (
+                " — a multi-part checkpoint exists but is not supported "
+                "by the pure-Python replay; add the delta-spark jars or "
+                "set delta.checkpoint.partSize to produce classic "
+                "single-file checkpoints"
+                if any(
+                    ".checkpoint." in n
+                    and not n.endswith(".checkpoint.parquet")
+                    for n in os.listdir(log_dir)
+                )
+                else ""
+            )
+            raise ValueError(
+                f"_delta_log starts at commit {start} with no usable "
+                f"checkpoint at or below it (earlier commits were "
+                f"cleaned up); replaying the suffix would silently drop "
+                f"pre-cleanup files{hint}"
+            )
     for v in range(start, v_target + 1):
         if v not in commits:
             if v in checkpoints:
                 continue  # checkpoint-only version
+            hint = ""
+            if any(
+                ".checkpoint." in n and not n.endswith(".checkpoint.parquet")
+                for n in os.listdir(log_dir)
+            ):
+                # delta-spark's log cleanup deletes commits older than its
+                # newest checkpoint; a MULTI-PART checkpoint
+                # (N.checkpoint.<part>.<of>.parquet) is not replayed by
+                # this client, so name the real cause instead of a
+                # generic broken-chain error
+                hint = (
+                    " — a multi-part checkpoint exists but is not "
+                    "supported by the pure-Python replay; add the "
+                    "delta-spark jars or set "
+                    "delta.checkpoint.partSize to produce classic "
+                    "single-file checkpoints"
+                )
             raise ValueError(
-                f"_delta_log is missing commit {v} (broken log chain)"
+                f"_delta_log is missing commit {v} (broken log chain){hint}"
             )
         with open(commits[v]) as f:
             for line in f:

@@ -511,3 +511,35 @@ def test_delta_checkpoint_replay_preserves_configuration_maps(spark, tmp_path):
         table_dir, mode="append", checkpoint_interval=0,
     )
     assert read_delta_py(spark, table_dir).count() == 3
+
+
+def test_delta_multipart_checkpoint_named_in_error(spark, tmp_path):
+    """Multi-part checkpoints aren't replayed; when the log chain is
+    broken because delta-spark's cleanup removed pre-checkpoint commits,
+    the error names the multi-part checkpoint instead of a generic
+    broken-chain message."""
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    table_dir, log_dir = _mk_table(tmp_path, name="mp")
+    f1 = _data_file(table_dir, "part-0001.parquet", [1], [1.0])
+    # commit 0 was cleaned up; only commit 1 + a 2-part checkpoint remain.
+    # Replaying the suffix would silently drop pre-cleanup files — refuse.
+    _commit(log_dir, 1, [_protocol(), _meta(), _add(f1)])
+    for part in (1, 2):
+        with open(
+            os.path.join(
+                log_dir,
+                f"{1:020d}.checkpoint.{part:010d}.{2:010d}.parquet",
+            ),
+            "wb",
+        ):
+            pass
+    with pytest.raises(ValueError, match="multi-part checkpoint"):
+        read_delta_py(spark, table_dir)
+    # same cleanup WITHOUT any checkpoint file: still refuses (suffix
+    # replay is never safe), with the generic cleaned-up message
+    table2, log2 = _mk_table(tmp_path, name="mp2")
+    f2 = _data_file(table2, "part-0001.parquet", [2], [2.0])
+    _commit(log2, 3, [_protocol(), _meta(), _add(f2)])
+    with pytest.raises(ValueError, match="cleaned up"):
+        read_delta_py(spark, table2)
