@@ -1740,13 +1740,15 @@ def resolve_table_functions(spark, sql: str, namespace: dict | None = None) -> s
             # the server's HTTP(S) port (8123/8443), not native 9000.
             from chdb_spark.sources.remote_ch import remote as _remote
 
+            lit_r = [_tf_literal(a) or a.strip().strip("'\"") for a in args]
+            database, tbl, user, password = _parse_remote_args(lit_r)
             _remote(
                 spark,
-                _tf_literal(args[0]) or "",
-                database=(_tf_literal(args[1]) or "default") if len(args) > 1 else "default",
-                table=(_tf_literal(args[2]) or "") if len(args) > 2 else "",
-                user=(_tf_literal(args[3]) or "default") if len(args) > 3 else "default",
-                password=(_tf_literal(args[4]) or "") if len(args) > 4 else "",
+                lit_r[0] if lit_r else "",
+                database=database,
+                table=tbl,
+                user=user,
+                password=password,
                 secure=name.lower() == "remotesecure",
             ).createOrReplaceTempView(view)
         elif name.lower() in ("mysql", "postgresql"):
@@ -1998,6 +2000,31 @@ def parse_insert_table_function(sql: str):
     return name, args, cols, rest
 
 
+def _parse_remote_args(lit: list[str]) -> tuple[str, str, str, str]:
+    """(database, table, user, password) from remote()/remoteSecure()
+    args AFTER the host. CH resolves the dotted form by the SECOND
+    argument's shape, not the arg count: remote(host, 'db.table'[,
+    user[, pw]]) vs remote(host, db, table[, user[, pw]]) — database
+    names cannot contain dots. Shared by the read lane
+    (resolve_table_functions) and the write lane (write_table_function)
+    so both accept the same shapes."""
+    if len(lit) < 2:
+        return "default", "", "default", ""
+    if "." in lit[1]:
+        database, _, table = lit[1].rpartition(".")
+        database = database or "default"
+        tail = lit[2:]
+    elif len(lit) > 2:
+        database, table = lit[1], lit[2]
+        tail = lit[3:]
+    else:
+        database, table = "default", lit[1]
+        tail = lit[2:]
+    user = tail[0] if tail else "default"
+    password = tail[1] if len(tail) > 1 else ""
+    return database, table, user, password
+
+
 def write_table_function(spark, name: str, args: list[str], df,
                          http_factory=None) -> None:
     """Dispatch a DataFrame write to a table-function target — the write
@@ -2024,23 +2051,14 @@ def write_table_function(spark, name: str, args: list[str], df,
     elif kind in ("remote", "remotesecure"):
         from chdb_spark.sources.remote_ch import to_clickhouse
 
-        host = lit[0]
-        # CH resolves the dotted form by the SECOND argument's shape, not
-        # the arg count: remote(host, 'db.table'[, user[, pw]]) vs
-        # remote(host, db, table[, user[, pw]]) (database names cannot
-        # contain dots)
-        if "." in lit[1]:
-            database, _, table = lit[1].rpartition(".")
-            database = database or "default"
-            tail = lit[2:]
-        elif len(lit) > 2:
-            database, table = lit[1], lit[2]
-            tail = lit[3:]
-        else:
-            database, table = "default", lit[1]
-            tail = lit[2:]
-        user = tail[0] if tail else "default"
-        password = tail[1] if len(tail) > 1 else ""
+        host = lit[0] if lit else ""
+        database, table, user, password = _parse_remote_args(lit)
+        if not host or not table:
+            raise ValueError(
+                "remote(): host and table are required — "
+                "remote('host:port', 'db', 'table'[, user[, password]]) "
+                "or remote('host:port', 'db.table'[, user[, password]])"
+            )
         to_clickhouse(
             df, host, database, table, user=user, password=password,
             secure=(kind == "remotesecure"), if_exists="append",

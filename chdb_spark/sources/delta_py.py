@@ -50,6 +50,33 @@ from pyspark.sql import types as T
 _SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "columnMapping"}
 
 
+def _checkpoint_gap_hint(log_dir: str) -> str:
+    """Name the real cause when replay refuses a gapped/cleaned log:
+    checkpoint files exist that this client does not replay — multi-part
+    classic checkpoints (N.checkpoint.<part>.<of>.parquet) or UUID-named
+    v2 checkpoints (N.checkpoint.<uuid>.parquet). Both need delta-spark
+    jars; classic single-file checkpoints read fine."""
+    import re as _re
+
+    names = [n for n in os.listdir(log_dir)
+             if ".checkpoint." in n and not n.endswith(".checkpoint.parquet")]
+    if not names:
+        return ""
+    multipart = any(
+        _re.search(r"\.checkpoint\.\d{10}\.\d{10}\.parquet$", n)
+        for n in names
+    )
+    kind = (
+        "a multi-part checkpoint" if multipart
+        else "a v2 UUID-named checkpoint"
+    )
+    return (
+        f" — {kind} exists but is not replayed by the pure-Python "
+        "client; add the delta-spark jars (classic single-file "
+        "checkpoints ARE supported)"
+    )
+
+
 def _log_dir(path: str) -> str:
     d = os.path.join(path, "_delta_log")
     if not os.path.isdir(d):
@@ -152,47 +179,19 @@ def _replay(path: str, version: int | None):
             # log cleanup removed commits 0..start-1 and no CLASSIC
             # checkpoint covers them — replaying the surviving suffix
             # would silently return a partial file set, so refuse
-            hint = (
-                " — a multi-part checkpoint exists but is not supported "
-                "by the pure-Python replay; add the delta-spark jars or "
-                "set delta.checkpoint.partSize to produce classic "
-                "single-file checkpoints"
-                if any(
-                    ".checkpoint." in n
-                    and not n.endswith(".checkpoint.parquet")
-                    for n in os.listdir(log_dir)
-                )
-                else ""
-            )
             raise ValueError(
                 f"_delta_log starts at commit {start} with no usable "
                 f"checkpoint at or below it (earlier commits were "
                 f"cleaned up); replaying the suffix would silently drop "
-                f"pre-cleanup files{hint}"
+                f"pre-cleanup files{_checkpoint_gap_hint(log_dir)}"
             )
     for v in range(start, v_target + 1):
         if v not in commits:
             if v in checkpoints:
                 continue  # checkpoint-only version
-            hint = ""
-            if any(
-                ".checkpoint." in n and not n.endswith(".checkpoint.parquet")
-                for n in os.listdir(log_dir)
-            ):
-                # delta-spark's log cleanup deletes commits older than its
-                # newest checkpoint; a MULTI-PART checkpoint
-                # (N.checkpoint.<part>.<of>.parquet) is not replayed by
-                # this client, so name the real cause instead of a
-                # generic broken-chain error
-                hint = (
-                    " — a multi-part checkpoint exists but is not "
-                    "supported by the pure-Python replay; add the "
-                    "delta-spark jars or set "
-                    "delta.checkpoint.partSize to produce classic "
-                    "single-file checkpoints"
-                )
             raise ValueError(
-                f"_delta_log is missing commit {v} (broken log chain){hint}"
+                f"_delta_log is missing commit {v} (broken log "
+                f"chain){_checkpoint_gap_hint(log_dir)}"
             )
         with open(commits[v]) as f:
             for line in f:
@@ -272,6 +271,7 @@ def read_delta_py(
                 phys_of[f.name],
                 _physical_type(f.dataType) if mapped else f.dataType,
                 f.nullable,
+                f.metadata,  # preserve column comments etc. on the scan
             )
             for f in data_fields
         ]

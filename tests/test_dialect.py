@@ -1185,3 +1185,34 @@ def test_insert_into_table_function_remote_dotted_form(spark):
         assert sorted(r.id for r in back.collect()) == [0, 1, 2, 3]
     finally:
         httpd.shutdown()
+
+
+def test_remote_read_lane_accepts_dotted_form(spark):
+    """remote(host, 'db.table', user) reads the right table — the read
+    lane shares _parse_remote_args with the write lane (r9 review
+    finding: strictly positional parsing read table 'user' in db
+    'db.t')."""
+    import chdb_spark.session as chs
+    from chdb_spark.sources.remote_ch import FakeChServer, to_clickhouse
+
+    server = FakeChServer()
+    host, httpd = server.serve()
+    try:
+        to_clickhouse(
+            spark.range(3).selectExpr("id"), host, "default", "rr",
+            if_exists="replace",
+        )
+        out = chs.query(
+            spark,
+            f"SELECT count(*) AS c FROM remote('{host}', 'default.rr', "
+            "'default')",
+            "CSV",
+        )
+        assert out.strip() == "3"
+    finally:
+        httpd.shutdown()
+
+    # write lane: missing table fails loudly instead of IndexError
+    with pytest.raises(ValueError, match="host and table"):
+        chs.query(spark, f"INSERT INTO TABLE FUNCTION remote('{host}') "
+                         "SELECT 1 AS x")
