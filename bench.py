@@ -29,6 +29,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def should_snapshot_round(sf_dir_env: str | None, load_1m: float | None) -> bool:
+    """Whether this run may write the round's BENCH_full_r{N}.json.
+
+    False when (a) the run targets a non-default sf dir (a quick sf0.01 dev
+    drive must not clobber the round's sf0.1 artifact — happened r8), or
+    (b) the host was loaded at start (load_1m > 2): r9's driver run at load
+    7.15 inflated every query ~29% and minted 12 phantom outliers
+    (BASELINE.md §J). BENCH_full.json is still written either way.
+    """
+    if sf_dir_env not in (None, "/root/testdata/sf0.1"):
+        return False
+    if load_1m is not None and load_1m > 2.0:
+        return False
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -85,10 +101,11 @@ def main() -> None:
     # Snapshot ONLY the driver-shaped run (default sf dir): a quick
     # sf0.01 dev drive must not clobber the round's sf0.1 artifact
     # (happened in r8 — restored from git).
-    snapshot_round = os.environ.get("SPARK_GRAFT_SF_DIR") in (
-        None,
-        "/root/testdata/sf0.1",
+    snapshot_round = should_snapshot_round(
+        os.environ.get("SPARK_GRAFT_SF_DIR"), load_1m
     )
+    if not snapshot_round and load_1m is not None and load_1m > 2.0:
+        full["snapshot_skipped_loaded_host"] = True
     import glob as _glob
 
     rounds = [

@@ -1,0 +1,35 @@
+"""bench.py round-snapshot guard (VERDICT r9 #5): a loaded-host or
+off-default-sf run must never clobber the round's BENCH_full_r{N}.json."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import should_snapshot_round
+
+
+def test_settled_default_run_snapshots():
+    assert should_snapshot_round(None, 0.08)
+    assert should_snapshot_round("/root/testdata/sf0.1", 1.5)
+
+
+def test_loaded_host_refuses_snapshot():
+    # r9 driver run started at load 7.15: uniform ~29% inflation, 12
+    # phantom outliers. Threshold is 2.0.
+    assert not should_snapshot_round(None, 7.15)
+    assert not should_snapshot_round("/root/testdata/sf0.1", 2.01)
+    # boundary: exactly 2.0 is allowed (guard is strict >)
+    assert should_snapshot_round(None, 2.0)
+
+
+def test_unknown_load_is_permissive():
+    # os.getloadavg unavailable (non-POSIX): don't block the artifact.
+    assert should_snapshot_round(None, None)
+
+
+def test_dev_sf_dir_refuses_snapshot():
+    # r8 lesson: a quick sf0.01 drive clobbered the round's sf0.1 map.
+    assert not should_snapshot_round("/root/testdata/sf0.01", 0.1)
