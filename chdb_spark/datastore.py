@@ -1457,6 +1457,14 @@ class _InsertBuilder:
 
             write_iceberg_py(df, path, mode="append")
             return
+        if kind == "url":
+            # Parity with the SQL lane's INSERT INTO FUNCTION url(...)
+            # (ADVICE r9: the two INSERT surfaces disagreed on what is
+            # writable) — per-partition HTTP POSTs, no driver funnel.
+            from chdb_spark.sources.uri import write_url
+
+            write_url(df, path, self._target.get("format") or "CSVWithNames")
+            return
         if kind != "file":
             raise NotImplementedError(
                 f"insert_into target kind {kind!r}: writable targets are "

@@ -1622,10 +1622,14 @@ _TF_RE = re.compile(
 #: CH format name (lowercase) → Spark reader format + options
 _TF_FORMATS = {
     "parquet": ("parquet", {}),
-    "csv": ("csv", {"inferSchema": "true"}),
+    # CH's CSV/TSV/TabSeparated are HEADERLESS; only *WithNames carry a
+    # header row. header is explicit both ways because read_auto and
+    # write_auto default csv header to 'true' (ADVICE r9: file(...,'CSV')
+    # wrote a header CH would ingest as a data row).
+    "csv": ("csv", {"header": "false", "inferSchema": "true"}),
     "csvwithnames": ("csv", {"header": "true", "inferSchema": "true"}),
-    "tsv": ("csv", {"sep": "\t", "inferSchema": "true"}),
-    "tabseparated": ("csv", {"sep": "\t", "inferSchema": "true"}),
+    "tsv": ("csv", {"sep": "\t", "header": "false", "inferSchema": "true"}),
+    "tabseparated": ("csv", {"sep": "\t", "header": "false", "inferSchema": "true"}),
     "tsvwithnames": ("csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
     "tabseparatedwithnames": ("csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
     "json": ("json", {}),
@@ -2011,7 +2015,16 @@ def _parse_remote_args(lit: list[str]) -> tuple[str, str, str, str]:
     if len(lit) < 2:
         return "default", "", "default", ""
     if "." in lit[1]:
-        database, _, table = lit[1].rpartition(".")
+        # Split on the FIRST dot: CH qualified names are exactly
+        # db.table, and multi-dot identifiers are a parse error there —
+        # rpartition would silently mis-split 'a.b.c' into db='a.b'
+        # (ADVICE r9).
+        if lit[1].count(".") > 1:
+            raise ValueError(
+                f"remote(): invalid qualified name {lit[1]!r} — "
+                "expected 'database.table' (one dot)"
+            )
+        database, _, table = lit[1].partition(".")
         database = database or "default"
         tail = lit[2:]
     elif len(lit) > 2:

@@ -879,7 +879,11 @@ def ic1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         sids = iceberg_snapshot_ids(path)
-        assert len(sids) == 3
+        # NOT a bare assert: under python -O asserts are stripped and a
+        # partially-built scratch table (1-2 snapshots) would be reused
+        # instead of rebuilt (ADVICE r9).
+        if len(sids) != 3:
+            raise ValueError(f"stale scratch table: {len(sids)} snapshots")
     except Exception:
         sids = _build()
 
@@ -1113,6 +1117,100 @@ def hu1(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(path, f"fgB_0-0-0_{t3}.parquet"),
         )
         with open(os.path.join(hoodie, f"{t1}.commit"), "w") as f:
+            f.write("{}")
+        with open(os.path.join(hoodie, f"{t3}.inflight"), "w") as f:
+            f.write("")
+        with open(marker, "w") as f:
+            f.write("{}")
+
+    if not os.path.isfile(marker):
+        _build()
+    return read_hudi_py(spark, path, drop_meta=True).agg(
+        F.count("*").alias("n_rows"), F.sum("n").cast("long").alias("chars")
+    )
+
+
+@defquery(
+    "hu2_hudi_mor",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 2 * length(text)
+                         ELSE length(text) END) AS BIGINT) AS chars
+    FROM documents
+    """,
+    doc="Hudi MERGE-ON-READ snapshot read WITHOUT the hudi-spark bundle "
+        "(reference table_functions.py:956; HoodieLogFormat spec): the "
+        "fixture writes a base file at deltacommit t1, a log file whose "
+        "PARQUET_DATA_BLOCK at committed t2 doubles n for doc_id%3==0, "
+        "and a second block at t3 that never completes (must stay "
+        "invisible). read_hudi_py merges base+log per _hoodie_record_key "
+        "— executor-side block parsing, one key shuffle "
+        "(sources/hudi_py.py _read_mor). Oracle computes the merged "
+        "state straight from the parquet source.",
+)
+def hu2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.hudi_py import (
+        _BLOCK_PARQUET_DATA,
+        _HDR_INSTANT_TIME,
+        append_log_block,
+        read_hudi_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("_hoodie_record_key"),
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+    )
+    path = scratch_dir("hudi_hu2", sf_dir)
+    hoodie = os.path.join(path, ".hoodie")
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    file_id = "fgM"
+    marker = os.path.join(hoodie, f"{t2}.deltacommit")
+
+    def _one_file(df: DataFrame, dest: str) -> str:
+        import glob
+        import shutil
+
+        stage = dest + "_stage"
+        shutil.rmtree(stage, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(part, dest)
+        shutil.rmtree(stage, ignore_errors=True)
+        return dest
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(hoodie, exist_ok=True)
+        with open(os.path.join(hoodie, "hoodie.properties"), "w") as f:
+            f.write("hoodie.table.name=hu2\n")
+            f.write("hoodie.table.type=MERGE_ON_READ\n")
+        _one_file(docs, os.path.join(path, f"{file_id}_0-0-0_{t1}.parquet"))
+        # log payloads: complete parquet byte streams (spec: the
+        # PARQUET_DATA_BLOCK content IS a parquet file)
+        upd = _one_file(
+            docs.filter(F.col("doc_id") % 3 == 0)
+                .withColumn("n", F.col("n") * 2),
+            os.path.join(path, "_stage_upd.parquet"),
+        )
+        junk = _one_file(
+            docs.limit(5).withColumn("n", F.lit(-1).cast("long")),
+            os.path.join(path, "_stage_junk.parquet"),
+        )
+        log = os.path.join(path, f".{file_id}_{t1}.log.1_0-0-0")
+        for src, instant in ((upd, t2), (junk, t3)):
+            with open(src, "rb") as f:
+                content = f.read()
+            append_log_block(
+                log, _BLOCK_PARQUET_DATA, {_HDR_INSTANT_TIME: instant}, content
+            )
+            os.remove(src)
+        with open(os.path.join(hoodie, f"{t1}.deltacommit"), "w") as f:
             f.write("{}")
         with open(os.path.join(hoodie, f"{t3}.inflight"), "w") as f:
             f.write("")

@@ -16,13 +16,29 @@ file groups: their JSON metadata's ``partitionToReplaceFileIds`` map
 names the replaced groups, which this reader excludes exactly as the
 spec describes.
 
-Honesty guards: Merge-on-Read tables (``.log.`` delta files present, or
-``hoodie.table.type=MERGE_ON_READ`` in hoodie.properties) raise — a
-base-file-only read of a MoR table silently drops updates. Unknown
+Merge-on-Read snapshot reads (round 10) merge log-file delta blocks
+onto the base files per file slice. The log container format is the
+public HoodieLogFormat spec (hudi.apache.org/tech-specs — "Log File
+Format"; Apache Hudi ``HoodieLogFormatWriter`` / ``HoodieLogFileReader``):
+per block ``#HUDI#`` magic, block length, version, type ordinal,
+header map, content length, content, footer map, trailing total-length
+pointer. Supported block types: PARQUET_DATA_BLOCK (content is a
+complete parquet byte stream — parsed executor-side with pyarrow) and
+COMMAND_BLOCK rollbacks; AVRO/HFILE/CDC data blocks and DELETE blocks
+refuse loudly (their payloads are Avro-serialized and need the bundle).
+Merge semantics: newest write per ``_hoodie_record_key`` wins, ordered
+base-then-log-blocks-in-append-order — realized as ONE distributed
+window over the record key, not a driver loop; log payload parsing runs
+in executors via mapInPandas over the (metadata-sized) log path list.
+
+Honesty guards: MoR tables whose log files carry unsupported block
+types raise; log-only file slices (no base file) raise — the reader
+needs the base parquet schema to type the merged scan. Unknown
 timeline actions are ignored only when they cannot affect base-file
 visibility (clean/rollback markers are metadata-only for CoW reads...
 rollback REMOVES files physically, so post-rollback file listings are
-already correct).
+already correct). Blocks whose instant is not a COMPLETED timeline
+instant are invisible, exactly like uncommitted base files.
 
 Hudi base files CONTAIN every column (including partition columns and
 the ``_hoodie_*`` meta fields), so the read is a plain distributed
@@ -45,11 +61,39 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: completed timeline instants: "<ts>.commit", "<ts>.replacecommit",
-#: and the 1.x completion-time form "<ts>_<completion>.commit"
-_COMPLETED_RE = re.compile(r"^(\d+)(?:_\d+)?\.(commit|replacecommit)$")
+#: completed timeline instants: "<ts>.commit", "<ts>.deltacommit" (MoR),
+#: "<ts>.replacecommit", and the 1.x completion-time form "<ts>_<c>.commit"
+_COMPLETED_RE = re.compile(
+    r"^(\d+)(?:_\d+)?\.(commit|deltacommit|replacecommit)$"
+)
 #: base file: <fileId>_<writeToken>_<instantTime>[.<extra>].parquet
 _BASE_FILE_RE = re.compile(r"^(.+?)_([0-9-]+)_(\d+)[^/]*\.parquet$")
+#: log file: .<fileId>_<baseInstant>.log.<version>[_<writeToken>]
+_LOG_FILE_RE = re.compile(r"^\.(.+?)_(\d+)\.log\.(\d+)(?:_(.+))?$")
+
+#: HoodieLogFormat constants (hudi tech-specs "Log File Format";
+#: HoodieLogBlock.HoodieLogBlockType / HeaderMetadataType enum ordinals)
+_LOG_MAGIC = b"#HUDI#"
+_BLOCK_COMMAND = 0
+_BLOCK_DELETE = 1
+_BLOCK_CORRUPT = 2
+_BLOCK_AVRO_DATA = 3
+_BLOCK_HFILE_DATA = 4
+_BLOCK_PARQUET_DATA = 5
+_BLOCK_CDC_DATA = 6
+_HDR_INSTANT_TIME = 0
+_HDR_TARGET_INSTANT_TIME = 1
+_HDR_SCHEMA = 2
+_HDR_COMMAND_BLOCK_TYPE = 3
+_BLOCK_NAMES = {
+    _BLOCK_COMMAND: "COMMAND_BLOCK",
+    _BLOCK_DELETE: "DELETE_BLOCK",
+    _BLOCK_CORRUPT: "CORRUPT_BLOCK",
+    _BLOCK_AVRO_DATA: "AVRO_DATA_BLOCK",
+    _BLOCK_HFILE_DATA: "HFILE_DATA_BLOCK",
+    _BLOCK_PARQUET_DATA: "PARQUET_DATA_BLOCK",
+    _BLOCK_CDC_DATA: "CDC_DATA_BLOCK",
+}
 
 
 def _hoodie_dir(path: str) -> str:
@@ -104,26 +148,284 @@ def _replaced_file_ids(replace_metas: list[str]) -> dict[str, set[str]]:
     return out
 
 
+# -- HoodieLogFormat binary container ---------------------------------------
+# The byte layout below is the published spec (hudi.apache.org/tech-specs
+# "Log File Format"; HoodieLogFormatWriter.appendBlocks writes exactly this
+# sequence). Java DataOutputStream semantics: big-endian ints/longs.
+
+
+def _log_metadata_bytes(headers: dict[int, str]) -> bytes:
+    """Header/footer map encoding (HoodieLogBlock.getLogMetadataBytes):
+    int count, then per entry int ordinal / int value-length / UTF-8."""
+    import struct
+
+    out = [struct.pack(">i", len(headers))]
+    for ordinal, value in headers.items():
+        vb = value.encode("utf-8")
+        out.append(struct.pack(">ii", ordinal, len(vb)))
+        out.append(vb)
+    return b"".join(out)
+
+
+def _parse_log_metadata(buf: bytes, off: int) -> tuple[dict[int, str], int]:
+    import struct
+
+    (count,) = struct.unpack_from(">i", buf, off)
+    off += 4
+    out: dict[int, str] = {}
+    for _ in range(count):
+        ordinal, vlen = struct.unpack_from(">ii", buf, off)
+        off += 8
+        out[ordinal] = buf[off : off + vlen].decode("utf-8")
+        off += vlen
+    return out, off
+
+
+def append_log_block(
+    log_path: str, block_type: int, headers: dict[int, str], content: bytes
+) -> None:
+    """Append ONE spec-shaped log block to ``log_path`` (creating it).
+    This is the write half of the container format — used by the MoR
+    fixtures and tests; payload encoding is the caller's (parquet bytes
+    for PARQUET_DATA_BLOCK, empty for COMMAND_BLOCK)."""
+    import struct
+
+    hdr = _log_metadata_bytes(headers)
+    ftr = _log_metadata_bytes({})
+    # block length (excluding magic and itself): version + type + headers
+    # + content-length long + content + footers + trailing total long
+    block_len = 4 + 4 + len(hdr) + 8 + len(content) + len(ftr) + 8
+    total_len = len(_LOG_MAGIC) + 8 + block_len
+    with open(log_path, "ab") as f:
+        f.write(_LOG_MAGIC)
+        f.write(struct.pack(">q", block_len))
+        f.write(struct.pack(">ii", 1, block_type))  # format version 1
+        f.write(hdr)
+        f.write(struct.pack(">q", len(content)))
+        f.write(content)
+        f.write(ftr)
+        f.write(struct.pack(">q", total_len))
+
+
+def parse_log_file(
+    data: bytes, completed: set[str] | None = None
+) -> list[tuple[str, int, dict[int, str], bytes]]:
+    """Parse a log file's blocks → [(instant, type, headers, content)].
+
+    Applies the two visibility rules a snapshot reader owes the spec:
+    blocks whose INSTANT_TIME is not in ``completed`` are dropped
+    (uncommitted append), and a COMMAND_BLOCK rollback drops previously
+    parsed blocks whose instant equals its TARGET_INSTANT_TIME.
+    Unsupported block payloads raise — loud, never a silent drop."""
+    import struct
+
+    blocks: list[tuple[str, int, dict[int, str], bytes]] = []
+    off = 0
+    n = len(data)
+    while off < n:
+        if data[off : off + len(_LOG_MAGIC)] != _LOG_MAGIC:
+            raise ValueError(
+                f"hudi log: bad magic at offset {off} (corrupt block?)"
+            )
+        off += len(_LOG_MAGIC)
+        (block_len,) = struct.unpack_from(">q", data, off)
+        off += 8
+        body_end = off + block_len
+        if body_end > n:
+            raise ValueError("hudi log: truncated block")
+        version, btype = struct.unpack_from(">ii", data, off)
+        off += 8
+        headers, off = _parse_log_metadata(data, off)
+        (content_len,) = struct.unpack_from(">q", data, off)
+        off += 8
+        content = data[off : off + content_len]
+        off += content_len
+        _footers, off = _parse_log_metadata(data, off)
+        off = body_end  # skip the trailing total-length pointer
+        instant = headers.get(_HDR_INSTANT_TIME, "")
+        if btype == _BLOCK_COMMAND:
+            # rollback: invalidate earlier blocks of the target instant
+            target = headers.get(_HDR_TARGET_INSTANT_TIME, "")
+            blocks = [b for b in blocks if b[0] != target]
+            continue
+        if btype == _BLOCK_CORRUPT:
+            continue
+        if btype in (_BLOCK_DELETE, _BLOCK_AVRO_DATA, _BLOCK_HFILE_DATA,
+                     _BLOCK_CDC_DATA):
+            raise NotImplementedError(
+                f"hudi log block type {_BLOCK_NAMES[btype]}: payload is "
+                "Avro/HFile-serialized — needs the hudi-spark bundle"
+            )
+        if btype != _BLOCK_PARQUET_DATA:
+            raise ValueError(f"hudi log: unknown block type ordinal {btype}")
+        if completed is not None and instant not in completed:
+            continue  # uncommitted delta — invisible
+        blocks.append((instant, btype, headers, content))
+    return blocks
+
+
+def _read_mor(
+    spark: SparkSession,
+    path: str,
+    completed: set[str],
+    replaced: dict[str, set[str]],
+    drop_meta: bool,
+) -> DataFrame:
+    """Merge-on-Read snapshot: per file slice, newest committed base file
+    + its log blocks; newest record version per ``_hoodie_record_key``
+    wins. Driver work is metadata-sized (timeline + file listing); log
+    payloads are parsed in EXECUTORS (mapInPandas over the path list) and
+    the merge is one hash shuffle on the record key — the same split a
+    1000-executor MoR scan needs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bases: dict[tuple[str, str], tuple[str, str]] = {}
+    logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        rel = os.path.relpath(root, path)
+        rel = "" if rel == "." else rel.replace(os.sep, "/")
+        for name in files:
+            lm = _LOG_FILE_RE.match(name)
+            if lm:
+                file_id, base_instant, ver = lm.group(1), lm.group(2), lm.group(3)
+                logs.setdefault((rel, file_id), []).append(
+                    (base_instant, int(ver), os.path.join(root, name))
+                )
+                continue
+            m = _BASE_FILE_RE.match(name)
+            if not m:
+                continue
+            file_id, _token, instant = m.groups()
+            if instant not in completed:
+                continue
+            if file_id in replaced.get(rel, set()):
+                continue
+            key = (rel, file_id)
+            if key not in bases or instant > bases[key][0]:
+                bases[key] = (instant, os.path.join(root, name))
+
+    log_only = sorted(set(logs) - set(bases))
+    if log_only:
+        raise NotImplementedError(
+            f"hudi MoR: log-only file slices (no committed base file) "
+            f"need the hudi-spark bundle: {log_only[:3]}"
+        )
+    if not bases:
+        raise FileNotFoundError(f"no committed Hudi base files under {path}")
+    base_files = sorted(p for _i, p in bases.values())
+    base_df = spark.read.parquet(*base_files)
+
+    # log files belong to the CURRENT slice only: baseInstant must equal
+    # the chosen base file's instant (older slices' logs are compacted
+    # away by definition of the slice)
+    slice_logs: list[tuple[int, str]] = []  # (file ordinal, path)
+    ordn = 0
+    for key, lst in sorted(logs.items()):
+        base_instant = bases[key][0]
+        for b_inst, _ver, p in sorted(lst):
+            if b_inst == base_instant:
+                ordn += 1
+                slice_logs.append((ordn, p))
+    if not slice_logs:
+        out = base_df  # fully compacted table — plain base scan
+        if drop_meta:
+            out = out.drop(*[c for c in out.columns if c.startswith("_hoodie_")])
+        return out
+
+    if "_hoodie_record_key" not in base_df.columns:
+        raise ValueError(
+            "hudi MoR merge needs the _hoodie_record_key meta column in "
+            "base files (present in every spec-conforming Hudi table)"
+        )
+
+    base_cols = base_df.columns
+    # NOT schema.add(): StructType.add mutates in place and DataFrame
+    # caches its schema object — copy the fields instead
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(base_df.schema.fields)
+        + [StructField("_hudi_log_ord", LongType())]
+    )
+    completed_b = set(completed)
+
+    def _parse_logs(iterator):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in iterator:
+            for log_ord, p in zip(pdf["ord"], pdf["path"]):
+                with open(p, "rb") as f:
+                    data = f.read()
+                for seq, (_inst, _t, _hdrs, content) in enumerate(
+                    parse_log_file(data, completed_b)
+                ):
+                    tbl = pq.read_table(io.BytesIO(content))
+                    out = tbl.to_pandas()
+                    missing = [c for c in base_cols if c not in out.columns]
+                    if missing:
+                        raise ValueError(
+                            f"hudi log block in {p} lacks table columns "
+                            f"{missing}"
+                        )
+                    out = out[base_cols]
+                    # blocks are strictly append-ordered: file ordinal is
+                    # the major key, block seq within the file the minor
+                    out["_hudi_log_ord"] = int(log_ord) * 1_000_000 + seq + 1
+                    yield out
+            # a partition with zero rows yields nothing — fine
+
+    paths_df = spark.createDataFrame(
+        [(o, p) for o, p in slice_logs], "ord long, path string"
+    ).repartition(min(len(slice_logs), 32))
+    log_df = paths_df.mapInPandas(_parse_logs, out_schema)
+
+    merged = (
+        base_df.withColumn("_hudi_log_ord", F.lit(0).cast("long"))
+        .unionByName(log_df)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_hoodie_record_key").orderBy(
+                    F.desc("_hudi_log_ord")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_hudi_log_ord")
+    )
+    if drop_meta:
+        merged = merged.drop(
+            *[c for c in merged.columns if c.startswith("_hoodie_")]
+        )
+    return merged
+
+
 def read_hudi_py(
     spark: SparkSession,
     path: str,
     drop_meta: bool = False,
     **_: Any,
 ) -> DataFrame:
-    """Snapshot-read a local Hudi Copy-on-Write table by file-slice
-    resolution (see module docstring). ``drop_meta=True`` strips the
-    five ``_hoodie_*`` meta columns."""
+    """Snapshot-read a local Hudi table: Copy-on-Write by file-slice
+    resolution, Merge-on-Read by base+log merge (see module docstring).
+    ``drop_meta=True`` strips the ``_hoodie_*`` meta columns."""
     path = os.path.abspath(path)  # Spark scans resolve against JVM cwd
     hoodie = _hoodie_dir(path)
     ttype = _table_type(hoodie)
-    if ttype.upper() != "COPY_ON_WRITE":
-        raise NotImplementedError(
-            f"hudi table type {ttype}: only COPY_ON_WRITE is supported "
-            "by the pure-Python reader (MoR log merging needs the "
-            "hudi-spark bundle)"
-        )
     completed, replace_metas = _timeline(hoodie)
     replaced = _replaced_file_ids(replace_metas)
+    if ttype.upper() == "MERGE_ON_READ":
+        return _read_mor(spark, path, completed, replaced, drop_meta)
+    if ttype.upper() != "COPY_ON_WRITE":
+        raise NotImplementedError(
+            f"hudi table type {ttype}: COPY_ON_WRITE and MERGE_ON_READ "
+            "are supported by the pure-Python reader"
+        )
 
     # file-slice selection: newest COMPLETED base file per (partition
     # dir, fileId); any .log. delta file means MoR data — refuse
@@ -134,9 +436,11 @@ def read_hudi_py(
         rel = "" if rel == "." else rel.replace(os.sep, "/")
         for name in files:
             if ".log." in name:
-                raise NotImplementedError(
-                    "hudi log (delta) files present — Merge-on-Read "
-                    "tables need the hudi-spark bundle"
+                raise ValueError(
+                    "hudi log (delta) files present in a table whose "
+                    "hoodie.properties says COPY_ON_WRITE — corrupt or "
+                    "mislabeled table (MoR tables are read via the "
+                    "MERGE_ON_READ path)"
                 )
             m = _BASE_FILE_RE.match(name)
             if not m:

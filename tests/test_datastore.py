@@ -700,6 +700,48 @@ def test_insert_into_lakehouse_targets(spark, tmp_path):
         DataStore("s3", url="s3://b/k").insert_into("id").select_from(src).execute()
 
 
+def test_insert_into_url_target(spark):
+    """url-kind targets route to write_url (ADVICE r9: the builder lane
+    rejected url while the SQL lane's INSERT INTO FUNCTION url(...)
+    accepted it — the two INSERT surfaces must agree). Per-partition
+    POSTs against a real localhost endpoint."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from chdb_spark.datastore import DataStore
+
+    chunks: list[bytes] = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with lock:
+                chunks.append(body)
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/ingest"
+        src = DataStore(spark.range(6).selectExpr("id AS n"))
+        DataStore("url", url=url, format="JSONEachRow").insert_into(
+            "n"
+        ).select_from(src).execute()
+        rows = []
+        for body in chunks:
+            rows += [_json.loads(ln) for ln in body.decode().splitlines() if ln]
+        assert sorted(r["n"] for r in rows) == list(range(6))
+    finally:
+        srv.shutdown()
+
+
 def test_insert_into_file_appends(spark, tmp_path):
     """insert_into APPENDS on file targets too (CH INSERT semantics,
     matching the SQL lane) — two batches accumulate instead of the

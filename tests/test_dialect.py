@@ -978,6 +978,38 @@ def test_group_array_state_merge(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_insert_into_function_headerless_csv(spark, tmp_path):
+    """CH's CSV/TSV/TabSeparated formats are HEADERLESS — only the
+    *WithNames variants write a header row (ADVICE r9: the header
+    default leaked through and real ClickHouse would ingest 'n,v' as a
+    data row). Verify the part files carry no header and the read lane
+    treats every line as data."""
+    import glob
+    import os
+
+    import chdb_spark.session as chs
+
+    for fmt, sep in (("CSV", ","), ("TabSeparated", "\t")):
+        p = str(tmp_path / f"out_{fmt}")
+        chs.query(
+            spark,
+            f"INSERT INTO TABLE FUNCTION file('{p}', {fmt}) "
+            "SELECT number AS n, number * 2 AS v FROM numbers(3)",
+        )
+        lines = []
+        for part in glob.glob(os.path.join(p, "part-*")):
+            with open(part) as f:
+                lines += [ln.rstrip("\n") for ln in f if ln.strip()]
+        assert len(lines) == 3, lines
+        assert f"n{sep}v" not in lines  # no header row anywhere
+        assert sorted(lines) == [f"0{sep}0", f"1{sep}2", f"2{sep}4"]
+        # read lane: every line is data (3 rows, not 2-rows-plus-header)
+        out = chs.query(
+            spark, f"SELECT count(*) AS c FROM file('{p}', {fmt})", "CSV"
+        )
+        assert out.strip() == "3"
+
+
 def test_insert_into_table_function_file_and_lakehouse(spark, tmp_path):
     """file / deltaLake / iceberg targets: the SELECT runs through the
     full dialect pipeline (numbers(), Python()), rows APPEND, and
@@ -1216,3 +1248,16 @@ def test_remote_read_lane_accepts_dotted_form(spark):
     with pytest.raises(ValueError, match="host and table"):
         chs.query(spark, f"INSERT INTO TABLE FUNCTION remote('{host}') "
                          "SELECT 1 AS x")
+
+
+def test_parse_remote_args_dotted_shapes():
+    """CH qualified names are exactly db.table; 'a.b.c' is a parse error
+    there, so it must raise here instead of silently splitting to
+    db='a.b' (ADVICE r9: rpartition mis-split)."""
+    from chdb_spark.dialect import _parse_remote_args
+
+    assert _parse_remote_args(["h", "db.t"]) == ("db", "t", "default", "")
+    assert _parse_remote_args(["h", "db.t", "u", "pw"]) == ("db", "t", "u", "pw")
+    assert _parse_remote_args(["h", "t"]) == ("default", "t", "default", "")
+    with pytest.raises(ValueError, match="one dot"):
+        _parse_remote_args(["h", "a.b.c"])

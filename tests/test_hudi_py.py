@@ -15,20 +15,49 @@ FILE_ID_A = "5a3463cb-0000-0000-0000-000000000001-0"
 FILE_ID_B = "5a3463cb-0000-0000-0000-000000000002-0"
 
 
-def _base_file(table, partition, file_id, instant, ids, vals):
-    d = os.path.join(table, partition) if partition else table
-    os.makedirs(d, exist_ok=True)
-    name = f"{file_id}_0-1-0_{instant}.parquet"
+def _record_batch(instant, ids, vals, partition=""):
     cols = {
         "_hoodie_commit_time": pa.array([instant] * len(ids), pa.string()),
+        "_hoodie_record_key": pa.array([str(i) for i in ids], pa.string()),
         "id": pa.array(ids, pa.int64()),
         "v": pa.array(vals, pa.float64()),
     }
     if partition:
         p_val = partition.split("=", 1)[1]
         cols["p"] = pa.array([p_val] * len(ids), pa.string())
-    pq.write_table(pa.table(cols), os.path.join(d, name))
+    return pa.table(cols)
+
+
+def _base_file(table, partition, file_id, instant, ids, vals):
+    d = os.path.join(table, partition) if partition else table
+    os.makedirs(d, exist_ok=True)
+    name = f"{file_id}_0-1-0_{instant}.parquet"
+    pq.write_table(_record_batch(instant, ids, vals, partition), os.path.join(d, name))
     return name
+
+
+def _parquet_bytes(tbl) -> bytes:
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    return buf.getvalue()
+
+
+def _log_data_block(log_path, instant, ids, vals):
+    """Append one PARQUET_DATA_BLOCK carrying upserts for ``ids``."""
+    from chdb_spark.sources.hudi_py import (
+        _BLOCK_PARQUET_DATA,
+        _HDR_INSTANT_TIME,
+        append_log_block,
+    )
+
+    append_log_block(
+        log_path,
+        _BLOCK_PARQUET_DATA,
+        {_HDR_INSTANT_TIME: instant},
+        _parquet_bytes(_record_batch(instant, ids, vals)),
+    )
 
 
 def _mk_table(tmp_path, name="h", table_type="COPY_ON_WRITE"):
@@ -94,12 +123,8 @@ def test_hudi_partitioned_and_replacecommit(spark, tmp_path):
     assert got == {("a", 1): 100.0, ("b", 2): 2.0}
 
 
-def test_hudi_mor_and_log_files_refused(spark, tmp_path):
+def test_hudi_cow_with_log_files_is_corrupt(spark, tmp_path):
     from chdb_spark.sources.hudi_py import read_hudi_py
-
-    table, hoodie = _mk_table(tmp_path, name="mor", table_type="MERGE_ON_READ")
-    with pytest.raises(NotImplementedError, match="COPY_ON_WRITE"):
-        read_hudi_py(spark, table)
 
     table2, hoodie2 = _mk_table(tmp_path, name="cow_logs")
     _base_file(table2, "", FILE_ID_A, "20260101000000000", [1], [1.0])
@@ -109,8 +134,158 @@ def test_hudi_mor_and_log_files_refused(spark, tmp_path):
         "w",
     ):
         pass
-    with pytest.raises(NotImplementedError, match="log"):
+    with pytest.raises(ValueError, match="COPY_ON_WRITE"):
         read_hudi_py(spark, table2)
+
+
+# -- Merge-on-Read (round 10) -------------------------------------------------
+
+
+def _mor_table(tmp_path, name="mor"):
+    return _mk_table(tmp_path, name=name, table_type="MERGE_ON_READ")
+
+
+def test_hudi_mor_snapshot_merge(spark, tmp_path):
+    """Base at t1, two deltacommit log blocks (t2 updates id 2, t3
+    updates ids 2 and 3): newest committed version per record key wins —
+    the later BLOCK beats the earlier one, both beat the base."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    table, hoodie = _mor_table(tmp_path)
+    _base_file(table, "", FILE_ID_A, t1, [1, 2, 3], [1.0, 2.0, 3.0])
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [20.0])
+    _log_data_block(log, t3, [2, 3], [200.0, 30.0])
+    _commit(hoodie, t2, action="deltacommit")
+    _commit(hoodie, t3, action="deltacommit")
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == {1: 1.0, 2: 200.0, 3: 30.0}
+
+
+def test_hudi_mor_uncommitted_block_invisible(spark, tmp_path):
+    """A log block whose instant has no completed timeline instant is
+    invisible — same rule as uncommitted base files."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2 = "20260101000000000", "20260102000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_uncommitted")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [-99.0])  # t2 never completes
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_hudi_mor_rollback_command_block(spark, tmp_path):
+    """A COMMAND_BLOCK rollback drops prior blocks of its target instant
+    (HoodieLogFormat spec: TARGET_INSTANT_TIME header)."""
+    from chdb_spark.sources.hudi_py import (
+        _BLOCK_COMMAND,
+        _HDR_COMMAND_BLOCK_TYPE,
+        _HDR_INSTANT_TIME,
+        _HDR_TARGET_INSTANT_TIME,
+        append_log_block,
+        read_hudi_py,
+    )
+
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_rollback")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [-99.0])
+    # rollback of t2 appended by the writer's failure recovery; t2 ALSO
+    # completes in the timeline here to prove the command block alone
+    # hides the data ("0" = ROLLBACK_PREVIOUS_BLOCK)
+    append_log_block(
+        log,
+        _BLOCK_COMMAND,
+        {
+            _HDR_INSTANT_TIME: t3,
+            _HDR_TARGET_INSTANT_TIME: t2,
+            _HDR_COMMAND_BLOCK_TYPE: "0",
+        },
+        b"",
+    )
+    _commit(hoodie, t2, action="deltacommit")
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == {1: 1.0, 2: 2.0}
+
+
+def test_hudi_mor_unsupported_blocks_refuse(spark, tmp_path):
+    """DELETE/AVRO blocks carry Avro payloads — loud refusal, and the
+    whole read fails rather than silently dropping the delta."""
+    from chdb_spark.sources.hudi_py import (
+        _BLOCK_DELETE,
+        _HDR_INSTANT_TIME,
+        append_log_block,
+        read_hudi_py,
+    )
+
+    t1, t2 = "20260101000000000", "20260102000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_delete")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    append_log_block(log, _BLOCK_DELETE, {_HDR_INSTANT_TIME: t2}, b"\x00")
+    _commit(hoodie, t2, action="deltacommit")
+    with pytest.raises(Exception) as ei:
+        read_hudi_py(spark, table).collect()
+    assert "DELETE_BLOCK" in str(ei.value)
+
+
+def test_hudi_mor_log_only_slice_refused(spark, tmp_path):
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1 = "20260101000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_logonly")
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t1, [1], [1.0])
+    with pytest.raises(NotImplementedError, match="log-only"):
+        read_hudi_py(spark, table)
+
+
+def test_hudi_mor_compacted_and_stale_slice_logs(spark, tmp_path):
+    """After compaction (new base at t3), log files keyed to the OLD
+    base instant are dead — the slice is (newest base, its logs only).
+    A fully-compacted table with no live logs is a plain base scan."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_compacted")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [20.0])
+    # compaction at t3 folded the t2 update into a new base file
+    _base_file(table, "", FILE_ID_A, t3, [1, 2], [1.0, 20.0])
+    for t in (t1, t2):
+        _commit(hoodie, t, action="deltacommit")
+    _commit(hoodie, t3, action="commit")
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == {1: 1.0, 2: 20.0}
+
+
+def test_parse_log_file_container_roundtrip(tmp_path):
+    """The binary container round-trips: multiple blocks, headers, and
+    payloads come back byte-exact in append order (no completion filter
+    when completed=None)."""
+    from chdb_spark.sources.hudi_py import (
+        _BLOCK_PARQUET_DATA,
+        _HDR_INSTANT_TIME,
+        append_log_block,
+        parse_log_file,
+    )
+
+    p = str(tmp_path / "x.log")
+    append_log_block(p, _BLOCK_PARQUET_DATA, {_HDR_INSTANT_TIME: "t1"}, b"abc")
+    append_log_block(p, _BLOCK_PARQUET_DATA, {_HDR_INSTANT_TIME: "t2"}, b"defgh")
+    with open(p, "rb") as f:
+        blocks = parse_log_file(f.read())
+    assert [(b[0], b[3]) for b in blocks] == [("t1", b"abc"), ("t2", b"defgh")]
 
 
 def test_hudi_routes_through_read_auto(spark, tmp_path):
