@@ -1131,6 +1131,67 @@ def hu1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "ic2_iceberg_partitioned",
+    """
+    WITH t AS (
+        SELECT doc_id, lang, length(text) AS n FROM documents
+        UNION ALL
+        SELECT doc_id, lang, length(text) AS n FROM documents
+        WHERE doc_id % 2 = 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS chars
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Identity-PARTITIONED Iceberg table round-trip through the "
+        "jar-free writer+reader (reference to_iceberg, "
+        "pandas_compat.py:2177; spec §Partitioning): write documents "
+        "partitioned by lang, append the even half (spec inherited, no "
+        "partition_by), read back — the reader restores the lang column "
+        "from manifest partition tuples (§Column Projection rule 2) and "
+        "groups per-partition scans. Oracle reproduces both writes from "
+        "the parquet source.",
+)
+def ic2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.iceberg_py import (
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n")
+    )
+    path = scratch_dir("iceberg_ic2", sf_dir)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg_py(docs, path, partition_by=["lang"])
+        write_iceberg_py(
+            docs.filter(F.col("doc_id") % 2 == 0), path, mode="append"
+        )
+
+    try:
+        if len(iceberg_snapshot_ids(path)) != 2:
+            raise ValueError("stale scratch table")
+    except Exception:
+        _build()
+    return (
+        read_iceberg_py(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n").cast("long").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@defquery(
     "hu2_hudi_mor",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -18,15 +18,27 @@ The data scan stays a fully distributed Spark parquet read — Iceberg
 data files carry every table column (partitioning is metadata), so no
 partition reconstruction is required.
 
+Column resolution (round 10): Iceberg resolves columns by FIELD ID,
+not name (spec §Column Projection) — a rename updates only the table
+schema, and data files keep their old parquet names. When the table
+has more than one schema in its history, the reader inspects each data
+file's parquet field-id metadata (one footer read per file,
+metadata-sized — the same per-file resolution the real client does in
+its tasks), groups files by their id→name signature, aliases each
+group to the CURRENT schema names, and unions the (still fully
+distributed) scans. Fields added after a file was written surface as
+NULL, exactly per spec. Single-schema tables skip the footer pass
+entirely — names cannot have diverged. Files carrying no field ids
+(pre-spec writers) fall back to name-based reads, documented below.
+
 Honesty guards (fail loudly rather than misread):
 - v2 row-level DELETE files (positional/equality) present in the
   snapshot → NotImplementedError (base files alone would resurrect
   deleted rows);
 - non-parquet data files (ORC/Avro data) → NotImplementedError;
-- column renames via field-id mapping are NOT resolved (plain
-  name-based parquet read) — documented; tables that only
-  append/overwrite with a stable schema (the overwhelmingly common
-  filesystem-table case) read exactly.
+- renamed tables whose data files carry NO parquet field ids cannot be
+  resolved (nothing to map by) — the reader raises rather than
+  misreading old names.
 
 Reference surface: the chdb reference reaches Iceberg through its table
 function (reference table_functions.py:868); `read_auto(fmt="iceberg")`
@@ -150,7 +162,9 @@ def read_iceberg_py(
     if not manifests:
         raise ValueError(f"snapshot {sid} lists no manifests")
 
+    spec_cols = _identity_spec_cols(meta)
     files: list[str] = []
+    file_parts: dict[str, dict[str, str]] = {}
     for mpath in manifests:
         for entry in _avro_records(spark, _local_path(mpath, path)):
             status = entry.get("status")
@@ -171,12 +185,177 @@ def read_iceberg_py(
                     f"Iceberg {fmt} data files: only PARQUET is supported "
                     "by the jar-light reader"
                 )
-            files.append(_local_path(_jstr(data_file.get("file_path")), path))
+            fp = _local_path(_jstr(data_file.get("file_path")), path)
+            files.append(fp)
+            if spec_cols:
+                file_parts[fp] = _entry_partition_values(data_file, spec_cols)
     if not files:
         return spark.createDataFrame(
             [], _spark_schema_from_iceberg(meta)
         )
-    return spark.read.parquet(*sorted(set(files)))
+    files = sorted(set(files))
+    if spec_cols and any(file_parts.get(f) for f in files):
+        return _read_partitioned(spark, meta, files, file_parts)
+    if len(meta.get("schemas") or []) <= 1:
+        # single-schema table: no rename/evolution ever happened, so
+        # parquet names match the (only) schema — skip the footer pass
+        return spark.read.parquet(*files)
+    return _read_resolved_by_field_id(spark, meta, files)
+
+
+def _entry_partition_values(data_file, spec_cols: list[str]) -> dict[str, str]:
+    """Identity-partition values of one manifest entry, as strings
+    (cast back through the table schema at scan time)."""
+    try:
+        part = data_file.get("partition")
+    except Exception:
+        return {}
+    if part is None:
+        return {}
+    out: dict[str, str] = {}
+    for c in spec_cols:
+        try:
+            v = part.get(c)
+        except Exception:
+            v = None
+        if v is not None:
+            out[c] = str(v)
+    return out
+
+
+def _read_partitioned(
+    spark: SparkSession,
+    meta: dict,
+    files: list[str],
+    file_parts: dict[str, dict[str, str]],
+) -> DataFrame:
+    """Scan an identity-partitioned table: files whose parquet data
+    already carries the source columns (jar-written tables) read plain;
+    files written Hive-style (partition columns omitted — this module's
+    own writer) get them restored from the manifest partition tuple,
+    which is exactly what spec §Column Projection rule 2 requires of
+    readers. Files are GROUPED by partition tuple so each group stays
+    one distributed scan."""
+    from pyspark.sql import functions as F
+
+    if len(meta.get("schemas") or []) > 1:
+        raise NotImplementedError(
+            "Iceberg: partitioned table with schema evolution history — "
+            "combined rename+partition resolution needs the "
+            "iceberg-spark runtime"
+        )
+    spark_types = {
+        f.name: f.dataType for f in _spark_schema_from_iceberg(meta).fields
+    }
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for fp in files:
+        sig = tuple(sorted(file_parts.get(fp, {}).items()))
+        groups.setdefault(sig, []).append(fp)
+    order = list(spark_types)
+    complete: list[str] = []  # files already carrying the source columns
+    parts: list[DataFrame] = []
+    for sig, fps in sorted(groups.items()):
+        fps = sorted(fps)
+        # one representative footer per partition tuple: jar-written
+        # files carry the source columns (→ one big plain scan across
+        # ALL such groups); Hive-style files need the lit() restore
+        names = set(pq.read_schema(fps[0]).names)
+        if all(col in names for col, _ in sig):
+            complete.extend(fps)
+            continue
+        scan = spark.read.parquet(*fps)
+        for col, raw in sig:
+            if col not in scan.columns:
+                scan = scan.withColumn(
+                    col, F.lit(raw).cast(spark_types.get(col, "string"))
+                )
+        parts.append(scan.select(*[c for c in order if c in scan.columns]))
+    if complete:
+        scan = spark.read.parquet(*sorted(complete))
+        parts.insert(
+            0, scan.select(*[c for c in order if c in scan.columns])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _parquet_field_ids(fp: str) -> dict[int, str] | None:
+    """field-id → parquet column name from one footer, or None when the
+    file carries no (or partial) ids — pre-spec writers."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, str] = {}
+    for f in pq.read_schema(fp):
+        fid = (f.metadata or {}).get(b"PARQUET:field_id")
+        if fid is None:
+            return None
+        out[int(fid)] = f.name
+    return out
+
+
+def _read_resolved_by_field_id(
+    spark: SparkSession, meta: dict, files: list[str]
+) -> DataFrame:
+    """Multi-schema table: resolve every data file's columns against the
+    CURRENT schema by field id (spec §Column Projection). Files are
+    grouped by their id→name signature — each group stays one
+    distributed parquet scan; only footers are read driver-side."""
+    from pyspark.sql import functions as F
+
+    cur = _current_iceberg_schema(meta)
+    cur_fields = [f for f in cur.get("fields", []) if "id" in f]
+    if not cur_fields:
+        return spark.read.parquet(*files)  # v1 schema without ids
+    spark_types = {
+        f.name: f.dataType
+        for f in _spark_schema_from_iceberg(meta).fields
+    }
+
+    groups: dict[tuple, list[str]] = {}
+    for fp in files:
+        ids = _parquet_field_ids(fp)
+        if ids is None:
+            # No ids to map by. Safe only if names already match the
+            # current schema — otherwise refuse (misreading silently is
+            # the one thing this reader must never do).
+            names = set()
+            import pyarrow.parquet as _pq
+
+            names = set(_pq.read_schema(fp).names)
+            if not {f["name"] for f in cur_fields} <= names:
+                raise NotImplementedError(
+                    f"Iceberg data file {fp} carries no parquet field ids "
+                    "and its column names do not match the current schema "
+                    "— rename resolution needs the iceberg-spark runtime"
+                )
+            ids = {f["id"]: f["name"] for f in cur_fields}
+        groups.setdefault(tuple(sorted(ids.items())), []).append(fp)
+
+    parts: list[DataFrame] = []
+    for sig, fps in sorted(groups.items()):
+        id_to_old = dict(sig)
+        scan = spark.read.parquet(*sorted(fps))
+        cols = []
+        for f in cur_fields:
+            old = id_to_old.get(f["id"])
+            if old is not None and old in scan.columns:
+                cols.append(F.col(old).alias(f["name"]))
+            else:
+                # field added to the schema after this file was written
+                cols.append(
+                    F.lit(None)
+                    .cast(spark_types.get(f["name"], "string"))
+                    .alias(f["name"])
+                )
+        parts.append(scan.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _spark_schema_from_iceberg(meta: dict):
@@ -230,30 +409,56 @@ _MANIFEST_LIST_AVRO = json.dumps(
     }
 )
 
-_MANIFEST_AVRO = json.dumps(
-    {
-        "type": "record",
-        "name": "manifest_entry",
-        "fields": [
-            {"name": "status", "type": "int"},
-            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+def _manifest_avro_schema(partition_fields: list[tuple[str, str]]) -> str:
+    """Manifest-entry Avro schema; ``partition_fields`` is
+    [(source column name, avro primitive type)] for identity partitions
+    (spec §Manifests: the ``partition`` struct is keyed by the spec)."""
+    data_file_fields = [
+        {"name": "content", "type": "int", "default": 0},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+    ]
+    if partition_fields:
+        # plain (non-union) types: this writer refuses NULL partition
+        # values, and py4j Integers don't resolve inside ["null","long"]
+        # unions (GenericData.resolveUnion matches by exact schema name)
+        data_file_fields.insert(
+            1,
             {
-                "name": "data_file",
+                "name": "partition",
                 "type": {
                     "type": "record",
-                    "name": "r2",
+                    "name": "r102",
                     "fields": [
-                        {"name": "content", "type": "int", "default": 0},
-                        {"name": "file_path", "type": "string"},
-                        {"name": "file_format", "type": "string"},
-                        {"name": "record_count", "type": "long"},
-                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": n, "type": t} for n, t in partition_fields
                     ],
                 },
             },
-        ],
-    }
-)
+        )
+    return json.dumps(
+        {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int"},
+                {"name": "snapshot_id", "type": ["null", "long"],
+                 "default": None},
+                {
+                    "name": "data_file",
+                    "type": {
+                        "type": "record",
+                        "name": "r2",
+                        "fields": data_file_fields,
+                    },
+                },
+            ],
+        }
+    )
+
+
+_MANIFEST_AVRO = _manifest_avro_schema([])
 
 #: Spark primitive → Iceberg type-string (inverse of the reader's map)
 _ICEBERG_TYPE_OF_SPARK = {
@@ -308,10 +513,42 @@ def _iceberg_schema_of(df: DataFrame) -> list[dict]:
     return fields
 
 
+#: Spark type → Avro primitive for identity-partition manifest values
+#: (all integer widths map to long: Avro's Number-tolerant writeLong
+#: accepts py4j Integers, and the reader casts back via the table schema)
+_AVRO_OF_SPARK = {
+    "integer": "long", "long": "long", "short": "long", "byte": "long",
+    "string": "string",
+}
+
+
+def _identity_spec_cols(meta: dict) -> list[str]:
+    """Identity-transform source column names of the default partition
+    spec (current schema names, resolved by source-id)."""
+    specs = meta.get("partition-specs") or []
+    default_id = meta.get("default-spec-id", 0)
+    spec = next(
+        (s for s in specs if s.get("spec-id") == default_id),
+        specs[0] if specs else {"fields": []},
+    )
+    id_to_name = {
+        f["id"]: f["name"]
+        for f in _current_iceberg_schema(meta).get("fields", [])
+        if "id" in f
+    }
+    out = []
+    for f in spec.get("fields", []):
+        if f.get("transform") == "identity":
+            name = id_to_name.get(f.get("source-id")) or f.get("name")
+            out.append(name)
+    return out
+
+
 def write_iceberg_py(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Minimal pure-Python Iceberg v2 writer for local filesystem tables
     (HadoopTables layout): Spark writes the parquet data files (fully
@@ -321,12 +558,24 @@ def write_iceberg_py(
     bumps ``version-hint.text``.
 
     Scope (fail-loud outside it, per the module's honesty contract):
-    unpartitioned tables, primitive column types, ``append`` /
-    ``overwrite`` only. Appends carry the prior snapshot's manifests
-    forward in the new manifest list; overwrite starts a fresh file set
-    — prior snapshots remain time-travelable by snapshot id. Schema
-    changes against an existing table raise (names+types comparison),
-    mirroring write_delta_py's guard.
+    unpartitioned or IDENTITY-partitioned tables (``partition_by``,
+    round 10), primitive column types, ``append`` / ``overwrite`` only.
+    Appends carry the prior snapshot's manifests forward in the new
+    manifest list; overwrite starts a fresh file set — prior snapshots
+    remain time-travelable by snapshot id. Schema changes against an
+    existing table raise (names+types comparison), mirroring
+    write_delta_py's guard.
+
+    Identity partitioning (spec §Partitioning): partition VALUES are
+    metadata — each data file belongs to one partition tuple, recorded
+    in its manifest entry, and the ``partition-specs`` JSON declares
+    the identity transforms. The distributed write uses Spark's
+    ``partitionBy`` (one pass, no per-partition driver loop); the
+    reader restores the source columns from manifest metadata, which
+    the spec requires of readers (§Column Projection rule 2). Appending
+    to an existing table inherits its spec; changing the spec raises.
+    NULL partition values raise. Non-identity transforms (bucket,
+    truncate, days, ...) need the iceberg-spark runtime.
 
     Returns the committed snapshot id.
     """
@@ -354,14 +603,29 @@ def write_iceberg_py(
         m = re.match(r"^v?(\d+)", os.path.basename(cur))
         prior_version = int(m.group(1)) if m else 0
         specs = prior_meta.get("partition-specs") or []
-        if any(s.get("fields") for s in specs):
+        spec_fields = [
+            f for s in specs if s.get("spec-id") ==
+            prior_meta.get("default-spec-id", 0) for f in s.get("fields", [])
+        ]
+        if any(f.get("transform") != "identity" for f in spec_fields):
             raise NotImplementedError(
-                "write_iceberg_py: partitioned Iceberg tables need the "
-                "iceberg-spark runtime"
+                "write_iceberg_py: non-identity partition transforms need "
+                "the iceberg-spark runtime"
             )
+        table_partition_by = _identity_spec_cols(prior_meta)
+        if partition_by is None:
+            partition_by = table_partition_by  # inherit the table's spec
+        elif list(partition_by) != table_partition_by:
+            raise ValueError(
+                f"write_iceberg_py: partition_by {list(partition_by)} "
+                f"differs from the table's spec {table_partition_by} — "
+                "spec evolution needs the iceberg-spark runtime"
+            )
+        prior_cur_fields = (_current_iceberg_schema(prior_meta)).get(
+            "fields", []
+        )
         prior_fields = [
-            {"name": f["name"], "type": f["type"]}
-            for f in (_current_iceberg_schema(prior_meta)).get("fields", [])
+            {"name": f["name"], "type": f["type"]} for f in prior_cur_fields
         ]
         new_fields = [
             {"name": f["name"], "type": f["type"]}
@@ -376,36 +640,109 @@ def write_iceberg_py(
             )
     os.makedirs(md, exist_ok=True)
 
+    partition_by = list(partition_by or [])
+    # field ids: positional for a new table; the CURRENT schema's ids
+    # reused positionally for an existing one (the schema guard above
+    # pinned name+type+order) — used for parquet stamping AND the spec
+    if exists and all("id" in f for f in prior_cur_fields):
+        stamp_ids = [f["id"] for f in prior_cur_fields]
+    else:
+        stamp_ids = list(range(1, len(df.schema.fields) + 1))
+    field_id_of = {f.name: fid for fid, f in zip(stamp_ids, df.schema.fields)}
+    part_avro: list[tuple[str, str]] = []
+    for c in partition_by:
+        f = next((f for f in df.schema.fields if f.name == c), None)
+        if f is None:
+            raise ValueError(f"write_iceberg_py: partition column {c!r} "
+                             "not in DataFrame")
+        at = _AVRO_OF_SPARK.get(f.dataType.typeName())
+        if at is None:
+            raise NotImplementedError(
+                f"write_iceberg_py: partition column {c!r} has type "
+                f"{f.dataType.typeName()} — identity partitions support "
+                "int/long/string"
+            )
+        part_avro.append((c, at))
+
     # --- data files: distributed write, then move under data/ ----------
     stage = tempfile.mkdtemp(prefix="_iceberg_stage_", dir=path)
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
     entries: list[dict] = []
     try:
-        df.write.mode("overwrite").parquet(stage)
+        # Stamp parquet field ids (spec: data files MUST carry field ids
+        # so readers can resolve columns after renames) — Spark writes
+        # them when StructField metadata has 'parquet.field.id'
+        # (spark.sql.parquet.fieldId.write.enabled, default true).
+        from pyspark.sql import functions as F
+
+        df_ids = df.select(
+            *[
+                F.col(f.name).alias(f.name, metadata={"parquet.field.id": fid})
+                for fid, f in zip(stamp_ids, df.schema.fields)
+            ]
+        )
+        if partition_by:
+            # one distributed pass; Spark lays out <col>=<val>/ dirs and
+            # (per Hive convention) omits the partition columns from the
+            # files — the manifest partition tuple carries the values,
+            # and readers restore the columns per spec §Column Projection
+            writer = df_ids.write.mode("overwrite").partitionBy(*partition_by)
+            writer.parquet(stage)
+        else:
+            df_ids.write.mode("overwrite").parquet(stage)
+        import urllib.parse
+
         import pyarrow.parquet as pq
 
-        for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(stage, name)
-            dest = os.path.join(data_dir, f"{uuid.uuid4().hex}.parquet")
-            n_rows = pq.read_metadata(src).num_rows
-            st = os.stat(src)
-            os.rename(src, dest)
-            entries.append(
-                {
-                    "status": 1,  # ADDED
-                    "snapshot_id": None,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": dest,
-                        "file_format": "PARQUET",
-                        "record_count": n_rows,
-                        "file_size_in_bytes": st.st_size,
-                    },
+        spark_type_of = {f.name: f.dataType.typeName()
+                         for f in df.schema.fields}
+        for root, _dirs, names in sorted(os.walk(stage)):
+            rel = os.path.relpath(root, stage)
+            part_vals: dict[str, Any] = {}
+            if rel != ".":
+                for seg in rel.replace(os.sep, "/").split("/"):
+                    col, _, raw = seg.partition("=")
+                    if col not in partition_by:
+                        continue
+                    if raw == "__HIVE_DEFAULT_PARTITION__":
+                        raise ValueError(
+                            f"write_iceberg_py: NULL value in partition "
+                            f"column {col!r}"
+                        )
+                    val = urllib.parse.unquote(raw)
+                    if spark_type_of[col] != "string":
+                        val = int(val)
+                    part_vals[col] = val
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                sub = "/".join(f"{c}={part_vals[c]}" for c in partition_by
+                               if c in part_vals)
+                dest_dir = os.path.join(data_dir, sub) if sub else data_dir
+                os.makedirs(dest_dir, exist_ok=True)
+                dest = os.path.join(dest_dir, f"{uuid.uuid4().hex}.parquet")
+                n_rows = pq.read_metadata(src).num_rows
+                st = os.stat(src)
+                os.rename(src, dest)
+                data_file: dict[str, Any] = {
+                    "content": 0,
+                    "file_path": dest,
+                    "file_format": "PARQUET",
+                    "record_count": n_rows,
+                    "file_size_in_bytes": st.st_size,
                 }
-            )
+                if partition_by:
+                    if set(part_vals) != set(partition_by):
+                        raise ValueError(
+                            f"write_iceberg_py: data file {src} missing "
+                            f"partition dirs for {partition_by}"
+                        )
+                    data_file["partition"] = dict(part_vals)
+                entries.append(
+                    {"status": 1, "snapshot_id": None, "data_file": data_file}
+                )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -413,7 +750,9 @@ def write_iceberg_py(
     snapshots = list(prior_meta.get("snapshots") or [])
     snap_id = max((s["snapshot-id"] for s in snapshots), default=0) + 1
     manifest_path = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
-    _write_avro_file(spark, manifest_path, _MANIFEST_AVRO, entries)
+    _write_avro_file(
+        spark, manifest_path, _manifest_avro_schema(part_avro), entries
+    )
 
     list_rows = [
         {
@@ -456,22 +795,44 @@ def write_iceberg_py(
         }
     )
     version = prior_version + 1
+    # Preserve the table's schema HISTORY on existing tables — resetting
+    # it would erase renames and break the reader's field-id resolution
+    # (the guard above already pinned the frame to the current schema).
+    if exists and prior_meta.get("schemas"):
+        schemas = prior_meta["schemas"]
+        current_schema_id = prior_meta.get("current-schema-id", 0)
+        last_column_id = prior_meta.get(
+            "last-column-id", len(df.schema.fields)
+        )
+    else:
+        schemas = [
+            {"schema-id": 0, "type": "struct", "fields": _iceberg_schema_of(df)}
+        ]
+        current_schema_id = 0
+        last_column_id = len(df.schema.fields)
     meta = {
         "format-version": 2,
         "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),
         "location": path,
         "last-sequence-number": snap_id,
-        "last-column-id": len(df.schema.fields),
+        "last-column-id": last_column_id,
         "current-snapshot-id": snap_id,
-        "schemas": [
+        "schemas": schemas,
+        "current-schema-id": current_schema_id,
+        "partition-specs": [
             {
-                "schema-id": 0,
-                "type": "struct",
-                "fields": _iceberg_schema_of(df),
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": c,
+                        "transform": "identity",
+                        "source-id": field_id_of[c],
+                        "field-id": 1000 + i,
+                    }
+                    for i, c in enumerate(partition_by)
+                ],
             }
         ],
-        "current-schema-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
         "default-spec-id": 0,
         "snapshots": snapshots,
     }
@@ -493,6 +854,55 @@ def write_iceberg_py(
         f.write(str(version))
     os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
     return snap_id
+
+
+def rename_iceberg_column(path: str, old: str, new: str) -> None:
+    """Metadata-only column rename (Iceberg ALTER TABLE ... RENAME
+    COLUMN): appends a new schema (same field ids, new name) and points
+    ``current-schema-id`` at it — data files are untouched, per spec.
+    The reader resolves old files back to the new name by field id."""
+    md = _metadata_dir(os.path.abspath(path))
+    cur_file = _current_metadata_file(md)
+    with open(cur_file) as f:
+        meta = json.load(f)
+    cur = _current_iceberg_schema(meta)
+    fields = [dict(f) for f in cur.get("fields", [])]
+    hit = [f for f in fields if f.get("name") == old]
+    if not hit:
+        raise ValueError(f"rename_iceberg_column: no column {old!r}")
+    if any(f.get("name") == new for f in fields):
+        raise ValueError(f"rename_iceberg_column: {new!r} already exists")
+    if any("id" not in f for f in fields):
+        raise NotImplementedError(
+            "rename_iceberg_column: schema fields carry no ids (v1 "
+            "legacy) — rename needs the iceberg-spark runtime"
+        )
+    hit[0]["name"] = new
+    schemas = list(meta.get("schemas") or [])
+    new_id = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    schemas.append({"schema-id": new_id, "type": "struct", "fields": fields})
+    meta["schemas"] = schemas
+    meta["current-schema-id"] = new_id
+    m = re.match(r"^v?(\d+)", os.path.basename(cur_file))
+    version = (int(m.group(1)) if m else 0) + 1
+    import uuid as _uuid
+
+    tmp = os.path.join(md, f".{_uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    meta_path = os.path.join(md, f"v{version}.metadata.json")
+    try:
+        os.link(tmp, meta_path)  # same EEXIST-atomic commit as the writer
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Iceberg commit detected at version {version}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    hint_tmp = os.path.join(md, f".hint-{_uuid.uuid4().hex}.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(md, "version-hint.text"))
 
 
 def _current_iceberg_schema(meta: dict) -> dict:

@@ -314,6 +314,182 @@ def test_iceberg_write_guards(spark, tmp_path):
         write_iceberg_py(spark.range(1), path, mode="merge")
 
 
+def test_iceberg_rename_resolved_by_field_id(spark, tmp_path):
+    """Rename-after-write (spec §Column Projection): the rename is
+    metadata-only, old data files keep old parquet names, and the reader
+    maps them to the CURRENT name by parquet field id. Appends after the
+    rename mix new-name files with old-name files in one table."""
+    from chdb_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        rename_iceberg_column,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "rn")
+    write_iceberg_py(spark.range(3).selectExpr("id", "id * 2 AS v"), path)
+    rename_iceberg_column(path, "v", "doubled")
+    out = read_iceberg_py(spark, path)
+    assert out.columns == ["id", "doubled"]
+    assert {r.doubled for r in out.collect()} == {0, 2, 4}
+    # append with the new name: both generations resolve to 'doubled'
+    write_iceberg_py(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS doubled"),
+        path, mode="append",
+    )
+    got = {r.id: r.doubled for r in read_iceberg_py(spark, path).collect()}
+    assert got == {0: 0, 1: 2, 2: 4, 3: 6, 4: 8}
+
+
+def test_iceberg_added_column_null_fill(spark, tmp_path):
+    """A field added to the schema AFTER a file was written reads as
+    NULL for that file's rows (spec: resolve by id, missing id → null)."""
+    import json as _json
+
+    from chdb_spark.sources.iceberg_py import (
+        _current_metadata_file,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "add")
+    write_iceberg_py(spark.range(3).selectExpr("id", "id * 2 AS v"), path)
+    md = os.path.join(path, "metadata")
+    cur = _current_metadata_file(md)
+    with open(cur) as f:
+        meta = _json.load(f)
+    fields = meta["schemas"][0]["fields"] + [
+        {"id": 99, "name": "tag", "required": False, "type": "string"}
+    ]
+    meta["schemas"].append(
+        {"schema-id": 7, "type": "struct", "fields": fields}
+    )
+    meta["current-schema-id"] = 7
+    with open(os.path.join(md, "v9.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("9")
+    out = read_iceberg_py(spark, path)
+    assert out.columns == ["id", "v", "tag"]
+    rows = out.collect()
+    assert all(r.tag is None for r in rows) and len(rows) == 3
+
+
+def test_iceberg_rename_without_field_ids_refuses(spark, tmp_path):
+    """Old data files with NO parquet field ids cannot be resolved after
+    a rename — loud refusal, never a silent misread (this was the repo's
+    one silent caveat before round 10)."""
+    import pyarrow.parquet as pq
+
+    from chdb_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        rename_iceberg_column,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "noids")
+    write_iceberg_py(spark.range(3).selectExpr("id", "id * 2 AS v"), path)
+    # strip the field ids (simulating a pre-spec writer's files)
+    data_dir = os.path.join(path, "data")
+    for name in os.listdir(data_dir):
+        fp = os.path.join(data_dir, name)
+        tbl = pq.read_table(fp)
+        stripped = tbl.cast(
+            pa.schema([pa.field(f.name, f.type) for f in tbl.schema])
+        )
+        pq.write_table(stripped, fp)
+    rename_iceberg_column(path, "v", "doubled")
+    with pytest.raises(NotImplementedError, match="field ids"):
+        read_iceberg_py(spark, path).collect()
+
+
+def test_rename_iceberg_column_guards(spark, tmp_path):
+    from chdb_spark.sources.iceberg_py import (
+        rename_iceberg_column,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "rg")
+    write_iceberg_py(spark.range(2).selectExpr("id", "id AS v"), path)
+    with pytest.raises(ValueError, match="no column"):
+        rename_iceberg_column(path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_iceberg_column(path, "v", "id")
+
+
+def test_iceberg_identity_partitioned_write_read(spark, tmp_path):
+    """Identity partitions (spec §Partitioning): partition values live in
+    manifest metadata; data files are laid out Hive-style WITHOUT the
+    source columns, and the reader restores them per §Column Projection
+    rule 2. Appends inherit the table's spec."""
+    from chdb_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "part")
+    df = spark.range(6).selectExpr("id", "CAST(id % 2 AS LONG) AS p")
+    s1 = write_iceberg_py(df, path, partition_by=["p"])
+    # layout: data/p=<val>/... and the files themselves lack column p
+    assert sorted(os.listdir(os.path.join(path, "data"))) == ["p=0", "p=1"]
+    f0 = next(
+        os.path.join(r, n)
+        for r, _d, ns in os.walk(os.path.join(path, "data", "p=0"))
+        for n in ns if n.endswith(".parquet")
+    )
+    assert "p" not in pq.read_schema(f0).names
+    out = read_iceberg_py(spark, path)
+    assert sorted(out.columns) == ["id", "p"]
+    assert out.schema["p"].dataType.typeName() == "long"  # restored typed
+    got = {(r.id, r.p) for r in out.collect()}
+    assert got == {(i, i % 2) for i in range(6)}
+    # append WITHOUT partition_by: the table's spec is inherited
+    s2 = write_iceberg_py(
+        spark.range(6, 8).selectExpr("id", "CAST(id % 2 AS LONG) AS p"),
+        path, mode="append",
+    )
+    got = {(r.id, r.p) for r in read_iceberg_py(spark, path).collect()}
+    assert got == {(i, i % 2) for i in range(8)}
+    # time travel back to the first snapshot
+    got1 = {(r.id, r.p) for r in
+            read_iceberg_py(spark, path, snapshot_id=s1).collect()}
+    assert got1 == {(i, i % 2) for i in range(6)}
+    assert s2 > s1
+
+
+def test_iceberg_partitioned_string_values_and_guards(spark, tmp_path):
+    """String partition values round-trip through the Hive dir encoding;
+    NULL partition values and spec changes refuse loudly."""
+    from chdb_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "ps")
+    df = spark.createDataFrame(
+        [(1, "us east"), (2, "eu/west"), (3, "us east")], "id long, region string"
+    )
+    write_iceberg_py(df, path, partition_by=["region"])
+    got = {(r.id, r.region) for r in read_iceberg_py(spark, path).collect()}
+    assert got == {(1, "us east"), (2, "eu/west"), (3, "us east")}
+
+    with pytest.raises(ValueError, match="partition_by"):
+        write_iceberg_py(
+            spark.createDataFrame([(9, "x")], "id long, region string"),
+            path, mode="append", partition_by=["id"],
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        write_iceberg_py(
+            spark.createDataFrame(
+                [(1, None)], "id long, region string"
+            ),
+            str(tmp_path / "pn"), partition_by=["region"],
+        )
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_iceberg_py(
+            spark.range(2), str(tmp_path / "pm"), partition_by=["nope"]
+        )
+
+
 def test_datastore_to_iceberg_path_routes_jar_free(spark, tmp_path):
     """DataStore.to_iceberg with a filesystem path target goes through
     the pure-Python writer (reference to_iceberg, pandas_compat.py:2177)."""
