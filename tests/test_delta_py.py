@@ -426,7 +426,8 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     ])
     assert [r.n for r in read_delta_py(spark, table2).collect()] == [7]
 
-    # mode='id' refuses loudly
+    # mode='id' with no parquet field ids: physicalName fallback reads
+    # (footer has col-a), validated rather than refused
     table3, log3 = _mk_table(tmp_path, name="cmid")
     meta3 = json.loads(json.dumps(meta2))
     meta3["metaData"]["configuration"]["delta.columnMapping.mode"] = "id"
@@ -435,8 +436,165 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
         os.path.join(table3, "f1.parquet"),
     )
     _commit(log3, 0, [_protocol(reader=2, writer=5), meta3, _add("f1.parquet")])
-    with pytest.raises(NotImplementedError, match="mode='id'"):
-        read_delta_py(spark, table3)
+    assert [r.n for r in read_delta_py(spark, table3).collect()] == [7]
+
+
+def _id_field(name, pa_type, fid):
+    import pyarrow as pa
+
+    return pa.field(
+        name, pa_type, metadata={b"PARQUET:field_id": str(fid).encode()}
+    )
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """columnMapping mode='id' (PROTOCOL.md §Column Mapping): columns
+    resolve by PARQUET FIELD ID, not name. Two files whose parquet names
+    for field id 1 DIFFER (physical rename an id-mode writer may do)
+    both resolve to the logical name; a column added after the first
+    file was written reads as NULL there; name-mode resolution would
+    have misread both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_dir, log_dir = _mk_table(tmp_path, name="idm")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64())],
+            schema=pa.schema([_id_field("zz-old", pa.int64(), 1)]),
+        ),
+        os.path.join(table_dir, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            [pa.array([3], pa.int64()), pa.array(["c"], pa.string())],
+            schema=pa.schema(
+                [
+                    _id_field("zz-new", pa.int64(), 1),
+                    _id_field("yy", pa.string(), 2),
+                ]
+            ),
+        ),
+        os.path.join(table_dir, "f2.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "zz-new"}},
+            {"name": "tag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "yy"}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-0000000000id",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 0,
+        }
+    }
+    _commit(
+        log_dir, 0,
+        [_protocol(reader=2, writer=5), meta,
+         _add("f1.parquet"), _add("f2.parquet")],
+    )
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    out = read_delta_py(spark, table_dir)
+    assert out.columns == ["n", "tag"]
+    got = {r.n: r.tag for r in out.collect()}
+    assert got == {1: None, 2: None, 3: "c"}
+
+
+def test_delta_column_mapping_id_mode_partitioned(spark, tmp_path):
+    """id-mode + partition columns: partitionValues stay keyed by
+    physical name; data columns resolve by field id per group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_dir, log_dir = _mk_table(tmp_path, name="idp")
+    for fname, vals in (("e.parquet", [1, 2]), ("w.parquet", [3])):
+        pq.write_table(
+            pa.table(
+                [pa.array(vals, pa.int64())],
+                schema=pa.schema([_id_field("col-a", pa.int64(), 1)]),
+            ),
+            os.path.join(table_dir, fname),
+        )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+            {"name": "p", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-p"}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-0000000000ip",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["p"],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }
+    }
+    _commit(
+        log_dir, 0,
+        [_protocol(reader=2, writer=5), meta,
+         _add("e.parquet", pv={"col-p": "east"}),
+         _add("w.parquet", pv={"col-p": "west"})],
+    )
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    got = {(r.n, r.p) for r in read_delta_py(spark, table_dir).collect()}
+    assert got == {(1, "east"), (2, "east"), (3, "west")}
+
+
+def test_delta_id_mode_missing_physical_refuses(spark, tmp_path):
+    """id-mode file with NO field ids whose footer also lacks the
+    physical names: loud refusal, never a silent all-NULL read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_dir, log_dir = _mk_table(tmp_path, name="idx")
+    pq.write_table(
+        pa.table({"other": pa.array([1], pa.int64())}),
+        os.path.join(table_dir, "f1.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-0000000000ix",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }
+    }
+    _commit(log_dir, 0,
+            [_protocol(reader=2, writer=5), meta, _add("f1.parquet")])
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    with pytest.raises(NotImplementedError, match="field ids"):
+        read_delta_py(spark, table_dir)
 
 
 def test_delta_writer_refuses_column_mapped_tables(spark, tmp_path):
