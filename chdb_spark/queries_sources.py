@@ -1131,6 +1131,99 @@ def hu1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "dl2_delta_deletion_vectors",
+    """
+    WITH ranked AS (
+        SELECT doc_id, length(text) AS n,
+               row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS chars
+    FROM ranked WHERE rn > 7
+    """,
+    doc="Delta DELETION VECTOR read WITHOUT jars (PROTOCOL.md §Deletion "
+        "Vectors): the fixture writes one sorted data file, then commits "
+        "a re-add carrying a z85-named DV file whose roaring bitmap "
+        "deletes the first 7 row indexes (= the 7 lowest doc_ids). "
+        "read_delta_py decodes the bitmap in executors and anti-joins "
+        "on _metadata.row_index (sources/delta_dv.py, delta_py._scan_"
+        "files). Oracle drops the 7 lowest doc_ids from the parquet "
+        "source.",
+)
+def dl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import glob
+    import json as _json
+    import uuid as _uuid
+
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.delta_dv import serialize_dv, write_dv_file
+    from chdb_spark.sources.delta_py import (
+        delta_table_version,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    path = scratch_dir("delta_dl2", sf_dir)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        # ONE sorted data file so row index == doc_id rank
+        write_delta_py(
+            docs.repartition(1).sortWithinPartitions("doc_id"),
+            path, "overwrite",
+        )
+        data_files = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        ]
+        if len(data_files) != 1:
+            raise RuntimeError(f"expected one data file, got {data_files}")
+        dv = serialize_dv(range(7))
+        u = _uuid.uuid4()
+        offs = write_dv_file(
+            os.path.join(path, f"deletion_vector_{u}.bin"), [dv]
+        )
+        actions = [
+            {"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}},
+            {"add": {
+                "path": data_files[0], "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": False,
+                "deletionVector": {
+                    "storageType": "u",
+                    "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                    "offset": offs[0], "sizeInBytes": len(dv),
+                    "cardinality": 7,
+                }}},
+        ]
+        with open(os.path.join(path, "_delta_log",
+                               f"{1:020d}.json"), "w") as f:
+            for a in actions:
+                f.write(_json.dumps(a) + "\n")
+
+    try:
+        ok = delta_table_version(path) == 1
+    except Exception:
+        ok = False
+    if not ok:
+        _build()
+    return read_delta_py(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n").cast("long").alias("chars"),
+    )
+
+
+@defquery(
     "ic2_iceberg_partitioned",
     """
     WITH t AS (

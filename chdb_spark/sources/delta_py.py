@@ -48,8 +48,11 @@ from pyspark.sql import types as T
 #: protocol v3 readerFeatures list is a hard error, per the spec's rule
 #: that unknown reader features MUST fail the read. columnMapping is
 #: implemented for BOTH modes (name: physical-name scan; id: per-group
-#: parquet field-id resolution in _read_id_mapped).
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "columnMapping"}
+#: parquet field-id resolution in _read_id_mapped). deletionVectors are
+#: honored via a distributed row-index anti-join (delta_dv + _scan_files).
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz", "v2Checkpoint", "columnMapping", "deletionVectors",
+}
 
 
 def _checkpoint_gap_hint(log_dir: str) -> str:
@@ -303,15 +306,31 @@ def read_delta_py(
         p = unquote(p)
         return p if os.path.isabs(p) else os.path.join(path, p)
 
+    # deletion vectors (PROTOCOL.md §Deletion Vectors): descriptor per
+    # live add; rows filtered by a distributed row-index anti-join
+    dv_descs = {
+        abs_path(p): a["deletionVector"]
+        for p, a in live.items()
+        if a.get("deletionVector")
+    }
+
     if cm_mode == "id":
+        if dv_descs:
+            raise NotImplementedError(
+                "Delta deletion vectors combined with columnMapping "
+                "mode='id' need the delta-spark jars"
+            )
         return _read_id_mapped(
             spark, schema, data_fields, part_cols, phys_of, by_type,
             {abs_path(p): a for p, a in live.items()},
         )
 
+    def scan_files(files: list[str]) -> DataFrame:
+        return _scan_files(spark, files, data_schema, dv_descs, path)
+
     if not part_cols:
         files = sorted(abs_path(p) for p in live)
-        return relogical(spark.read.schema(data_schema).parquet(*files))
+        return relogical(scan_files(files))
 
     # group live files by their log-declared partition values (the
     # authoritative source — directory names are advisory per the spec),
@@ -328,7 +347,7 @@ def read_delta_py(
         groups.setdefault(key, []).append(abs_path(p))
     parts: list[DataFrame] = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = relogical(spark.read.schema(data_schema).parquet(*sorted(files)))
+        df = relogical(scan_files(sorted(files)))
         for c, raw in zip(part_cols, key):
             lit = (
                 F.lit(None).cast(by_type[c])
@@ -340,6 +359,89 @@ def read_delta_py(
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
+    return out
+
+
+def _scan_files(
+    spark: SparkSession,
+    files: list[str],
+    data_schema: T.StructType,
+    dv_descs: dict[str, dict],
+    table_path: str,
+) -> DataFrame:
+    """Distributed parquet scan honoring deletion vectors. Files WITHOUT
+    a DV scan plain (no join cost); files WITH one scan with Spark's
+    ``_metadata.row_index`` and anti-join the deleted (file, row_index)
+    pairs — the same row-index-filter plan delta-spark executes. DV
+    payloads are decoded in EXECUTORS (mapInPandas over the
+    metadata-sized descriptor list); small deleted sets broadcast."""
+    plain = [f for f in files if f not in dv_descs]
+    dvd = [f for f in files if f in dv_descs]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(spark.read.schema(data_schema).parquet(*sorted(plain)))
+    if dvd:
+        descs = [
+            (
+                f,
+                dv_descs[f].get("storageType"),
+                dv_descs[f].get("pathOrInlineDv"),
+                int(dv_descs[f].get("offset") or 0),
+                int(dv_descs[f].get("sizeInBytes") or 0),
+            )
+            for f in sorted(dvd)
+        ]
+        desc_df = spark.createDataFrame(
+            descs,
+            "file string, storage_type string, path_or_inline string, "
+            "dv_offset long, size_in_bytes long",
+        ).repartition(min(len(descs), 32))
+
+        def _expand(iterator):
+            import pandas as pd
+
+            from chdb_spark.sources import delta_dv
+
+            for pdf in iterator:
+                for _i, r in pdf.iterrows():
+                    desc = {
+                        "storageType": r["storage_type"],
+                        "pathOrInlineDv": r["path_or_inline"],
+                        "offset": int(r["dv_offset"]),
+                        "sizeInBytes": int(r["size_in_bytes"]),
+                    }
+                    idx = delta_dv.parse_dv(
+                        delta_dv.dv_data(desc, table_path)
+                    )
+                    yield pd.DataFrame(
+                        {"file": r["file"], "row_index": idx.astype("int64")}
+                    )
+
+        deleted = desc_df.mapInPandas(_expand, "file string, row_index long")
+        total_card = sum(
+            int(dv_descs[f].get("cardinality") or 0) for f in dvd
+        )
+        if total_card and total_card < 5_000_000:
+            deleted = F.broadcast(deleted)
+        scan = spark.read.schema(data_schema).parquet(*sorted(dvd)).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+        filtered = scan.join(
+            deleted,
+            on=[
+                scan["__dv_file"] == deleted["file"],
+                scan["__dv_ri"] == deleted["row_index"],
+            ],
+            how="left_anti",
+        ).drop("__dv_file", "__dv_ri")
+        parts.append(filtered)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out
 
 

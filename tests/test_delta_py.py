@@ -197,14 +197,16 @@ def test_delta_protocol_guard(spark, tmp_path):
         log_dir,
         0,
         [
-            _protocol(reader=3, reader_features=["deletionVectors"]),
+            _protocol(reader=3, reader_features=["typeWidening"]),
             _meta(),
             _add(f1),
         ],
     )
     from chdb_spark.sources.delta_py import read_delta_py
 
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
+    # unknown reader features MUST fail the read (spec rule); the
+    # deletionVectors feature itself is supported since round 10
+    with pytest.raises(NotImplementedError, match="typeWidening"):
         read_delta_py(spark, table_dir)
 
 
@@ -437,6 +439,167 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     )
     _commit(log3, 0, [_protocol(reader=2, writer=5), meta3, _add("f1.parquet")])
     assert [r.n for r in read_delta_py(spark, table3).collect()] == [7]
+
+
+def test_dv_roaring_roundtrip():
+    """Roaring serialization round-trips across container kinds: small
+    array, large bitmap (>4096 per 16-bit chunk), multi-chunk, and the
+    64-bit high-key split; run containers parse from a crafted buffer."""
+    import struct
+
+    import numpy as np
+
+    from chdb_spark.sources.delta_dv import parse_dv, serialize_dv
+
+    for idx in (
+        [0, 2, 5],
+        list(range(5000)),  # bitmap container
+        [1, 70000, 2**33 + 7, 2**33 + 8],  # chunk + high-key splits
+        [],
+    ):
+        got = parse_dv(serialize_dv(idx)).tolist()
+        assert got == sorted(set(idx)), idx
+
+    # run-container buffer: cookie 12347, 1 container (run), runs
+    # [(3, len 2)] → {3,4,5}; n<4 so no offset section
+    rb = struct.pack("<I", 12347 | (0 << 16)) + b"\x01"  # run flag set
+    rb += struct.pack("<HH", 0, 3 - 1)  # key 0, cardinality 3
+    rb += struct.pack("<H", 1) + struct.pack("<HH", 3, 2)
+    data = struct.pack("<i", 1681511377) + struct.pack("<q", 1)
+    data += struct.pack("<i", 0) + rb
+    assert parse_dv(data).tolist() == [3, 4, 5]
+
+
+def _meta_n():
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-00000000dddd",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": [
+                    {"name": "n", "type": "long", "nullable": True,
+                     "metadata": {}}]}
+            ),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+
+
+def test_delta_deletion_vector_reads(spark, tmp_path):
+    """Deletion vectors (PROTOCOL.md §DV): file-stored ('u', z85 uuid
+    name, offset/size/CRC framing) and inline ('i') vectors filter rows
+    by parquet row index; files without a DV scan untouched; a RE-ADD
+    of the same file with a larger DV supersedes (last add wins)."""
+    import base64
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chdb_spark.sources.delta_dv import serialize_dv, write_dv_file
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    table_dir, log_dir = _mk_table(tmp_path, name="dv")
+    for fname, vals in (("f1.parquet", [0, 1, 2, 3]), ("f2.parquet", [10, 11])):
+        pq.write_table(
+            pa.table({"n": pa.array(vals, pa.int64())}),
+            os.path.join(table_dir, fname),
+        )
+    u = _uuid.uuid4()
+    offsets = write_dv_file(
+        os.path.join(table_dir, f"deletion_vector_{u}.bin"),
+        [serialize_dv([0, 2]), serialize_dv([0, 1, 2])],
+    )
+    enc = base64.b85encode(u.bytes).decode()
+
+    def dv_u(i, card):
+        return {
+            "storageType": "u", "pathOrInlineDv": enc,
+            "offset": offsets[i],
+            "sizeInBytes": None, "cardinality": card,
+        }
+
+    # sizeInBytes must be the data length — recompute
+    sizes = [len(serialize_dv([0, 2])), len(serialize_dv([0, 1, 2]))]
+
+    add1 = _add("f1.parquet")
+    add1["add"]["deletionVector"] = {**dv_u(0, 2), "sizeInBytes": sizes[0]}
+    _commit(
+        log_dir, 0,
+        [_protocol(reader=3, writer=7, reader_features=["deletionVectors"]),
+         _meta_n(), add1, _add("f2.parquet")],
+    )
+    got = sorted(r.n for r in read_delta_py(spark, table_dir).collect())
+    assert got == [1, 3, 10, 11]  # rows 0,2 of f1 deleted; f2 untouched
+
+    # v1: re-add f1 with the larger DV (row 1 now deleted too)
+    add2 = _add("f1.parquet")
+    add2["add"]["deletionVector"] = {**dv_u(1, 3), "sizeInBytes": sizes[1]}
+    _commit(log_dir, 1, [add2])
+    got = sorted(r.n for r in read_delta_py(spark, table_dir).collect())
+    assert got == [3, 10, 11]
+    # time travel back to v0 sees the first DV
+    got0 = sorted(
+        r.n for r in read_delta_py(spark, table_dir, version=0).collect()
+    )
+    assert got0 == [1, 3, 10, 11]
+
+    # v2: inline DV on f2 ('i' storage, base85 payload, no file framing)
+    inline = serialize_dv([1])
+    add3 = _add("f2.parquet")
+    add3["add"]["deletionVector"] = {
+        "storageType": "i",
+        "pathOrInlineDv": base64.b85encode(inline).decode(),
+        "offset": None, "sizeInBytes": len(inline), "cardinality": 1,
+    }
+    _commit(log_dir, 2, [add3])
+    got = sorted(r.n for r in read_delta_py(spark, table_dir).collect())
+    assert got == [3, 10]
+
+
+def test_delta_dv_checksum_guard(spark, tmp_path):
+    """A corrupted DV payload fails the CRC check loudly instead of
+    silently filtering the wrong rows."""
+    import base64
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chdb_spark.sources.delta_dv import serialize_dv, write_dv_file
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    table_dir, log_dir = _mk_table(tmp_path, name="dvc")
+    pq.write_table(
+        pa.table({"n": pa.array([0, 1], pa.int64())}),
+        os.path.join(table_dir, "f1.parquet"),
+    )
+    u = _uuid.uuid4()
+    data = serialize_dv([0])
+    dv_path = os.path.join(table_dir, f"deletion_vector_{u}.bin")
+    offs = write_dv_file(dv_path, [data])
+    # flip a payload byte after the size field
+    with open(dv_path, "r+b") as f:
+        f.seek(offs[0] + 4 + 5)
+        b = f.read(1)
+        f.seek(offs[0] + 4 + 5)
+        f.write(bytes([b[0] ^ 0xFF]))
+    add1 = _add("f1.parquet")
+    add1["add"]["deletionVector"] = {
+        "storageType": "u",
+        "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+        "offset": offs[0], "sizeInBytes": len(data), "cardinality": 1,
+    }
+    _commit(
+        log_dir, 0,
+        [_protocol(reader=3, writer=7, reader_features=["deletionVectors"]),
+         _meta_n(), add1],
+    )
+    with pytest.raises(Exception) as ei:
+        read_delta_py(spark, table_dir).collect()
+    assert "checksum" in str(ei.value)
 
 
 def _id_field(name, pa_type, fid):
