@@ -1465,6 +1465,21 @@ class _InsertBuilder:
 
             write_url(df, path, self._target.get("format") or "CSVWithNames")
             return
+        if kind in ("s3", "gcs", "hdfs", "azureblobstorage"):
+            # same jar probe as the SQL lane (r10): dispatch through the
+            # Hadoop FS layer when the scheme's classes exist
+            from chdb_spark.dialect import _hadoop_fs_available
+            from chdb_spark.sinks import write_auto
+
+            if not _hadoop_fs_available(df.sparkSession, path):
+                raise NotImplementedError(
+                    f"insert_into target kind {kind!r}: object stores "
+                    "need their runtime jars (hadoop-aws / gcs-connector "
+                    "/ hadoop-azure) on the classpath"
+                )
+            fmt = (self._target.get("format") or "parquet").lower()
+            write_auto(df, path, fmt=fmt, mode="append")
+            return
         if kind != "file":
             raise NotImplementedError(
                 f"insert_into target kind {kind!r}: writable targets are "

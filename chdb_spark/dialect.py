@@ -2089,12 +2089,53 @@ def write_table_function(spark, name: str, args: list[str], df,
         from chdb_spark.sources.uri import write_url
 
         write_url(df, lit[0], lit[1] if len(lit) > 1 else "CSVWithNames")
+    elif kind in ("s3", "gcs", "hdfs", "azureblobstorage"):
+        # object-store INSERT (reference table_functions.py:316+): write
+        # through the Hadoop FS layer WHEN the classpath provides the
+        # scheme (jar probe); credentials belong in cluster conf. The
+        # write itself is the plain distributed Spark writer.
+        from chdb_spark.sinks import write_auto
+        from chdb_spark.sources.files import infer_format
+
+        target = lit[0] if lit else ""
+        if not _hadoop_fs_available(spark, target):
+            raise NotImplementedError(
+                f"INSERT INTO TABLE FUNCTION {name}({target!r}): no "
+                "Hadoop FileSystem for this scheme on the classpath — "
+                "add the cloud-storage jars (hadoop-aws / gcs-connector "
+                "/ hadoop-azure)"
+            )
+        fmt_name = ""
+        for extra in lit[1:]:
+            if (extra or "").lower() in _TF_FORMATS:
+                fmt_name = extra.lower()
+        if fmt_name:
+            fmt, opts = _TF_FORMATS[fmt_name]
+        else:
+            fmt, opts = (infer_format(target) or "parquet"), {}
+        wopts = {k: v for k, v in opts.items() if k in ("header", "sep")}
+        write_auto(df, target, fmt, mode="append", **wopts)
     else:
         raise NotImplementedError(
             f"INSERT INTO TABLE FUNCTION {name}(...): writable targets "
-            "are file/url/remote/remoteSecure/deltaLake/iceberg "
-            "(object stores and Hudi need their runtime jars)"
+            "are file/url/remote/remoteSecure/deltaLake/iceberg/"
+            "s3/gcs/hdfs/azureBlobStorage (object stores need their "
+            "runtime jars; Hudi writes need hudi-spark)"
         )
+
+
+def _hadoop_fs_available(spark, url: str) -> bool:
+    """True when the JVM classpath provides a Hadoop FileSystem for the
+    URL's scheme (jar probe — the sandbox has none for cloud schemes,
+    so the INSERT surface stays env-gated, not silently broken)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        uri = jvm.java.net.URI(url)
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+        return True
+    except Exception:
+        return False
 
 
 def handle_insert_table_function(sql: str, run_select) -> bool:

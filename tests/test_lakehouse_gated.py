@@ -98,3 +98,47 @@ def test_gate_detection_is_accurate(spark):
     one that is not does not (so skips are genuine, not a broken probe)."""
     assert _jvm_class_present(spark, "org.apache.spark.sql.SparkSession")
     assert not _jvm_class_present(spark, "org.example.DoesNotExist")
+
+
+def test_insert_into_function_object_store_probe(spark, tmp_path):
+    """INSERT INTO FUNCTION s3()/hdfs()/... writes through the Hadoop FS
+    layer WHEN the scheme's jars exist; without them the refusal names
+    the missing jars. The probe itself is verified both ways via the
+    always-available file:// scheme vs the absent s3://."""
+    import chdb_spark.session as chs
+    from chdb_spark.dialect import _hadoop_fs_available
+
+    assert _hadoop_fs_available(spark, f"file://{tmp_path}/x")
+    s3_ok = _hadoop_fs_available(spark, "s3://bucket/key")
+    if not s3_ok:
+        with pytest.raises(NotImplementedError, match="hadoop-aws"):
+            chs.query(
+                spark,
+                "INSERT INTO TABLE FUNCTION s3('s3://b/k.parquet', Parquet) "
+                "SELECT 1 AS x",
+            )
+    else:  # jarful environment: the write must dispatch, not refuse
+        chs.query(
+            spark,
+            "INSERT INTO TABLE FUNCTION s3('s3://b/k.parquet', Parquet) "
+            "SELECT 1 AS x",
+        )
+    # hdfs() with a reachable scheme (file://) takes the jar path and
+    # APPENDS (CH semantics) — full write+read drive, no cloud needed
+    dest = f"file://{tmp_path}/hdfs_target"
+    chs.query(
+        spark,
+        f"INSERT INTO TABLE FUNCTION hdfs('{dest}', Parquet) "
+        "SELECT number AS n FROM numbers(3)",
+    )
+    chs.query(
+        spark,
+        f"INSERT INTO TABLE FUNCTION hdfs('{dest}', Parquet) "
+        "SELECT number AS n FROM numbers(3, 2)",
+    )
+    out = chs.query(
+        spark,
+        f"SELECT count(*) AS c, sum(n) AS s FROM hdfs('{dest}', Parquet)",
+        "CSV",
+    )
+    assert out.strip() == "5,10"
