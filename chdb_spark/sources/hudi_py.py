@@ -290,6 +290,9 @@ def _read_mor(
             lm = _LOG_FILE_RE.match(name)
             if lm:
                 file_id, base_instant, ver = lm.group(1), lm.group(2), lm.group(3)
+                if file_id in replaced.get(rel, set()):
+                    continue  # group retired by a replacecommit — its
+                    # logs die with it (same rule as its base files)
                 logs.setdefault((rel, file_id), []).append(
                     (base_instant, int(ver), os.path.join(root, name))
                 )

@@ -322,7 +322,6 @@ def _read_resolved_by_field_id(
             # No ids to map by. Safe only if names already match the
             # current schema — otherwise refuse (misreading silently is
             # the one thing this reader must never do).
-            names = set()
             import pyarrow.parquet as _pq
 
             names = set(_pq.read_schema(fp).names)

@@ -269,6 +269,27 @@ def test_hudi_mor_compacted_and_stale_slice_logs(spark, tmp_path):
     assert got == {1: 1.0, 2: 20.0}
 
 
+def test_hudi_mor_replacecommit_retires_logs_too(spark, tmp_path):
+    """A replacecommit retiring a file group kills its LOG files along
+    with its base files (clustering semantics) — the orphaned logs must
+    not trip the log-only-slice refusal nor resurrect data."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_replace")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [20.0])
+    # clustering rewrote group A into group B at t3
+    _base_file(table, "", FILE_ID_B, t3, [1, 2], [1.0, 20.0])
+    _commit(hoodie, t1, action="deltacommit")
+    _commit(hoodie, t2, action="deltacommit")
+    _commit(hoodie, t3, action="replacecommit",
+            meta={"partitionToReplaceFileIds": {"": [FILE_ID_A]}})
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == {1: 1.0, 2: 20.0}
+
+
 def test_parse_log_file_container_roundtrip(tmp_path):
     """The binary container round-trips: multiple blocks, headers, and
     payloads come back byte-exact in append order (no completion filter
