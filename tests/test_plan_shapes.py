@@ -516,3 +516,31 @@ def test_st5_weighted_median_refinement_shape(spark):
     for s in plan.split("ReadSchema:")[1:]:
         head = s.splitlines()[0]
         assert "l_orderkey" not in head and "l_shipdate" not in head
+
+
+def test_delta_dv_antijoin_is_broadcast_hash(spark):
+    """dl2: the deletion-vector filter must plan as a broadcast-hash
+    LEFT ANTI join on (file, row_index) — never a nested-loop/cartesian,
+    and the data side must not shuffle for a small DV set."""
+    plan = plan_of(spark, "dl2_delta_deletion_vectors", mode="simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hudi_mor_merge_is_keyed_window(spark):
+    """hu2: the MoR merge is one window over _hoodie_record_key (hash
+    shuffle on the key) — no cartesian, no global single-partition sort."""
+    plan = plan_of(spark, "hu2_hudi_mor", mode="simple")
+    assert "_hoodie_record_key" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iceberg_partitioned_scan_shape(spark):
+    """ic2: per-partition groups union into ONE Union node; no python
+    nodes anywhere in the read path (the restore is lit()+cast)."""
+    plan = plan_of(spark, "ic2_iceberg_partitioned", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
