@@ -877,3 +877,76 @@ def test_iceberg_write_read_property(spark, steps, tmp_path_factory):
             r.id for r in read_iceberg_py(spark, path, snapshot_id=sid).collect()
         )
         assert got == want, f"snapshot {sid}: {got} != {want}"
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1, max_size=10,
+    ),
+    blocks=st.lists(
+        st.tuples(
+            st.dictionaries(  # upserts in one log block
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=-1000, max_value=1000),
+                min_size=1, max_size=6,
+            ),
+            st.booleans(),  # block's instant completes?
+        ),
+        min_size=0, max_size=4,
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hudi_mor_merge_property(spark, base, blocks, tmp_path_factory):
+    """For ANY base state + sequence of (possibly uncommitted) log
+    blocks, the MoR snapshot equals the in-memory replay: committed
+    blocks apply key-wise in append order, uncommitted ones vanish."""
+    import io as _io
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from chdb_spark.sources.hudi_py import (
+        _BLOCK_PARQUET_DATA,
+        _HDR_INSTANT_TIME,
+        append_log_block,
+        read_hudi_py,
+    )
+
+    table = str(tmp_path_factory.mktemp("hmor") / "t")
+    hoodie = _os.path.join(table, ".hoodie")
+    _os.makedirs(hoodie)
+    with open(_os.path.join(hoodie, "hoodie.properties"), "w") as f:
+        f.write("hoodie.table.type=MERGE_ON_READ\n")
+
+    def tbl(d: dict) -> _pa.Table:
+        ks = sorted(d)
+        return _pa.table({
+            "_hoodie_record_key": _pa.array([str(k) for k in ks], _pa.string()),
+            "id": _pa.array(ks, _pa.int64()),
+            "v": _pa.array([d[k] for k in ks], _pa.int64()),
+        })
+
+    t0 = 20260101000000000
+    _pq.write_table(tbl(base), _os.path.join(table, f"fg1_0-0-0_{t0}.parquet"))
+    with open(_os.path.join(hoodie, f"{t0}.deltacommit"), "w") as f:
+        f.write("{}")
+    log = _os.path.join(table, f".fg1_{t0}.log.1_0-0-0")
+    expected = dict(base)
+    for i, (upserts, committed) in enumerate(blocks):
+        inst = t0 + i + 1
+        buf = _io.BytesIO()
+        _pq.write_table(tbl(upserts), buf)
+        append_log_block(
+            log, _BLOCK_PARQUET_DATA,
+            {_HDR_INSTANT_TIME: str(inst)}, buf.getvalue(),
+        )
+        if committed:
+            with open(_os.path.join(hoodie, f"{inst}.deltacommit"), "w") as f:
+                f.write("{}")
+            expected.update(upserts)
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == expected
