@@ -864,3 +864,30 @@ def test_delta_multipart_checkpoint_named_in_error(spark, tmp_path):
     _commit(log2, 3, [_protocol(), _meta(), _add(f2)])
     with pytest.raises(ValueError, match="cleaned up"):
         read_delta_py(spark, table2)
+
+
+def test_dv_path_resolution():
+    """Descriptor → DV file path: 'u' decodes the trailing 20 base85
+    chars to the uuid (optional random prefix becomes a subdirectory);
+    'p' takes the path as given; unknown storage types refuse."""
+    import base64
+    import uuid as _uuid
+
+    from chdb_spark.sources.delta_dv import dv_local_path
+
+    u = _uuid.UUID("12345678-1234-5678-1234-567812345678")
+    enc = base64.b85encode(u.bytes).decode()
+    assert dv_local_path(
+        {"storageType": "u", "pathOrInlineDv": enc}, "/tbl"
+    ) == f"/tbl/deletion_vector_{u}.bin"
+    assert dv_local_path(
+        {"storageType": "u", "pathOrInlineDv": "ab" + enc}, "/tbl"
+    ) == f"/tbl/ab/deletion_vector_{u}.bin"
+    assert dv_local_path(
+        {"storageType": "p", "pathOrInlineDv": "/abs/x.bin"}, "/tbl"
+    ) == "/abs/x.bin"
+    assert dv_local_path(
+        {"storageType": "p", "pathOrInlineDv": "rel/x.bin"}, "/tbl"
+    ) == "/tbl/rel/x.bin"
+    with pytest.raises(NotImplementedError):
+        dv_local_path({"storageType": "z", "pathOrInlineDv": ""}, "/tbl")
