@@ -1062,8 +1062,8 @@ def test_insert_into_table_function_file_and_lakehouse(spark, tmp_path):
         spark, f"SELECT sum(x) AS s FROM file('{p_pq}', Parquet)", "CSV"
     ).strip() == "60"
 
-    # unsupported target fails loudly
-    with pytest.raises(NotImplementedError, match="runtime jars"):
+    # jarless object-store target fails loudly, naming the missing jars
+    with pytest.raises(NotImplementedError, match="jars"):
         chs.query(spark, "INSERT INTO TABLE FUNCTION s3('s3://b/k', Parquet) "
                          "SELECT 1 AS x")
 
