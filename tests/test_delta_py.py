@@ -891,3 +891,37 @@ def test_dv_path_resolution():
     ) == "/tbl/rel/x.bin"
     with pytest.raises(NotImplementedError):
         dv_local_path({"storageType": "z", "pathOrInlineDv": ""}, "/tbl")
+
+
+def test_dv_parser_rejects_garbage():
+    """Malformed DV buffers fail with ValueError (bad magic / truncation
+    / unknown cookie), never a silent wrong answer or an index crash."""
+    import struct
+
+    from chdb_spark.sources.delta_dv import DV_MAGIC, parse_dv, serialize_dv
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_dv(b"\x00" * 16)
+    # valid magic, truncated bitmap section
+    good = serialize_dv([1, 2, 3])
+    with pytest.raises(Exception):
+        parse_dv(good[: len(good) - 4])
+    # unknown cookie
+    bad = struct.pack("<i", DV_MAGIC) + struct.pack("<q", 1)
+    bad += struct.pack("<i", 0) + struct.pack("<I", 99)
+    with pytest.raises(ValueError, match="cookie"):
+        parse_dv(bad)
+
+
+def test_dv_roundtrip_fuzz():
+    """Hypothesis-grade randomized round-trip without the dependency on
+    a Spark session: random index sets across the uint32 boundary."""
+    import random
+
+    from chdb_spark.sources.delta_dv import parse_dv, serialize_dv
+
+    rng = random.Random(20260816)
+    for _ in range(25):
+        n = rng.randrange(0, 2000)
+        idx = {rng.randrange(0, 2**33) for _ in range(n)}
+        assert parse_dv(serialize_dv(idx)).tolist() == sorted(idx)
