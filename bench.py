@@ -29,18 +29,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def should_snapshot_round(sf_dir_env: str | None, load_1m: float | None) -> bool:
+def should_snapshot_round(
+    sf_dir_env: str | None,
+    load_1m: float | None,
+    load_5m: float | None = None,
+) -> bool:
     """Whether this run may write the round's BENCH_full_r{N}.json.
 
     False when (a) the run targets a non-default sf dir (a quick sf0.01 dev
     drive must not clobber the round's sf0.1 artifact — happened r8), or
-    (b) the host was loaded at start (load_1m > 2): r9's driver run at load
-    7.15 inflated every query ~29% and minted 12 phantom outliers
-    (BASELINE.md §J). BENCH_full.json is still written either way.
+    (b) the host was loaded at start: load_1m > 2 (r9's driver run at load
+    7.15 inflated every query ~29% and minted 12 phantom outliers,
+    BASELINE.md §J) or load_5m > 6 (r10: a RECOVERING host right after the
+    43-min suite showed load_1m 0.23 / load_5 ≈ 8 and minted 13 phantom
+    outliers, §N). BENCH_full.json is still written either way.
     """
     if sf_dir_env not in (None, "/root/testdata/sf0.1"):
         return False
     if load_1m is not None and load_1m > 2.0:
+        return False
+    if load_5m is not None and load_5m > 6.0:
         return False
     return True
 
@@ -54,9 +62,11 @@ def main() -> None:
     from chdb_spark.session import get_spark
 
     try:
-        load_1m = round(os.getloadavg()[0], 2)
+        la = os.getloadavg()
+        load_1m = round(la[0], 2)
+        load_5m, load_15m = round(la[1], 2), round(la[2], 2)
     except OSError:
-        load_1m = None
+        load_1m = load_5m = load_15m = None
 
     spark = get_spark(app_name="chdb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,6 +101,11 @@ def main() -> None:
         "runs_per_query": runs,
         "aggregation": "median",
         "load_1m_at_start": load_1m,
+        # r10 lesson (BASELINE.md §N): a recovering host shows load_1m
+        # near 0 while load_5/15 are still double digits — record all
+        # three so a reader can spot the §J signature either way
+        "load_5m_at_start": load_5m,
+        "load_15m_at_start": load_15m,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "BENCH_full.json")
@@ -102,9 +117,12 @@ def main() -> None:
     # sf0.01 dev drive must not clobber the round's sf0.1 artifact
     # (happened in r8 — restored from git).
     snapshot_round = should_snapshot_round(
-        os.environ.get("SPARK_GRAFT_SF_DIR"), load_1m
+        os.environ.get("SPARK_GRAFT_SF_DIR"), load_1m, load_5m
     )
-    if not snapshot_round and load_1m is not None and load_1m > 2.0:
+    if not snapshot_round and (
+        (load_1m is not None and load_1m > 2.0)
+        or (load_5m is not None and load_5m > 6.0)
+    ):
         full["snapshot_skipped_loaded_host"] = True
     import glob as _glob
 

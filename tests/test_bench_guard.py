@@ -30,6 +30,14 @@ def test_unknown_load_is_permissive():
     assert should_snapshot_round(None, None)
 
 
+def test_recovering_host_refuses_snapshot():
+    # r10 lesson (BASELINE.md §N): load_1m near 0 but load_5 still high
+    # right after a long suite — 13 phantom outliers. load_5 > 6 voids.
+    assert not should_snapshot_round(None, 0.23, 8.0)
+    # pair-1 conditions (kept artifact) remain allowed
+    assert should_snapshot_round(None, 1.86, 4.62)
+
+
 def test_dev_sf_dir_refuses_snapshot():
     # r8 lesson: a quick sf0.01 drive clobbered the round's sf0.1 map.
     assert not should_snapshot_round("/root/testdata/sf0.01", 0.1)
