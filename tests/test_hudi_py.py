@@ -290,6 +290,22 @@ def test_hudi_mor_replacecommit_retires_logs_too(spark, tmp_path):
     assert got == {1: 1.0, 2: 20.0}
 
 
+def test_dialect_hudi_mor_table_function(spark, tmp_path):
+    """CH-dialect `hudi('<path>')` reads Merge-on-Read tables through the
+    same jar-free dispatch (reference table_functions.py:956)."""
+    import chdb_spark.session as chs
+
+    t1, t2 = "20260101000000000", "20260102000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_dialect")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [20.0])
+    _commit(hoodie, t2, action="deltacommit")
+    out = chs.query(spark, f"SELECT sum(v) AS s FROM hudi('{table}')", "Pandas")
+    assert out.to_dict("records") == [{"s": 21.0}]
+
+
 def test_parse_log_file_container_roundtrip(tmp_path):
     """The binary container round-trips: multiple blocks, headers, and
     payloads come back byte-exact in append order (no completion filter
