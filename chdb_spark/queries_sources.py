@@ -1152,14 +1152,17 @@ def hu1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source.",
 )
 def dl2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import base64
     import glob
     import json as _json
     import uuid as _uuid
 
     from chdb_spark.operators import scratch_dir
     from chdb_spark.queries import table
-    from chdb_spark.sources.delta_dv import serialize_dv, write_dv_file
+    from chdb_spark.sources.delta_dv import (
+        serialize_dv,
+        write_dv_file,
+        z85_encode,
+    )
     from chdb_spark.sources.delta_py import (
         delta_table_version,
         read_delta_py,
@@ -1169,7 +1172,7 @@ def dl2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("long").alias("n")
     )
-    path = scratch_dir("delta_dl2", sf_dir)
+    path = scratch_dir("delta_dl2_z85", sf_dir)
 
     def _build() -> None:
         import shutil
@@ -1201,7 +1204,7 @@ def dl2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "modificationTime": 0, "dataChange": False,
                 "deletionVector": {
                     "storageType": "u",
-                    "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+                    "pathOrInlineDv": z85_encode(u.bytes),
                     "offset": offs[0], "sizeInBytes": len(dv),
                     "cardinality": 7,
                 }}},

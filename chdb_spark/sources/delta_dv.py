@@ -18,8 +18,12 @@ the roaring format spec (github.com/RoaringBitmap/RoaringFormatSpec):
   32-bit roaring serialization (cookie 12346/12347, array / bitmap /
   run containers, all little-endian).
 - 'u' storage path: pathOrInlineDv = ``<randomPrefix><z85 uuid>`` where
-  the last 20 chars decode (RFC-1924 base85, Python ``base64.b85decode``)
-  to the 16-byte UUID of ``deletion_vector_<uuid>.bin``.
+  the last 20 chars decode to the 16-byte UUID of
+  ``deletion_vector_<uuid>.bin``. The encoding is **Z85** (ZeroMQ
+  RFC 32 — the variant the spec names and delta-kernel implementations
+  use), NOT Python's ``base64.b85*`` RFC-1924 alphabet; the two swap
+  their letter/digit ranges, so the wrong codec yields a wrong UUID.
+  Implemented below (stdlib gets ``z85decode`` only in 3.13).
 
 The scan-side filtering lives in delta_py._scan_with_dv: descriptors
 are expanded to (file, row_index) pairs in EXECUTORS via mapInPandas
@@ -30,7 +34,6 @@ row materialization.
 
 from __future__ import annotations
 
-import base64
 import os
 import struct
 import uuid
@@ -41,6 +44,45 @@ import numpy as np
 DV_MAGIC = 1681511377
 _SERIAL_COOKIE = 12347  # with run containers (num containers in cookie)
 _SERIAL_COOKIE_NO_RUN = 12346
+
+#: Z85 alphabet (ZeroMQ RFC 32) — 4-byte big-endian blocks → 5 chars
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Standard Z85 over 4-byte blocks; inputs that are not a multiple
+    of 4 are ZERO-PADDED first (delta's Base85Codec does the same for
+    inline DVs — the descriptor's sizeInBytes trims on decode)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        n = int.from_bytes(data[i : i + 4], "big")
+        block = []
+        for _ in range(5):
+            block.append(_Z85_ALPHABET[n % 85])
+            n //= 85
+        out.extend(reversed(block))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError("z85: input length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        n = 0
+        for c in s[i : i + 5]:
+            try:
+                n = n * 85 + _Z85_INDEX[c]
+            except KeyError:
+                raise ValueError(f"z85: invalid character {c!r}") from None
+        out += n.to_bytes(4, "big")
+    return bytes(out)
 
 
 def dv_local_path(desc: dict, table_path: str) -> str:
@@ -56,7 +98,7 @@ def dv_local_path(desc: dict, table_path: str) -> str:
         return p if os.path.isabs(p) else os.path.join(table_path, p)
     if st == "u":
         prefix, enc = rel[:-20], rel[-20:]
-        u = uuid.UUID(bytes=base64.b85decode(enc))
+        u = uuid.UUID(bytes=z85_decode(enc))
         name = f"deletion_vector_{u}.bin"
         return os.path.join(table_path, prefix, name) if prefix else \
             os.path.join(table_path, name)
@@ -70,7 +112,11 @@ def dv_data(desc: dict, table_path: str) -> bytes:
     CRC-validated when stored in a file."""
     st = desc.get("storageType")
     if st == "i":
-        return base64.b85decode(desc["pathOrInlineDv"])
+        raw = z85_decode(desc["pathOrInlineDv"])
+        size = desc.get("sizeInBytes")
+        # encode-side zero padding to the 4-byte block boundary is
+        # trimmed by the descriptor's true size
+        return raw[: int(size)] if size else raw
     fp = dv_local_path(desc, table_path)
     offset = int(desc.get("offset") or 0)
     size = int(desc["sizeInBytes"])
@@ -150,7 +196,11 @@ def _parse_roaring32(data: bytes, off: int) -> tuple[np.ndarray, int]:
             vals = (
                 np.concatenate(
                     [
-                        np.arange(s, s + ln + 1, dtype=np.uint32)
+                        # int() first: under NumPy 2 promotion rules a
+                        # uint16 s+ln+1 would wrap at 65535 and the run
+                        # would decode empty
+                        np.arange(int(s), int(s) + int(ln) + 1,
+                                  dtype=np.uint32)
                         for s, ln in runs
                     ]
                 )

@@ -219,8 +219,9 @@ def _check_protocol(protocol: dict | None) -> None:
     if reader_v >= 3 and unsupported:
         raise NotImplementedError(
             f"Delta reader features not supported by the pure-Python "
-            f"replay: {sorted(unsupported)} (deletion vectors / column "
-            f"mapping need the delta-spark jars)"
+            f"replay: {sorted(unsupported)} — this table needs the "
+            f"delta-spark jars (supported jar-free: "
+            f"{sorted(_SUPPORTED_READER_FEATURES)})"
         )
     # minReaderVersion=2 == column-mapping capable; both modes are
     # implemented (PROTOCOL.md §Column Mapping): 'name' via physical
@@ -375,15 +376,36 @@ def _scan_files(
     pairs — the same row-index-filter plan delta-spark executes. DV
     payloads are decoded in EXECUTORS (mapInPandas over the
     metadata-sized descriptor list); small deleted sets broadcast."""
+    import re as _re
+
     plain = [f for f in files if f not in dv_descs]
     dvd = [f for f in files if f in dv_descs]
     parts: list[DataFrame] = []
     if plain:
         parts.append(spark.read.schema(data_schema).parquet(*sorted(plain)))
     if dvd:
+        # join key is the file BASENAME (_metadata.file_name): the full
+        # _metadata.file_path is percent-ENCODED by Spark while log
+        # paths are decoded, so path-based keys silently miss on tables
+        # under directories with URL-encodable characters (r10 review —
+        # deleted rows would resurrect). Basenames are URI-safe uuid
+        # names for every real writer; anything else refuses loudly.
+        names = [os.path.basename(f) for f in dvd]
+        if len(set(names)) != len(names):
+            raise NotImplementedError(
+                "Delta deletion vectors: duplicate data-file basenames "
+                "across directories — needs the delta-spark jars"
+            )
+        bad = [n for n in names if not _re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
+        if bad:
+            raise NotImplementedError(
+                f"Delta deletion vectors: data-file names {bad[:3]} "
+                "contain URL-encodable characters — needs the "
+                "delta-spark jars"
+            )
         descs = [
             (
-                f,
+                os.path.basename(f),
                 dv_descs[f].get("storageType"),
                 dv_descs[f].get("pathOrInlineDv"),
                 int(dv_descs[f].get("offset") or 0),
@@ -425,9 +447,7 @@ def _scan_files(
             deleted = F.broadcast(deleted)
         scan = spark.read.schema(data_schema).parquet(*sorted(dvd)).select(
             "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("__dv_file"),
+            F.col("_metadata.file_name").alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_ri"),
         )
         filtered = scan.join(
@@ -472,14 +492,18 @@ def _read_id_mapped(
         id_of[f.name] = int(fid)
 
     def footer_sig(fp: str) -> tuple:
+        # one footer read per file (same extraction as
+        # iceberg_py._parquet_field_ids — the id lives in the same
+        # parquet metadata key for both formats)
+        sch = pq.read_schema(fp)
         out = {}
-        for pf in pq.read_schema(fp):
+        for pf in sch:
             fid = (pf.metadata or {}).get(b"PARQUET:field_id")
             if fid is not None:
                 out[int(fid)] = pf.name
         if not out:
             # pre-id-stamping writer: physicalName fallback, validated
-            names = set(pq.read_schema(fp).names)
+            names = set(sch.names)
             missing = [
                 f.name for f in data_fields if phys_of[f.name] not in names
             ]

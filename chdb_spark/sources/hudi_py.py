@@ -320,15 +320,19 @@ def _read_mor(
     base_files = sorted(p for _i, p in bases.values())
     base_df = spark.read.parquet(*base_files)
 
-    # log files belong to the CURRENT slice only: baseInstant must equal
-    # the chosen base file's instant (older slices' logs are compacted
-    # away by definition of the slice)
+    # logs of the current slice (baseInstant == chosen base) AND of any
+    # NEWER slice (baseInstant > it): while a compaction is pending the
+    # writer names new log files after the compaction instant before its
+    # base file exists — dropping those would lose committed deltas
+    # (r10 review). Logs OLDER than the chosen base are compacted away.
+    # sorted(lst) orders by (baseInstant, logVersion), so older-slice
+    # logs apply before newer-slice logs, matching the real merge.
     slice_logs: list[tuple[int, str]] = []  # (file ordinal, path)
     ordn = 0
     for key, lst in sorted(logs.items()):
         base_instant = bases[key][0]
         for b_inst, _ver, p in sorted(lst):
-            if b_inst == base_instant:
+            if b_inst >= base_instant:
                 ordn += 1
                 slice_logs.append((ordn, p))
     if not slice_logs:

@@ -257,15 +257,23 @@ def _read_partitioned(
     complete: list[str] = []  # files already carrying the source columns
     parts: list[DataFrame] = []
     for sig, fps in sorted(groups.items()):
-        fps = sorted(fps)
-        # one representative footer per partition tuple: jar-written
-        # files carry the source columns (→ one big plain scan across
-        # ALL such groups); Hive-style files need the lit() restore
-        names = set(pq.read_schema(fps[0]).names)
-        if all(col in names for col, _ in sig):
-            complete.extend(fps)
+        # EVERY file's footer is checked (r10 review: a representative
+        # footer misreads a partition tuple that mixes jar-written files
+        # carrying the source columns with this writer's Hive-style
+        # files that omit them). One schema-only footer read per file,
+        # driver-side — the same O(files) metadata pass the manifest
+        # walk already makes; tables big enough for this to hurt belong
+        # on the jar reader (module docstring).
+        restore: list[str] = []
+        for fp in sorted(fps):
+            names = _spark_visible_names(pq.read_schema(fp))
+            if all(col in names for col, _ in sig):
+                complete.append(fp)
+            else:
+                restore.append(fp)
+        if not restore:
             continue
-        scan = spark.read.parquet(*fps)
+        scan = spark.read.parquet(*restore)
         for col, raw in sig:
             if col not in scan.columns:
                 scan = scan.withColumn(
@@ -281,6 +289,27 @@ def _read_partitioned(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _spark_visible_names(schema) -> set[str]:
+    """Column names Spark's schema INFERENCE will report for a file.
+
+    Spark trusts the ``org.apache.spark.sql.parquet.row.metadata``
+    footer key (its own schema JSON) over the physical parquet schema
+    when present — so a file rewritten with extra columns but a stale
+    row.metadata reads WITHOUT those columns. Classification must
+    mirror that, or the complete/restore split diverges from the scan
+    (r10: found while building the mixed-writer fixture)."""
+    md = schema.metadata or {}
+    raw = md.get(b"org.apache.spark.sql.parquet.row.metadata")
+    if raw:
+        try:
+            return {
+                f["name"] for f in json.loads(raw.decode()).get("fields", [])
+            }
+        except (ValueError, KeyError, AttributeError):
+            pass
+    return set(schema.names)
 
 
 def _parquet_field_ids(fp: str) -> dict[int, str] | None:

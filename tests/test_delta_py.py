@@ -492,13 +492,16 @@ def test_delta_deletion_vector_reads(spark, tmp_path):
     name, offset/size/CRC framing) and inline ('i') vectors filter rows
     by parquet row index; files without a DV scan untouched; a RE-ADD
     of the same file with a larger DV supersedes (last add wins)."""
-    import base64
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from chdb_spark.sources.delta_dv import serialize_dv, write_dv_file
+    from chdb_spark.sources.delta_dv import (
+        serialize_dv,
+        write_dv_file,
+        z85_encode,
+    )
     from chdb_spark.sources.delta_py import read_delta_py
 
     table_dir, log_dir = _mk_table(tmp_path, name="dv")
@@ -512,7 +515,7 @@ def test_delta_deletion_vector_reads(spark, tmp_path):
         os.path.join(table_dir, f"deletion_vector_{u}.bin"),
         [serialize_dv([0, 2]), serialize_dv([0, 1, 2])],
     )
-    enc = base64.b85encode(u.bytes).decode()
+    enc = z85_encode(u.bytes)
 
     def dv_u(i, card):
         return {
@@ -551,7 +554,7 @@ def test_delta_deletion_vector_reads(spark, tmp_path):
     add3 = _add("f2.parquet")
     add3["add"]["deletionVector"] = {
         "storageType": "i",
-        "pathOrInlineDv": base64.b85encode(inline).decode(),
+        "pathOrInlineDv": z85_encode(inline),
         "offset": None, "sizeInBytes": len(inline), "cardinality": 1,
     }
     _commit(log_dir, 2, [add3])
@@ -562,13 +565,16 @@ def test_delta_deletion_vector_reads(spark, tmp_path):
 def test_delta_dv_checksum_guard(spark, tmp_path):
     """A corrupted DV payload fails the CRC check loudly instead of
     silently filtering the wrong rows."""
-    import base64
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from chdb_spark.sources.delta_dv import serialize_dv, write_dv_file
+    from chdb_spark.sources.delta_dv import (
+        serialize_dv,
+        write_dv_file,
+        z85_encode,
+    )
     from chdb_spark.sources.delta_py import read_delta_py
 
     table_dir, log_dir = _mk_table(tmp_path, name="dvc")
@@ -589,7 +595,7 @@ def test_delta_dv_checksum_guard(spark, tmp_path):
     add1 = _add("f1.parquet")
     add1["add"]["deletionVector"] = {
         "storageType": "u",
-        "pathOrInlineDv": base64.b85encode(u.bytes).decode(),
+        "pathOrInlineDv": z85_encode(u.bytes),
         "offset": offs[0], "sizeInBytes": len(data), "cardinality": 1,
     }
     _commit(
@@ -867,16 +873,15 @@ def test_delta_multipart_checkpoint_named_in_error(spark, tmp_path):
 
 
 def test_dv_path_resolution():
-    """Descriptor → DV file path: 'u' decodes the trailing 20 base85
-    chars to the uuid (optional random prefix becomes a subdirectory);
-    'p' takes the path as given; unknown storage types refuse."""
-    import base64
+    """Descriptor → DV file path: 'u' decodes the trailing 20 Z85 chars
+    to the uuid (optional random prefix becomes a subdirectory); 'p'
+    takes the path as given; unknown storage types refuse."""
     import uuid as _uuid
 
-    from chdb_spark.sources.delta_dv import dv_local_path
+    from chdb_spark.sources.delta_dv import dv_local_path, z85_encode
 
     u = _uuid.UUID("12345678-1234-5678-1234-567812345678")
-    enc = base64.b85encode(u.bytes).decode()
+    enc = z85_encode(u.bytes)
     assert dv_local_path(
         {"storageType": "u", "pathOrInlineDv": enc}, "/tbl"
     ) == f"/tbl/deletion_vector_{u}.bin"
@@ -925,3 +930,19 @@ def test_dv_roundtrip_fuzz():
         n = rng.randrange(0, 2000)
         idx = {rng.randrange(0, 2**33) for _ in range(n)}
         assert parse_dv(serialize_dv(idx)).tolist() == sorted(idx)
+
+
+def test_z85_rfc32_vector():
+    """The official ZeroMQ RFC 32 test vector pins the ALPHABET — the
+    r10 review found the first cut used Python's RFC-1924 b85 (letter/
+    digit ranges swapped), which round-tripped against its own fixtures
+    while misreading every real Delta DV uuid."""
+    from chdb_spark.sources.delta_dv import z85_decode, z85_encode
+
+    v = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(v) == "HelloWorld"
+    assert z85_decode("HelloWorld") == v
+    # non-multiple-of-4 inputs zero-pad (delta Base85Codec behavior)
+    assert z85_decode(z85_encode(b"abc"))[:3] == b"abc"
+    with pytest.raises(ValueError, match="invalid character"):
+        z85_decode('"aaaa')

@@ -290,6 +290,31 @@ def test_hudi_mor_replacecommit_retires_logs_too(spark, tmp_path):
     assert got == {1: 1.0, 2: 20.0}
 
 
+def test_hudi_mor_pending_compaction_logs_included(spark, tmp_path):
+    """While a compaction is PENDING (instant C scheduled, no base file
+    yet), writers name new log files after C — those committed deltas
+    belong to the snapshot even though the newest base is still B
+    (r10 review: dropping them silently lost committed updates)."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2, t3, t4 = (
+        "20260101000000000", "20260102000000000",
+        "20260103000000000", "20260104000000000",
+    )
+    table, hoodie = _mor_table(tmp_path, name="mor_pending")
+    _base_file(table, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    log_b = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log_b, t2, [2], [20.0])
+    # compaction scheduled at t3 (no base file written); the next
+    # deltacommit's log attaches to t3
+    log_c = os.path.join(table, f".{FILE_ID_A}_{t3}.log.1_0-1-0")
+    _log_data_block(log_c, t4, [1], [100.0])
+    for t in (t1, t2, t4):
+        _commit(hoodie, t, action="deltacommit")
+    got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got == {1: 100.0, 2: 20.0}
+
+
 def test_dialect_hudi_mor_table_function(spark, tmp_path):
     """CH-dialect `hudi('<path>')` reads Merge-on-Read tables through the
     same jar-free dispatch (reference table_functions.py:956)."""

@@ -456,6 +456,42 @@ def test_iceberg_identity_partitioned_write_read(spark, tmp_path):
     assert s2 > s1
 
 
+def test_iceberg_partitioned_mixed_writer_group(spark, tmp_path):
+    """One partition tuple mixing a jar-style file (source column IN the
+    parquet) with a Hive-style file (column omitted): each file resolves
+    by its OWN footer (r10 review: a representative footer per group
+    silently nulled the Hive-style files' partition column)."""
+    from chdb_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "mix")
+    write_iceberg_py(
+        spark.createDataFrame([(1, 7), (2, 7)], "id long, p long"),
+        path, partition_by=["p"],
+    )
+    write_iceberg_py(
+        spark.createDataFrame([(3, 7)], "id long, p long"),
+        path, mode="append",
+    )
+    # rewrite ONE of the p=7 data files jar-style: add the p column back
+    data_dir = os.path.join(path, "data", "p=7")
+    victim = sorted(
+        n for n in os.listdir(data_dir) if n.endswith(".parquet")
+    )[0]
+    fp = os.path.join(data_dir, victim)
+    tbl = pq.read_table(fp)
+    tbl = tbl.append_column("p", pa.array([7] * len(tbl), pa.int64()))
+    # drop the stale spark row.metadata the source file carried — Spark
+    # trusts it over the physical schema and would hide the added column
+    # (jar-written files carry accurate footers; this mimics one)
+    tbl = tbl.replace_schema_metadata({})
+    pq.write_table(tbl, fp)
+    got = {(r.id, r.p) for r in read_iceberg_py(spark, path).collect()}
+    assert got == {(1, 7), (2, 7), (3, 7)}
+
+
 def test_iceberg_partitioned_string_values_and_guards(spark, tmp_path):
     """String partition values round-trip through the Hive dir encoding;
     NULL partition values and spec changes refuse loudly."""
@@ -499,3 +535,28 @@ def test_datastore_to_iceberg_path_routes_jar_free(spark, tmp_path):
     path = str(tmp_path / "ds")
     DataStore(spark.range(5).selectExpr("id", "id + 1 AS v")).to_iceberg(path)
     assert {r.id for r in read_iceberg_py(spark, path).collect()} == set(range(5))
+
+
+def test_spark_visible_names_respects_row_metadata():
+    """Spark's inference trusts its own row.metadata footer key over the
+    physical schema — classification must mirror that (a file with a
+    stale key reads WITHOUT its physically-present extra columns)."""
+    import json as _json
+
+    from chdb_spark.sources.iceberg_py import _spark_visible_names
+
+    meta = _json.dumps(
+        {"type": "struct", "fields": [{"name": "id"}]}
+    ).encode()
+    sch = pa.schema(
+        [pa.field("id", pa.int64()), pa.field("p", pa.int64())],
+        metadata={b"org.apache.spark.sql.parquet.row.metadata": meta},
+    )
+    assert _spark_visible_names(sch) == {"id"}
+    assert _spark_visible_names(sch.remove_metadata()) == {"id", "p"}
+    # corrupt metadata falls back to physical names
+    bad = pa.schema(
+        [pa.field("id", pa.int64())],
+        metadata={b"org.apache.spark.sql.parquet.row.metadata": b"{"},
+    )
+    assert _spark_visible_names(bad) == {"id"}
