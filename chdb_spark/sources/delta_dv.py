@@ -81,6 +81,11 @@ def z85_decode(s: str) -> bytes:
                 n = n * 85 + _Z85_INDEX[c]
             except KeyError:
                 raise ValueError(f"z85: invalid character {c!r}") from None
+        if n > 0xFFFFFFFF:
+            raise ValueError(
+                f"z85: block {s[i:i + 5]!r} decodes above 2^32-1 "
+                "(corrupt or wrong-alphabet input)"
+            )
         out += n.to_bytes(4, "big")
     return bytes(out)
 

@@ -20,8 +20,9 @@ client works. Partition values come from the log (``add.partitionValues``
 attached as typed literal columns per partition group.
 
 Honesty guard: tables using reader features this replay cannot honor
-(deletion vectors) raise instead of silently returning wrong rows.
-columnMapping is implemented for BOTH modes: mode='name' reads the
+raise instead of silently returning wrong rows (see
+_SUPPORTED_READER_FEATURES — deletion vectors and columnMapping ARE
+honored jar-free since round 10). columnMapping: mode='name' reads the
 physical parquet names from the schemaString field metadata and
 restores logical names via positional struct casts; mode='id'
 (round 10) resolves top-level columns by parquet FIELD ID per file

@@ -264,22 +264,30 @@ def _read_partitioned(
         # driver-side — the same O(files) metadata pass the manifest
         # walk already makes; tables big enough for this to hurt belong
         # on the jar reader (module docstring).
-        restore: list[str] = []
+        sig_cols = {col for col, _ in sig}
+        # restore files sub-grouped by WHICH sig columns they carry —
+        # one union-wide inferred schema would skip the lit() restore
+        # for files missing a column that a groupmate carries (r10
+        # second-pass review: silent NULLs on multi-column specs)
+        restore: dict[tuple, list[str]] = {}
         for fp in sorted(fps):
             names = _spark_visible_names(pq.read_schema(fp))
-            if all(col in names for col, _ in sig):
+            if sig_cols <= names:
                 complete.append(fp)
             else:
-                restore.append(fp)
-        if not restore:
-            continue
-        scan = spark.read.parquet(*restore)
-        for col, raw in sig:
-            if col not in scan.columns:
-                scan = scan.withColumn(
-                    col, F.lit(raw).cast(spark_types.get(col, "string"))
-                )
-        parts.append(scan.select(*[c for c in order if c in scan.columns]))
+                restore.setdefault(
+                    tuple(sorted(names & sig_cols)), []
+                ).append(fp)
+        for carried, sub in sorted(restore.items()):
+            scan = spark.read.parquet(*sub)
+            for col, raw in sig:
+                if col not in carried:
+                    scan = scan.withColumn(
+                        col, F.lit(raw).cast(spark_types.get(col, "string"))
+                    )
+            parts.append(
+                scan.select(*[c for c in order if c in scan.columns])
+            )
     if complete:
         scan = spark.read.parquet(*sorted(complete))
         parts.insert(
@@ -307,8 +315,8 @@ def _spark_visible_names(schema) -> set[str]:
             return {
                 f["name"] for f in json.loads(raw.decode()).get("fields", [])
             }
-        except (ValueError, KeyError, AttributeError):
-            pass
+        except (ValueError, KeyError, AttributeError, TypeError):
+            pass  # malformed metadata → physical names
     return set(schema.names)
 
 
