@@ -116,12 +116,12 @@ def _table_type(hoodie: str) -> str:
     return "COPY_ON_WRITE"
 
 
-def _timeline(hoodie: str) -> tuple[set[str], list[str]]:
-    """(completed instant timestamps, completed replacecommit meta paths).
-    1.x keeps completed instants under .hoodie/timeline/ — both layouts
-    are scanned."""
+def _timeline(hoodie: str) -> tuple[set[str], list[tuple[str, str]]]:
+    """(completed instant timestamps, completed replacecommit
+    (instant, meta path) pairs). 1.x keeps completed instants under
+    .hoodie/timeline/ — both layouts are scanned."""
     completed: set[str] = set()
-    replace_metas: list[str] = []
+    replace_metas: list[tuple[str, str]] = []
     dirs = [hoodie, os.path.join(hoodie, "timeline")]
     for d in dirs:
         if not os.path.isdir(d):
@@ -131,13 +131,15 @@ def _timeline(hoodie: str) -> tuple[set[str], list[str]]:
             if m:
                 completed.add(m.group(1))
                 if m.group(2) == "replacecommit":
-                    replace_metas.append(os.path.join(d, name))
+                    replace_metas.append((m.group(1), os.path.join(d, name)))
     return completed, replace_metas
 
 
-def _replaced_file_ids(replace_metas: list[str]) -> dict[str, set[str]]:
+def _replaced_file_ids(
+    replace_metas: list[tuple[str, str]],
+) -> dict[str, set[str]]:
     out: dict[str, set[str]] = {}
-    for p in replace_metas:
+    for _instant, p in replace_metas:
         try:
             with open(p) as f:
                 meta = json.load(f)
@@ -416,15 +418,31 @@ def read_hudi_py(
     spark: SparkSession,
     path: str,
     drop_meta: bool = False,
+    as_of: str | None = None,
     **_: Any,
 ) -> DataFrame:
     """Snapshot-read a local Hudi table: Copy-on-Write by file-slice
     resolution, Merge-on-Read by base+log merge (see module docstring).
-    ``drop_meta=True`` strips the ``_hoodie_*`` meta columns."""
+    ``drop_meta=True`` strips the ``_hoodie_*`` meta columns.
+    ``as_of`` time-travels to the state at that instant (Hudi's
+    ``as.of.instant``, string-compared like Hudi's timestamps): later
+    commits, deltacommit log blocks, and replacecommit retirements are
+    all invisible."""
     path = os.path.abspath(path)  # Spark scans resolve against JVM cwd
     hoodie = _hoodie_dir(path)
     ttype = _table_type(hoodie)
     completed, replace_metas = _timeline(hoodie)
+    if as_of is not None:
+        as_of = str(as_of)
+        if not any(i <= as_of for i in completed):
+            raise ValueError(
+                f"as_of={as_of}: no completed instant at or before it "
+                f"(earliest is {min(completed, default='—')})"
+            )
+        completed = {i for i in completed if i <= as_of}
+        replace_metas = [
+            (i, p) for i, p in replace_metas if i <= as_of
+        ]
     replaced = _replaced_file_ids(replace_metas)
     if ttype.upper() == "MERGE_ON_READ":
         return _read_mor(spark, path, completed, replaced, drop_meta)

@@ -315,6 +315,48 @@ def test_hudi_mor_pending_compaction_logs_included(spark, tmp_path):
     assert got == {1: 100.0, 2: 20.0}
 
 
+def test_hudi_as_of_time_travel(spark, tmp_path):
+    """as_of reads the state at an instant (Hudi as.of.instant): later
+    base rewrites, later log blocks, and later replacecommit
+    retirements are all invisible; an as_of before the first commit
+    refuses."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2 = "20260101000000000", "20260102000000000"
+    # CoW: group rewritten at t2 — as_of=t1 sees the t1 slice
+    cow, hoodie = _mk_table(tmp_path, name="cow_asof")
+    _base_file(cow, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _base_file(cow, "", FILE_ID_A, t2, [1, 2], [10.0, 20.0])
+    _commit(hoodie, t1)
+    _commit(hoodie, t2)
+    assert {r.v for r in read_hudi_py(spark, cow, as_of=t1).collect()} == {1.0, 2.0}
+    assert {r.v for r in read_hudi_py(spark, cow).collect()} == {10.0, 20.0}
+    with pytest.raises(ValueError, match="no completed instant"):
+        read_hudi_py(spark, cow, as_of="19990101000000000")
+
+    # MoR: block at t2 invisible at as_of=t1
+    mor, hoodie2 = _mor_table(tmp_path, name="mor_asof")
+    _base_file(mor, "", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _commit(hoodie2, t1, action="deltacommit")
+    log = os.path.join(mor, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [2], [20.0])
+    _commit(hoodie2, t2, action="deltacommit")
+    got1 = {r.id: r.v for r in read_hudi_py(spark, mor, as_of=t1).collect()}
+    assert got1 == {1: 1.0, 2: 2.0}
+    got2 = {r.id: r.v for r in read_hudi_py(spark, mor).collect()}
+    assert got2 == {1: 1.0, 2: 20.0}
+
+    # replacecommit after as_of must not retire the group
+    rep, hoodie3 = _mk_table(tmp_path, name="cow_asof_rep")
+    _base_file(rep, "", FILE_ID_A, t1, [1], [1.0])
+    _base_file(rep, "", FILE_ID_B, t2, [1], [99.0])
+    _commit(hoodie3, t1)
+    _commit(hoodie3, t2, action="replacecommit",
+            meta={"partitionToReplaceFileIds": {"": [FILE_ID_A]}})
+    assert {r.v for r in read_hudi_py(spark, rep).collect()} == {99.0}
+    assert {r.v for r in read_hudi_py(spark, rep, as_of=t1).collect()} == {1.0}
+
+
 def test_dialect_hudi_mor_table_function(spark, tmp_path):
     """CH-dialect `hudi('<path>')` reads Merge-on-Read tables through the
     same jar-free dispatch (reference table_functions.py:956)."""
