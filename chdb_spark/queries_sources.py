@@ -1288,6 +1288,132 @@ def ic2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "ic3_iceberg_pos_delete",
+    """
+    WITH ranked AS (
+        SELECT doc_id, length(text) AS n,
+               row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS chars
+    FROM ranked WHERE rn > 7
+    """,
+    doc="Iceberg v2 POSITION-DELETE read WITHOUT jars (spec §Position "
+        "Delete Files): one sorted data file, then a snapshot-2 delete "
+        "manifest whose parquet (file_path, pos) file removes the 7 "
+        "lowest row indexes. read_iceberg_py reads the delete files with "
+        "Spark itself and anti-joins on _metadata.row_index "
+        "(iceberg_py._scan_with_pos_deletes). Oracle drops the 7 lowest "
+        "doc_ids from the parquet source.",
+)
+def ic3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import uuid as _uuid
+
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.iceberg_py import (
+        _avro_records,
+        _current_metadata_file,
+        _local_path,
+        _manifest_avro_schema,
+        _metadata_dir,
+        _write_avro_file,
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    path = scratch_dir("iceberg_ic3", sf_dir)
+
+    def _build() -> None:
+        import glob
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg_py(
+            docs.repartition(1).sortWithinPartitions("doc_id"), path
+        )
+        md = _metadata_dir(path)
+        with open(_current_metadata_file(md)) as f:
+            meta = _json.load(f)
+        data_files = glob.glob(os.path.join(path, "data", "*.parquet"))
+        if len(data_files) != 1:
+            raise RuntimeError(f"expected one data file: {data_files}")
+        # position-delete parquet: rows 0..6 of the single data file
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pd_file = os.path.join(path, "data", f"pd-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.table({
+                "file_path": pa.array([data_files[0]] * 7, pa.string()),
+                "pos": pa.array(list(range(7)), pa.int64()),
+            }),
+            pd_file,
+        )
+        # delete manifest + snapshot-2 manifest list carrying both
+        snap1 = meta["snapshots"][-1]
+        mdel = os.path.join(md, f"m-del-{_uuid.uuid4().hex}.avro")
+        _write_avro_file(
+            spark, mdel, _manifest_avro_schema([]),
+            [{
+                "status": 1, "snapshot_id": None,
+                "data_file": {
+                    "content": 1, "file_path": pd_file,
+                    "file_format": "PARQUET", "record_count": 7,
+                    "file_size_in_bytes": os.stat(pd_file).st_size,
+                },
+            }],
+        )
+        list_rows = [{
+            "manifest_path": mdel,
+            "manifest_length": os.stat(mdel).st_size,
+            "partition_spec_id": 0, "content": 1, "added_snapshot_id": 2,
+        }]
+        for rec in _avro_records(
+            spark, _local_path(snap1["manifest-list"], path)
+        ):
+            list_rows.append({
+                "manifest_path": str(rec.get("manifest_path")),
+                "manifest_length": int(str(rec.get("manifest_length") or 0)),
+                "partition_spec_id": 0,
+                "content": int(str(rec.get("content") or 0)),
+                "added_snapshot_id": int(
+                    str(rec.get("added_snapshot_id") or 1)
+                ),
+            })
+        from chdb_spark.sources.iceberg_py import _MANIFEST_LIST_AVRO
+
+        ml2 = os.path.join(md, f"snap-2-{_uuid.uuid4().hex}.avro")
+        _write_avro_file(spark, ml2, _MANIFEST_LIST_AVRO, list_rows)
+        sid2 = snap1["snapshot-id"] + 1
+        meta["snapshots"].append(
+            {"snapshot-id": sid2, "sequence-number": sid2,
+             "manifest-list": ml2, "summary": {"operation": "delete"}}
+        )
+        meta["current-snapshot-id"] = sid2
+        with open(os.path.join(md, "v2.metadata.json"), "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(md, "version-hint.text"), "w") as f:
+            f.write("2")
+
+    try:
+        if len(iceberg_snapshot_ids(path)) != 2:
+            raise ValueError("stale scratch table")
+    except Exception:
+        _build()
+    return read_iceberg_py(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n").cast("long").alias("chars"),
+    )
+
+
+@defquery(
     "hu2_hudi_mor",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -31,10 +31,15 @@ NULL, exactly per spec. Single-schema tables skip the footer pass
 entirely — names cannot have diverged. Files carrying no field ids
 (pre-spec writers) fall back to name-based reads, documented below.
 
+v2 row-level deletes (round 10): POSITION deletes are honored — delete
+manifests' parquet files of (file_path, pos) are read by Spark itself
+and anti-joined against ``_metadata.row_index`` (the same plan the
+iceberg-spark reader builds; see _scan_with_pos_deletes). EQUALITY
+deletes need sequence-number ordering and refuse loudly.
+
 Honesty guards (fail loudly rather than misread):
-- v2 row-level DELETE files (positional/equality) present in the
-  snapshot → NotImplementedError (base files alone would resurrect
-  deleted rows);
+- equality deletes, deletes combined with schema evolution, and
+  non-uuid data-file names under deletes → NotImplementedError;
 - non-parquet data files (ORC/Avro data) → NotImplementedError;
 - renamed tables whose data files carry NO parquet field ids cannot be
   resolved (nothing to map by) — the reader raises rather than
@@ -146,16 +151,18 @@ def read_iceberg_py(
         )
 
     manifests: list[str] = []
+    delete_manifests: list[str] = []
     if snap.get("manifest-list"):
         for rec in _avro_records(
             spark, _local_path(snap["manifest-list"], path)
         ):
             content = rec.get("content")
             if content is not None and int(str(content)) == 1:
-                raise NotImplementedError(
-                    "Iceberg v2 DELETE manifests present — row-level "
-                    "deletes need the iceberg-spark runtime"
-                )
+                # v2 DELETE manifest: position deletes are honored
+                # (parquet files of (file_path, pos) — spec §Position
+                # Delete Files); equality deletes refuse in the walk
+                delete_manifests.append(_jstr(rec.get("manifest_path")))
+                continue
             manifests.append(_jstr(rec.get("manifest_path")))
     else:
         manifests = list(snap.get("manifests") or [])  # v1 inline form
@@ -189,18 +196,129 @@ def read_iceberg_py(
             files.append(fp)
             if spec_cols:
                 file_parts[fp] = _entry_partition_values(data_file, spec_cols)
+    # v2 position-delete files for this snapshot (spec §Delete Files):
+    # content=1 entries are positional (file_path, pos) parquet files —
+    # applied below via a distributed row-index anti-join, the same plan
+    # the iceberg-spark reader builds. content=2 (equality deletes) need
+    # sequence-number ordering and refuse loudly.
+    pos_deletes: list[str] = []
+    pos_delete_rows = 0
+    for mpath in delete_manifests:
+        for entry in _avro_records(spark, _local_path(mpath, path)):
+            status = entry.get("status")
+            if status is not None and int(str(status)) == 2:
+                continue
+            data_file = entry.get("data_file")
+            if data_file is None:
+                continue
+            content = data_file.get("content")
+            c = int(str(content)) if content is not None else 1
+            if c == 2:
+                raise NotImplementedError(
+                    "Iceberg EQUALITY deletes present — sequence-number "
+                    "resolution needs the iceberg-spark runtime "
+                    "(position deletes ARE supported jar-free)"
+                )
+            if c == 0:
+                raise ValueError(
+                    "Iceberg: DATA file entry inside a DELETE manifest "
+                    "— corrupt metadata"
+                )
+            fmt = (_jstr(data_file.get("file_format")) or "PARQUET").upper()
+            if fmt != "PARQUET":
+                raise NotImplementedError(
+                    f"Iceberg {fmt} delete files: only PARQUET position "
+                    "deletes are supported jar-free"
+                )
+            pos_deletes.append(
+                _local_path(_jstr(data_file.get("file_path")), path)
+            )
+            pos_delete_rows += int(str(data_file.get("record_count") or 0))
+
     if not files:
         return spark.createDataFrame(
             [], _spark_schema_from_iceberg(meta)
         )
     files = sorted(set(files))
+
+    def scan_files(fps: list[str]):
+        return _scan_with_pos_deletes(
+            spark, fps, sorted(set(pos_deletes)), pos_delete_rows
+        )
+
     if spec_cols and any(file_parts.get(f) for f in files):
-        return _read_partitioned(spark, meta, files, file_parts)
+        return _read_partitioned(spark, meta, files, file_parts, scan_files)
     if len(meta.get("schemas") or []) <= 1:
         # single-schema table: no rename/evolution ever happened, so
         # parquet names match the (only) schema — skip the footer pass
-        return spark.read.parquet(*files)
+        return scan_files(files)
+    if pos_deletes:
+        raise NotImplementedError(
+            "Iceberg: position deletes on a schema-evolved table — "
+            "combined rename+delete resolution needs the iceberg-spark "
+            "runtime"
+        )
     return _read_resolved_by_field_id(spark, meta, files)
+
+
+def _scan_with_pos_deletes(
+    spark: SparkSession,
+    files: list[str],
+    pos_deletes: list[str],
+    pos_delete_rows: int,
+):
+    """Distributed scan minus position-deleted rows: delete files are
+    plain parquet (file_path, pos) read by Spark itself, anti-joined on
+    (file basename, _metadata.row_index). Basenames are the join key
+    because _metadata.file_path is percent-encoded while metadata paths
+    are not; real writers use unique uuid names — anything else refuses
+    loudly (same contract as delta_py's DV scan)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    if not pos_deletes:
+        return spark.read.parquet(*files)
+    names = [os.path.basename(f) for f in files]
+    if len(set(names)) != len(names):
+        raise NotImplementedError(
+            "Iceberg position deletes: duplicate data-file basenames "
+            "across directories — needs the iceberg-spark runtime"
+        )
+    bad = [n for n in names if not _re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
+    if bad:
+        raise NotImplementedError(
+            f"Iceberg position deletes: data-file names {bad[:3]} "
+            "contain URL-encodable characters — needs the "
+            "iceberg-spark runtime"
+        )
+    deleted = (
+        spark.read.parquet(*pos_deletes)
+        .select(
+            F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                "__pd_name"
+            ),
+            F.col("pos").alias("__pd_pos"),
+        )
+    )
+    if pos_delete_rows and pos_delete_rows < 5_000_000:
+        deleted = F.broadcast(deleted)
+    scan = spark.read.parquet(*files).select(
+        "*",
+        F.col("_metadata.file_name").alias("__if_name"),
+        F.col("_metadata.row_index").alias("__if_ri"),
+    )
+    return (
+        scan.join(
+            deleted,
+            on=[
+                scan["__if_name"] == deleted["__pd_name"],
+                scan["__if_ri"] == deleted["__pd_pos"],
+            ],
+            how="left_anti",
+        )
+        .drop("__if_name", "__if_ri")
+    )
 
 
 def _entry_partition_values(data_file, spec_cols: list[str]) -> dict[str, str]:
@@ -228,6 +346,7 @@ def _read_partitioned(
     meta: dict,
     files: list[str],
     file_parts: dict[str, dict[str, str]],
+    scan_files,
 ) -> DataFrame:
     """Scan an identity-partitioned table: files whose parquet data
     already carries the source columns (jar-written tables) read plain;
@@ -279,7 +398,7 @@ def _read_partitioned(
                     tuple(sorted(names & sig_cols)), []
                 ).append(fp)
         for carried, sub in sorted(restore.items()):
-            scan = spark.read.parquet(*sub)
+            scan = scan_files(sub)
             for col, raw in sig:
                 if col not in carried:
                     scan = scan.withColumn(
@@ -289,7 +408,7 @@ def _read_partitioned(
                 scan.select(*[c for c in order if c in scan.columns])
             )
     if complete:
-        scan = spark.read.parquet(*sorted(complete))
+        scan = scan_files(sorted(complete))
         parts.insert(
             0, scan.select(*[c for c in order if c in scan.columns])
         )

@@ -183,19 +183,22 @@ def test_iceberg_delete_guards(spark, tmp_path):
     f1 = _data_file(table, "data/f1.parquet", [1])
     md = os.path.join(table, "metadata")
     os.makedirs(md, exist_ok=True)
-    # a DELETE manifest (content=1) in the manifest list must refuse
+    # an EQUALITY delete (content=2) in a delete manifest must refuse;
+    # position deletes are supported (test_iceberg_position_deletes)
     m1 = os.path.join(md, "m1.avro")
     _write_avro(spark, m1, _MANIFEST_SCHEMA, [_entry(f1)])
+    meq = os.path.join(md, "meq.avro")
+    _write_avro(spark, meq, _MANIFEST_SCHEMA, [_entry(f1, content=2)])
     ml = os.path.join(md, "ml.avro")
     _write_avro(
         spark, ml, _MANIFEST_LIST_SCHEMA,
         [{"manifest_path": m1, "manifest_length": 1,
           "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1},
-         {"manifest_path": m1, "manifest_length": 1,
+         {"manifest_path": meq, "manifest_length": 1,
           "partition_spec_id": 0, "content": 1, "added_snapshot_id": 1}],
     )
     _metadata(table, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+    with pytest.raises(NotImplementedError, match="EQUALITY"):
         read_iceberg_py(spark, table)
 
     # an ORC data file must refuse (only parquet is wired)
@@ -216,6 +219,59 @@ def test_iceberg_delete_guards(spark, tmp_path):
     _metadata(table2, [{"snapshot-id": 1, "manifest-list": ml2}], current=1)
     with pytest.raises(NotImplementedError, match="ORC"):
         read_iceberg_py(spark, table2)
+
+
+def test_iceberg_position_deletes(spark, tmp_path):
+    """v2 POSITION deletes (spec §Position Delete Files): a delete
+    manifest's parquet files of (file_path, pos) remove exactly those
+    row indexes from the named data files; other files are untouched;
+    an older snapshot without the delete manifest still sees the rows."""
+    from chdb_spark.sources.iceberg_py import read_iceberg_py
+
+    table = str(tmp_path / "pd")
+    f1 = _data_file(table, "data/f1.parquet", [10, 11, 12, 13])
+    f2 = _data_file(table, "data/f2.parquet", [20, 21])
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    # position delete file: rows 0 and 2 of f1
+    pd_file = os.path.join(table, "data", "pd1.parquet")
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([f1, f1], pa.string()),
+            "pos": pa.array([0, 2], pa.int64()),
+        }),
+        pd_file,
+    )
+    m1 = os.path.join(md, "m1.avro")
+    _write_avro(spark, m1, _MANIFEST_SCHEMA, [_entry(f1), _entry(f2)])
+    mdel = os.path.join(md, "mdel.avro")
+    _write_avro(spark, mdel, _MANIFEST_SCHEMA, [_entry(pd_file, content=1)])
+    ml1 = os.path.join(md, "ml1.avro")
+    _write_avro(
+        spark, ml1, _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}],
+    )
+    ml2 = os.path.join(md, "ml2.avro")
+    _write_avro(
+        spark, ml2, _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 2},
+         {"manifest_path": mdel, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 2}],
+    )
+    _metadata(
+        table,
+        [{"snapshot-id": 1, "manifest-list": ml1},
+         {"snapshot-id": 2, "manifest-list": ml2}],
+        current=2,
+    )
+    got = sorted(r.id for r in read_iceberg_py(spark, table).collect())
+    assert got == [11, 13, 20, 21]  # rows 0,2 of f1 gone; f2 intact
+    old = sorted(
+        r.id for r in read_iceberg_py(spark, table, snapshot_id=1).collect()
+    )
+    assert old == [10, 11, 12, 13, 20, 21]
 
 
 def test_iceberg_routes_through_read_auto(spark, tmp_path):
