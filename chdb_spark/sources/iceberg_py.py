@@ -33,13 +33,16 @@ entirely — names cannot have diverged. Files carrying no field ids
 
 v2 row-level deletes (round 10): POSITION deletes are honored — delete
 manifests' parquet files of (file_path, pos) are read by Spark itself
-and anti-joined against ``_metadata.row_index`` (the same plan the
-iceberg-spark reader builds; see _scan_with_pos_deletes). EQUALITY
-deletes need sequence-number ordering and refuse loudly.
+and anti-joined against ``_metadata.row_index``; EQUALITY deletes are
+honored with full sequence-number semantics — each delete removes
+null-safe-matching rows from data files whose data sequence number is
+strictly less than its own (see _scan_with_deletes; the same plan the
+iceberg-spark reader builds).
 
 Honesty guards (fail loudly rather than misread):
-- equality deletes, deletes combined with schema evolution, and
-  non-uuid data-file names under deletes → NotImplementedError;
+- deletes combined with schema evolution, equality deletes on legacy
+  metadata without sequence numbers, and non-uuid data-file names
+  under deletes → NotImplementedError;
 - non-parquet data files (ORC/Avro data) → NotImplementedError;
 - renamed tables whose data files carry NO parquet field ids cannot be
   resolved (nothing to map by) — the reader raises rather than
@@ -150,29 +153,41 @@ def read_iceberg_py(
             f"{[s.get('snapshot-id') for s in snapshots]})"
         )
 
-    manifests: list[str] = []
-    delete_manifests: list[str] = []
+    def _opt_long(rec, name):
+        try:
+            v = rec.get(name)
+        except Exception:
+            return None  # field absent from this writer's avro schema
+        return None if v is None else int(str(v))
+
+    manifests: list[tuple[str, int | None]] = []  # (path, list sequence)
+    delete_manifests: list[tuple[str, int | None]] = []
     if snap.get("manifest-list"):
         for rec in _avro_records(
             spark, _local_path(snap["manifest-list"], path)
         ):
+            mseq = _opt_long(rec, "sequence_number")
             content = rec.get("content")
             if content is not None and int(str(content)) == 1:
-                # v2 DELETE manifest: position deletes are honored
-                # (parquet files of (file_path, pos) — spec §Position
-                # Delete Files); equality deletes refuse in the walk
-                delete_manifests.append(_jstr(rec.get("manifest_path")))
+                # v2 DELETE manifest: position AND equality deletes are
+                # honored (spec §Delete Files; equality needs the
+                # sequence numbers collected here)
+                delete_manifests.append(
+                    (_jstr(rec.get("manifest_path")), mseq)
+                )
                 continue
-            manifests.append(_jstr(rec.get("manifest_path")))
+            manifests.append((_jstr(rec.get("manifest_path")), mseq))
     else:
-        manifests = list(snap.get("manifests") or [])  # v1 inline form
+        # v1 inline form — no deletes possible
+        manifests = [(m, None) for m in (snap.get("manifests") or [])]
     if not manifests:
         raise ValueError(f"snapshot {sid} lists no manifests")
 
     spec_cols = _identity_spec_cols(meta)
     files: list[str] = []
     file_parts: dict[str, dict[str, str]] = {}
-    for mpath in manifests:
+    file_seq: dict[str, int | None] = {}  # data sequence number per file
+    for mpath, mseq in manifests:
         for entry in _avro_records(spark, _local_path(mpath, path)):
             status = entry.get("status")
             if status is not None and int(str(status)) == 2:
@@ -194,6 +209,11 @@ def read_iceberg_py(
                 )
             fp = _local_path(_jstr(data_file.get("file_path")), path)
             files.append(fp)
+            # data sequence number: explicit on the entry, else inherited
+            # from the manifest-list entry (spec §Sequence Number
+            # Inheritance for ADDED rows)
+            eseq = _opt_long(entry, "sequence_number")
+            file_seq[fp] = eseq if eseq is not None else mseq
             if spec_cols:
                 file_parts[fp] = _entry_partition_values(data_file, spec_cols)
     # v2 position-delete files for this snapshot (spec §Delete Files):
@@ -203,7 +223,8 @@ def read_iceberg_py(
     # sequence-number ordering and refuse loudly.
     pos_deletes: list[str] = []
     pos_delete_rows = 0
-    for mpath in delete_manifests:
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+    for mpath, mseq in delete_manifests:
         for entry in _avro_records(spark, _local_path(mpath, path)):
             status = entry.get("status")
             if status is not None and int(str(status)) == 2:
@@ -213,12 +234,6 @@ def read_iceberg_py(
                 continue
             content = data_file.get("content")
             c = int(str(content)) if content is not None else 1
-            if c == 2:
-                raise NotImplementedError(
-                    "Iceberg EQUALITY deletes present — sequence-number "
-                    "resolution needs the iceberg-spark runtime "
-                    "(position deletes ARE supported jar-free)"
-                )
             if c == 0:
                 raise ValueError(
                     "Iceberg: DATA file entry inside a DELETE manifest "
@@ -227,13 +242,41 @@ def read_iceberg_py(
             fmt = (_jstr(data_file.get("file_format")) or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise NotImplementedError(
-                    f"Iceberg {fmt} delete files: only PARQUET position "
-                    "deletes are supported jar-free"
+                    f"Iceberg {fmt} delete files: only PARQUET deletes "
+                    "are supported jar-free"
                 )
-            pos_deletes.append(
-                _local_path(_jstr(data_file.get("file_path")), path)
-            )
+            dfp = _local_path(_jstr(data_file.get("file_path")), path)
+            if c == 2:
+                # equality delete: applies to rows of data files whose
+                # data sequence number is STRICTLY LESS than its own
+                eseq = _opt_long(entry, "sequence_number")
+                dseq = eseq if eseq is not None else mseq
+                if dseq is None:
+                    raise NotImplementedError(
+                        "Iceberg EQUALITY delete without a sequence "
+                        "number (legacy metadata) — needs the "
+                        "iceberg-spark runtime"
+                    )
+                try:
+                    ids = data_file.get("equality_ids")
+                except Exception:
+                    ids = None
+                if ids is None:
+                    raise ValueError(
+                        f"Iceberg equality delete {dfp} carries no "
+                        "equality_ids — corrupt metadata"
+                    )
+                eq_deletes.append(
+                    (dfp, dseq, tuple(int(str(i)) for i in ids))
+                )
+                continue
+            pos_deletes.append(dfp)
             pos_delete_rows += int(str(data_file.get("record_count") or 0))
+    if eq_deletes and any(file_seq[f] is None for f in set(files)):
+        raise NotImplementedError(
+            "Iceberg EQUALITY deletes on a table whose data manifests "
+            "carry no sequence numbers — needs the iceberg-spark runtime"
+        )
 
     if not files:
         return spark.createDataFrame(
@@ -242,8 +285,9 @@ def read_iceberg_py(
     files = sorted(set(files))
 
     def scan_files(fps: list[str]):
-        return _scan_with_pos_deletes(
-            spark, fps, sorted(set(pos_deletes)), pos_delete_rows
+        return _scan_with_deletes(
+            spark, meta, fps, sorted(set(pos_deletes)), pos_delete_rows,
+            eq_deletes, file_seq,
         )
 
     if spec_cols and any(file_parts.get(f) for f in files):
@@ -252,64 +296,75 @@ def read_iceberg_py(
         # single-schema table: no rename/evolution ever happened, so
         # parquet names match the (only) schema — skip the footer pass
         return scan_files(files)
-    if pos_deletes:
+    if pos_deletes or eq_deletes:
         raise NotImplementedError(
-            "Iceberg: position deletes on a schema-evolved table — "
+            "Iceberg: row-level deletes on a schema-evolved table — "
             "combined rename+delete resolution needs the iceberg-spark "
             "runtime"
         )
     return _read_resolved_by_field_id(spark, meta, files)
 
 
-def _scan_with_pos_deletes(
+def _scan_with_deletes(
     spark: SparkSession,
+    meta: dict,
     files: list[str],
     pos_deletes: list[str],
     pos_delete_rows: int,
+    eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    file_seq: dict[str, int | None],
 ):
-    """Distributed scan minus position-deleted rows: delete files are
-    plain parquet (file_path, pos) read by Spark itself, anti-joined on
-    (file basename, _metadata.row_index). Basenames are the join key
-    because _metadata.file_path is percent-encoded while metadata paths
-    are not; real writers use unique uuid names — anything else refuses
+    """Distributed scan minus v2-deleted rows (spec §Scan Planning).
+
+    POSITION deletes: delete files are plain parquet (file_path, pos)
+    read by Spark itself, anti-joined on (file basename,
+    _metadata.row_index). EQUALITY deletes: each delete file's rows
+    remove matching rows (null-safe equality on the equality_ids
+    columns) from data files whose data sequence number is STRICTLY
+    LESS than the delete file's — realized as one anti-join per
+    equality-column-set with the sequence comparison as a join
+    condition; per-row sequence numbers attach via a broadcast
+    (file basename → seq) map. Basenames are the join key because
+    _metadata.file_path is percent-encoded while metadata paths are
+    not; real writers use unique uuid names — anything else refuses
     loudly (same contract as delta_py's DV scan)."""
     import re as _re
 
     from pyspark.sql import functions as F
 
-    if not pos_deletes:
+    if not pos_deletes and not eq_deletes:
         return spark.read.parquet(*files)
     names = [os.path.basename(f) for f in files]
     if len(set(names)) != len(names):
         raise NotImplementedError(
-            "Iceberg position deletes: duplicate data-file basenames "
+            "Iceberg row-level deletes: duplicate data-file basenames "
             "across directories — needs the iceberg-spark runtime"
         )
     bad = [n for n in names if not _re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
     if bad:
         raise NotImplementedError(
-            f"Iceberg position deletes: data-file names {bad[:3]} "
+            f"Iceberg row-level deletes: data-file names {bad[:3]} "
             "contain URL-encodable characters — needs the "
             "iceberg-spark runtime"
         )
-    deleted = (
-        spark.read.parquet(*pos_deletes)
-        .select(
-            F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
-                "__pd_name"
-            ),
-            F.col("pos").alias("__pd_pos"),
-        )
-    )
-    if pos_delete_rows and pos_delete_rows < 5_000_000:
-        deleted = F.broadcast(deleted)
     scan = spark.read.parquet(*files).select(
         "*",
         F.col("_metadata.file_name").alias("__if_name"),
         F.col("_metadata.row_index").alias("__if_ri"),
     )
-    return (
-        scan.join(
+    if pos_deletes:
+        deleted = (
+            spark.read.parquet(*pos_deletes)
+            .select(
+                F.element_at(F.split(F.col("file_path"), "/"), -1).alias(
+                    "__pd_name"
+                ),
+                F.col("pos").alias("__pd_pos"),
+            )
+        )
+        if pos_delete_rows and pos_delete_rows < 5_000_000:
+            deleted = F.broadcast(deleted)
+        scan = scan.join(
             deleted,
             on=[
                 scan["__if_name"] == deleted["__pd_name"],
@@ -317,8 +372,48 @@ def _scan_with_pos_deletes(
             ],
             how="left_anti",
         )
-        .drop("__if_name", "__if_ri")
-    )
+    if eq_deletes:
+        id_to_name = {
+            f["id"]: f["name"]
+            for f in _current_iceberg_schema(meta).get("fields", [])
+            if "id" in f
+        }
+        # per-row data sequence number via a broadcast basename→seq map
+        seq_rows = [(os.path.basename(f), int(file_seq[f])) for f in files]
+        seq_df = F.broadcast(
+            spark.createDataFrame(seq_rows, "__sq_name string, __seq long")
+        )
+        scan = scan.join(
+            seq_df, on=[scan["__if_name"] == seq_df["__sq_name"]], how="left"
+        ).drop("__sq_name")
+        # group delete files by their equality-column set
+        by_cols: dict[tuple[str, ...], list[tuple[str, int]]] = {}
+        for dfp, dseq, ids in eq_deletes:
+            cols = []
+            for i in ids:
+                name = id_to_name.get(i)
+                if name is None:
+                    raise ValueError(
+                        f"Iceberg equality delete {dfp}: equality field "
+                        f"id {i} not in the current schema"
+                    )
+                cols.append(name)
+            by_cols.setdefault(tuple(cols), []).append((dfp, dseq))
+        for cols, dels in sorted(by_cols.items()):
+            del_df = None
+            for dfp, dseq in sorted(dels):
+                one = spark.read.parquet(dfp).select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    F.lit(dseq).cast("long").alias("__eq_seq"),
+                )
+                del_df = one if del_df is None else del_df.unionByName(one)
+            conds = [
+                scan[c].eqNullSafe(del_df[f"__eq_{c}"]) for c in cols
+            ]
+            conds.append(scan["__seq"] < del_df["__eq_seq"])
+            scan = scan.join(F.broadcast(del_df), on=conds, how="left_anti")
+        scan = scan.drop("__seq")
+    return scan.drop("__if_name", "__if_ri")
 
 
 def _entry_partition_values(data_file, spec_cols: list[str]) -> dict[str, str]:

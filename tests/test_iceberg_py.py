@@ -274,6 +274,143 @@ def test_iceberg_position_deletes(spark, tmp_path):
     assert old == [10, 11, 12, 13, 20, 21]
 
 
+_MANIFEST_LIST_SEQ_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int", "default": 0},
+            {"name": "sequence_number", "type": "long"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ],
+    }
+)
+
+_MANIFEST_EQ_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "int"],
+             "default": None},  # int, not long: py4j Integers do not
+            # resolve inside ["null","long"] unions; the reader coerces
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file_req",
+                    "fields": [
+                        {"name": "content", "type": "int", "default": 0},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array", "items": "int"}],
+                         "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def test_iceberg_equality_deletes_sequence_semantics(spark, tmp_path):
+    """EQUALITY deletes (spec §Equality Delete Files): a delete file's
+    rows remove matching rows — null-safe on the equality_ids columns —
+    from data files with data sequence number STRICTLY LESS than the
+    delete's. A data file written at a LATER sequence keeps its matching
+    rows (re-insert after delete, the CDC upsert shape)."""
+    import pyarrow as pa
+
+    from chdb_spark.sources.iceberg_py import read_iceberg_py
+
+    table = str(tmp_path / "eq")
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+
+    def data_with_key(rel, keys, vals):
+        p = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "k": pa.array(keys, pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }),
+            p,
+        )
+        return p
+
+    # seq 1: initial data (a,b,c); seq 3: re-insert of b after the delete
+    f1 = data_with_key("data/f1.parquet", ["a", "b", None], [1, 2, 3])
+    f2 = data_with_key("data/f2.parquet", ["b"], [99])
+    # seq 2: equality delete of k='b' and k=NULL (null-safe match)
+    eq = os.path.join(table, "data", "eq1.parquet")
+    pq.write_table(
+        pa.table({"k": pa.array(["b", None], pa.string())}), eq
+    )
+
+    def entry(path, content, seq, eq_ids=None):
+        d = {
+            "status": 1, "sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": path,
+                "file_format": "PARQUET", "record_count": 1,
+                "file_size_in_bytes": 1,
+            },
+        }
+        if eq_ids is not None:
+            d["data_file"]["equality_ids"] = eq_ids
+        return d
+
+    m1 = os.path.join(md, "m1.avro")
+    _write_avro(spark, m1, _MANIFEST_EQ_SCHEMA,
+                [entry(f1, 0, 1), entry(f2, 0, 3)])
+    mdel = os.path.join(md, "mdel.avro")
+    _write_avro(spark, mdel, _MANIFEST_EQ_SCHEMA,
+                [entry(eq, 2, 2, eq_ids=[1])])
+    ml = os.path.join(md, "ml.avro")
+    _write_avro(
+        spark, ml, _MANIFEST_LIST_SEQ_SCHEMA,
+        [{"manifest_path": m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "sequence_number": 3,
+          "added_snapshot_id": 1},
+         {"manifest_path": mdel, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "sequence_number": 2,
+          "added_snapshot_id": 1}],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000eq",
+        "location": table,
+        "current-snapshot-id": 1,
+        "schemas": [{
+            "schema-id": 0, "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "string"},
+                {"id": 2, "name": "v", "required": False, "type": "long"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    got = {(r.k, r.v) for r in read_iceberg_py(spark, table).collect()}
+    # f1 (seq 1 < 2): 'b' and NULL rows deleted, 'a' survives;
+    # f2 (seq 3 > 2): its 'b' re-insert survives
+    assert got == {("a", 1), ("b", 99)}
+
+
 def test_iceberg_routes_through_read_auto(spark, tmp_path):
     table = str(tmp_path / "r")
     f1 = _data_file(table, "data/f1.parquet", [5, 6])
