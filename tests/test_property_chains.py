@@ -950,3 +950,79 @@ def test_hudi_mor_merge_property(spark, base, blocks, tmp_path_factory):
             expected.update(upserts)
     got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
     assert got == expected
+
+
+@given(
+    file_rows=st.lists(  # rows per data file
+        st.integers(min_value=1, max_value=8), min_size=1, max_size=3
+    ),
+    del_frac=st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), max_size=6),
+        min_size=1, max_size=3,
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_iceberg_position_delete_property(spark, file_rows, del_frac,
+                                          tmp_path_factory):
+    """For ANY file layout and position-delete pattern, the snapshot
+    equals the in-memory replay: row (f, i) survives iff i is not in
+    file f's delete set (out-of-range positions are harmless)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from chdb_spark.sources.iceberg_py import read_iceberg_py
+    from tests.test_iceberg_py import (
+        _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_SCHEMA,
+        _entry,
+        _metadata,
+        _write_avro,
+    )
+
+    table = str(tmp_path_factory.mktemp("ipd") / "t")
+    md = _os.path.join(table, "metadata")
+    _os.makedirs(md)
+    data_paths, expected = [], set()
+    rid = 0
+    for fi, n in enumerate(file_rows):
+        ids = list(range(rid, rid + n))
+        rid += n
+        p = _os.path.join(table, "data", f"f{fi}.parquet")
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        _pq.write_table(_pa.table({"id": _pa.array(ids, _pa.int64())}), p)
+        data_paths.append((p, ids))
+    pd_paths = []
+    for fi, (p, ids) in enumerate(data_paths):
+        dels = sorted(set(del_frac[fi % len(del_frac)]))
+        expected |= {v for i, v in enumerate(ids) if i not in dels}
+        if dels:
+            pdp = _os.path.join(table, "data", f"pd{fi}.parquet")
+            _pq.write_table(
+                _pa.table({
+                    "file_path": _pa.array([p] * len(dels), _pa.string()),
+                    "pos": _pa.array(dels, _pa.int64()),
+                }),
+                pdp,
+            )
+            pd_paths.append(pdp)
+    m1 = _os.path.join(md, "m1.avro")
+    _write_avro(spark, m1, _MANIFEST_SCHEMA,
+                [_entry(p) for p, _ids in data_paths])
+    lists = [{"manifest_path": m1, "manifest_length": 1,
+              "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}]
+    if pd_paths:
+        mdel = _os.path.join(md, "mdel.avro")
+        _write_avro(spark, mdel, _MANIFEST_SCHEMA,
+                    [_entry(p, content=1) for p in pd_paths])
+        lists.append({"manifest_path": mdel, "manifest_length": 1,
+                      "partition_spec_id": 0, "content": 1,
+                      "added_snapshot_id": 1})
+    ml = _os.path.join(md, "ml.avro")
+    _write_avro(spark, ml, _MANIFEST_LIST_SCHEMA, lists)
+    _metadata(table, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    got = {r.id for r in read_iceberg_py(spark, table).collect()}
+    assert got == expected
