@@ -621,6 +621,19 @@ def _write_checkpoint(
             ("size", pa.int64()),
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
+            # deletionVector MUST survive checkpointing — dropping it
+            # (pyarrow silently ignores dict keys absent from the
+            # struct) would resurrect deleted rows for every read
+            # anchored at the checkpoint (r10)
+            ("deletionVector", pa.struct(
+                [
+                    ("storageType", pa.string()),
+                    ("pathOrInlineDv", pa.string()),
+                    ("offset", pa.int64()),
+                    ("sizeInBytes", pa.int64()),
+                    ("cardinality", pa.int64()),
+                ]
+            )),
         ]
     )
     meta_t = pa.struct(
@@ -637,7 +650,15 @@ def _write_checkpoint(
         ]
     )
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            # feature lists survive checkpointing too — a v3 protocol
+            # replayed without them would skip the unknown-feature
+            # refusal AND the supported-feature handling (r10)
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     adds = [live[p] for p in sorted(live)]
     n = len(adds) + 2
@@ -655,6 +676,8 @@ def _write_checkpoint(
     proto_row = {
         "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
         "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+        "readerFeatures": protocol.get("readerFeatures"),
+        "writerFeatures": protocol.get("writerFeatures"),
     }
     tbl = pa.table(
         {

@@ -562,6 +562,58 @@ def test_delta_deletion_vector_reads(spark, tmp_path):
     assert got == [3, 10]
 
 
+def test_delta_dv_survives_checkpoint(spark, tmp_path):
+    """Appending to a DV-carrying table until a checkpoint is emitted
+    must preserve the adds' deletionVector descriptors AND the v3
+    protocol's feature lists in the checkpoint — dropping either
+    silently resurrects deleted rows for reads anchored at the
+    checkpoint (r10)."""
+    import uuid as _uuid
+
+    from chdb_spark.sources.delta_dv import (
+        serialize_dv,
+        write_dv_file,
+        z85_encode,
+    )
+    from chdb_spark.sources.delta_py import read_delta_py, write_delta_py
+
+    table_dir, log_dir = _mk_table(tmp_path, name="dvcp")
+    pq.write_table(
+        pa.table({"n": pa.array([0, 1, 2], pa.int64())}),
+        os.path.join(table_dir, "f1.parquet"),
+    )
+    u = _uuid.uuid4()
+    dv = serialize_dv([1])
+    offs = write_dv_file(
+        os.path.join(table_dir, f"deletion_vector_{u}.bin"), [dv]
+    )
+    add1 = _add("f1.parquet")
+    add1["add"]["deletionVector"] = {
+        "storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+        "offset": offs[0], "sizeInBytes": len(dv), "cardinality": 1,
+    }
+    _commit(
+        log_dir, 0,
+        [_protocol(reader=3, writer=7, reader_features=["deletionVectors"]),
+         _meta_n(), add1],
+    )
+    assert sorted(r.n for r in read_delta_py(spark, table_dir).collect()) \
+        == [0, 2]
+    # append with checkpoint_interval=1 → checkpoint at v1
+    write_delta_py(
+        spark.createDataFrame([(10,)], "n long"), table_dir,
+        mode="append", checkpoint_interval=1,
+    )
+    assert any(
+        name.endswith(".checkpoint.parquet") for name in os.listdir(log_dir)
+    )
+    # remove the pre-checkpoint commit: replay must anchor at the
+    # checkpoint and STILL filter the DV'd row
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    got = sorted(r.n for r in read_delta_py(spark, table_dir).collect())
+    assert got == [0, 2, 10]
+
+
 def test_delta_dv_checksum_guard(spark, tmp_path):
     """A corrupted DV payload fails the CRC check loudly instead of
     silently filtering the wrong rows."""
