@@ -305,6 +305,25 @@ def read_iceberg_py(
     return _read_resolved_by_field_id(spark, meta, files)
 
 
+
+def _plain_scan(spark: SparkSession, files: list[str]) -> DataFrame:
+    """Parquet scan with field-id expectations STRIPPED from the read
+    schema: Spark persists 'parquet.field.id' StructField metadata into
+    its inferred schema, and a scan whose read schema carries ids FAILS
+    on groupmate files that lack them ("Spark read schema expects field
+    Ids") — exactly what a mix of this writer's stamped files and a
+    foreign writer's unstamped files produces. Name resolution is
+    correct on every path that reaches here (single-schema tables, or
+    groups already resolved by footer)."""
+    from pyspark.sql import types as T
+
+    sch = spark.read.parquet(*files).schema
+    clean = T.StructType(
+        [T.StructField(f.name, f.dataType, f.nullable) for f in sch.fields]
+    )
+    return spark.read.schema(clean).parquet(*files)
+
+
 def _scan_with_deletes(
     spark: SparkSession,
     meta: dict,
@@ -333,7 +352,7 @@ def _scan_with_deletes(
     from pyspark.sql import functions as F
 
     if not pos_deletes and not eq_deletes:
-        return spark.read.parquet(*files)
+        return _plain_scan(spark, files)
     names = [os.path.basename(f) for f in files]
     if len(set(names)) != len(names):
         raise NotImplementedError(
@@ -347,7 +366,7 @@ def _scan_with_deletes(
             "contain URL-encodable characters — needs the "
             "iceberg-spark runtime"
         )
-    scan = spark.read.parquet(*files).select(
+    scan = _plain_scan(spark, files).select(
         "*",
         F.col("_metadata.file_name").alias("__if_name"),
         F.col("_metadata.row_index").alias("__if_ri"),
@@ -588,7 +607,7 @@ def _read_resolved_by_field_id(
     parts: list[DataFrame] = []
     for sig, fps in sorted(groups.items()):
         id_to_old = dict(sig)
-        scan = spark.read.parquet(*sorted(fps))
+        scan = _plain_scan(spark, sorted(fps))
         cols = []
         for f in cur_fields:
             old = id_to_old.get(f["id"])
@@ -654,6 +673,10 @@ _MANIFEST_LIST_AVRO = json.dumps(
             {"name": "manifest_length", "type": "long"},
             {"name": "partition_spec_id", "type": "int"},
             {"name": "content", "type": "int", "default": 0},
+            # sequence numbers MUST survive carry-forward appends:
+            # equality-delete resolution orders by them, and dropping
+            # them turns readable tables into loud refusals (r10)
+            {"name": "sequence_number", "type": "long", "default": 0},
             {"name": "added_snapshot_id", "type": "long"},
         ],
     }
@@ -1010,6 +1033,7 @@ def write_iceberg_py(
             "manifest_length": os.stat(manifest_path).st_size,
             "partition_spec_id": 0,
             "content": 0,
+            "sequence_number": snap_id,
             "added_snapshot_id": snap_id,
         }
     ]
@@ -1021,15 +1045,24 @@ def write_iceberg_py(
         for rec in _avro_records(
             spark, _local_path(prior_snap["manifest-list"], path)
         ):
+            try:
+                mseq = rec.get("sequence_number")
+            except Exception:
+                mseq = None
+            added = int(str(rec.get("added_snapshot_id") or snap_id))
             list_rows.append(
                 {
                     "manifest_path": _jstr(rec.get("manifest_path")),
                     "manifest_length": int(str(rec.get("manifest_length") or 0)),
                     "partition_spec_id": 0,
                     "content": int(str(rec.get("content") or 0)),
-                    "added_snapshot_id": int(
-                        str(rec.get("added_snapshot_id") or snap_id)
+                    # preserve the original sequence; legacy lists
+                    # without one approximate with the adding snapshot
+                    # (our snapshots use sequence == snapshot id)
+                    "sequence_number": (
+                        int(str(mseq)) if mseq is not None else added
                     ),
+                    "added_snapshot_id": added,
                 }
             )
     ml_path = os.path.join(md, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")

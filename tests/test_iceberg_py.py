@@ -411,6 +411,84 @@ def test_iceberg_equality_deletes_sequence_semantics(spark, tmp_path):
     assert got == {("a", 1), ("b", 99)}
 
 
+def test_iceberg_append_preserves_delete_sequences(spark, tmp_path):
+    """write_iceberg_py appending to a table carrying equality deletes
+    must keep the carried manifests' sequence numbers (r10: the
+    carry-forward schema lacked the field, degrading readable tables
+    into refusals) and give the NEW data files a HIGHER sequence so the
+    old deletes don't eat the appended rows."""
+    import pyarrow as pa
+
+    from chdb_spark.sources.iceberg_py import (
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    table = str(tmp_path / "eqap")
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    f1 = os.path.join(table, "data", "f1.parquet")
+    os.makedirs(os.path.dirname(f1), exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array(["a", "b"], pa.string()),
+                  "v": pa.array([1, 2], pa.int64())}), f1
+    )
+    eq = os.path.join(table, "data", "eq1.parquet")
+    pq.write_table(pa.table({"k": pa.array(["b"], pa.string())}), eq)
+
+    def entry(path, content, seq, eq_ids=None):
+        d = {"status": 1, "sequence_number": seq,
+             "data_file": {"content": content, "file_path": path,
+                           "file_format": "PARQUET", "record_count": 1,
+                           "file_size_in_bytes": 1}}
+        if eq_ids is not None:
+            d["data_file"]["equality_ids"] = eq_ids
+        return d
+
+    m1 = os.path.join(md, "m1.avro")
+    _write_avro(spark, m1, _MANIFEST_EQ_SCHEMA, [entry(f1, 0, 1)])
+    mdel = os.path.join(md, "mdel.avro")
+    _write_avro(spark, mdel, _MANIFEST_EQ_SCHEMA,
+                [entry(eq, 2, 2, eq_ids=[1])])
+    ml = os.path.join(md, "ml.avro")
+    _write_avro(
+        spark, ml, _MANIFEST_LIST_SEQ_SCHEMA,
+        [{"manifest_path": m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "sequence_number": 1,
+          "added_snapshot_id": 1},
+         {"manifest_path": mdel, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "sequence_number": 2,
+          "added_snapshot_id": 1}],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000ea",
+        "location": table,
+        "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "string"},
+            {"id": 2, "name": "v", "required": False, "type": "long"},
+        ]}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": ml}],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+    assert {(r.k, r.v) for r in read_iceberg_py(spark, table).collect()} \
+        == {("a", 1)}
+    # append a re-insert of 'b': its data sequence (new snapshot = 2+)
+    # must beat the delete's (2), and the carried delete must still
+    # apply to the ORIGINAL file
+    write_iceberg_py(
+        spark.createDataFrame([("b", 99)], "k string, v long"),
+        table, mode="append",
+    )
+    got = {(r.k, r.v) for r in read_iceberg_py(spark, table).collect()}
+    assert got == {("a", 1), ("b", 99)}
+
+
 def test_iceberg_routes_through_read_auto(spark, tmp_path):
     table = str(tmp_path / "r")
     f1 = _data_file(table, "data/f1.parquet", [5, 6])
