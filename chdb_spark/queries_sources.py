@@ -1007,6 +1007,7 @@ def ic0(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "manifest_length": os.stat(mp).st_size,
                         "partition_spec_id": 0,
                         "content": 0,
+                        "sequence_number": sid,
                         "added_snapshot_id": sid,
                     }
                     for mp, sid in rows
@@ -1373,16 +1374,22 @@ def ic3(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_rows = [{
             "manifest_path": mdel,
             "manifest_length": os.stat(mdel).st_size,
-            "partition_spec_id": 0, "content": 1, "added_snapshot_id": 2,
+            "partition_spec_id": 0, "content": 1, "sequence_number": 2,
+            "added_snapshot_id": 2,
         }]
         for rec in _avro_records(
             spark, _local_path(snap1["manifest-list"], path)
         ):
+            try:
+                mseq = rec.get("sequence_number")
+            except Exception:
+                mseq = None
             list_rows.append({
                 "manifest_path": str(rec.get("manifest_path")),
                 "manifest_length": int(str(rec.get("manifest_length") or 0)),
                 "partition_spec_id": 0,
                 "content": int(str(rec.get("content") or 0)),
+                "sequence_number": int(str(mseq)) if mseq is not None else 1,
                 "added_snapshot_id": int(
                     str(rec.get("added_snapshot_id") or 1)
                 ),

@@ -284,6 +284,7 @@ def _read_mor(
 
     bases: dict[tuple[str, str], tuple[str, str]] = {}
     logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
+    bases_on_disk: set[tuple[str, str]] = set()  # committed OR NOT
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != ".hoodie"]
         rel = os.path.relpath(root, path)
@@ -303,6 +304,7 @@ def _read_mor(
             if not m:
                 continue
             file_id, _token, instant = m.groups()
+            bases_on_disk.add((rel, file_id))
             if instant not in completed:
                 continue
             if file_id in replaced.get(rel, set()):
@@ -311,7 +313,14 @@ def _read_mor(
             if key not in bases or instant > bases[key][0]:
                 bases[key] = (instant, os.path.join(root, name))
 
-    log_only = sorted(set(logs) - set(bases))
+    # groups with base files ON DISK but none visible (uncommitted, or
+    # created after an as_of cut) are simply INVISIBLE — their logs die
+    # with them (r10: as_of used to trip the log-only refusal here).
+    # Genuinely base-less groups (log-only slices) still refuse.
+    log_only = sorted(set(logs) - bases_on_disk)
+    for key in set(logs) - set(bases):
+        if key in bases_on_disk:
+            logs.pop(key, None)
     if log_only:
         raise NotImplementedError(
             f"hudi MoR: log-only file slices (no committed base file) "

@@ -283,6 +283,12 @@ def read_iceberg_py(
             [], _spark_schema_from_iceberg(meta)
         )
     files = sorted(set(files))
+    if pos_deletes or eq_deletes:
+        # basename guards run over the WHOLE table here: per-group calls
+        # see only subsets, so cross-group duplicate basenames would
+        # slip past a per-call check and the basename anti-join would
+        # delete rows from the wrong file (r10 third-pass review)
+        _check_delete_join_names(files)
 
     def scan_files(fps: list[str]):
         return _scan_with_deletes(
@@ -306,6 +312,27 @@ def read_iceberg_py(
 
 
 
+def _check_delete_join_names(files: list[str]) -> None:
+    """Row-level deletes join on file BASENAMES (the percent-encoding
+    mismatch between _metadata.file_path and metadata paths rules out
+    full paths): refuse duplicates and URL-encodable names loudly."""
+    import re as _re
+
+    names = [os.path.basename(f) for f in files]
+    if len(set(names)) != len(names):
+        raise NotImplementedError(
+            "Iceberg row-level deletes: duplicate data-file basenames "
+            "across directories — needs the iceberg-spark runtime"
+        )
+    bad = [n for n in names if not _re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
+    if bad:
+        raise NotImplementedError(
+            f"Iceberg row-level deletes: data-file names {bad[:3]} "
+            "contain URL-encodable characters — needs the "
+            "iceberg-spark runtime"
+        )
+
+
 def _plain_scan(spark: SparkSession, files: list[str]) -> DataFrame:
     """Parquet scan with field-id expectations STRIPPED from the read
     schema: Spark persists 'parquet.field.id' StructField metadata into
@@ -317,11 +344,37 @@ def _plain_scan(spark: SparkSession, files: list[str]) -> DataFrame:
     groups already resolved by footer)."""
     from pyspark.sql import types as T
 
-    sch = spark.read.parquet(*files).schema
-    clean = T.StructType(
-        [T.StructField(f.name, f.dataType, f.nullable) for f in sch.fields]
-    )
-    return spark.read.schema(clean).parquet(*files)
+    def strip(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, strip(f.dataType), f.nullable)
+                 for f in dt.fields]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(strip(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                strip(dt.keyType), strip(dt.valueType), dt.valueContainsNull
+            )
+        return dt
+
+    def has_ids(dt) -> bool:
+        if isinstance(dt, T.StructType):
+            return any(
+                "parquet.field.id" in (f.metadata or {})
+                or has_ids(f.dataType)
+                for f in dt.fields
+            )
+        if isinstance(dt, T.ArrayType):
+            return has_ids(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return has_ids(dt.keyType) or has_ids(dt.valueType)
+        return False
+
+    scan = spark.read.parquet(*files)
+    if not has_ids(scan.schema):
+        return scan  # nothing to strip — no second listing needed
+    return spark.read.schema(strip(scan.schema)).parquet(*files)
 
 
 def _scan_with_deletes(
@@ -353,19 +406,8 @@ def _scan_with_deletes(
 
     if not pos_deletes and not eq_deletes:
         return _plain_scan(spark, files)
-    names = [os.path.basename(f) for f in files]
-    if len(set(names)) != len(names):
-        raise NotImplementedError(
-            "Iceberg row-level deletes: duplicate data-file basenames "
-            "across directories — needs the iceberg-spark runtime"
-        )
-    bad = [n for n in names if not _re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
-    if bad:
-        raise NotImplementedError(
-            f"Iceberg row-level deletes: data-file names {bad[:3]} "
-            "contain URL-encodable characters — needs the "
-            "iceberg-spark runtime"
-        )
+    _check_delete_join_names(files)  # table-level check already ran;
+    # this re-check covers direct callers with a subset
     scan = _plain_scan(spark, files).select(
         "*",
         F.col("_metadata.file_name").alias("__if_name"),
@@ -419,6 +461,14 @@ def _scan_with_deletes(
                 cols.append(name)
             by_cols.setdefault(tuple(cols), []).append((dfp, dseq))
         for cols, dels in sorted(by_cols.items()):
+            missing = [c for c in cols if c not in scan.columns]
+            if missing:
+                raise NotImplementedError(
+                    f"Iceberg equality delete on column(s) {missing} "
+                    "that are not in the data files (identity-partition "
+                    "columns of Hive-style files) — needs the "
+                    "iceberg-spark runtime"
+                )
             del_df = None
             for dfp, dseq in sorted(dels):
                 one = spark.read.parquet(dfp).select(
@@ -1022,21 +1072,18 @@ def write_iceberg_py(
     # --- snapshot id / manifest list -----------------------------------
     snapshots = list(prior_meta.get("snapshots") or [])
     snap_id = max((s["snapshot-id"] for s in snapshots), default=0) + 1
+    # sequence numbers order DELETES vs data and have NO required
+    # relation to snapshot ids (r10 third-pass review: deriving the new
+    # sequence from snapshot ids could stamp appended rows BELOW an
+    # existing equality delete's sequence, silently losing them)
     manifest_path = os.path.join(md, f"m-{uuid.uuid4().hex}.avro")
     _write_avro_file(
         spark, manifest_path, _manifest_avro_schema(part_avro), entries
     )
 
-    list_rows = [
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": os.stat(manifest_path).st_size,
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": snap_id,
-            "added_snapshot_id": snap_id,
-        }
-    ]
+    # carried-forward manifests come FIRST so the new sequence can be
+    # derived above every sequence the table already holds
+    carried: list[dict] = []
     if mode == "append" and exists and prior_meta.get("current-snapshot-id", -1) != -1:
         prior_snap = next(
             s for s in snapshots
@@ -1050,7 +1097,7 @@ def write_iceberg_py(
             except Exception:
                 mseq = None
             added = int(str(rec.get("added_snapshot_id") or snap_id))
-            list_rows.append(
+            carried.append(
                 {
                     "manifest_path": _jstr(rec.get("manifest_path")),
                     "manifest_length": int(str(rec.get("manifest_length") or 0)),
@@ -1065,6 +1112,22 @@ def write_iceberg_py(
                     "added_snapshot_id": added,
                 }
             )
+    seq_new = max(
+        int(prior_meta.get("last-sequence-number") or 0),
+        max((int(s.get("sequence-number") or 0) for s in snapshots),
+            default=0),
+        max((r["sequence_number"] for r in carried), default=0),
+    ) + 1
+    list_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": os.stat(manifest_path).st_size,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq_new,
+            "added_snapshot_id": snap_id,
+        }
+    ] + carried
     ml_path = os.path.join(md, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
     _write_avro_file(spark, ml_path, _MANIFEST_LIST_AVRO, list_rows)
 
@@ -1072,7 +1135,7 @@ def write_iceberg_py(
     snapshots.append(
         {
             "snapshot-id": snap_id,
-            "sequence-number": snap_id,
+            "sequence-number": seq_new,
             "manifest-list": ml_path,
             "summary": {"operation": mode},
         }
@@ -1097,7 +1160,7 @@ def write_iceberg_py(
         "format-version": 2,
         "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),
         "location": path,
-        "last-sequence-number": snap_id,
+        "last-sequence-number": seq_new,
         "last-column-id": last_column_id,
         "current-snapshot-id": snap_id,
         "schemas": schemas,

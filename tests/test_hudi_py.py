@@ -357,6 +357,28 @@ def test_hudi_as_of_time_travel(spark, tmp_path):
     assert {r.v for r in read_hudi_py(spark, rep, as_of=t1).collect()} == {1.0}
 
 
+def test_hudi_as_of_hides_later_group_with_logs(spark, tmp_path):
+    """A file group CREATED after as_of (base + log file, both later)
+    must be invisible — not trip the log-only-slice refusal (r10
+    third-pass review). Genuinely base-less groups still refuse."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_asof_late")
+    _base_file(table, "", FILE_ID_A, t1, [1], [1.0])
+    _commit(hoodie, t1, action="deltacommit")
+    # group B born at t2: base + a log block at t3
+    _base_file(table, "", FILE_ID_B, t2, [2], [2.0])
+    log_b = os.path.join(table, f".{FILE_ID_B}_{t2}.log.1_0-1-0")
+    _log_data_block(log_b, t3, [2], [20.0])
+    _commit(hoodie, t2, action="deltacommit")
+    _commit(hoodie, t3, action="deltacommit")
+    got = {r.id: r.v for r in read_hudi_py(spark, table, as_of=t1).collect()}
+    assert got == {1: 1.0}  # group B invisible, no refusal
+    got_now = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
+    assert got_now == {1: 1.0, 2: 20.0}
+
+
 def test_dialect_hudi_mor_table_function(spark, tmp_path):
     """CH-dialect `hudi('<path>')` reads Merge-on-Read tables through the
     same jar-free dispatch (reference table_functions.py:956)."""
