@@ -284,7 +284,6 @@ def _read_mor(
 
     bases: dict[tuple[str, str], tuple[str, str]] = {}
     logs: dict[tuple[str, str], list[tuple[str, int, str]]] = {}
-    bases_on_disk: set[tuple[str, str]] = set()  # committed OR NOT
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if d != ".hoodie"]
         rel = os.path.relpath(root, path)
@@ -304,7 +303,6 @@ def _read_mor(
             if not m:
                 continue
             file_id, _token, instant = m.groups()
-            bases_on_disk.add((rel, file_id))
             if instant not in completed:
                 continue
             if file_id in replaced.get(rel, set()):
@@ -317,15 +315,28 @@ def _read_mor(
     # created after an as_of cut) are simply INVISIBLE — their logs die
     # with them (r10: as_of used to trip the log-only refusal here).
     # Genuinely base-less groups (log-only slices) still refuse.
-    log_only = sorted(set(logs) - bases_on_disk)
-    for key in set(logs) - set(bases):
-        if key in bases_on_disk:
-            logs.pop(key, None)
-    if log_only:
-        raise NotImplementedError(
-            f"hudi MoR: log-only file slices (no committed base file) "
-            f"need the hudi-spark bundle: {log_only[:3]}"
-        )
+    # groups with NO committed base: invisible when their logs hold no
+    # COMMITTED blocks (group born after an as_of cut, or an entirely
+    # uncommitted write); a loud refusal when committed blocks exist —
+    # those rows belong to the snapshot and cannot merge without a base
+    # schema (covers true log-only slices AND a crashed compaction of
+    # one, whose base file exists on disk but never committed — r10
+    # fourth-pass review). The block check reads the ambiguous groups'
+    # log files driver-side; such groups are rare by construction.
+    for key in sorted(set(logs) - set(bases)):
+        committed_blocks = False
+        for _b_inst, _ver, p in logs[key]:
+            with open(p, "rb") as f:
+                if parse_log_file(f.read(), completed):
+                    committed_blocks = True
+                    break
+        if committed_blocks:
+            raise NotImplementedError(
+                f"hudi MoR: file slice {key} has committed log blocks "
+                "but no committed base file (log-only slice or crashed "
+                "compaction) — needs the hudi-spark bundle"
+            )
+        logs.pop(key, None)
     if not bases:
         raise FileNotFoundError(f"no committed Hudi base files under {path}")
     base_files = sorted(p for _i, p in bases.values())

@@ -316,15 +316,13 @@ def _check_delete_join_names(files: list[str]) -> None:
     """Row-level deletes join on file BASENAMES (the percent-encoding
     mismatch between _metadata.file_path and metadata paths rules out
     full paths): refuse duplicates and URL-encodable names loudly."""
-    import re as _re
-
     names = [os.path.basename(f) for f in files]
     if len(set(names)) != len(names):
         raise NotImplementedError(
             "Iceberg row-level deletes: duplicate data-file basenames "
             "across directories — needs the iceberg-spark runtime"
         )
-    bad = [n for n in names if not _re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
+    bad = [n for n in names if not re.fullmatch(r"[A-Za-z0-9._~=-]+", n)]
     if bad:
         raise NotImplementedError(
             f"Iceberg row-level deletes: data-file names {bad[:3]} "
@@ -400,8 +398,6 @@ def _scan_with_deletes(
     _metadata.file_path is percent-encoded while metadata paths are
     not; real writers use unique uuid names — anything else refuses
     loudly (same contract as delta_py's DV scan)."""
-    import re as _re
-
     from pyspark.sql import functions as F
 
     if not pos_deletes and not eq_deletes:

@@ -434,3 +434,23 @@ def test_dialect_hudi_table_function_executes(spark, tmp_path):
     _commit(hoodie, "20260101000000000")
     out = chs.query(spark, f"SELECT sum(v) AS s FROM hudi('{table}')", "Pandas")
     assert out.to_dict("records") == [{"s": 3.0}]
+
+
+def test_hudi_mor_crashed_compaction_of_log_only_slice_refuses(spark, tmp_path):
+    """A slice with COMMITTED log blocks whose only base file never
+    committed (crashed compaction of a log-only slice) must refuse, not
+    silently drop the committed rows (r10 fourth-pass review)."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2, t5 = "20260101000000000", "20260102000000000", "20260105000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_crashed")
+    _base_file(table, "", FILE_ID_A, t1, [1], [1.0])
+    _commit(hoodie, t1, action="deltacommit")
+    # group B: committed log blocks, base only from an UNCOMMITTED
+    # compaction at t5
+    log_b = os.path.join(table, f".{FILE_ID_B}_{t2}.log.1_0-1-0")
+    _log_data_block(log_b, t2, [2], [2.0])
+    _commit(hoodie, t2, action="deltacommit")
+    _base_file(table, "", FILE_ID_B, t5, [2], [2.0])  # no t5 commit
+    with pytest.raises(NotImplementedError, match="log-only|committed log"):
+        read_hudi_py(spark, table)

@@ -831,3 +831,39 @@ def test_spark_visible_names_respects_row_metadata():
         metadata={b"org.apache.spark.sql.parquet.row.metadata": b"{"},
     )
     assert _spark_visible_names(bad) == {"id"}
+
+
+def test_iceberg_deletes_cross_group_duplicate_basenames_refuse(spark, tmp_path):
+    """Row-level deletes join on basenames, so duplicate basenames in
+    DIFFERENT partition directories must refuse at TABLE level — the
+    per-group scans each see a unique subset and would miss it (r10
+    fourth-pass review: a delete could anti-join rows out of the wrong
+    file)."""
+    from chdb_spark.sources.iceberg_py import read_iceberg_py
+
+    table = str(tmp_path / "dup")
+    md = os.path.join(table, "metadata")
+    os.makedirs(md, exist_ok=True)
+    f1 = _data_file(table, "data/a=1/part-0.parquet", [1])
+    f2 = _data_file(table, "data/a=2/part-0.parquet", [2])
+    pd_file = os.path.join(table, "data", "pd1.parquet")
+    pq.write_table(
+        pa.table({"file_path": pa.array([f1], pa.string()),
+                  "pos": pa.array([0], pa.int64())}),
+        pd_file,
+    )
+    m1 = os.path.join(md, "m1.avro")
+    _write_avro(spark, m1, _MANIFEST_SCHEMA, [_entry(f1), _entry(f2)])
+    mdel = os.path.join(md, "mdel.avro")
+    _write_avro(spark, mdel, _MANIFEST_SCHEMA, [_entry(pd_file, content=1)])
+    ml = os.path.join(md, "ml.avro")
+    _write_avro(
+        spark, ml, _MANIFEST_LIST_SCHEMA,
+        [{"manifest_path": m1, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1},
+         {"manifest_path": mdel, "manifest_length": 1,
+          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 1}],
+    )
+    _metadata(table, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
+    with pytest.raises(NotImplementedError, match="duplicate data-file"):
+        read_iceberg_py(spark, table).collect()
