@@ -1477,8 +1477,12 @@ class _InsertBuilder:
                     "need their runtime jars (hadoop-aws / gcs-connector "
                     "/ hadoop-azure) on the classpath"
                 )
-            fmt = (self._target.get("format") or "parquet").lower()
-            write_auto(df, path, fmt=fmt, mode="append")
+            from chdb_spark.dialect import resolve_write_format
+
+            fmt, wopts = resolve_write_format(
+                self._target.get("format"), path
+            )
+            write_auto(df, path, fmt=fmt, mode="append", **wopts)
             return
         if kind != "file":
             raise NotImplementedError(
@@ -1486,14 +1490,18 @@ class _InsertBuilder:
                 "file/deltaLake/iceberg (object stores and Hudi need "
                 "their runtime jars)"
             )
+        from chdb_spark.dialect import resolve_write_format
         from chdb_spark.sinks import write_auto
 
-        fmt = (self._target.get("format") or "parquet").lower()
+        # CH format names resolve through the same _TF_FORMATS mapping
+        # as the SQL lane (ADVICE r10) — both lanes write identical
+        # bytes for 'CSVWithNames', headerless 'CSV', 'TSV', …
+        fmt, wopts = resolve_write_format(self._target.get("format"), path)
         # INSERT semantics append for every target kind (matching the
         # SQL lane's `INSERT INTO TABLE FUNCTION file(...)` and CH
         # itself) — an overwrite here would silently destroy prior
         # batches on file targets while lakehouse targets accumulate
-        write_auto(df, path, fmt=fmt, mode="append")
+        write_auto(df, path, fmt=fmt, mode="append", **wopts)
 
 
 # -- factories (reference entry points) --------------------------------------

@@ -2038,6 +2038,25 @@ def _parse_remote_args(lit: list[str]) -> tuple[str, str, str, str]:
     return database, table, user, password
 
 
+def resolve_write_format(fmt_name: str | None, path: str | None):
+    """CH format name → ``(spark_fmt, writer_opts)`` for file-shaped
+    write targets. Shared by the SQL lane (INSERT INTO TABLE FUNCTION)
+    and the Python-API lane (datastore ``_InsertBuilder``) so both map
+    CH-specific names ('CSVWithNames', 'TabSeparated', …) identically —
+    including CH's HEADERLESS plain CSV/TSV (ADVICE r10, low: the
+    Python lane passed the raw name to the Spark writer, failing for
+    every CH name and writing a header CH would ingest as data)."""
+    from chdb_spark.sources.files import infer_format
+
+    name = (fmt_name or "").lower()
+    if name in _TF_FORMATS:
+        fmt, opts = _TF_FORMATS[name]
+    else:
+        fmt = (infer_format(path) if path else None) or name or "parquet"
+        opts = {}
+    return fmt, {k: v for k, v in opts.items() if k in ("header", "sep")}
+
+
 def write_table_function(spark, name: str, args: list[str], df,
                          http_factory=None) -> None:
     """Dispatch a DataFrame write to a table-function target — the write
@@ -2053,13 +2072,8 @@ def write_table_function(spark, name: str, args: list[str], df,
         path = lit[0]
         fmt_name = (lit[1] if len(lit) > 1 else "").lower()
         from chdb_spark.sinks import write_auto
-        from chdb_spark.sources.files import infer_format
 
-        if fmt_name in _TF_FORMATS:
-            fmt, opts = _TF_FORMATS[fmt_name]
-        else:
-            fmt, opts = (infer_format(path) or "parquet"), {}
-        wopts = {k: v for k, v in opts.items() if k in ("header", "sep")}
+        fmt, wopts = resolve_write_format(fmt_name, path)
         write_auto(df, path, fmt, mode="append", **wopts)
     elif kind in ("remote", "remotesecure"):
         from chdb_spark.sources.remote_ch import to_clickhouse
@@ -2095,7 +2109,6 @@ def write_table_function(spark, name: str, args: list[str], df,
         # scheme (jar probe); credentials belong in cluster conf. The
         # write itself is the plain distributed Spark writer.
         from chdb_spark.sinks import write_auto
-        from chdb_spark.sources.files import infer_format
 
         target = lit[0] if lit else ""
         if not _hadoop_fs_available(spark, target):
@@ -2109,11 +2122,7 @@ def write_table_function(spark, name: str, args: list[str], df,
         for extra in lit[1:]:
             if (extra or "").lower() in _TF_FORMATS:
                 fmt_name = extra.lower()
-        if fmt_name:
-            fmt, opts = _TF_FORMATS[fmt_name]
-        else:
-            fmt, opts = (infer_format(target) or "parquet"), {}
-        wopts = {k: v for k, v in opts.items() if k in ("header", "sep")}
+        fmt, wopts = resolve_write_format(fmt_name, target)
         write_auto(df, target, fmt, mode="append", **wopts)
     else:
         raise NotImplementedError(

@@ -1433,7 +1433,8 @@ def ic3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixture writes a base file at deltacommit t1, a log file whose "
         "PARQUET_DATA_BLOCK at committed t2 doubles n for doc_id%3==0, "
         "and a second block at t3 that never completes (must stay "
-        "invisible). read_hudi_py merges base+log per _hoodie_record_key "
+        "invisible). read_hudi_py merges base+log per "
+        "(_hoodie_partition_path, _hoodie_record_key) "
         "— executor-side block parsing, one key shuffle "
         "(sources/hudi_py.py _read_mor). Oracle computes the merged "
         "state straight from the parquet source.",
@@ -1450,10 +1451,13 @@ def hu2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("_hoodie_record_key"),
+        F.lit("").alias("_hoodie_partition_path"),
         "doc_id",
         F.length("text").cast("long").alias("n"),
     )
-    path = scratch_dir("hudi_hu2", sf_dir)
+    # _v2: r11 added the spec-required _hoodie_partition_path meta column
+    # to the merge key — older scratch fixtures lack it and must rebuild
+    path = scratch_dir("hudi_hu2_v2", sf_dir)
     hoodie = os.path.join(path, ".hoodie")
     t1, t2, t3 = "20260101000000000", "20260102000000000", "20260103000000000"
     file_id = "fgM"
@@ -1511,4 +1515,169 @@ def hu2(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build()
     return read_hudi_py(spark, path, drop_meta=True).agg(
         F.count("*").alias("n_rows"), F.sum("n").cast("long").alias("chars")
+    )
+
+
+@defquery(
+    "ic4_iceberg_bucket_days",
+    """
+    SELECT CAST(d AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS chars
+    FROM (
+        SELECT DATE '2026-01-01' + CAST(doc_id % 5 AS INT) AS d,
+               length(text) AS n
+        FROM documents
+    )
+    GROUP BY d ORDER BY d
+    """,
+    doc="NON-IDENTITY partition transform READ (reference "
+        "table_functions.py:868; spec §Partition Transforms): the "
+        "fixture lays out documents as a jar writer would for "
+        "PARTITIONED BY (bucket(4, doc_id), day(d)) — real "
+        "murmur3_x86_32 bucket values (spec Appendix B vectors pinned) "
+        "and day ordinals in the manifest partition tuples, source "
+        "columns present in every data file. read_iceberg_py scans the "
+        "20 per-partition files as one plain distributed union (no "
+        "identity columns to restore; transform tuples are "
+        "pruning-metadata only, which the spec lets a reader ignore). "
+        "Oracle recomputes the day rollup from the parquet source.",
+)
+def ic4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import json as _json
+    import uuid as _uuid
+
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.iceberg_py import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_avro_schema,
+        _write_avro_file,
+        iceberg_bucket,
+        iceberg_day,
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+    )
+
+    path = scratch_dir("iceberg_ic4", sf_dir)
+
+    def _build() -> None:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(path, ignore_errors=True)
+        # fixture-sized driver pull by design (3 narrow columns of the
+        # documents table) — the QUERY under test is the distributed read
+        pdf = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id", F.length("text").cast("long").alias("n"))
+            .toPandas()
+        )
+        epoch = _dt.date(1970, 1, 1)
+        base = _dt.date(2026, 1, 1)
+        pdf["d"] = [base + _dt.timedelta(days=int(i) % 5) for i in pdf["doc_id"]]
+        pdf["_bucket"] = [iceberg_bucket(int(i), 4) for i in pdf["doc_id"]]
+        pdf["_day"] = [iceberg_day(d) for d in pdf["d"]]
+        md = os.path.join(path, "metadata")
+        os.makedirs(md, exist_ok=True)
+        entries = []
+        for (b, day_ord), grp in pdf.groupby(["_bucket", "_day"]):
+            sub = os.path.join(
+                path, "data", f"doc_id_bucket={b}",
+                f"d_day={epoch + _dt.timedelta(days=int(day_ord))}",
+            )
+            os.makedirs(sub, exist_ok=True)
+            fp = os.path.join(sub, f"{_uuid.uuid4().hex}.parquet")
+            tbl = pa.table({
+                "doc_id": pa.array(grp["doc_id"], pa.int64()),
+                "n": pa.array(grp["n"], pa.int64()),
+                "d": pa.array(grp["d"], pa.date32()),
+            })
+            pq.write_table(tbl, fp)
+            entries.append({
+                "status": 1, "snapshot_id": None,
+                "data_file": {
+                    "content": 0,
+                    "partition": {
+                        "doc_id_bucket": int(b), "d_day": int(day_ord),
+                    },
+                    "file_path": fp, "file_format": "PARQUET",
+                    "record_count": len(grp),
+                    "file_size_in_bytes": os.stat(fp).st_size,
+                },
+            })
+        manifest = os.path.join(md, f"m-{_uuid.uuid4().hex}.avro")
+        _write_avro_file(
+            spark, manifest,
+            _manifest_avro_schema(
+                [("doc_id_bucket", "int"), ("d_day", "int")]
+            ),
+            entries,
+        )
+        ml = os.path.join(md, f"snap-1-{_uuid.uuid4().hex}.avro")
+        _write_avro_file(
+            spark, ml, _MANIFEST_LIST_AVRO,
+            [{
+                "manifest_path": manifest,
+                "manifest_length": os.stat(manifest).st_size,
+                "partition_spec_id": 0, "content": 0,
+                "sequence_number": 1, "added_snapshot_id": 1,
+            }],
+        )
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(_uuid.uuid4()),
+            "location": path,
+            "last-sequence-number": 1,
+            "last-column-id": 3,
+            "current-snapshot-id": 1,
+            "schemas": [{
+                "schema-id": 0, "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "doc_id", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "n", "required": False,
+                     "type": "long"},
+                    {"id": 3, "name": "d", "required": False,
+                     "type": "date"},
+                ],
+            }],
+            "current-schema-id": 0,
+            "partition-specs": [{
+                "spec-id": 0,
+                "fields": [
+                    {"name": "doc_id_bucket", "transform": "bucket[4]",
+                     "source-id": 1, "field-id": 1000},
+                    {"name": "d_day", "transform": "day",
+                     "source-id": 3, "field-id": 1001},
+                ],
+            }],
+            "default-spec-id": 0,
+            "snapshots": [{
+                "snapshot-id": 1, "sequence-number": 1,
+                "manifest-list": ml,
+                "summary": {"operation": "append"},
+            }],
+        }
+        with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+            _json.dump(meta, f)
+        with open(os.path.join(md, "version-hint.text"), "w") as f:
+            f.write("1")
+
+    try:
+        if len(iceberg_snapshot_ids(path)) != 1:
+            raise ValueError("stale scratch table")
+    except Exception:
+        _build()
+    return (
+        read_iceberg_py(spark, path)
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n").cast("long").alias("chars"),
+        )
+        .orderBy("d")
     )

@@ -502,6 +502,13 @@ def _read_id_mapped(
             fid = (pf.metadata or {}).get(b"PARQUET:field_id")
             if fid is not None:
                 out[int(fid)] = pf.name
+        if out and len(out) < len(sch.names):
+            # PARTIALLY stamped footer: a column with data but no id
+            # would be projected as NULL if we trusted the partial map
+            # (ADVICE r10, medium — silent-NULL misread). Mirror
+            # iceberg_py._parquet_field_ids' all-or-nothing rule and
+            # fall through to the validated physicalName path.
+            out = {}
         if not out:
             # pre-id-stamping writer: physicalName fallback, validated
             names = set(sch.names)
@@ -510,9 +517,9 @@ def _read_id_mapped(
             ]
             if missing:
                 raise NotImplementedError(
-                    f"Delta id-mapped file {fp} has no parquet field ids "
-                    f"and physical names {missing} are absent — needs "
-                    "the delta-spark jars"
+                    f"Delta id-mapped file {fp} has no (or only partial) "
+                    f"parquet field ids and physical names {missing} are "
+                    "absent — needs the delta-spark jars"
                 )
             return tuple(
                 sorted((id_of[f.name], phys_of[f.name]) for f in data_fields)

@@ -26,10 +26,13 @@ pointer. Supported block types: PARQUET_DATA_BLOCK (content is a
 complete parquet byte stream — parsed executor-side with pyarrow) and
 COMMAND_BLOCK rollbacks; AVRO/HFILE/CDC data blocks and DELETE blocks
 refuse loudly (their payloads are Avro-serialized and need the bundle).
-Merge semantics: newest write per ``_hoodie_record_key`` wins, ordered
+Merge semantics: newest write per ``(_hoodie_partition_path,
+_hoodie_record_key)`` wins (record keys are only unique per partition
+with the default non-global index), ordered
 base-then-log-blocks-in-append-order — realized as ONE distributed
-window over the record key, not a driver loop; log payload parsing runs
-in executors via mapInPandas over the (metadata-sized) log path list.
+window over the (partition, key) pair, not a driver loop; log payload
+parsing runs in executors via mapInPandas over the (metadata-sized)
+log path list.
 
 Honesty guards: MoR tables whose log files carry unsupported block
 types raise; log-only file slices (no base file) raise — the reader
@@ -274,8 +277,9 @@ def _read_mor(
     drop_meta: bool,
 ) -> DataFrame:
     """Merge-on-Read snapshot: per file slice, newest committed base file
-    + its log blocks; newest record version per ``_hoodie_record_key``
-    wins. Driver work is metadata-sized (timeline + file listing); log
+    + its log blocks; newest record version per ``(_hoodie_partition_path,
+    _hoodie_record_key)`` wins. Driver work is metadata-sized (timeline +
+    file listing); log
     payloads are parsed in EXECUTORS (mapInPandas over the path list) and
     the merge is one hash shuffle on the record key — the same split a
     1000-executor MoR scan needs."""
@@ -363,11 +367,18 @@ def _read_mor(
             out = out.drop(*[c for c in out.columns if c.startswith("_hoodie_")])
         return out
 
-    if "_hoodie_record_key" not in base_df.columns:
-        raise ValueError(
-            "hudi MoR merge needs the _hoodie_record_key meta column in "
-            "base files (present in every spec-conforming Hudi table)"
-        )
+    # Record keys are only unique PER PARTITION with Hudi's default
+    # non-global index, so the merge must key on (partition, key) —
+    # key-alone would silently drop one of two same-key rows living in
+    # different partitions (ADVICE r10, high). Both meta columns exist
+    # in every spec-conforming base file; absence is a loud refusal, not
+    # a silent best-effort merge.
+    for need in ("_hoodie_record_key", "_hoodie_partition_path"):
+        if need not in base_df.columns:
+            raise ValueError(
+                f"hudi MoR merge needs the {need} meta column in "
+                "base files (present in every spec-conforming Hudi table)"
+            )
 
     base_cols = base_df.columns
     # NOT schema.add(): StructType.add mutates in place and DataFrame
@@ -419,9 +430,9 @@ def _read_mor(
         .withColumn(
             "_rn",
             F.row_number().over(
-                Window.partitionBy("_hoodie_record_key").orderBy(
-                    F.desc("_hudi_log_ord")
-                )
+                Window.partitionBy(
+                    "_hoodie_partition_path", "_hoodie_record_key"
+                ).orderBy(F.desc("_hudi_log_ord"))
             ),
         )
         .filter(F.col("_rn") == 1)

@@ -658,7 +658,33 @@ def _read_resolved_by_field_id(
         for f in cur_fields:
             old = id_to_old.get(f["id"])
             if old is not None and old in scan.columns:
-                cols.append(F.col(old).alias(f["name"]))
+                col = F.col(old)
+                t = f.get("type")
+                if isinstance(t, str):
+                    # cast to the CURRENT schema's type: a file written
+                    # before an int→long (or float→double) promotion
+                    # keeps the old physical type, and a single-group
+                    # result would leak it into the output schema
+                    # (ADVICE r10, low)
+                    st = _prim_cast_type(t)
+                    if st is not None:
+                        col = col.cast(st)
+                else:
+                    # nested struct/list/map: field-id resolution here is
+                    # top-level only, so a nested-field rename would keep
+                    # the file's old inner names — verify they match the
+                    # current schema or refuse (ADVICE r10, low)
+                    exp = _nested_name_tree(t)
+                    act = _spark_name_tree(scan.schema[old].dataType)
+                    if exp != act:
+                        raise NotImplementedError(
+                            f"Iceberg column {f['name']!r}: nested field "
+                            f"names in data file group {sorted(fps)[0]}… "
+                            f"({act}) differ from the current schema "
+                            f"({exp}) — nested rename resolution needs "
+                            "the iceberg-spark runtime"
+                        )
+                cols.append(col.alias(f["name"]))
             else:
                 # field added to the schema after this file was written
                 cols.append(
@@ -671,6 +697,148 @@ def _read_resolved_by_field_id(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3 (x86 variant), the hash Iceberg's ``bucket[N]``
+    transform is defined over (spec §Partition Transforms: "hash using
+    the 32-bit Murmur3, x86 variant, seed 0"). Returns the SIGNED 32-bit
+    value, matching the spec's published test vectors (Appendix B)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    rounded = n - n % 4
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def iceberg_bucket(value, n: int) -> int:
+    """``bucket[N]`` partition value of ``value`` (spec §Partition
+    Transforms / Appendix B): murmur3_x86_32 of the value's canonical
+    byte form, then ``(hash & Integer.MAX_VALUE) % N``. int/long/date
+    hash as the 8-byte little-endian long; strings as UTF-8 bytes.
+    Spec test vectors pinned in tests/test_iceberg_py.py: hash(long 34)
+    = 2017239379, hash('iceberg') = 1210000089, hash(date 2017-11-16
+    as 17486) = -653330422."""
+    import datetime
+
+    if isinstance(value, bool) or value is None:
+        raise NotImplementedError(
+            f"iceberg_bucket: unsupported value {value!r}"
+        )
+    if isinstance(value, datetime.date):
+        value = (value - datetime.date(1970, 1, 1)).days
+    if isinstance(value, int):
+        data = value.to_bytes(8, "little", signed=True)
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, bytes):
+        data = value
+    else:
+        raise NotImplementedError(
+            f"iceberg_bucket: unsupported type {type(value).__name__}"
+        )
+    return (murmur3_x86_32(data) & 0x7FFFFFFF) % n
+
+
+def iceberg_day(value) -> int:
+    """``day`` transform partition value: days from the Unix epoch
+    (spec §Partition Transforms — the stored manifest value is an int
+    with a ``date`` logical meaning)."""
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        value = value.date()
+    if isinstance(value, datetime.date):
+        return (value - datetime.date(1970, 1, 1)).days
+    if isinstance(value, int):
+        return value
+    raise NotImplementedError(
+        f"iceberg_day: unsupported type {type(value).__name__}"
+    )
+
+
+def _prim_cast_type(t: str):
+    """Spark type to CAST a field-id-resolved column to, for Iceberg
+    primitive types whose cast is lossless (the spec's allowed
+    promotions: int→long, float→double; plus identity casts). Types
+    where a cast could corrupt bytes (uuid, binary, fixed, decimal)
+    return None — the scanned physical type passes through unchanged."""
+    from pyspark.sql import types as T
+
+    return {
+        "boolean": T.BooleanType(), "int": T.IntegerType(),
+        "long": T.LongType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(), "timestamptz": T.TimestampType(),
+        "string": T.StringType(),
+    }.get(t)
+
+
+def _nested_name_tree(t):
+    """Nested-field NAME structure of an Iceberg type JSON — the shape
+    compared against the scanned parquet type to detect nested renames
+    this top-level-id resolver cannot express."""
+    if isinstance(t, str) or t is None:
+        return None
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            f["name"]: _nested_name_tree(f.get("type"))
+            for f in t.get("fields", [])
+        }
+    if kind == "list":
+        return ("list", _nested_name_tree(t.get("element")))
+    if kind == "map":
+        return (
+            "map",
+            _nested_name_tree(t.get("key")),
+            _nested_name_tree(t.get("value")),
+        )
+    return None
+
+
+def _spark_name_tree(dt):
+    """Nested-field NAME structure of a Spark DataType (counterpart of
+    :func:`_nested_name_tree` for the scanned side)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.StructType):
+        return {f.name: _spark_name_tree(f.dataType) for f in dt.fields}
+    if isinstance(dt, T.ArrayType):
+        return ("list", _spark_name_tree(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return (
+            "map",
+            _spark_name_tree(dt.keyType),
+            _spark_name_tree(dt.valueType),
+        )
+    return None
 
 
 def _spark_schema_from_iceberg(meta: dict):

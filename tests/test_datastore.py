@@ -756,6 +756,43 @@ def test_insert_into_file_appends(spark, tmp_path):
     assert spark.read.parquet(p).count() == 6
 
 
+def test_insert_into_ch_format_names_match_sql_lane(spark, tmp_path):
+    """insert_into resolves CH format names through the same _TF_FORMATS
+    mapping as the SQL lane (ADVICE r10): 'CSVWithNames' writes a header
+    row, plain 'CSV' is HEADERLESS — previously the raw name went to the
+    Spark writer and failed outright for every CH-specific name."""
+    import glob
+    import os
+
+    from chdb_spark.datastore import DataStore
+
+    src = DataStore(spark.range(2).selectExpr("id", "id * 2 AS v"))
+
+    def _lines(d):
+        out = []
+        for fp in glob.glob(os.path.join(d, "part-*")):
+            with open(fp) as f:
+                out += [ln.strip() for ln in f if ln.strip()]
+        return out
+
+    withnames = str(tmp_path / "wn")
+    DataStore("file", path=withnames, format="CSVWithNames").insert_into(
+        "id", "v"
+    ).select_from(src).execute()
+    lines = _lines(withnames)
+    # every part file carries the header (Spark CSV header-per-file);
+    # the data rows ride alongside
+    assert "id,v" in lines
+    assert sorted(ln for ln in lines if ln != "id,v") == ["0,0", "1,2"]
+
+    headerless = str(tmp_path / "hl")
+    DataStore("file", path=headerless, format="CSV").insert_into(
+        "id", "v"
+    ).select_from(src).execute()
+    lines = _lines(headerless)
+    assert "id,v" not in lines and sorted(lines) == ["0,0", "1,2"]
+
+
 def test_to_iceberg_bare_identifier_not_hijacked_by_cwd_dir(spark, tmp_path, monkeypatch):
     """A bare catalog identifier must route to the connector even when a
     same-named directory exists in the driver's cwd (r9 review finding);

@@ -781,6 +781,57 @@ def test_delta_column_mapping_id_mode_partitioned(spark, tmp_path):
     assert got == {(1, "east"), (2, "east"), (3, "west")}
 
 
+def test_delta_id_mode_partial_field_ids_use_physical_names(spark, tmp_path):
+    """A PARTIALLY field-id-stamped footer (one column stamped, one not)
+    must not be treated as authoritative: the unstamped column's data
+    exists under its physical name, and the partial-map path would
+    project it as NULL (ADVICE r10, medium). The all-or-nothing rule
+    falls back to the validated physicalName resolution."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table_dir, log_dir = _mk_table(tmp_path, name="idpartial")
+    pq.write_table(
+        pa.table(
+            [pa.array([1, 2], pa.int64()), pa.array(["a", "b"], pa.string())],
+            schema=pa.schema(
+                [_id_field("col-a", pa.int64(), 1),
+                 pa.field("col-b", pa.string())]  # NO field id
+            ),
+        ),
+        os.path.join(table_dir, "part.parquet"),
+    )
+    schema = {
+        "type": "struct",
+        "fields": [
+            {"name": "n", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-a"}},
+            {"name": "tag", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-b"}},
+        ],
+    }
+    meta = {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-00000000part",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }
+    }
+    _commit(
+        log_dir, 0,
+        [_protocol(reader=2, writer=5), meta, _add("part.parquet")],
+    )
+    from chdb_spark.sources.delta_py import read_delta_py
+
+    got = {r.n: r.tag for r in read_delta_py(spark, table_dir).collect()}
+    assert got == {1: "a", 2: "b"}  # tag must NOT silently read as NULL
+
+
 def test_delta_id_mode_missing_physical_refuses(spark, tmp_path):
     """id-mode file with NO field ids whose footer also lacks the
     physical names: loud refusal, never a silent all-NULL read."""

@@ -19,6 +19,11 @@ def _record_batch(instant, ids, vals, partition=""):
     cols = {
         "_hoodie_commit_time": pa.array([instant] * len(ids), pa.string()),
         "_hoodie_record_key": pa.array([str(i) for i in ids], pa.string()),
+        # spec-conforming base files always carry the partition path
+        # ("" for unpartitioned tables) — the MoR merge keys on it
+        "_hoodie_partition_path": pa.array(
+            [partition] * len(ids), pa.string()
+        ),
         "id": pa.array(ids, pa.int64()),
         "v": pa.array(vals, pa.float64()),
     }
@@ -44,7 +49,7 @@ def _parquet_bytes(tbl) -> bytes:
     return buf.getvalue()
 
 
-def _log_data_block(log_path, instant, ids, vals):
+def _log_data_block(log_path, instant, ids, vals, partition=""):
     """Append one PARQUET_DATA_BLOCK carrying upserts for ``ids``."""
     from chdb_spark.sources.hudi_py import (
         _BLOCK_PARQUET_DATA,
@@ -56,7 +61,7 @@ def _log_data_block(log_path, instant, ids, vals):
         log_path,
         _BLOCK_PARQUET_DATA,
         {_HDR_INSTANT_TIME: instant},
-        _parquet_bytes(_record_batch(instant, ids, vals)),
+        _parquet_bytes(_record_batch(instant, ids, vals, partition)),
     )
 
 
@@ -162,6 +167,53 @@ def test_hudi_mor_snapshot_merge(spark, tmp_path):
     _commit(hoodie, t3, action="deltacommit")
     got = {r.id: r.v for r in read_hudi_py(spark, table).collect()}
     assert got == {1: 1.0, 2: 200.0, 3: 30.0}
+
+
+def test_hudi_mor_same_key_across_partitions(spark, tmp_path):
+    """Record keys are only unique PER PARTITION (default non-global
+    index): the same key in two partitions must yield TWO rows, and a
+    log update in one partition must not clobber the other's base row
+    (ADVICE r10 high — key-alone merge silently lost one of them)."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2 = "20260101000000000", "20260102000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_xpart")
+    _base_file(table, "p=a", FILE_ID_A, t1, [1, 2], [1.0, 2.0])
+    _base_file(table, "p=b", FILE_ID_B, t1, [1, 2], [10.0, 20.0])
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, "p=a", f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [1], [100.0], partition="p=a")
+    _commit(hoodie, t2, action="deltacommit")
+    rows = read_hudi_py(spark, table).collect()
+    assert len(rows) == 4
+    got = {(r.p, r.id): r.v for r in rows}
+    assert got == {
+        ("a", 1): 100.0,  # updated by the p=a log block
+        ("a", 2): 2.0,
+        ("b", 1): 10.0,  # must NOT be clobbered or dropped
+        ("b", 2): 20.0,
+    }
+
+
+def test_hudi_mor_missing_partition_path_refuses(spark, tmp_path):
+    """A base file lacking the _hoodie_partition_path meta column (non-
+    spec-conforming) refuses loudly instead of merging best-effort."""
+    from chdb_spark.sources.hudi_py import read_hudi_py
+
+    t1, t2 = "20260101000000000", "20260102000000000"
+    table, hoodie = _mor_table(tmp_path, name="mor_nopp")
+    d = table
+    os.makedirs(d, exist_ok=True)
+    tbl = _record_batch(t1, [1, 2], [1.0, 2.0]).drop(
+        ["_hoodie_partition_path"]
+    )
+    pq.write_table(tbl, os.path.join(d, f"{FILE_ID_A}_0-1-0_{t1}.parquet"))
+    _commit(hoodie, t1, action="deltacommit")
+    log = os.path.join(table, f".{FILE_ID_A}_{t1}.log.1_0-1-0")
+    _log_data_block(log, t2, [1], [100.0])
+    _commit(hoodie, t2, action="deltacommit")
+    with pytest.raises(ValueError, match="_hoodie_partition_path"):
+        read_hudi_py(spark, table).collect()
 
 
 def test_hudi_mor_uncommitted_block_invisible(spark, tmp_path):

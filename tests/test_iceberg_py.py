@@ -645,6 +645,216 @@ def test_iceberg_added_column_null_fill(spark, tmp_path):
     assert all(r.tag is None for r in rows) and len(rows) == 3
 
 
+def test_iceberg_type_promotion_casts_to_current_schema(spark, tmp_path):
+    """int→long promotion (spec §Schema Evolution): files written before
+    the promotion keep int32 physically; the resolver must CAST to the
+    current type so the result schema matches the table schema even when
+    only old files exist (ADVICE r10, low)."""
+    import json as _json
+
+    from chdb_spark.sources.iceberg_py import (
+        _current_metadata_file,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "promo")
+    write_iceberg_py(
+        spark.range(3).selectExpr("id", "CAST(id AS INT) AS n"), path
+    )
+    md = os.path.join(path, "metadata")
+    cur = _current_metadata_file(md)
+    with open(cur) as f:
+        meta = _json.load(f)
+    fields = [dict(f) for f in meta["schemas"][0]["fields"]]
+    for f in fields:
+        if f["name"] == "n":
+            f["type"] = "long"  # the promotion
+    meta["schemas"].append(
+        {"schema-id": 5, "type": "struct", "fields": fields}
+    )
+    meta["current-schema-id"] = 5
+    with open(os.path.join(md, "v9.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("9")
+    out = read_iceberg_py(spark, path)
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert {r.n for r in out.collect()} == {0, 1, 2}
+
+
+def test_iceberg_transform_partitioned_read(spark, tmp_path):
+    """A bucket[2]+day partitioned table (jar-writer layout: source
+    columns IN the data files, transform values in manifest partition
+    tuples) reads fully and correctly — transform tuples are pruning
+    metadata a reader may ignore (spec §Partition Transforms); identity
+    restore must NOT engage. Appending through the jar-free writer
+    stays a loud refusal."""
+    import datetime as dt
+    import json as _json
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chdb_spark.sources.iceberg_py import (
+        _MANIFEST_LIST_AVRO,
+        _manifest_avro_schema,
+        _write_avro_file,
+        iceberg_bucket,
+        iceberg_day,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "tp")
+    md = os.path.join(path, "metadata")
+    os.makedirs(md)
+    rows = [(i, f"s{i}", dt.date(2026, 1, 1 + i % 2)) for i in range(8)]
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault(
+            (iceberg_bucket(r[0], 2), iceberg_day(r[2])), []
+        ).append(r)
+    entries = []
+    for (b, day), grp in sorted(groups.items()):
+        sub = os.path.join(path, "data", f"id_bucket={b}", f"d_day={day}")
+        os.makedirs(sub)
+        fp = os.path.join(sub, f"{_uuid.uuid4().hex}.parquet")
+        pq.write_table(
+            pa.table({
+                "id": pa.array([r[0] for r in grp], pa.int64()),
+                "s": pa.array([r[1] for r in grp], pa.string()),
+                "d": pa.array([r[2] for r in grp], pa.date32()),
+            }),
+            fp,
+        )
+        entries.append({
+            "status": 1, "snapshot_id": None,
+            "data_file": {
+                "content": 0,
+                "partition": {"id_bucket": b, "d_day": day},
+                "file_path": fp, "file_format": "PARQUET",
+                "record_count": len(grp),
+                "file_size_in_bytes": os.stat(fp).st_size,
+            },
+        })
+    manifest = os.path.join(md, "m-1.avro")
+    _write_avro_file(
+        spark, manifest,
+        _manifest_avro_schema([("id_bucket", "int"), ("d_day", "int")]),
+        entries,
+    )
+    ml = os.path.join(md, "snap-1.avro")
+    _write_avro_file(
+        spark, ml, _MANIFEST_LIST_AVRO,
+        [{"manifest_path": manifest,
+          "manifest_length": os.stat(manifest).st_size,
+          "partition_spec_id": 0, "content": 0,
+          "sequence_number": 1, "added_snapshot_id": 1}],
+    )
+    meta = {
+        "format-version": 2, "table-uuid": str(_uuid.uuid4()),
+        "location": path, "last-sequence-number": 1, "last-column-id": 2,
+        "current-snapshot-id": 1,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "string"},
+            {"id": 3, "name": "d", "required": False, "type": "date"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": "id_bucket", "transform": "bucket[2]",
+             "source-id": 1, "field-id": 1000},
+            {"name": "d_day", "transform": "day",
+             "source-id": 3, "field-id": 1001},
+        ]}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                       "manifest-list": ml,
+                       "summary": {"operation": "append"}}],
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("1")
+
+    out = read_iceberg_py(spark, path)
+    assert sorted(out.columns) == ["d", "id", "s"]
+    got = {(r.id, r.s, r.d) for r in out.collect()}
+    assert got == set(rows)
+    # write side: loud refusal for non-identity specs
+    with pytest.raises(NotImplementedError, match="non-identity"):
+        write_iceberg_py(
+            spark.range(1).selectExpr(
+                "id", "'x' AS s", "DATE '2026-01-01' AS d"
+            ),
+            path, mode="append",
+        )
+
+
+def test_iceberg_bucket_transform_spec_vectors():
+    """Pin the bucket/day transforms with the spec's PUBLISHED vectors
+    (iceberg.apache.org/spec Appendix B) — never self-round-trip alone
+    (SCALE.md r10 Z85 lesson): hash(long 34)=2017239379,
+    hash('iceberg')=1210000089, hash(date 2017-11-16)=-653330422."""
+    import datetime
+
+    from chdb_spark.sources.iceberg_py import (
+        iceberg_bucket,
+        iceberg_day,
+        murmur3_x86_32,
+    )
+
+    assert murmur3_x86_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+    assert (
+        murmur3_x86_32((17486).to_bytes(8, "little", signed=True))
+        == -653330422
+    )
+    # bucket[16] results from the same Appendix B rows
+    assert iceberg_bucket(34, 16) == 3
+    assert iceberg_bucket("iceberg", 16) == 9
+    assert iceberg_bucket(datetime.date(2017, 11, 16), 16) == 10
+    # int and long 34 must agree (ints hash as 8-byte longs)
+    assert iceberg_bucket(34, 4) == iceberg_bucket(34, 4)
+    assert iceberg_day(datetime.date(2017, 11, 16)) == 17486
+    assert iceberg_day(datetime.datetime(2017, 11, 16, 22, 31)) == 17486
+
+
+def test_iceberg_nested_name_trees():
+    """Unit: the nested-name shape comparison the resolver uses to
+    detect nested renames it cannot express."""
+    from chdb_spark.sources.iceberg_py import (
+        _nested_name_tree,
+        _spark_name_tree,
+    )
+    from pyspark.sql import types as T
+
+    ice = {
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "a", "type": "int"},
+            {"id": 2, "name": "b",
+             "type": {"type": "list", "element": "string"}},
+        ],
+    }
+    sp = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.ArrayType(T.StringType())),
+        ]
+    )
+    assert _nested_name_tree(ice) == _spark_name_tree(sp)
+    sp_renamed = T.StructType(
+        [
+            T.StructField("a_old", T.IntegerType()),
+            T.StructField("b", T.ArrayType(T.StringType())),
+        ]
+    )
+    assert _nested_name_tree(ice) != _spark_name_tree(sp_renamed)
+
+
 def test_iceberg_rename_without_field_ids_refuses(spark, tmp_path):
     """Old data files with NO parquet field ids cannot be resolved after
     a rename — loud refusal, never a silent misread (this was the repo's
