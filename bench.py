@@ -33,6 +33,7 @@ def should_snapshot_round(
     sf_dir_env: str | None,
     load_1m: float | None,
     load_5m: float | None = None,
+    load_15m: float | None = None,
 ) -> bool:
     """Whether this run may write the round's BENCH_full_r{N}.json.
 
@@ -40,9 +41,12 @@ def should_snapshot_round(
     drive must not clobber the round's sf0.1 artifact — happened r8), or
     (b) the host was loaded at start: load_1m > 2 (r9's driver run at load
     7.15 inflated every query ~29% and minted 12 phantom outliers,
-    BASELINE.md §J) or load_5m > 6 (r10: a RECOVERING host right after the
+    BASELINE.md §J), load_5m > 6 (r10: a RECOVERING host right after the
     43-min suite showed load_1m 0.23 / load_5 ≈ 8 and minted 13 phantom
-    outliers, §N). BENCH_full.json is still written either way.
+    outliers, §N), or load_15m > 4 (r10 verdict: the committed artifact
+    was minted at load_1m 0.10 / load_5 0.93 / load_15 10.96 — the first
+    two alone passed the guard while the run carried a ~1.3× drift tail).
+    BENCH_full.json is still written either way.
     """
     if sf_dir_env not in (None, "/root/testdata/sf0.1"):
         return False
@@ -50,7 +54,28 @@ def should_snapshot_round(
         return False
     if load_5m is not None and load_5m > 6.0:
         return False
+    if load_15m is not None and load_15m > 4.0:
+        return False
     return True
+
+
+#: Queries whose FIRST run at an sf_dir builds an on-disk artifact
+#: (lakehouse scratch tables, streaming re-shards, persisted indexes,
+#: the token-shard/Z-order layouts). The driver times single runs, so a
+#: first-run build would enter the committed per-query map as a phantom
+#: outlier (r10: dl2/ic2/ic3/hu2 carried ~1-2 s of fixture build) —
+#: bench warms these once UNTIMED before the timed loop.
+FIXTURE_QUERIES = [
+    "dl1_delta_time_travel", "dl2_delta_deletion_vectors",
+    "dl3_delta_delete_dv",
+    "hu1_hudi_snapshot", "hu2_hudi_mor",
+    "ic0_iceberg_snapshot", "ic1_iceberg_roundtrip",
+    "ic2_iceberg_partitioned", "ic3_iceberg_pos_delete",
+    "ic4_iceberg_bucket_days",
+    "sm6_streaming_neardup", "sm7_streaming_dedup_watermark",
+    "sm8_streaming_rollup", "wr1_token_shards",
+    "zo1_zorder_rectangle", "dd14_incremental_dedup", "s5_ivf_index",
+]
 
 
 def main() -> None:
@@ -80,6 +105,11 @@ def main() -> None:
         lambda it: (pdf.assign(x=__import__("numpy").float64(1.0)) for pdf in it),
         "id long, x double",
     ).collect()
+    # Untimed fixture pre-build (r10 verdict #2): first-run scratch
+    # builds must never enter the committed per-query map.
+    for name in FIXTURE_QUERIES:
+        if name in queries:
+            queries[name].spark(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name, q in sorted(queries.items()):
@@ -117,11 +147,12 @@ def main() -> None:
     # sf0.01 dev drive must not clobber the round's sf0.1 artifact
     # (happened in r8 — restored from git).
     snapshot_round = should_snapshot_round(
-        os.environ.get("SPARK_GRAFT_SF_DIR"), load_1m, load_5m
+        os.environ.get("SPARK_GRAFT_SF_DIR"), load_1m, load_5m, load_15m
     )
     if not snapshot_round and (
         (load_1m is not None and load_1m > 2.0)
         or (load_5m is not None and load_5m > 6.0)
+        or (load_15m is not None and load_15m > 4.0)
     ):
         full["snapshot_skipped_loaded_host"] = True
     import glob as _glob

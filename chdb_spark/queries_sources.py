@@ -1681,3 +1681,57 @@ def ic4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@defquery(
+    "dl3_delta_delete_dv",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM documents WHERE doc_id % 7 <> 3
+    """,
+    doc="DELETE producing DELETION VECTORS without jars (PROTOCOL.md "
+        "§Deletion Vectors; delta-spark's DV-enabled DELETE): the "
+        "fixture writes documents as a 2-file Delta table, then "
+        "delete_delta_py('doc_id % 7 = 3') serializes real roaring "
+        "bitmaps into a spec-shaped DV file, commits remove+add with "
+        "descriptors and upgrades the protocol — no data file "
+        "rewritten. read_delta_py applies the DVs via the broadcast "
+        "row-index anti-join (sources/delta_py.py _scan_files). Oracle "
+        "recomputes the surviving set from the parquet source.",
+)
+def dl3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.delta_py import (
+        delete_delta_py,
+        delta_table_version,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    path = scratch_dir("delta_dl3", sf_dir)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_delta_py(docs.repartition(2), path)
+        _v, n = delete_delta_py(spark, path, "doc_id % 7 = 3")
+        if n == 0:
+            raise RuntimeError("dl3 fixture: delete matched nothing")
+
+    try:
+        if delta_table_version(path) != 1:
+            raise ValueError("stale scratch table")
+    except Exception:
+        _build()
+    return read_delta_py(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n").cast("long").alias("chars"),
+        F.min("doc_id").cast("long").alias("min_id"),
+    )

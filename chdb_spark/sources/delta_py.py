@@ -955,3 +955,230 @@ def write_delta_py(
         )
         _write_checkpoint(log_dir, version, live_after, meta_after, proto_after)
     return version
+
+
+def delete_delta_py(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_deleted_rows: int = 10_000_000,
+    checkpoint_interval: int = 10,
+) -> tuple[int, int]:
+    """``DELETE FROM <table> WHERE predicate`` realized with DELETION
+    VECTORS (PROTOCOL.md §Deletion Vectors) — matching rows are marked
+    deleted via per-file roaring bitmaps, no data file is rewritten
+    (delta-spark's DV-enabled DELETE; reference mutation surface
+    core.py ALTER ... DELETE). Returns ``(committed version, newly
+    deleted row count)``; a predicate matching nothing commits nothing.
+
+    Mechanics: a distributed scan with ``_metadata.row_index`` evaluates
+    the predicate (partition columns restored from partitionValues per
+    group, so predicates over them work), the matched (file, row index)
+    pairs union with each file's EXISTING DV (the spec requires the new
+    DV to contain all previously deleted rows), one spec-shaped DV file
+    holds every bitmap, and the commit removes+re-adds each touched file
+    with the new descriptor, upgrading the protocol to
+    readerFeatures=[deletionVectors] when needed.
+
+    Scale contract: bitmap serialization is driver-side, bounded by
+    ``max_deleted_rows`` (default 10M) — beyond it, refuse loudly and
+    point at the jar path (matching this writer's single-node metadata
+    contract; the scan itself is fully distributed)."""
+    import uuid
+
+    from chdb_spark.sources import delta_dv
+
+    path = os.path.abspath(path)
+    live, meta, protocol, v_latest = _replay(path, None)
+    _check_protocol(protocol)
+    version = v_latest + 1
+    if meta is None:
+        raise ValueError(f"no Delta metaData action found under {path}")
+    if (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    ) != "none":
+        raise NotImplementedError(
+            "delete_delta_py: table uses columnMapping — DELETE needs "
+            "the delta-spark jars"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    by_type = {f.name: f.dataType for f in schema.fields}
+
+    def abs_path(p: str) -> str:
+        from urllib.parse import unquote, urlparse
+
+        if "://" in p:
+            parsed = urlparse(p)
+            p = parsed.path
+        p = unquote(p)
+        return p if os.path.isabs(p) else os.path.join(path, p)
+
+    rel_of_base: dict[str, str] = {}
+    for rel in live:
+        base = os.path.basename(abs_path(rel))
+        if base in rel_of_base:
+            raise NotImplementedError(
+                "delete_delta_py: duplicate data-file basenames across "
+                "directories — needs the delta-spark jars"
+            )
+        rel_of_base[base] = rel
+
+    # distributed predicate evaluation, grouped by partition tuple so
+    # predicates over partition columns resolve
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in live.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(
+            tuple((c, pv.get(c)) for c in part_cols), []
+        ).append(abs_path(rel))
+    matched = None
+    for pv_items, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        scan = (
+            spark.read.schema(data_schema)
+            .parquet(*sorted(files))
+            .select(
+                "*",
+                F.col("_metadata.file_name").alias("__f"),
+                F.col("_metadata.row_index").alias("__ri"),
+            )
+        )
+        for c, raw in pv_items:
+            lit = (
+                F.lit(None).cast(by_type[c])
+                if raw is None
+                else F.lit(raw).cast(by_type[c])
+            )
+            scan = scan.withColumn(c, lit)
+        m = scan.filter(predicate).select("__f", "__ri")
+        matched = m if matched is None else matched.unionByName(m)
+    if matched is None:
+        return v_latest, 0
+    n_matched = matched.count()
+    if n_matched == 0:
+        return v_latest, 0
+    if n_matched > max_deleted_rows:
+        raise NotImplementedError(
+            f"delete_delta_py: predicate matches {n_matched} rows > "
+            f"max_deleted_rows={max_deleted_rows} — DV serialization is "
+            "driver-side in this writer; use the delta-spark jars (or "
+            "raise the bound) for larger deletes"
+        )
+    pdf = matched.toPandas()
+
+    new_idx: dict[str, set] = {}
+    for base, grp in pdf.groupby("__f"):
+        if base not in rel_of_base:
+            raise ValueError(
+                f"delete_delta_py: matched file {base!r} is not a live "
+                "table file — corrupt scan"
+            )
+        new_idx[rel_of_base[base]] = set(int(i) for i in grp["__ri"])
+
+    # union with existing DVs (the replacement DV must carry ALL
+    # previously deleted rows) and drop files whose DV doesn't grow
+    touched: list[tuple[str, set, int]] = []  # (rel, union, n_new)
+    for rel, idx in sorted(new_idx.items()):
+        old_desc = (live[rel] or {}).get("deletionVector")
+        old: set = set()
+        if old_desc:
+            old = set(
+                int(i)
+                for i in delta_dv.parse_dv(delta_dv.dv_data(old_desc, path))
+            )
+        union = idx | old
+        n_new = len(union) - len(old)
+        if n_new:
+            touched.append((rel, union, n_new))
+    if not touched:
+        return v_latest, 0
+
+    # one DV file for all bitmaps (delta-spark packs the same way)
+    dv_uuid = uuid.uuid4()
+    dv_file = os.path.join(path, f"deletion_vector_{dv_uuid}.bin")
+    datas = [delta_dv.serialize_dv(union) for _rel, union, _n in touched]
+    offsets = delta_dv.write_dv_file(dv_file, datas)
+    enc = delta_dv.z85_encode(dv_uuid.bytes)
+
+    actions: list[dict] = []
+    features = set((protocol or {}).get("readerFeatures") or [])
+    if "deletionVectors" not in features or int(
+        (protocol or {}).get("minReaderVersion", 1)
+    ) < 3:
+        wfeat = set((protocol or {}).get("writerFeatures") or [])
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(features | {"deletionVectors"}),
+                    "writerFeatures": sorted(wfeat | {"deletionVectors"}),
+                }
+            }
+        )
+    n_deleted = 0
+    for (rel, union, n_new), data, off in zip(touched, datas, offsets):
+        n_deleted += n_new
+        old_add = live[rel]
+        actions.append(
+            {
+                "remove": {
+                    "path": rel,
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                    **(
+                        {"deletionVector": old_add["deletionVector"]}
+                        if old_add.get("deletionVector")
+                        else {}
+                    ),
+                }
+            }
+        )
+        new_add = {
+            k: v for k, v in old_add.items() if k != "deletionVector"
+        }
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": enc,
+            "offset": int(off),
+            "sizeInBytes": len(data),
+            "cardinality": len(union),
+        }
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+
+    commit_tmp = os.path.join(
+        path, "_delta_log", f".{uuid.uuid4().hex}.json.tmp"
+    )
+    with open(commit_tmp, "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    commit_path = os.path.join(path, "_delta_log", f"{version:020d}.json")
+    try:
+        os.link(commit_tmp, commit_path)
+    except FileExistsError:
+        raise RuntimeError(
+            f"concurrent Delta commit detected at version {version}; "
+            "this pure-Python writer is single-writer"
+        ) from None
+    finally:
+        os.unlink(commit_tmp)
+
+    if checkpoint_interval and version % checkpoint_interval == 0:
+        live_after = dict(live)
+        for a in actions:
+            if "add" in a:
+                live_after[a["add"]["path"]] = a["add"]
+        proto_after = (
+            next((a["protocol"] for a in actions if "protocol" in a), None)
+            or protocol
+            or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
+        _write_checkpoint(
+            os.path.join(path, "_delta_log"), version, live_after, meta,
+            proto_after,
+        )
+    return version, n_deleted

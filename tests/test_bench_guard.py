@@ -38,6 +38,28 @@ def test_recovering_host_refuses_snapshot():
     assert should_snapshot_round(None, 1.86, 4.62)
 
 
+def test_long_recovering_host_refuses_snapshot():
+    # r10 verdict (What's wrong #1): the committed artifact was minted at
+    # load_1m 0.10 / load_5 0.93 / load_15 10.96 — the 43-min suite's
+    # residual — and passed the load_1m/load_5 guard while carrying a
+    # ~1.3× uniform drift tail. load_15 > 4 now voids the snapshot.
+    assert not should_snapshot_round(None, 0.10, 0.93, 10.96)
+    assert not should_snapshot_round("/root/testdata/sf0.1", 0.0, 0.0, 4.01)
+    # boundary: exactly 4.0 allowed (strict >); settled history allowed
+    assert should_snapshot_round(None, 0.1, 0.5, 4.0)
+    assert should_snapshot_round(None, 1.86, 4.62, 3.2)
+
+
+def test_fixture_warmup_list_matches_registry():
+    # every FIXTURE_QUERIES name must exist in the registry — a renamed
+    # query would silently drop out of the untimed warmup pass
+    from bench import FIXTURE_QUERIES
+    from chdb_spark.queries import all_queries
+
+    missing = [n for n in FIXTURE_QUERIES if n not in all_queries()]
+    assert missing == []
+
+
 def test_dev_sf_dir_refuses_snapshot():
     # r8 lesson: a quick sf0.01 drive clobbered the round's sf0.1 map.
     assert not should_snapshot_round("/root/testdata/sf0.01", 0.1)

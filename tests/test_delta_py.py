@@ -1049,3 +1049,89 @@ def test_z85_rfc32_vector():
     assert z85_decode(z85_encode(b"abc"))[:3] == b"abc"
     with pytest.raises(ValueError, match="invalid character"):
         z85_decode('"aaaa')
+
+
+def test_delete_delta_py_deletion_vectors(spark, tmp_path):
+    """delete_delta_py marks rows deleted via a real DV file (no data
+    rewrite): deleted rows vanish from the snapshot read, time travel
+    still sees them, the protocol upgrades to
+    readerFeatures=[deletionVectors], and a SECOND delete unions with
+    the existing DV (the spec's replacement rule)."""
+    from chdb_spark.sources.delta_py import (
+        delete_delta_py,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    p = str(tmp_path / "dv")
+    df = spark.range(20).selectExpr("id", "id * 2 AS v")
+    write_delta_py(df.repartition(2), p)
+
+    v1, n1 = delete_delta_py(spark, p, "id % 5 = 0")
+    assert (v1, n1) == (1, 4)
+    got = {r.id for r in read_delta_py(spark, p).collect()}
+    assert got == {i for i in range(20) if i % 5 != 0}
+    # data files were NOT rewritten; a DV file appeared
+    assert any(
+        n.startswith("deletion_vector_") for n in os.listdir(p)
+    )
+    # time travel to before the delete still sees every row
+    v0 = {r.id for r in read_delta_py(spark, p, version=0).collect()}
+    assert v0 == set(range(20))
+    # protocol upgraded
+    with open(os.path.join(p, "_delta_log", f"{1:020d}.json")) as f:
+        actions = [json.loads(ln) for ln in f if ln.strip()]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+
+    # second delete: union with existing DVs, prior deletes persist
+    v2, n2 = delete_delta_py(spark, p, "id IN (3, 5, 10)")
+    assert v2 == 2 and n2 == 1  # 5 and 10 were already deleted
+    got = {r.id for r in read_delta_py(spark, p).collect()}
+    assert got == {i for i in range(20) if i % 5 != 0 and i != 3}
+
+    # no-match predicate: nothing committed
+    v3, n3 = delete_delta_py(spark, p, "id = 999")
+    assert (v3, n3) == (2, 0)
+
+
+def test_delete_delta_py_partition_predicate(spark, tmp_path):
+    """Predicates over PARTITION columns work (values restored from
+    partitionValues per group) and appends through write_delta_py keep
+    the DV adds alive."""
+    from chdb_spark.sources.delta_py import (
+        delete_delta_py,
+        read_delta_py,
+        write_delta_py,
+    )
+
+    p = str(tmp_path / "dvp")
+    df = spark.range(12).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS part"
+    )
+    write_delta_py(df, p, partition_by=["part"])
+    v1, n1 = delete_delta_py(spark, p, "part = '1' AND id < 8")
+    assert n1 == 3  # ids 1, 4, 7
+    got = {r.id for r in read_delta_py(spark, p).collect()}
+    assert got == set(range(12)) - {1, 4, 7}
+    # append after the delete: DV survives the carried adds
+    write_delta_py(
+        spark.range(12, 15).selectExpr(
+            "id", "CAST(id % 3 AS STRING) AS part"
+        ),
+        p, mode="append", partition_by=["part"],
+    )
+    got = {r.id for r in read_delta_py(spark, p).collect()}
+    assert got == set(range(15)) - {1, 4, 7}
+
+
+def test_delete_delta_py_bound_refuses(spark, tmp_path):
+    """The driver-side DV serialization bound refuses loudly instead of
+    silently materializing an unbounded matched set."""
+    from chdb_spark.sources.delta_py import delete_delta_py, write_delta_py
+
+    p = str(tmp_path / "dvb")
+    write_delta_py(spark.range(100).selectExpr("id"), p)
+    with pytest.raises(NotImplementedError, match="max_deleted_rows"):
+        delete_delta_py(spark, p, "id >= 0", max_deleted_rows=50)
