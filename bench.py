@@ -71,7 +71,7 @@ FIXTURE_QUERIES = [
     "hu1_hudi_snapshot", "hu2_hudi_mor",
     "ic0_iceberg_snapshot", "ic1_iceberg_roundtrip",
     "ic2_iceberg_partitioned", "ic3_iceberg_pos_delete",
-    "ic4_iceberg_bucket_days",
+    "ic4_iceberg_bucket_days", "ic5_iceberg_nested",
     "sm6_streaming_neardup", "sm7_streaming_dedup_watermark",
     "sm8_streaming_rollup", "wr1_token_shards",
     "zo1_zorder_rectangle", "dd14_incremental_dedup", "s5_ivf_index",

@@ -1735,3 +1735,67 @@ def dl3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("chars"),
         F.min("doc_id").cast("long").alias("min_id"),
     )
+
+
+@defquery(
+    "ic5_iceberg_nested",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS chars,
+           CAST(sum(doc_id + 1) AS BIGINT) AS pair2_sum
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="NESTED-TYPE (struct + array) Iceberg round-trip through the "
+        "jar-free writer+reader (r11; spec §Schemas nested types): "
+        "documents written as (doc_id, struct<lang,n> meta, "
+        "array<long> pair) with spec field ids allocated pre-order and "
+        "struct fields stamped into the parquet footers, then appended "
+        "once (committed ids reused) and read back. The aggregation "
+        "drills into meta.lang / meta.n / element_at(pair, 2), so any "
+        "nested misread breaks the hash. Oracle recomputes from the "
+        "parquet source.",
+)
+def ic5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table
+    from chdb_spark.sources.iceberg_py import (
+        iceberg_snapshot_ids,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.length("text").cast("long").alias("n"),
+        ).alias("meta"),
+        F.array(F.col("doc_id"), F.col("doc_id") + 1).alias("pair"),
+    )
+    path = scratch_dir("iceberg_ic5", sf_dir)
+
+    def _build() -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        write_iceberg_py(docs.filter(F.col("doc_id") % 2 == 0), path)
+        write_iceberg_py(
+            docs.filter(F.col("doc_id") % 2 != 0), path, mode="append"
+        )
+
+    try:
+        if len(iceberg_snapshot_ids(path)) != 2:
+            raise ValueError("stale scratch table")
+    except Exception:
+        _build()
+    return (
+        read_iceberg_py(spark, path)
+        .groupBy(F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("meta.n").cast("long").alias("chars"),
+            F.sum(F.element_at("pair", 2)).cast("long").alias("pair2_sum"),
+        )
+        .orderBy("lang")
+    )

@@ -841,9 +841,10 @@ def _spark_name_tree(dt):
     return None
 
 
-def _spark_schema_from_iceberg(meta: dict):
-    """Minimal Iceberg-JSON → Spark schema mapping for the empty-snapshot
-    case (primitive types; nested types fall back to string)."""
+def _spark_type_from_iceberg_type(t):
+    """Iceberg type JSON → Spark DataType, nested types included (r11).
+    Unknown primitive strings (decimal, fixed, time) fall back to
+    StringType — used only for NULL-fill casts and empty snapshots."""
     from pyspark.sql import types as T
 
     prim = {
@@ -854,6 +855,38 @@ def _spark_schema_from_iceberg(meta: dict):
         "string": T.StringType(), "uuid": T.StringType(),
         "binary": T.BinaryType(),
     }
+    if isinstance(t, str) or t is None:
+        return prim.get(t) or T.StringType()
+    kind = t.get("type")
+    if kind == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"],
+                    _spark_type_from_iceberg_type(f.get("type")),
+                    True,
+                )
+                for f in t.get("fields", [])
+            ]
+        )
+    if kind == "list":
+        return T.ArrayType(
+            _spark_type_from_iceberg_type(t.get("element")), True
+        )
+    if kind == "map":
+        return T.MapType(
+            _spark_type_from_iceberg_type(t.get("key")),
+            _spark_type_from_iceberg_type(t.get("value")),
+            True,
+        )
+    return T.StringType()
+
+
+def _spark_schema_from_iceberg(meta: dict):
+    """Iceberg-JSON → Spark schema mapping (empty snapshots, NULL-fill
+    casts); nested struct/list/map types map structurally (r11)."""
+    from pyspark.sql import types as T
+
     schema = None
     if meta.get("schemas"):
         cur = meta.get("current-schema-id", 0)
@@ -862,12 +895,54 @@ def _spark_schema_from_iceberg(meta: dict):
             meta["schemas"][0],
         )
     schema = schema or meta.get("schema") or {"fields": []}
-    fields = []
-    for f in schema.get("fields", []):
-        t = f.get("type")
-        dt = prim.get(t) if isinstance(t, str) else None
-        fields.append(T.StructField(f["name"], dt or T.StringType(), True))
-    return T.StructType(fields)
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _spark_type_from_iceberg_type(f.get("type")),
+                True,
+            )
+            for f in schema.get("fields", [])
+        ]
+    )
+
+
+def _stamp_expr(col, ice_t, dt):
+    """Column expression whose nested STRUCT fields carry
+    ``parquet.field.id`` alias metadata (CreateNamedStruct propagates
+    NamedExpression metadata into the written struct type — survives
+    optimization, unlike a metadata-only ``df.to()`` projection, which
+    Catalyst elides as a no-op). Structs inside arrays/maps are left
+    as-is: their ids live in the schema JSON only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(ice_t, dict) and ice_t.get("type") == "struct" \
+            and isinstance(dt, T.StructType):
+        inner = [
+            _stamp_expr(
+                col.getField(sf.name), f_ice.get("type"), sf.dataType
+            ).alias(
+                sf.name, metadata={"parquet.field.id": int(f_ice["id"])}
+            )
+            for f_ice, sf in zip(ice_t.get("fields", []), dt.fields)
+        ]
+        return F.when(col.isNotNull(), F.struct(*inner))
+    return col
+
+
+def _stamped_columns(iceberg_fields: list[dict], spark_schema):
+    """Select-list of columns with field-id metadata attached from the
+    matching Iceberg schema fields, recursively through structs
+    (positional match — the append guard pinned name+type+order)."""
+    from pyspark.sql import functions as F
+
+    return [
+        _stamp_expr(F.col(sf.name), f.get("type"), sf.dataType).alias(
+            sf.name, metadata={"parquet.field.id": int(f["id"])}
+        )
+        for f, sf in zip(iceberg_fields, spark_schema.fields)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -983,21 +1058,120 @@ def _write_avro_file(spark: SparkSession, path: str, schema_json: str,
         dfw.close()
 
 
+def _iceberg_type_of(dt, alloc) -> Any:
+    """Spark DataType → Iceberg type JSON, allocating ids for NESTED
+    structure fields from ``alloc`` (a callable returning the next id).
+    Pre-order like iceberg-java's assignFreshIds: a struct's own fields
+    get ids before their children recurse."""
+    tn = dt.typeName()
+    it = _ICEBERG_TYPE_OF_SPARK.get(tn)
+    if it is not None:
+        return it
+    if tn == "struct":
+        ids = [alloc() for _ in dt.fields]
+        return {
+            "type": "struct",
+            "fields": [
+                {"id": fid, "name": f.name, "required": False,
+                 "type": _iceberg_type_of(f.dataType, alloc)}
+                for fid, f in zip(ids, dt.fields)
+            ],
+        }
+    if tn == "array":
+        eid = alloc()
+        return {
+            "type": "list", "element-id": eid,
+            "element": _iceberg_type_of(dt.elementType, alloc),
+            "element-required": False,
+        }
+    if tn == "map":
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map", "key-id": kid,
+            "key": _iceberg_type_of(dt.keyType, alloc),
+            "value-id": vid,
+            "value": _iceberg_type_of(dt.valueType, alloc),
+            "value-required": False,
+        }
+    raise NotImplementedError(
+        f"write_iceberg_py: type {tn} — decimal/interval types need the "
+        "iceberg-spark runtime"
+    )
+
+
 def _iceberg_schema_of(df: DataFrame) -> list[dict]:
-    fields = []
-    for i, f in enumerate(df.schema.fields):
-        tn = f.dataType.typeName()
-        it = _ICEBERG_TYPE_OF_SPARK.get(tn)
-        if it is None:
-            raise NotImplementedError(
-                f"write_iceberg_py: column {f.name!r} has non-primitive "
-                f"type {tn} — nested/decimal types need the "
-                "iceberg-spark runtime"
-            )
-        fields.append(
-            {"id": i + 1, "name": f.name, "required": False, "type": it}
-        )
-    return fields
+    """Iceberg schema fields for a DataFrame. Top-level columns keep the
+    positional ids 1..N (unchanged from the primitive-only writer, so
+    existing tables' stamped files stay valid); nested structure ids
+    continue from N+1 in pre-order."""
+    n = len(df.schema.fields)
+    counter = [n]
+
+    def alloc() -> int:
+        counter[0] += 1
+        return counter[0]
+
+    return [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _iceberg_type_of(f.dataType, alloc)}
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def _strip_type_ids(t):
+    """Structural shape of an Iceberg type with every id annotation
+    removed — the append-guard comparison key (two writes of the same
+    Spark schema must compare equal even though nested id allocation
+    depends on the table's history)."""
+    if isinstance(t, str) or t is None:
+        return t
+    kind = t.get("type")
+    if kind == "struct":
+        return {
+            "type": "struct",
+            "fields": [
+                {"name": f["name"], "type": _strip_type_ids(f.get("type"))}
+                for f in t.get("fields", [])
+            ],
+        }
+    if kind == "list":
+        return {
+            "type": "list", "element": _strip_type_ids(t.get("element"))
+        }
+    if kind == "map":
+        return {
+            "type": "map", "key": _strip_type_ids(t.get("key")),
+            "value": _strip_type_ids(t.get("value")),
+        }
+    return t
+
+
+def _max_field_id(fields: list[dict]) -> int:
+    """Largest id anywhere in an Iceberg schema (for last-column-id)."""
+    best = 0
+
+    def walk_type(t):
+        nonlocal best
+        if not isinstance(t, dict):
+            return
+        kind = t.get("type")
+        if kind == "struct":
+            for f in t.get("fields", []):
+                best = max(best, int(f.get("id") or 0))
+                walk_type(f.get("type"))
+        elif kind == "list":
+            best = max(best, int(t.get("element-id") or 0))
+            walk_type(t.get("element"))
+        elif kind == "map":
+            best = max(best, int(t.get("key-id") or 0),
+                       int(t.get("value-id") or 0))
+            walk_type(t.get("key"))
+            walk_type(t.get("value"))
+
+    for f in fields:
+        best = max(best, int(f.get("id") or 0))
+        walk_type(f.get("type"))
+    return best
 
 
 #: Spark type → Avro primitive for identity-partition manifest values
@@ -1046,7 +1220,12 @@ def write_iceberg_py(
 
     Scope (fail-loud outside it, per the module's honesty contract):
     unpartitioned or IDENTITY-partitioned tables (``partition_by``,
-    round 10), primitive column types, ``append`` / ``overwrite`` only.
+    round 10), primitive AND nested struct/array/map column types (r11;
+    decimal/interval refuse), ``append`` / ``overwrite`` only. Nested
+    struct fields get spec field ids in both the schema JSON and the
+    parquet footers; list/map element ids live in the schema JSON only
+    (Spark cannot stamp element-level footer ids — harmless for this
+    reader and for name-mapping-capable readers).
     Appends carry the prior snapshot's manifests forward in the new
     manifest list; overwrite starts a fresh file set — prior snapshots
     remain time-travelable by snapshot id. Schema changes against an
@@ -1111,11 +1290,15 @@ def write_iceberg_py(
         prior_cur_fields = (_current_iceberg_schema(prior_meta)).get(
             "fields", []
         )
+        # compare with every id annotation STRIPPED: nested id
+        # allocation depends on table history, so two writes of the
+        # same Spark schema must still compare equal (r11 nested types)
         prior_fields = [
-            {"name": f["name"], "type": f["type"]} for f in prior_cur_fields
+            {"name": f["name"], "type": _strip_type_ids(f["type"])}
+            for f in prior_cur_fields
         ]
         new_fields = [
-            {"name": f["name"], "type": f["type"]}
+            {"name": f["name"], "type": _strip_type_ids(f["type"])}
             for f in _iceberg_schema_of(df)
         ]
         if prior_fields != new_fields:
@@ -1128,14 +1311,15 @@ def write_iceberg_py(
     os.makedirs(md, exist_ok=True)
 
     partition_by = list(partition_by or [])
-    # field ids: positional for a new table; the CURRENT schema's ids
-    # reused positionally for an existing one (the schema guard above
-    # pinned name+type+order) — used for parquet stamping AND the spec
+    # field ids: fresh pre-order allocation for a new table; the CURRENT
+    # schema's ids reused for an existing one (the schema guard above
+    # pinned name+type+order) — used for parquet stamping AND the spec.
+    # Nested struct fields carry their own ids (r11).
     if exists and all("id" in f for f in prior_cur_fields):
-        stamp_ids = [f["id"] for f in prior_cur_fields]
+        eff_fields = prior_cur_fields
     else:
-        stamp_ids = list(range(1, len(df.schema.fields) + 1))
-    field_id_of = {f.name: fid for fid, f in zip(stamp_ids, df.schema.fields)}
+        eff_fields = _iceberg_schema_of(df)
+    field_id_of = {f["name"]: f["id"] for f in eff_fields}
     part_avro: list[tuple[str, str]] = []
     for c in partition_by:
         f = next((f for f in df.schema.fields if f.name == c), None)
@@ -1159,16 +1343,15 @@ def write_iceberg_py(
     try:
         # Stamp parquet field ids (spec: data files MUST carry field ids
         # so readers can resolve columns after renames) — Spark writes
-        # them when StructField metadata has 'parquet.field.id'
+        # them when the output attribute metadata has 'parquet.field.id'
         # (spark.sql.parquet.fieldId.write.enabled, default true).
-        from pyspark.sql import functions as F
-
-        df_ids = df.select(
-            *[
-                F.col(f.name).alias(f.name, metadata={"parquet.field.id": fid})
-                for fid, f in zip(stamp_ids, df.schema.fields)
-            ]
-        )
+        # Alias metadata is used (NOT df.to(): a metadata-only .to()
+        # projection is elided by Catalyst and the ids never reach the
+        # files); nested struct fields stamp through CreateNamedStruct
+        # (r11). List elements / map keys have no NamedExpression to
+        # carry metadata — their ids live in the schema JSON only
+        # (harmless for this reader and name-mapping-capable readers).
+        df_ids = df.select(*_stamped_columns(eff_fields, df.schema))
         if partition_by:
             # one distributed pass; Spark lays out <col>=<val>/ dirs and
             # (per Hive convention) omits the partition columns from the
@@ -1316,10 +1499,10 @@ def write_iceberg_py(
         )
     else:
         schemas = [
-            {"schema-id": 0, "type": "struct", "fields": _iceberg_schema_of(df)}
+            {"schema-id": 0, "type": "struct", "fields": eff_fields}
         ]
         current_schema_id = 0
-        last_column_id = len(df.schema.fields)
+        last_column_id = _max_field_id(eff_fields)
     meta = {
         "format-version": 2,
         "table-uuid": prior_meta.get("table-uuid") or str(uuid.uuid4()),

@@ -575,10 +575,10 @@ def test_iceberg_write_guards(spark, tmp_path):
             spark.range(3).selectExpr("id", "CAST(id AS STRING) AS s"),
             path, mode="append",
         )
-    # non-primitive column types → loud failure
-    with pytest.raises(NotImplementedError, match="non-primitive"):
+    # nested struct/array/map write since r11; decimal still refuses loudly
+    with pytest.raises(NotImplementedError, match="decimal"):
         write_iceberg_py(
-            spark.range(3).selectExpr("id", "array(id) AS a"),
+            spark.range(3).selectExpr("id", "CAST(id AS DECIMAL(10,2)) AS a"),
             str(tmp_path / "g2"),
         )
     with pytest.raises(ValueError, match="unsupported mode"):
@@ -1077,3 +1077,144 @@ def test_iceberg_deletes_cross_group_duplicate_basenames_refuse(spark, tmp_path)
     _metadata(table, [{"snapshot-id": 1, "manifest-list": ml}], current=1)
     with pytest.raises(NotImplementedError, match="duplicate data-file"):
         read_iceberg_py(spark, table).collect()
+
+
+def test_iceberg_nested_types_roundtrip(spark, tmp_path):
+    """struct/array/map columns round-trip through the jar-free
+    writer+reader (r11): nested struct fields get spec field ids in the
+    schema JSON AND the parquet footers; appends to the nested table
+    reuse the committed ids (write-through-feature contract)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from chdb_spark.sources.iceberg_py import (
+        _current_metadata_file,
+        read_iceberg_py,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "nested")
+    df = spark.range(3).selectExpr(
+        "id",
+        "named_struct('a', id * 2, 'b', concat('x', id)) AS s",
+        "array(id, id + 10) AS arr",
+        "map(concat('k', id), CAST(id AS DOUBLE)) AS m",
+    )
+    write_iceberg_py(df, path)
+    out = read_iceberg_py(spark, path)
+    assert dict(out.dtypes) == {
+        "id": "bigint", "s": "struct<a:bigint,b:string>",
+        "arr": "array<bigint>", "m": "map<string,double>",
+    }
+    got = {(r.id, r.s.a, r.s.b, tuple(r.arr), tuple(sorted(r.m.items())))
+           for r in out.collect()}
+    assert got == {
+        (i, i * 2, f"x{i}", (i, i + 10), ((f"k{i}", float(i)),))
+        for i in range(3)
+    }
+
+    # schema JSON carries UNIQUE nested ids and last-column-id tracks max
+    with open(_current_metadata_file(os.path.join(path, "metadata"))) as f:
+        meta = _json.load(f)
+    fields = meta["schemas"][0]["fields"]
+    s_field = next(f for f in fields if f["name"] == "s")
+    nested_ids = [f["id"] for f in s_field["type"]["fields"]]
+    arr_field = next(f for f in fields if f["name"] == "arr")
+    m_field = next(f for f in fields if f["name"] == "m")
+    all_ids = (
+        [f["id"] for f in fields] + nested_ids
+        + [arr_field["type"]["element-id"], m_field["type"]["key-id"],
+           m_field["type"]["value-id"]]
+    )
+    assert len(all_ids) == len(set(all_ids))
+    assert meta["last-column-id"] == max(all_ids)
+
+    # parquet footers: nested struct fields stamped
+    data_dir = os.path.join(path, "data")
+    fp = os.path.join(data_dir, sorted(os.listdir(data_dir))[0])
+    sch = pq.read_schema(fp)
+    s_pq = sch.field("s")
+    inner = {
+        s_pq.type.field(i).name: (
+            s_pq.type.field(i).metadata or {}
+        ).get(b"PARQUET:field_id")
+        for i in range(s_pq.type.num_fields)
+    }
+    assert inner == {
+        "a": str(nested_ids[0]).encode(), "b": str(nested_ids[1]).encode()
+    }
+
+    # append: same Spark schema, committed ids reused, data accumulates
+    write_iceberg_py(
+        spark.range(3, 5).selectExpr(
+            "id",
+            "named_struct('a', id * 2, 'b', concat('x', id)) AS s",
+            "array(id, id + 10) AS arr",
+            "map(concat('k', id), CAST(id AS DOUBLE)) AS m",
+        ),
+        path, mode="append",
+    )
+    assert read_iceberg_py(spark, path).count() == 5
+    # schema mismatch in a NESTED field still refuses
+    with pytest.raises(ValueError, match="schema"):
+        write_iceberg_py(
+            spark.range(1).selectExpr(
+                "id", "named_struct('a', id, 'ZZZ', 'x') AS s",
+                "array(id) AS arr", "map('k', double(1.0)) AS m",
+            ),
+            path, mode="append",
+        )
+
+
+def test_iceberg_nested_rename_refuses_on_divergence(spark, tmp_path):
+    """A top-level rename on a table with a nested column still resolves
+    (top-level ids), but when a file's NESTED names diverge from the
+    current schema the resolver refuses instead of silently keeping old
+    inner names (ADVICE r10 low — now constructible via the nested
+    writer)."""
+    import json as _json
+
+    from chdb_spark.sources.iceberg_py import (
+        _current_metadata_file,
+        read_iceberg_py,
+        rename_iceberg_column,
+        write_iceberg_py,
+    )
+
+    path = str(tmp_path / "nrn")
+    write_iceberg_py(
+        spark.range(3).selectExpr(
+            "id", "named_struct('a', id * 2) AS s"
+        ),
+        path,
+    )
+    # top-level rename: metadata-only, resolved by field id on read
+    rename_iceberg_column(path, "id", "ident")
+    out = read_iceberg_py(spark, path)
+    assert set(out.columns) == {"ident", "s"}
+    assert {r.ident for r in out.collect()} == {0, 1, 2}
+    assert {r.s.a for r in out.collect()} == {0, 2, 4}
+
+    # now ALSO rename the nested field in the metadata: the files keep
+    # the old inner name, which top-level-id resolution cannot express
+    md = os.path.join(path, "metadata")
+    with open(_current_metadata_file(md)) as f:
+        meta = _json.load(f)
+    fields = [dict(f) for f in meta["schemas"][-1]["fields"]]
+    for f in fields:
+        if f["name"] == "s":
+            f["type"] = dict(f["type"])
+            f["type"]["fields"] = [
+                {**nf, "name": "a_renamed"} for nf in f["type"]["fields"]
+            ]
+    meta["schemas"].append(
+        {"schema-id": 9, "type": "struct", "fields": fields}
+    )
+    meta["current-schema-id"] = 9
+    with open(os.path.join(md, "v9.metadata.json"), "w") as f:
+        _json.dump(meta, f)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write("9")
+    with pytest.raises(NotImplementedError, match="nested"):
+        read_iceberg_py(spark, path).collect()
