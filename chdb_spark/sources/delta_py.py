@@ -1108,7 +1108,23 @@ def delete_delta_py(
     if "deletionVectors" not in features or int(
         (protocol or {}).get("minReaderVersion", 1)
     ) < 3:
+        # upgrading to feature-list protocol versions must carry every
+        # feature the PRIOR legacy version implied (PROTOCOL.md §Feature
+        # table) — otherwise a jar writer stops enforcing e.g.
+        # invariants the table was created under (r11 review)
+        legacy_writer = {
+            2: ["appendOnly", "invariants"],
+            3: ["checkConstraints"],
+            4: ["generatedColumns", "changeDataFeed"],
+            5: ["columnMapping"],
+            6: ["identityColumns"],
+        }
         wfeat = set((protocol or {}).get("writerFeatures") or [])
+        for v, feats in legacy_writer.items():
+            if int((protocol or {}).get("minWriterVersion", 2)) >= v:
+                wfeat |= set(feats)
+        if int((protocol or {}).get("minReaderVersion", 1)) >= 2:
+            features |= {"columnMapping"}
         actions.append(
             {
                 "protocol": {
@@ -1137,8 +1153,15 @@ def delete_delta_py(
                 }
             }
         )
+        # stats are dropped, not copied: per-file stats claim (possibly
+        # tight) min/max/numRecords for the PHYSICAL rows, and a reader
+        # honoring tightBounds could answer MIN/MAX from a value that
+        # only lives in deleted rows (r11 review); stats are optional,
+        # absence is always safe
         new_add = {
-            k: v for k, v in old_add.items() if k != "deletionVector"
+            k: v for k, v in old_add.items()
+            if k not in ("deletionVector", "stats", "statsParsed",
+                         "tightBounds")
         }
         new_add["deletionVector"] = {
             "storageType": "u",
