@@ -751,7 +751,13 @@ def iceberg_bucket(value, n: int) -> int:
         raise NotImplementedError(
             f"iceberg_bucket: unsupported value {value!r}"
         )
-    if isinstance(value, datetime.date):
+    if isinstance(value, datetime.datetime):
+        # spec: timestamps hash as MICROSECONDS from epoch (long)
+        epoch = datetime.datetime(
+            1970, 1, 1, tzinfo=value.tzinfo
+        )
+        value = int((value - epoch).total_seconds() * 1_000_000)
+    elif isinstance(value, datetime.date):
         value = (value - datetime.date(1970, 1, 1)).days
     if isinstance(value, int):
         data = value.to_bytes(8, "little", signed=True)

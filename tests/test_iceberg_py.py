@@ -820,6 +820,8 @@ def test_iceberg_bucket_transform_spec_vectors():
     assert iceberg_bucket(34, 4) == iceberg_bucket(34, 4)
     assert iceberg_day(datetime.date(2017, 11, 16)) == 17486
     assert iceberg_day(datetime.datetime(2017, 11, 16, 22, 31)) == 17486
+    # timestamp vector: 2017-11-16T22:31:08 -> hash -2047944441, bucket[16]=7
+    assert iceberg_bucket(datetime.datetime(2017, 11, 16, 22, 31, 8), 16) == 7
 
 
 def test_iceberg_nested_name_trees():
