@@ -2051,9 +2051,20 @@ def resolve_write_format(fmt_name: str | None, path: str | None):
     name = (fmt_name or "").lower()
     if name in _TF_FORMATS:
         fmt, opts = _TF_FORMATS[name]
+    elif name in {"parquet", "orc", "json", "csv", "avro", "text",
+                  "arrow", "feather", "jsonl"}:
+        fmt, opts = name, {}  # write_auto aliases feather/jsonl itself
+    elif name:
+        # an EXPLICITLY requested format this writer cannot produce must
+        # refuse, not silently substitute the path extension's format
+        # (r11 review — a consumer expecting Native/Arrow bytes would
+        # read garbage)
+        raise NotImplementedError(
+            f"write format {fmt_name!r}: writable formats are "
+            f"{sorted(set(_TF_FORMATS))}"
+        )
     else:
-        fmt = (infer_format(path) if path else None) or name or "parquet"
-        opts = {}
+        fmt, opts = (infer_format(path) if path else None) or "parquet", {}
     return fmt, {k: v for k, v in opts.items() if k in ("header", "sep")}
 
 
