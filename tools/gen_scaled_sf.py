@@ -66,6 +66,23 @@ def main() -> None:
                     cp = cp.withColumn(
                         col, F.col(col) + F.lit(c * STRIDE).cast("long")
                     )
+                if table == "documents" and c > 0:
+                    # per-copy deterministic text transforms: verbatim
+                    # copies would make every doc 4 identical twins and
+                    # blow the near-dup pair count (and the O(pairs)
+                    # brute-force oracles) QUADRATICALLY in k — a real
+                    # 5x corpus has ~5x the near-dup mass, not 25x
+                    t = F.col("text")
+                    t = [
+                        t,
+                        F.reverse(t),
+                        F.translate(t, "aeiouAEIOU", "0123401234"),
+                        F.reverse(F.translate(t, "aeiouAEIOU", "0123401234")),
+                        F.translate(t, "etaoinETAOIN", "xzqwvyXZQWVY"),
+                    ][c % 5]
+                    cp = cp.withColumn("text", t).withColumn(
+                        "n_chars", F.length("text").cast("long")
+                    )
                 copies.append(cp)
             out = copies[0]
             for cp in copies[1:]:
