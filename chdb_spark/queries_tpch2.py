@@ -620,30 +620,41 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="EXISTS → left_semi, NOT EXISTS → left_anti on (orderkey, suppkey-≠).",
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One groupBy over lineitem replaces the classic EXISTS/NOT-EXISTS
+    # pair of shuffled semi/anti joins (r11, measured in BASELINE §O's
+    # follow-up: 2.28 s → 1.12 s at sf0.5, match-equal results):
+    #   EXISTS other supplier        ⇔ min(s) != max(s)
+    #   NOT EXISTS other LATE suppl. ⇔ min(late s) == max(late s)
+    # (exactly one distinct late supplier — necessarily the candidate,
+    # whose own row is R). min/max partial-aggregate map-side, so
+    # lineitem shuffles ONCE instead of three times; countDistinct was
+    # also tried and measured SLOWER than the joins (expand overhead) —
+    # recorded so it isn't retried.
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
-    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
-    )
-    base = (
-        l1.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(
-            l2,
-            (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
-            "left_semi",
+    agg = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("smin"),
+            F.max("l_suppkey").alias("smax"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("lmin"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("lmax"),
         )
-        .join(
-            l3,
-            (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
-            "left_anti",
+        .filter(
+            (F.col("smin") != F.col("smax")) & (F.col("lmin") == F.col("lmax"))
         )
+        .select(F.col("l_orderkey").alias("ok"))
     )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    base = l1.join(
+        agg, F.col("ok") == F.col("l_orderkey"), "left_semi"
+    ).join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
     return (
         base.join(
             F.broadcast(table(spark, sf_dir, "supplier")),
