@@ -75,6 +75,7 @@ FIXTURE_QUERIES = [
     "sm6_streaming_neardup", "sm7_streaming_dedup_watermark",
     "sm8_streaming_rollup", "wr1_token_shards",
     "zo1_zorder_rectangle", "dd14_incremental_dedup", "s5_ivf_index",
+    "sp1_spread_sample",
 ]
 
 

@@ -118,3 +118,97 @@ def zo1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+def sample_rows_spread(
+    spark: SparkSession,
+    path: str,
+    k: int,
+    seed: int = 42,
+    margin: float = 4.0,
+) -> DataFrame:
+    """~``k`` rows SPREAD across a parquet lake without a full scan —
+    the parquet-lake analogue of ClickHouse's MergeTree ``SAMPLE k``
+    (which reads only a slice of the ``SAMPLE BY`` key space; reference
+    SQL surface, COVERAGE divergence ledger: the TABLESAMPLE (k ROWS)
+    mapping returns the FIRST k scan rows, biased to the first file).
+
+    Mechanics: per-file row counts come from parquet FOOTERS (one
+    driver-side metadata pass — the same O(files) walk any scan plans);
+    a seeded shuffle picks just enough files to cover ``margin × k``
+    rows, a Bernoulli sample thins them to ~margin-fold over-draw, and
+    ``limit(k)`` trims exactly. At 100 TB the data read is
+    ``O(k × avg_row_size × margin)`` — independent of table size —
+    while first-k sampling concentrates on one file and a plain
+    ``df.sample(k/N)`` scans EVERY file.
+
+    Deterministic for a fixed (seed, file set). Returns ≤ k rows (ties
+    of tiny inputs); raises if the lake holds no parquet files."""
+    import glob as _glob
+    import os
+    import random
+
+    import pyarrow.parquet as _pq
+
+    if k <= 0:
+        raise ValueError(f"sample_rows_spread: k must be positive, got {k}")
+    files = sorted(
+        _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ) or ([path] if os.path.isfile(path) else [])
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    counts = {fp: _pq.read_metadata(fp).num_rows for fp in files}
+    total = sum(counts.values())
+    rng = random.Random(seed)
+    shuffled = list(files)
+    rng.shuffle(shuffled)
+    picked, covered = [], 0
+    target = min(total, int(margin * k))
+    for fp in shuffled:
+        picked.append(fp)
+        covered += counts[fp]
+        if covered >= target:
+            break
+    df = spark.read.parquet(*sorted(picked))
+    if covered > k:
+        df = df.sample(fraction=min(1.0, margin * k / covered), seed=seed)
+    # Spark's limit() consumes partitions INCREMENTALLY — a bare
+    # limit(k) would take all k rows from the first file and undo the
+    # spread. Ordering the ~margin×k over-draw by a content hash first
+    # trims uniformly across files; the sort is k-bounded, never
+    # table-sized.
+    return df.orderBy(F.xxhash64(F.struct(*df.columns))).limit(k)
+
+
+@defquery(
+    "sp1_spread_sample",
+    """
+    SELECT CAST(200 AS BIGINT) AS n_rows, CAST(1 AS BIGINT) AS files_ge2
+    """,
+    doc="spread-k sampled read (MergeTree `SAMPLE k` analogue for "
+        "parquet lakes — COVERAGE divergence ledger: TABLESAMPLE (k "
+        "ROWS) is first-k-biased; this reads O(k) rows from seeded "
+        "randomly-chosen FILES via footer row counts, table-size-"
+        "independent). The fixture re-shards documents into 16 range "
+        "files; the query asserts the contract the oracle constants "
+        "pin: exactly k rows, drawn from ≥2 distinct files. "
+        "Deterministic: fixed seed over a fixed file set.",
+)
+def sp1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from chdb_spark.operators import scratch_complete, scratch_dir
+
+    docs = table(spark, sf_dir, "documents")
+    tmp = scratch_dir("spread16", sf_dir)
+    if not scratch_complete(tmp):  # _SUCCESS-gated: partial writes rewrite
+        docs.repartitionByRange(16, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+    sampled = sample_rows_spread(spark, tmp, k=200).select(
+        "doc_id", F.col("_metadata.file_name").alias("_f")
+    )
+    return sampled.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.countDistinct("_f") >= 2).cast("long").alias("files_ge2"),
+    )
