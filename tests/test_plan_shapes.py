@@ -96,9 +96,16 @@ def test_count_star_reads_no_data_columns(spark):
 
 
 def test_semi_anti_joins_for_exists(spark):
+    """q21's r11 rewrite: the EXISTS/NOT-EXISTS pair of shuffled semi/anti
+    joins collapsed into ONE lineitem groupBy (min/max late-supplier
+    bounds) + a single LeftSemi against the qualifying orders — lineitem
+    shuffles once, not three times (BASELINE §O: 2.28 s → 1.12 s at
+    sf0.5, oracle-equal)."""
     plan = plan_of(spark, "q21_waiting_suppliers")
     assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan  # anti join replaced by the min/max agg
+    # the min/max bounds aggregate is the device that replaced the joins
+    assert "min(l_suppkey" in plan and "max(l_suppkey" in plan
 
 
 def test_dedup_inverted_index_no_cartesian(spark):
