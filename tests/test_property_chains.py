@@ -923,9 +923,14 @@ def test_hudi_mor_merge_property(spark, base, blocks, tmp_path_factory):
         f.write("hoodie.table.type=MERGE_ON_READ\n")
 
     def tbl(d: dict) -> _pa.Table:
+        # spec-conforming base/log rows: the r10-ADVICE fix keys the MoR
+        # merge on (_hoodie_partition_path, _hoodie_record_key) and
+        # refuses loudly when the partition-path meta column is absent —
+        # an unpartitioned table carries "" like real Hudi writers do
         ks = sorted(d)
         return _pa.table({
             "_hoodie_record_key": _pa.array([str(k) for k in ks], _pa.string()),
+            "_hoodie_partition_path": _pa.array(["" for _ in ks], _pa.string()),
             "id": _pa.array(ks, _pa.int64()),
             "v": _pa.array([d[k] for k in ks], _pa.int64()),
         })
