@@ -71,29 +71,45 @@ def fuzzy_self_join(
         raise ValueError(
             "fuzzy_self_join: deletion-1 blocking is exact only for max_dist<=1"
         )
+    # array_distinct: a run of k identical characters yields k identical
+    # deletion variants — without dedup a candidate pair sharing that
+    # variant joins k_a x k_b times and the duplicates are only crunched
+    # AFTER the join. Deduping before explode shrinks both the shuffle
+    # and the join output (el1 at sf0.1: 395k -> 253k candidate rows).
     sel = df.select(
         F.col(key_col).alias("_k"),
         F.col(name_col).alias("_n"),
-        F.explode(deletion_variants(name_col)).alias("_variant"),
+        F.explode(F.array_distinct(deletion_variants(name_col))).alias("_variant"),
     )
     right = (
         sel.select(
             F.col("_k").alias("_k2"), F.col("_n").alias("_n2"), F.col("_variant")
         )
     )
+    # Banded levenshtein (threshold form) BEFORE the dedup: the bounded DP
+    # early-exits past max_dist (O(len*max_dist) not O(len^2)), and the
+    # selective filter leaves the dropDuplicates shuffle only true matches
+    # instead of every candidate (el1 at sf0.1: 3.49 s -> 1.67 s median).
     pairs = (
         sel.join(right, on="_variant", how="inner")
         .where(F.col("_k") < F.col("_k2"))
-        .select("_k", "_n", "_k2", "_n2")
-        .distinct()  # a pair can share several variants — one row per pair
-        .where(F.levenshtein(F.col("_n"), F.col("_n2")) <= max_dist)
+        .select(
+            "_k",
+            "_n",
+            "_k2",
+            "_n2",
+            F.levenshtein(F.col("_n"), F.col("_n2"), max_dist).alias("_dist"),
+        )
+        .where(F.col("_dist") >= 0)  # threshold form returns -1 above max_dist
+        # one row per pair; _n/_n2/_dist are functionally dependent on the keys
+        .dropDuplicates(["_k", "_k2"])
     )
     return pairs.select(
         F.col("_k").alias(f"{key_col}_a"),
         F.col("_k2").alias(f"{key_col}_b"),
         F.col("_n").alias(f"{name_col}_a"),
         F.col("_n2").alias(f"{name_col}_b"),
-        F.levenshtein(F.col("_n"), F.col("_n2")).alias("dist"),
+        F.col("_dist").alias("dist"),
     )
 
 
