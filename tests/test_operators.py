@@ -1157,6 +1157,28 @@ def test_bpe_merges_matches_python_reference(spark):
     assert got == ref_bpe(corpus, 5)
 
 
+def test_bpe_distributed_lane_matches_driver_lane(spark, monkeypatch):
+    """The vocab-bounded driver lane (r11 optimization) and the distributed
+    fallback must produce identical merges AND identical final word tables:
+    force the distributed lane by zeroing the driver bound and compare both
+    trainer outputs on the same nasty-overlap corpus."""
+    import chdb_spark.operators.text as text_mod
+    from chdb_spark.operators.text import bpe_merges, bpe_token_counts
+
+    corpus = ["ababab cd cd", "ababab cd ab", "aaaa cd", "zq zq", "a0a0 a0"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+
+    local_merges = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
+    local_tokens = [tuple(r) for r in bpe_token_counts(docs, n_merges=5, top_k=50).collect()]
+
+    monkeypatch.setattr(text_mod, "_BPE_VOCAB_DRIVER_MAX", 0)
+    dist_merges = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
+    dist_tokens = [tuple(r) for r in bpe_token_counts(docs, n_merges=5, top_k=50).collect()]
+
+    assert dist_merges == local_merges
+    assert dist_tokens == local_tokens
+
+
 def test_weighted_reservoir_deterministic_across_partitionings(spark):
     """The A-Res draw is hash-derived, so the selected sample is identical
     no matter how the input is partitioned — the property rand() cannot
