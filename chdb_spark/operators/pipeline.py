@@ -49,6 +49,21 @@ def curate(
         & (language_id(F.col("text")) == lang)
     )
     kept = exact_dedup(kept)
+    # Materialize the survivors ONCE (projected to what the two consumers
+    # need): decontamination reads (doc_id, text) for the gram stream and
+    # the anti-join + stats read (doc_id, source, n_tokens) — lazily, the
+    # scan→quality→langID→dedup subtree is embedded twice in the final
+    # plan (no ReuseExchange fires; both copies run the full-corpus Python
+    # feature pass). At sf0.1/local[32] wall-clock is unchanged — the two
+    # copies sit in independent branches of one job and overlap on idle
+    # cores — but the total work is 2× the corpus feature pass, which is
+    # exactly what a saturated cluster pays at scale. One eager checkpoint
+    # = one subtree execution; survivor blocks live on executors
+    # (MEMORY_AND_DISK) and are released by ContextCleaner (the
+    # minhash-feats pattern).
+    kept = kept.select("doc_id", "text", "source", "n_tokens").localCheckpoint(
+        eager=True
+    )
     contaminated = decontaminate(kept, benchmark, n=n)
     clean = kept.join(
         contaminated.select("doc_id"), "doc_id", "left_anti"

@@ -1238,22 +1238,37 @@ def dsir_importance_weights(
         id_col, "_is_target", (md5_prefix48(F.col("tok")) % n_buckets).alias("b")
     )
 
-    raw = tb.groupBy("b").agg(F.count("*").alias("n_r"))
-    tgt = tb.filter(F.col("_is_target")).groupBy("b").agg(F.count("*").alias("n_t"))
-    # Spark SQL resolution is case-insensitive by default, so the totals
-    # must not collide with n_r/n_t.
-    n_raw = raw.agg(F.sum("n_r").alias("tot_r"))
-    n_tgt = tgt.agg(F.sum("n_t").alias("tot_t"))
+    # One corpus pass, not three: raw/tgt/per-doc counts all derive from the
+    # (doc, is_target, bucket) count table, eagerly checkpointed so the token
+    # explode+hash subtree executes exactly once (lazily it re-ran under each
+    # of the three branches). Exact-integer sums, so the derivations are
+    # bit-identical to grouping the token stream directly; blocks are
+    # executor-side and released by ContextCleaner (the minhash-feats pattern).
+    dbt = (
+        tb.groupBy(id_col, "_is_target", "b")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    raw = dbt.groupBy("b").agg(F.sum("n").alias("n_r"))
+    tgt = dbt.filter(F.col("_is_target")).groupBy("b").agg(F.sum("n").alias("n_t"))
 
     # Per-bucket log-ratio scaled to integer micro-units: the per-doc sum
     # is then exact 64-bit arithmetic — associative, so partial-aggregation
     # order can never flip a rounding boundary (cross-engine bit-equality;
     # a float sum here flaked exactly once at a .xxxx5 boundary).
+    # Corpus totals as unbounded-window sums over the ≤ n_buckets-row
+    # bucket table (exact integer sums, same values as separate scalar
+    # aggregates) — the two crossJoin(broadcast(agg)) forms this replaces
+    # each cost a broadcast-build job of their own. n_t is coalesced to 0
+    # BEFORE the window so tot_t still sums only real target counts.
+    from pyspark.sql.window import Window as _W
+
+    _all = _W.partitionBy()
     bw = (
         raw.join(tgt, "b", "left")
         .na.fill({"n_t": 0})
-        .crossJoin(F.broadcast(n_raw))
-        .crossJoin(F.broadcast(n_tgt))
+        .withColumn("tot_r", F.sum("n_r").over(_all))
+        .withColumn("tot_t", F.sum("n_t").over(_all))
         .select(
             "b",
             F.round(
@@ -1269,7 +1284,7 @@ def dsir_importance_weights(
         )
     )
 
-    dbc = tb.groupBy(id_col, "b").agg(F.count("*").alias("n"))
+    dbc = dbt.groupBy(id_col, "b").agg(F.sum("n").alias("n"))
     return (
         dbc.join(F.broadcast(bw), "b")
         .groupBy(id_col)
