@@ -561,11 +561,18 @@ def sm6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode("band_hashes").alias("band_idx", "band_hash")
     )
     # LSH shard-state instances sized to the 4-file bench stream
-    # (measured 6.3->4.2 s); the shard count itself (1024) is the
-    # scale-out knob — at production rates size instances up with it
-    with state_partitions(spark, 8):
+    # (measured 6.3->4.2 s). Shard count rides the state-partition choice
+    # (32 key-groups per state instance — enough for load balance, few
+    # enough that per-key state-store commit/serialization overhead is
+    # amortized): at 1024 shards every batch rewrote 1024 state entries
+    # of ~80 band rows each (state commit 3.3 s summed at sf0.1); 32x8 =
+    # 256 shards cut the stream 2.9 -> 2.2 s with the emitted pair union
+    # unchanged (bucket identity is xxhash64(band_idx, band_hash),
+    # independent of sharding). In production both knobs scale together.
+    n_state_parts = 8
+    with state_partitions(spark, n_state_parts):
         q = (
-            streaming_lsh_bucket_pairs(banded)
+            streaming_lsh_bucket_pairs(banded, n_shards=32 * n_state_parts)
             .writeStream.format("memory")
             .queryName("sm6_mem")
             .outputMode("update")
