@@ -184,6 +184,7 @@ def doc_features(
     bands: int = 32,
     with_minhash: bool = True,
     with_simhash: bool = True,
+    hs_filter=None,
 ) -> DataFrame:
     """One Arrow-batched map pass over documents → per-doc dedup features:
     distinct shingle hashes ``hs``, MinHash LSH band hashes ``band_hashes``,
@@ -199,6 +200,13 @@ def doc_features(
     hash_array (stable across sessions); candidate recall does not depend
     on which 64-bit hash family is used, and precision is restored by exact
     verification either way.
+
+    ``hs_filter`` (optional): vectorized predicate over a doc's int64 hash
+    array, applied to the EMITTED ``hs`` column only — band/simhash
+    features still derive from the full array. Lets a caller fuse a
+    membership test (e.g. a broadcast Bloom filter) into this map pass
+    instead of paying a second JVM↔Python crossing over the exploded
+    gram stream (guide §4.1); must be cloudpickle-safe by value.
     """
     perms = np.array(_perm_consts(k), dtype=np.uint64)
     a_c, b_c = perms[:, 0], perms[:, 1]
@@ -286,6 +294,11 @@ def doc_features(
             else:
                 fp_col = np.zeros(ndocs, dtype=np.int64)
 
+            if hs_filter is not None:
+                hs_list = [
+                    h[hs_filter(h.view(np.int64))] if h.size else h
+                    for h in hs_list
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -916,15 +929,14 @@ def decontaminate_bloom(
         np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
     bc = spark.sparkContext.broadcast((bits, m, k))
 
-    @F.pandas_udf("boolean")
-    def might_contain(hs: pd.Series) -> pd.Series:
+    def _bloom_keep(h: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask for an int64 hash array."""
         bits_b, m_b, k_b = bc.value
-        hit = np.ones(len(hs), dtype=bool)
-        h = hs.to_numpy(dtype=np.int64)
+        hit = np.ones(h.size, dtype=bool)
         for pos in _bloom_positions(h, m_b, k_b):
             word = bits_b[pos >> 6]
             hit &= (word >> (pos.astype(np.uint64) & np.uint64(63))) & np.uint64(1) != 0
-        return pd.Series(hit)
+        return hit
 
     # the exact confirming side is rebuilt from the driver-held hashes —
     # the benchmark gram pipeline ran ONCE (for the collect above); re-
@@ -933,9 +945,17 @@ def decontaminate_bloom(
     bench_hashes = spark.createDataFrame(
         pd.DataFrame({"h": bench_np}), "h long"
     )
-    candidates = _doc_grams(train, id_col, text_col, n).filter(
-        might_contain(F.col("h"))
-    )
+    # Bloom test FUSED into the gram feature pass (hs_filter): the
+    # training gram stream previously crossed the JVM↔Python boundary a
+    # second time through a pandas-UDF might_contain over every exploded
+    # gram row; fusing tests the same hashes with the same positions
+    # function inside the pass that computed them, and the pass now emits
+    # only hits + ~fpp false positives (the exact semi-join below still
+    # eliminates FPs, so the result is bit-identical).
+    candidates = doc_features(
+        train, id_col=id_col, text_col=text_col, n=n,
+        with_minhash=False, with_simhash=False, hs_filter=_bloom_keep,
+    ).select(F.col("doc_id"), F.explode("hs").alias("h"))
     hits = candidates.join(F.broadcast(bench_hashes), "h", "left_semi")
     return (
         hits.groupBy("doc_id")

@@ -985,6 +985,25 @@ def test_bloom_decontamination_matches_exact(spark):
     assert fp < 0.05, f"false-positive rate {fp:.3f} far above the 1% design point"
 
 
+def test_doc_features_hs_filter_prunes_emitted_hashes_only(spark):
+    """hs_filter contract (the dd12 bloom fusion): the emitted hs column is
+    masked by the predicate, doc rows are preserved (possibly with empty
+    arrays), and band/simhash features still derive from the FULL array."""
+    from chdb_spark.operators.dedup import doc_features
+
+    docs = table(spark, SF_CORRECT, "documents").limit(50)
+    full = {r.doc_id: r for r in doc_features(docs).collect()}
+    kept = {
+        r.doc_id: r
+        for r in doc_features(docs, hs_filter=lambda h: h % 2 == 0).collect()
+    }
+    assert set(kept) == set(full)
+    for did, r in kept.items():
+        assert r.hs == [h for h in full[did].hs if h % 2 == 0]
+        assert r.band_hashes == full[did].band_hashes  # untouched by the mask
+        assert r.fp == full[did].fp
+
+
 def test_token_shards_layout_bounded_and_lossless(spark, tmp_path):
     """wr1's write contract: every shard holds <= budget + one doc's
     tokens (greedy straddle), directories are one parquet file each,
