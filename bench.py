@@ -3,9 +3,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE compact JSON line to stdout (keys: metric, value, unit, sf,
-n_queries, mean_sec, slowest, queries_file) and writes the full per-query
-timing map to BENCH_full.json next to this script (the ~3 KB inline map
-got truncated by the driver's stdout tail window in round 1).
+queries — the full per-query timing map, r11 driver contract —
+n_queries, mean_sec, slowest, queries_file) and also writes the
+per-query map to BENCH_full.json next to this script (stdout tail
+windows truncate; the file is the durable copy).
 
 Conditions are pinned so round-over-round deltas mean something
 (round-2 lesson: a busy machine produced a uniform ~2x phantom
@@ -226,6 +227,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                "queries": timings,
                 "n_queries": len(timings),
                 "mean_sec": round(total / max(len(timings), 1), 4),
                 "slowest": slowest,

@@ -627,6 +627,7 @@ def write_token_shards(
     out_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Write the corpus as parquet shards bounded by a token budget — the
     export step before tokenization: downstream loaders want
@@ -635,11 +636,27 @@ def write_token_shards(
     Documents are laid out in ``id_col`` order; a doc starting at global
     token offset ``o`` lands in shard ``floor(o / token_budget)`` (greedy:
     a shard holds ≤ budget + one document's tokens — the straddling doc
-    stays whole). The global offset comes from ``bucketed_running_sum``,
-    the two-phase exclusive prefix sum — NO global Window.orderBy, so the
-    layout computation scales past one reducer. The write repartitions by
-    shard_id (one shuffle keyed by shard) and sorts within partitions by
-    id, giving exactly one ordered parquet file per shard directory.
+    stays whole).
+
+    Shape (guide §8: decide with small rows, move big rows once): the
+    prefix sum and shard assignment run over the NARROW (id, n_tokens)
+    projection only — ``bucketed_running_sum``, no global single-reducer
+    window, and crucially no ``text`` bytes through its bucket shuffle.
+    Because the assignment is monotone in id order it collapses to
+    (first_id → shard_id) boundaries, a (corpus_tokens / budget)-row
+    relation the driver holds like any range-partitioner bound list; the
+    heavy text rows are then assigned by an O(log n_shards) JVM binary
+    search (Bucketizer) plus a broadcast position→shard map join, and
+    shuffled exactly ONCE — the shard-keyed repartition feeding the write.
+    (The old form shuffled and sorted the full text twice: once through
+    the prefix-sum window, once for the write.) ``n_tokens`` is
+    recomputed map-side in the write pass — a second tokenize of the
+    corpus, deliberately traded for the removed text shuffle; both passes
+    are embarrassingly parallel scans.
+
+    Numeric ids above 2^53 would not round-trip the Bucketizer's double
+    cast; that case (and non-numeric ids) falls back to carrying the
+    boundaries through a broadcast range join on the exact values.
 
     Returns per-shard stats READ BACK from the written files, so a caller
     (and wr1's oracle) checks the full write round-trip, not just the
@@ -647,20 +664,69 @@ def write_token_shards(
     """
     from chdb_spark.functions.aggregate_ext import bucketed_running_sum
 
-    toks = docs.select(
-        F.col(id_col), F.col(text_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    n_tok = F.size(tokens(F.col(text_col))).cast("long")
+    narrow = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    cum = bucketed_running_sum(
+        narrow, order_col=id_col, sum_cols=["n_tokens"], input_rows=input_rows
     )
-    cum = bucketed_running_sum(toks, order_col=id_col, sum_cols=["n_tokens"])
-    sharded = cum.select(
+    assigned = cum.select(
         id_col,
-        text_col,
-        "n_tokens",
         F.floor(F.col("_cum_n_tokens") / F.lit(float(token_budget)))
         .cast("long")
         .alias("shard_id"),
     )
+    # metadata-sized boundary pull: one row per shard (tokens / budget),
+    # the same driver-side footprint as a range partitioner's bounds
+    bounds = (
+        assigned.groupBy("shard_id")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .orderBy("_lo")
+        .collect()
+    )
+    heavy = docs.select(F.col(id_col), F.col(text_col), n_tok.alias("n_tokens"))
+    id_type = dict(docs.dtypes)[id_col]
+    numeric_id = id_type in ("int", "bigint", "smallint", "tinyint")
+    exact_double = numeric_id and all(
+        abs(int(r["_lo"])) <= 2**53 and abs(int(r["_hi"])) <= 2**53
+        for r in bounds
+    )
+    if len(bounds) <= 1:
+        only = int(bounds[0]["shard_id"]) if bounds else 0
+        sharded = heavy.withColumn("shard_id", F.lit(only).cast("long"))
+    elif exact_double:
+        # O(log n_shards) binary search per row, pure JVM — the same
+        # Bucketizer kernel bucketed_running_sum uses for range buckets
+        from pyspark.ml.feature import Bucketizer
+
+        splits = [float("-inf")] + [float(r["_lo"]) for r in bounds[1:]] + [
+            float("inf")
+        ]
+        spark = docs.sparkSession
+        pos_map = spark.createDataFrame(
+            [(float(i), int(r["shard_id"])) for i, r in enumerate(bounds)],
+            "_pos double, shard_id long",
+        )
+        sharded = (
+            Bucketizer(splits=splits, inputCol="_idd", outputCol="_pos")
+            .transform(heavy.withColumn("_idd", F.col(id_col).cast("double")))
+            .join(F.broadcast(pos_map), "_pos")
+            .drop("_idd", "_pos")
+        )
+    else:
+        # exact-value fallback (huge/non-numeric ids): broadcast range
+        # join on the shard boundaries — inner side stays shard-count-sized
+        spark = docs.sparkSession
+        ranges = spark.createDataFrame(
+            [(r["_lo"], r["_hi"], int(r["shard_id"])) for r in bounds],
+            f"_lo {id_type}, _hi {id_type}, shard_id long",
+        )
+        sharded = heavy.join(
+            F.broadcast(ranges),
+            (F.col(id_col) >= F.col("_lo")) & (F.col(id_col) <= F.col("_hi")),
+        ).drop("_lo", "_hi")
     (
-        sharded.repartition("shard_id")
+        sharded.select(id_col, text_col, "n_tokens", "shard_id")
+        .repartition("shard_id")
         .sortWithinPartitions(id_col)
         .write.mode("overwrite")
         .partitionBy("shard_id")
@@ -705,10 +771,16 @@ def write_token_shards(
 )
 def wr1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chdb_spark.operators import scratch_dir
+    from chdb_spark.queries import table_rows_upper_bound
 
     docs = table(spark, sf_dir, "documents")
     out = scratch_dir("shards", sf_dir)
-    return write_token_shards(docs, token_budget=2000, out_dir=out)
+    # parquet-footer row bound: a known-small corpus lets the narrow
+    # prefix sum take the lazy plain-window lane (no sketch job)
+    return write_token_shards(
+        docs, token_budget=2000, out_dir=out,
+        input_rows=table_rows_upper_bound(sf_dir, "documents"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1031,6 +1031,33 @@ def test_token_shards_layout_bounded_and_lossless(spark, tmp_path):
     assert set(back.columns) >= {"doc_id", "text", "n_tokens", "shard_id"}
 
 
+def test_token_shards_fallback_lane_matches_bucketizer_lane(spark, tmp_path):
+    """write_token_shards assigns shards via a Bucketizer binary search
+    for double-exact numeric ids and via an exact broadcast range join
+    otherwise; both lanes must produce the identical doc->shard map.
+    Force the fallback with a zero-padded STRING id (lexicographic order
+    == numeric order, so the greedy layout is the same)."""
+    from chdb_spark.operators.text import write_token_shards
+
+    docs = table(spark, SF_CORRECT, "documents")
+    out_num = str(tmp_path / "shards_num")
+    out_str = str(tmp_path / "shards_str")
+    write_token_shards(docs, token_budget=2000, out_dir=out_num).collect()
+    str_docs = docs.withColumn(
+        "doc_id", F.lpad(F.col("doc_id").cast("string"), 12, "0")
+    )
+    write_token_shards(str_docs, token_budget=2000, out_dir=out_str).collect()
+    num_map = {
+        int(r.doc_id): r.shard_id
+        for r in spark.read.parquet(out_num).select("doc_id", "shard_id").collect()
+    }
+    str_map = {
+        int(r.doc_id): r.shard_id
+        for r in spark.read.parquet(out_str).select("doc_id", "shard_id").collect()
+    }
+    assert num_map == str_map
+
+
 def test_streaming_lsh_state_crosses_batches(spark, tmp_path):
     """sm6's core claim: the stateful bucket memory makes the streaming
     candidate set equal the batch self-join for ANY arrival order. Force
