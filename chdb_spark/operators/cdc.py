@@ -114,6 +114,15 @@ def apply_snapshot_diff(
     built from (select them first otherwise). One shuffle (the anti join,
     keyed like the diff itself — co-bucketing applies identically)."""
     new_cols = [c[4:] for c in diff.columns if c.startswith("new_")]
+    # The diff feeds BOTH branches below; without a plan boundary Catalyst
+    # embeds its subtree (for a snapshot_diff input: the full-outer join)
+    # twice and executes it twice. Project to the consumed columns (keys,
+    # change_type, new_*) and lazily checkpoint — the diff is computed
+    # once, and only changed rows (diff-sized, not snapshot-sized) land in
+    # executor block storage.
+    diff = diff.select(
+        *keys, "change_type", *[f"new_{c}" for c in new_cols]
+    ).localCheckpoint(eager=False)
     removals = diff.filter(
         F.col("change_type").isin("delete", "update")
     ).select(*keys)
