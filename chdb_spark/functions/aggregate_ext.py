@@ -597,6 +597,8 @@ def grouped_weighted_quantile(
     n_buckets: int | None = None,
     sketch_fraction: float | None = None,
     out_col: str = "wquantile",
+    input_rows: int | None = None,
+    small_input_rows: int | None = None,
 ) -> DataFrame:
     """Exact weighted quantile per group by crossing-bucket refinement —
     the first ``value`` (ordered by value, then ``extra_order``) whose
@@ -629,11 +631,38 @@ def grouped_weighted_quantile(
     ClickHouse quantileExactWeighted): a NULL-valued row contributes
     neither its value nor its weight to the group. Float NaN
     participates and sorts greatest (Spark ordering).
+
+    ``input_rows``: caller-supplied upper bound from SOURCE statistics
+    (parquet footers / catalog stats). A bound ≤ the small-input
+    threshold (``small_input_rows``, defaulting to the same conf as
+    ``bucketed_running_sum``) picks a plain grouped-window lane — the
+    sketch, bucket-totals and crossing phases collapse into one window
+    pass, removing their jobs entirely. The plain lane walks each
+    group's inclusive cumulative weight in the identical
+    (value, extra_order) order with the identical ≥ q·total hit rule,
+    so positive-weight inputs (the operator's documented precondition)
+    produce the refinement lane's result bit-for-bit for integer-valued
+    weights.
     """
     if n_buckets is None:
         n_buckets = _default_buckets(df)
     extra_order = list(extra_order or [])
     df = df.where(F.col(value_col).isNotNull())
+    if input_rows is not None and 0 < input_rows <= _small_input_threshold(
+        df, small_input_rows
+    ):
+        wgrp = Window.partitionBy(*group_cols)
+        wloc = wgrp.orderBy(value_col, *extra_order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        hit = F.sum(weight_col).over(wloc) >= F.col("_tw") * q
+        return (
+            df.withColumn("_tw", F.sum(weight_col).over(wgrp))
+            .where(F.col("_tw") > 0)
+            .withColumn("_hit_v", F.when(hit, F.col(value_col)))
+            .groupBy(*group_cols)
+            .agg(F.min("_hit_v").alias(out_col))
+        )
     vcol = F.col(value_col).cast("double")
     is_float = dict(df.dtypes)[value_col] in ("float", "double")
     clean_rows = df.select(vcol.alias("_v")).where(F.col("_v").isNotNull())

@@ -212,12 +212,16 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chdb_spark.functions.aggregate_ext import grouped_weighted_quantile
+    from chdb_spark.queries import table_rows_upper_bound
 
     li = table(spark, sf_dir, "lineitem")
     # l_quantity is integer-valued, so bucket-offset sums are exact and
     # the oracle comparison is safe. 10% bounds sample: the input is a
     # RAW-table projection (caching it would pin a 100 TB scan), and
     # bounds only steer where the refinement looks, never the result.
+    # The parquet-footer row bound lets a small input take the plain
+    # grouped-window lane (no sketch / bucket-totals / crossing jobs);
+    # past the threshold the crossing-bucket refinement runs unchanged.
     med = grouped_weighted_quantile(
         li.select(
             "l_returnflag",
@@ -231,6 +235,7 @@ def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_order=["l_quantity"],
         sketch_fraction=0.1,
         out_col="_wm",
+        input_rows=table_rows_upper_bound(sf_dir, "lineitem"),
     )
     return med.select(
         "l_returnflag", F.round(F.col("_wm"), 2).alias("wmedian")

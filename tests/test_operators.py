@@ -1900,6 +1900,16 @@ def test_grouped_weighted_quantile_matches_window_form(spark):
                 ).collect()
             }
             assert got == brute(q), (q, nb)
+        # stats-hinted small-input lane (input_rows <= threshold): one
+        # plain grouped-window pass, same hit rule, identical result
+        small = {
+            (r["g"],): r["wquantile"]
+            for r in grouped_weighted_quantile(
+                df, "v", "w", ["g"], q=q, extra_order=["w"],
+                input_rows=len(rows),
+            ).collect()
+        }
+        assert small == brute(q), ("small lane", q)
 
 
 def test_pagerank_overflow_guard_fires_in_both_lanes(spark):
@@ -1940,17 +1950,19 @@ def test_grouped_weighted_quantile_ignores_null_values(spark):
         ("c", None, 1), ("c", float("nan"), 1), ("c", 4.0, 1),
     ]
     df = spark.createDataFrame(rows, "g string, v double, w int")
-    for nb in (1, 4, 64):
+    # n_buckets refinement lanes + the stats-hinted small-input lane
+    for lane in ({"n_buckets": 1}, {"n_buckets": 4}, {"n_buckets": 64},
+                 {"input_rows": len(rows)}):
         got = {
             r["g"]: r["wquantile"]
             for r in grouped_weighted_quantile(
-                df, "v", "w", ["g"], q=0.5, extra_order=["w"], n_buckets=nb
+                df, "v", "w", ["g"], q=0.5, extra_order=["w"], **lane
             ).collect()
         }
         # a: NULL(w3) ignored -> tw=2, target 1 -> 1.0
         # b: order 5.0(cum1), 6.0(cum5), NaN last -> target 3.5 -> 6.0
         # c: NULL ignored -> 4.0(cum1), NaN(cum2) -> target 1 -> 4.0
-        assert got == {"a": 1.0, "b": 6.0, "c": 4.0}, (nb, got)
+        assert got == {"a": 1.0, "b": 6.0, "c": 4.0}, (lane, got)
 
 
 def test_round8_lanes_degenerate_inputs(spark):
