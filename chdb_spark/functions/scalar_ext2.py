@@ -288,13 +288,115 @@ def _guarded_metric(name: str, factory):
     return call
 
 
+def _jaro_batch_vs_target(xs: "pd.Series", y: str) -> "np.ndarray":
+    """Jaro similarity of a whole batch against ONE target, vectorized
+    across rows with numpy — the same batch-vs-target shape as
+    ``_dl_batch_vs_target`` (guide §4.2: hand the batch to numpy, keep
+    the python loop over the ≤ max|x| character positions only).
+
+    Mirrors ``_jaro_py`` exactly, including the greedy first-unmatched
+    window match (resolved per position i with an argmax over the
+    still-unmatched candidate mask) and the ordered-matched-sequence
+    transposition count (matched chars gathered in i/j order via
+    cumsum-rank scatter).
+    """
+    import numpy as np
+
+    n2 = len(y)
+    batch = len(xs)
+    out = np.zeros(batch, dtype=np.float64)
+    eq = (xs == y).to_numpy(dtype=bool)
+    out[eq] = 1.0  # includes empty == empty
+    if n2 == 0:
+        return out
+    lens = xs.str.len().fillna(0).to_numpy(dtype=np.int64)
+    todo = ~eq & (lens > 0)
+    if not todo.any():
+        return out
+    yc = np.frombuffer(y.encode("utf-32-le"), dtype=np.uint32)
+    n1max = int(lens[todo].max())
+    X = np.zeros((batch, n1max), dtype=np.uint32)
+    for r, s in enumerate(xs):
+        if todo[r] and s:
+            X[r, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    win = np.maximum(lens, n2) // 2 - 1  # per-row window; -1 ⇒ no matches
+    j_idx = np.arange(n2)
+    m1 = np.zeros((batch, n1max), dtype=bool)
+    m2 = np.zeros((batch, n2), dtype=bool)
+    for i in range(n1max):
+        act = todo & (i < lens)
+        if not act.any():
+            break
+        lo = np.maximum(0, i - win)[:, None]
+        hi = np.minimum(n2, i + win + 1)[:, None]
+        cand = (
+            act[:, None]
+            & ~m2
+            & (yc[None, :] == X[:, i][:, None])
+            & (j_idx[None, :] >= lo)
+            & (j_idx[None, :] < hi)
+        )
+        has = cand.any(axis=1)
+        if not has.any():
+            continue
+        rows = np.nonzero(has)[0]
+        m2[rows, cand.argmax(axis=1)[rows]] = True
+        m1[rows, i] = True
+    matches = m1.sum(axis=1)
+    good = todo & (matches > 0)
+    if good.any():
+        maxm = int(matches[good].max())
+        Xm = np.zeros((batch, maxm), dtype=np.uint32)
+        Ym = np.zeros((batch, maxm), dtype=np.uint32)
+        r1, c1 = np.nonzero(m1)
+        Xm[r1, (m1.cumsum(axis=1) - 1)[r1, c1]] = X[r1, c1]
+        r2, c2 = np.nonzero(m2)
+        Ym[r2, (m2.cumsum(axis=1) - 1)[r2, c2]] = yc[c2]
+        trans = (
+            (Xm != Ym) & (np.arange(maxm)[None, :] < matches[:, None])
+        ).sum(axis=1)
+        m = matches.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = (m / lens + m / n2 + (m - trans / 2.0) / m) / 3.0
+        out[good] = j[good]
+    return out
+
+
+def _jw_batch_vs_target(xs: "pd.Series", y: str) -> "np.ndarray":
+    """Jaro-Winkler: ``_jaro_batch_vs_target`` plus the canonical
+    prefix boost (≤ 4 leading chars, only when jaro > 0.7)."""
+    import numpy as np
+
+    j = _jaro_batch_vs_target(xs, y)
+    boost = j > 0.7
+    np4 = min(4, len(y))
+    if not boost.any() or np4 == 0:
+        return j
+    yc4 = np.frombuffer(y[:np4].encode("utf-32-le"), dtype=np.uint32)
+    eqmat = np.zeros((len(xs), np4), dtype=bool)
+    for r, s in enumerate(xs):
+        if boost[r] and s:
+            sc = np.frombuffer(
+                s[:np4].encode("utf-32-le"), dtype=np.uint32
+            )
+            eqmat[r, : len(sc)] = sc == yc4[: len(sc)]
+    prefix = np.cumprod(eqmat, axis=1).sum(axis=1)
+    return np.where(boost, j + prefix * 0.1 * (1 - j), j)
+
+
 @_lru_cache(maxsize=None)
 def _jaro_udf():
     """pandas_udf construction needs an active SparkSession — built lazily."""
 
     @F.pandas_udf("double")
     def _jaro(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([_jaro_py(x or "", y or "") for x, y in zip(a, b)])
+        out = pd.Series(0.0, index=a.index, dtype="float64")
+        a = a.fillna("")
+        b = b.fillna("")
+        # vectorize per distinct target (the common shape is one literal)
+        for y, grp in b.groupby(b, sort=False):
+            out.loc[grp.index] = _jaro_batch_vs_target(a.loc[grp.index], y)
+        return out
 
     return _jaro
 
@@ -303,18 +405,12 @@ def _jaro_udf():
 def _jaro_winkler_udf():
     @F.pandas_udf("double")
     def _jaro_winkler(a: pd.Series, b: pd.Series) -> pd.Series:
-        def jw(x: str, y: str) -> float:
-            j = _jaro_py(x, y)
-            if j <= 0.7:  # canonical Winkler boost threshold
-                return j
-            prefix = 0
-            for cx, cy in zip(x[:4], y[:4]):
-                if cx != cy:
-                    break
-                prefix += 1
-            return j + prefix * 0.1 * (1 - j)
-
-        return pd.Series([jw(x or "", y or "") for x, y in zip(a, b)])
+        out = pd.Series(0.0, index=a.index, dtype="float64")
+        a = a.fillna("")
+        b = b.fillna("")
+        for y, grp in b.groupby(b, sort=False):
+            out.loc[grp.index] = _jw_batch_vs_target(a.loc[grp.index], y)
+        return out
 
     return _jaro_winkler
 

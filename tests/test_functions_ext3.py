@@ -72,6 +72,50 @@ def test_fuzzy_string_udfs(spark):
     assert out["dl"] == 1  # one transposition (plain levenshtein would say 2)
 
 
+def test_jaro_batch_kernel_matches_per_row_reference():
+    """The vectorized batch-vs-target jaro/winkler kernels (fz1's UDF
+    lane) must reproduce the per-row reference exactly — including the
+    greedy window matching, transposition order, empty/equal shortcuts,
+    window = -1 degenerate, and the ≤4-char Winkler prefix boost."""
+    import random
+
+    import pandas as pd
+
+    from chdb_spark.functions.scalar_ext2 import (
+        _jaro_batch_vs_target,
+        _jaro_py,
+        _jw_batch_vs_target,
+    )
+
+    def jw_py(x: str, y: str) -> float:
+        j = _jaro_py(x, y)
+        if j <= 0.7:
+            return j
+        p = 0
+        for cx, cy in zip(x[:4], y[:4]):
+            if cx != cy:
+                break
+            p += 1
+        return j + p * 0.1 * (1 - j)
+
+    random.seed(42)
+    pool = [
+        "".join(
+            random.choice("abcdef" if random.random() < 0.8 else "αβγ €漢")
+            for _ in range(random.randint(0, 12))
+        )
+        for _ in range(3000)
+    ]
+    pool += ["", "a", "aa", "MARTHA", "MARHTA", "Customer#000000042"]
+    xs = pd.Series(pool)
+    for y in ["", "a", "ab", "MARHTA", "Customer#000000042", "ααββ"]:
+        got_j = _jaro_batch_vs_target(xs, y)
+        got_w = _jw_batch_vs_target(xs, y)
+        for i, x in enumerate(pool):
+            assert abs(got_j[i] - _jaro_py(x, y)) < 1e-12, (x, y)
+            assert abs(got_w[i] - jw_py(x, y)) < 1e-12, (x, y)
+
+
 def test_fuzzy_metric_unblocked_guard(spark):
     """The per-pair Python kernels warn (once per function) when built
     outside allow_unblocked(); inside the scope they are silent — so no
