@@ -31,10 +31,15 @@ from chdb_spark.queries import defquery, table
 def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
+    # k%10 is NULL iff k is NULL, so dropping the NULL group AFTER the
+    # aggregation is row-identical to the WHERE — and parses the JSON
+    # ONCE per row (a pre-agg filter makes Filter and Project each
+    # evaluate get_json_object: no cross-operator subexpression
+    # elimination in codegen). Measured 0.87 → 0.68 s at sf0.1.
     return (
-        ev.filter(k.isNotNull())
-        .groupBy((k % 10).alias("k_mod"))
+        ev.groupBy((k % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 2).alias("avg_value"))
+        .filter(F.col("k_mod").isNotNull())
         .orderBy("k_mod")
     )
 
