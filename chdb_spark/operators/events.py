@@ -283,7 +283,14 @@ def cohort_retention(
     """
     week = F.date_trunc("week", F.col(ts_col).cast("timestamp")).cast("date")
     ev = events.select(F.col(user_col).alias("u"), week.alias("wk"))
-    first = ev.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    # `first` feeds BOTH the per-offset join and the cohort-size agg;
+    # without a plan boundary the events scan + user agg subtree runs
+    # twice. The checkpoint is user-cardinality-sized (u, cohort_week).
+    first = (
+        ev.groupBy("u")
+        .agg(F.min("wk").alias("cohort_week"))
+        .localCheckpoint(eager=False)
+    )
     joined = ev.join(first, "u")
     cells = (
         joined.select(

@@ -49,6 +49,7 @@ def range_join(
     hi_col: str,
     bucket_width: int | None = None,
     how: str = "inner",
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join ``points`` to ``intervals`` on ``lo <= point <= hi`` (closed).
 
@@ -61,6 +62,14 @@ def range_join(
     survive with NULL interval columns; the unmatched set is recovered
     with a bucketed left_anti against the matched keys, so every join in
     the plan stays equi-keyed).
+
+    ``broadcast_intervals`` (default True) pins the exploded interval
+    side as the hash-join BUILD side. Without the pin, Catalyst sizes
+    the narrow point projection under the broadcast threshold and
+    builds the POINTS side — broadcasting the fact table, which
+    collects it to the driver locally and is exactly the wrong side at
+    scale (the interval side is dimension-sized by this operator's
+    contract; a genuinely large interval table can opt out).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"range_join: how must be inner|left, got {how!r}")
@@ -88,6 +97,8 @@ def range_join(
         ),
     )
     residual = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    if broadcast_intervals:
+        ivs = F.broadcast(ivs)
     matched = pts.join(ivs, on=["_bucket"], how="inner").where(residual).drop("_bucket")
     if how == "inner":
         return matched
