@@ -471,6 +471,12 @@ def phash_neardup_pairs(
     the simhash/minhash LSH shape; no all-pairs anywhere."""
     from chdb_spark.operators.dedup import candidate_pairs_from_buckets
 
+    # The hash relation feeds the banded self-join AND both exact-verify
+    # sides — four plan consumers. Without a boundary each one re-embeds
+    # the upstream decode+hash kernel chain (the dominant cost: the m4
+    # plan ran the image decode FOUR times). The checkpoint holds only
+    # (media_id, 64-char hash) rows — hash-table-sized.
+    hashes = hashes.select("media_id", "ahash").localCheckpoint(eager=False)
     r = 64 // bands
     banded = hashes.where(F.col("ahash").isNotNull()).select(
         F.col("media_id").alias("doc_id"),

@@ -482,7 +482,12 @@ def m5_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_pcm(
         docs.select(F.col("doc_id").alias("media_id"), F.lit("audio").alias("kind"))
     )
-    frames = audio_frame_energy(media, frame_bytes=100)
+    # frames feeds the activity branch AND the per-media totals — without
+    # a boundary the PCM decode kernel runs twice; the checkpoint holds
+    # (media_id, frame_idx, frame_sum) rows, ~1% of the decoded bytes
+    frames = audio_frame_energy(media, frame_bytes=100).localCheckpoint(
+        eager=False
+    )
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     act = frames.filter(F.col("frame_sum") % 7 < 4).withColumn(
         "grp", F.col("frame_idx") - F.row_number().over(w)
