@@ -715,9 +715,13 @@ def paragraph_dup_stats(
         .filter(F.length("para") > 0)
         .withColumn("h", md5_prefix48(F.col("para")))
     )
-    counts = paras.groupBy("h").agg(F.count("*").alias("n_occ"))
+    # the hash stream feeds the corpus-wide count AND the join-back;
+    # checkpoint the NARROW (doc_id, h) projection (16 bytes/para) so the
+    # explode + md5 pass over the corpus text runs once (dd9 precedent)
+    hashed = paras.select("doc_id", "h").localCheckpoint(eager=False)
+    counts = hashed.groupBy("h").agg(F.count("*").alias("n_occ"))
     per_doc = (
-        paras.join(counts, "h")
+        hashed.join(counts, "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_paras"),

@@ -262,7 +262,10 @@ def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    fp = doc_fingerprints(docs, window=4)
+    # both self-join sides consume fp — checkpoint the (doc_id,
+    # fingerprint) projection so the windowed-md5 fingerprint pass (the
+    # operator's dominant cost) runs once, not once per side
+    fp = doc_fingerprints(docs, window=4).localCheckpoint(eager=False)
     a = fp.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fp_b"))
     return (
