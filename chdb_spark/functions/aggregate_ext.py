@@ -764,6 +764,13 @@ def _rank_map(
     values ≤ rows), forwarded so a known-small cumulative skips the
     checkpoint + lane-pick count entirely."""
     counts = df.groupBy(col).agg(F.count("*").alias("_c"))
+    return _rank_map_from_counts(counts, col, out, input_rows=input_rows)
+
+
+def _rank_map_from_counts(
+    counts: DataFrame, col: str, out: str, input_rows: int | None = None
+) -> DataFrame:
+    """``_rank_map`` over an already-grouped (value, _c) count relation."""
     below = _bucketed_cumsum(
         counts, col, ["_c"], inclusive=False, input_rows=input_rows
     )
@@ -777,11 +784,20 @@ def _rank_map(
 def rank_corr(
     df: DataFrame, x: str, y: str, input_rows: int | None = None
 ) -> DataFrame:
-    # (a fused single-cumulative variant — both columns' counts through
-    # one tag-keyed aggregation — was measured SLOWER at sf0.1: the
-    # unioned double-width exchange costs more than the jobs it saves;
-    # the per-column maps stay. ``input_rows`` is the source-stats bound
-    # that lets each map skip its checkpoint + lane-pick count jobs.)
+    # Two redesigns measured and REJECTED (don't retry):
+    #  * r9: tag-keyed fused cumulative (both columns' counts through one
+    #    aggregation) — the unioned double-width exchange costs more than
+    #    the jobs it saves.
+    #  * r11: joint-count-table form — ONE groupBy(x, y) pass checkpointed,
+    #    marginal counts + rank maps derived from it, Pearson moments as
+    #    exact decimal count-weighted sums (1 scan instead of 3). Measured
+    #    interleaved at sf0.1: 2.16 s (this form) vs 2.83 s (joint form) vs
+    #    2.32 s (joint + shuffle_hash rank join): the checkpoint write of
+    #    the ~row-sized joint table serializes the plan, while this form's
+    #    three scans overlap; and pinning the rank-map join strategy either
+    #    way carries a low-cardinality-at-scale regression case.
+    # ``input_rows`` is the source-stats bound that lets each map skip its
+    # checkpoint + lane-pick count jobs.
     rx = _rank_map(df, x, "rx", input_rows=input_rows)
     ry = _rank_map(df, y, "ry", input_rows=input_rows)
     ranked = df.join(rx, x).join(ry, y)
