@@ -52,9 +52,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # Spark analogue).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
-    # Shuffle sizing: on a cluster this is set ~2-3x total cores; AQE
-    # coalesces down. Locally 32 keeps task overhead low.
-    "spark.sql.shuffle.partitions": "32",
+    # Shuffle sizing is NOT a constant: get_spark derives it from the
+    # session's core count (2x cores, AQE coalesces down) so local mode,
+    # the driver's lower-core scaling runs, and clusters each get a
+    # proportionate value — see _derived_shuffle_partitions.
     # Read-side: 128 MiB splits keep scan partitions memory-safe at any SF.
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Broadcast threshold: dims (region/nation/supplier/part at small SF)
@@ -77,6 +78,25 @@ DEFAULT_CONFS: dict[str, str] = {
     # Ignored (set by the cluster manager) on a real deployment.
     "spark.driver.memory": "8g",
 }
+
+
+def _derived_shuffle_partitions(master: str | None) -> int | None:
+    """Scale-adaptive shuffle sizing (guide §2.4): ~2x the session's cores,
+    with AQE coalescing down per-query. A constant is tuned to exactly one
+    machine — wrong on clusters AND on the driver's lower-core scaling
+    runs. Returns None (leave the conf to spark-submit / Spark defaults +
+    AQE) when the core count isn't knowable here, i.e. a cluster master."""
+    if master is None or not master.startswith("local"):
+        return None
+    n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "1"
+    if n in ("*", ""):
+        cores = os.cpu_count() or 8
+    elif n.isdigit():
+        cores = int(n)
+    else:  # local[N,maxFailures] etc.
+        head = n.split(",")[0]
+        cores = int(head) if head.isdigit() else (os.cpu_count() or 8)
+    return max(2 * cores, 8)
 
 
 def get_spark(
@@ -113,6 +133,9 @@ def get_spark(
     if master:
         builder = builder.master(master)
     merged = dict(DEFAULT_CONFS)
+    shuffle_parts = _derived_shuffle_partitions(master)
+    if shuffle_parts is not None:
+        merged["spark.sql.shuffle.partitions"] = str(shuffle_parts)
     if confs:
         merged.update(confs)
     for k, v in merged.items():

@@ -199,3 +199,20 @@ def test_insert_from_infile(spark, tmp_path):
         assert s.query("SELECT count(*) FROM inf_t", "CSV").strip() == "4"
     finally:
         s.close()
+
+
+def test_derived_shuffle_partitions_scale_adaptive():
+    # guide §2.4: shuffle sizing follows the session's core count (2x,
+    # AQE coalesces down) instead of a constant tuned to one machine;
+    # cluster masters defer to spark-submit / Spark defaults.
+    import os
+
+    from chdb_spark.session import _derived_shuffle_partitions as d
+
+    assert d("local[32]") == 64
+    assert d("local[8]") == 16
+    assert d("local[1]") == 8  # floored: never fewer than 8
+    assert d("local[2,3]") == 8  # local[N,maxFailures] form
+    assert d("local[*]") == max(2 * (os.cpu_count() or 8), 8)
+    assert d(None) is None
+    assert d("spark://host:7077") is None
