@@ -219,17 +219,21 @@ def doc_features(
         return s
 
     def gen(batches):
-        shifts = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             ids = pdf[id_a].to_numpy()
             ndocs = len(ids)
             tok_lists = [t.strip().split() for t in pdf[text_col]]
             # distinct shingle hashes per doc: hash every gram of the batch
-            # in ONE hash_array call, then unique per doc slice
+            # in ONE hash_array call, then unique per doc slice. Gram
+            # strings come from map(join, zip(tk, tk[1:], ...)) — the
+            # zip walks n offset views in C instead of paying a Python
+            # slice + bounds check per gram (measured ~10x less Python
+            # time than the per-index form for the same strings); zip
+            # yields len(tk)-n+1 tuples and nothing when len(tk) < n,
+            # exactly the old guard.
+            _join = " ".join
             gram_lists = [
-                [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
-                if len(tk) >= n
-                else []
+                list(map(_join, zip(*(tk[i:] for i in range(n)))))
                 for tk in tok_lists
             ]
             glens = np.array([len(g) for g in gram_lists], dtype=np.int64)
@@ -250,11 +254,23 @@ def doc_features(
                 nz = hlens > 0
                 bh_all = np.empty((ndocs, bands), dtype=np.uint64)
                 if nz.any():
-                    allh = np.concatenate([h for h in hs_list if h.size])
-                    # (Σ|hs|, k) universal-hash matrix, min-reduced per doc —
-                    # one BLAS-shaped pass for the whole Arrow batch
-                    prods = allh[:, None] * a_c[None, :] + b_c[None, :]
-                    mins = np.minimum.reduceat(prods, _starts(hlens[nz]), axis=0)
+                    # Per-doc (|hs|, k) slab, min-reduced immediately — NOT a
+                    # batch-wide (Σ|hs|, k) matrix + ufunc.reduceat: reduceat
+                    # along axis 0 of a 2-D array runs a strided per-element
+                    # inner loop (measured 60x slower than per-doc .min at a
+                    # 2M-hash batch) and the batch matrix is Σ|hs|×k×8 bytes
+                    # (multi-GB for full Arrow batches at scale; fresh-page
+                    # allocation alone dominated). Per-doc slabs bound memory
+                    # at O(max|hs| × k); ultra-long docs chunk the slab too.
+                    def _uhash_mins(h: np.ndarray) -> np.ndarray:
+                        m = None
+                        for i in range(0, h.size, 1 << 20):
+                            sl = h[i : i + (1 << 20)]
+                            part = (sl[:, None] * a_c[None, :] + b_c[None, :]).min(axis=0)
+                            m = part if m is None else np.minimum(m, part)
+                        return m
+
+                    mins = np.stack([_uhash_mins(h) for h in hs_list if h.size])
                     mm = mins.reshape(-1, bands, r)
                     bh = np.full((mm.shape[0], bands), _FNV_OFF, dtype=np.uint64)
                     for c in range(r):
@@ -276,17 +292,27 @@ def doc_features(
                 fp_all = np.zeros(ndocs, dtype=np.uint64)
                 if flat_t:
                     allt = pd.util.hash_array(np.asarray(flat_t, dtype=object))
-                    # (Ntok, 64) uint8 bit matrix via unpackbits — 8x smaller
-                    # than the shift-based int64 form, same bit order
-                    # (little-endian bytes + little bitorder = bit j at col j)
-                    bits = np.unpackbits(
-                        allt.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-                    )
                     nzt = tlens > 0
-                    sums = np.add.reduceat(
-                        bits, _starts(tlens[nzt]), axis=0, dtype=np.int64
+                    nzlens = tlens[nzt]
+                    st = _starts(nzlens)
+                    # Per-doc (|tok|, 64) uint8 bit slab via unpackbits
+                    # (little-endian bytes + little bitorder = bit j at col
+                    # j), summed immediately — NOT a batch-wide bit matrix +
+                    # add.reduceat: reduceat's strided inner loop measured
+                    # ~90x slower than per-doc .sum at a 2M-token batch, and
+                    # the batch matrix costs 64 bytes/token for the whole
+                    # Arrow batch. Peak memory is now O(max|tok| × 64).
+                    sums = np.stack(
+                        [
+                            np.unpackbits(
+                                allt[s : s + l].view(np.uint8).reshape(-1, 8),
+                                axis=1,
+                                bitorder="little",
+                            ).sum(axis=0, dtype=np.int64)
+                            for s, l in zip(st, nzlens)
+                        ]
                     )
-                    votes = 2 * sums - tlens[nzt][:, None]
+                    votes = 2 * sums - nzlens[:, None]
                     fp_all[nzt] = np.packbits(
                         (votes > 0).astype(np.uint8), axis=1, bitorder="little"
                     ).view(np.uint64)[:, 0]

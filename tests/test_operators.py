@@ -1004,6 +1004,91 @@ def test_doc_features_hs_filter_prunes_emitted_hashes_only(spark):
         assert r.fp == full[did].fp
 
 
+def test_doc_features_gram_construction_matches_slice_reference():
+    """The zip-based gram builder inside doc_features must emit exactly the
+    strings of the per-index slice form (" ".join(tk[i:i+n])) — the hashes,
+    and therefore every dd-family result, hinge on string identity."""
+
+    def reference(tk, n):
+        if len(tk) < n:
+            return []
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    def zipped(tk, n):  # the doc_features gen() formulation
+        return list(map(" ".join, zip(*(tk[i:] for i in range(n)))))
+
+    import random
+    import string
+
+    rng = random.Random(7)
+    cases = [[], ["a"], ["a", "b"], ["a", "b", "c"], ["", "", ""], ["x"] * 7]
+    for _ in range(500):
+        cases.append(
+            [
+                "".join(rng.choices(string.ascii_lowercase, k=rng.randint(0, 4)))
+                for _ in range(rng.randint(0, 12))
+            ]
+        )
+    for tk in cases:
+        for n in (1, 2, 3, 4, 6):
+            assert zipped(tk, n) == reference(tk, n), (tk, n)
+
+
+def test_doc_features_perdoc_reductions_match_reduceat_reference():
+    """The per-doc minhash/simhash reductions inside doc_features must be
+    bit-equal to the batch ufunc.reduceat formulation they replaced — the
+    band hashes (and so every LSH candidate set) hinge on exact equality,
+    including uint64 wraparound in the universal-hash products."""
+    import numpy as np
+
+    from chdb_spark.operators.dedup import _perm_consts
+
+    rng = np.random.RandomState(11)
+    lens = np.concatenate(
+        [rng.randint(1, 40, size=200), [1, 1, 2, 300]]
+    ).astype(np.int64)
+    allv = rng.randint(0, 2**63, size=int(lens.sum())).astype(np.uint64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    perms = np.array(_perm_consts(128), dtype=np.uint64)
+    a_c, b_c = perms[:, 0], perms[:, 1]
+
+    # minhash: per-doc chunked min (chunk smaller than segments to cover
+    # the multi-chunk merge path) vs reduceat over the full product matrix
+    def _uhash_mins(h, chunk):
+        m = None
+        for i in range(0, h.size, chunk):
+            sl = h[i : i + chunk]
+            part = (sl[:, None] * a_c[None, :] + b_c[None, :]).min(axis=0)
+            m = part if m is None else np.minimum(m, part)
+        return m
+
+    prods = allv[:, None] * a_c[None, :] + b_c[None, :]
+    ref_mins = np.minimum.reduceat(prods, starts, axis=0)
+    for chunk in (7, 1 << 20):
+        got = np.stack(
+            [_uhash_mins(allv[s : s + l], chunk) for s, l in zip(starts, lens)]
+        )
+        assert np.array_equal(got, ref_mins)
+
+    # simhash: per-doc unpackbits+sum vs batch unpackbits + add.reduceat
+    bits = np.unpackbits(
+        allv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    ref_sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
+    got_sums = np.stack(
+        [
+            np.unpackbits(
+                allv[s : s + l].view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            ).sum(axis=0, dtype=np.int64)
+            for s, l in zip(starts, lens)
+        ]
+    )
+    assert np.array_equal(got_sums, ref_sums)
+
+
 def test_token_shards_layout_bounded_and_lossless(spark, tmp_path):
     """wr1's write contract: every shard holds <= budget + one doc's
     tokens (greedy straddle), directories are one parquet file each,
