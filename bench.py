@@ -80,6 +80,53 @@ FIXTURE_QUERIES = [
 ]
 
 
+def prewarm_memory(gb: int = 24) -> float:
+    """Fault guest RAM in UNTIMED, before any query timing (r11 finding).
+
+    This sandbox's VM lazily backs guest memory (dmesg: "Free page
+    reporting enabled"): the first 4 KiB-page touch of never-yet-backed
+    memory costs ~130-470 µs — a fresh 2 GB numpy buffer measured 50-230 s
+    to first-touch on a cold pool, and the effect is THE mechanism behind
+    the "~1.3x host-day drift" BASELINE.md has tracked since r2 (JVM
+    heap growth, Arrow buffers, and Python worker allocations all pay it
+    mid-query, non-deterministically). Touching one byte per 2 MiB region
+    of a MADV_HUGEPAGE mapping faults the same memory ~512x cheaper, so a
+    few seconds here removes minutes of noise from the timed loop.
+    Touches min(gb, MemAvailable - 8) GiB; never raises (best-effort —
+    timing-noise insurance, not a correctness step)."""
+    import ctypes
+    import mmap
+
+    t0 = time.perf_counter()
+    try:
+        with open("/proc/meminfo") as f:
+            avail_gb = next(
+                int(line.split()[1]) // (1024 * 1024)
+                for line in f
+                if line.startswith("MemAvailable")
+            )
+        target = max(0, min(gb, avail_gb - 8))
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        chunk = 4 << 30
+        bufs = []
+        try:
+            for _ in range(max(0, target * (1 << 30) // chunk)):
+                buf = mmap.mmap(-1, chunk)
+                addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+                libc.madvise(
+                    ctypes.c_void_p(addr), ctypes.c_size_t(chunk), 14
+                )  # MADV_HUGEPAGE
+                for off in range(0, chunk, 2 << 20):
+                    buf[off] = 1
+                bufs.append(buf)
+        finally:
+            for buf in bufs:
+                buf.close()
+    except Exception:
+        pass
+    return round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
@@ -94,6 +141,8 @@ def main() -> None:
         load_5m, load_15m = round(la[1], 2), round(la[2], 2)
     except OSError:
         load_1m = load_5m = load_15m = None
+
+    prewarm_sec = prewarm_memory()
 
     spark = get_spark(app_name="chdb_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -138,6 +187,7 @@ def main() -> None:
         # three so a reader can spot the §J signature either way
         "load_5m_at_start": load_5m,
         "load_15m_at_start": load_15m,
+        "memory_prewarm_sec": prewarm_sec,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "BENCH_full.json")

@@ -63,3 +63,14 @@ def test_fixture_warmup_list_matches_registry():
 def test_dev_sf_dir_refuses_snapshot():
     # r8 lesson: a quick sf0.01 drive clobbered the round's sf0.1 map.
     assert not should_snapshot_round("/root/testdata/sf0.01", 0.1)
+
+
+def test_prewarm_memory_is_bounded_and_nonfatal():
+    """r11: prewarm_memory must touch at most the requested GiB, never
+    raise, and report its own (untimed-region) duration."""
+    from bench import prewarm_memory
+
+    dt = prewarm_memory(gb=1)
+    assert isinstance(dt, float) and dt >= 0.0
+    # gb=0 degenerates to a no-op
+    assert prewarm_memory(gb=0) >= 0.0

@@ -36,9 +36,11 @@ def main() -> None:
     ap.add_argument("--json", dest="json_out", default=None)
     args = ap.parse_args()
 
+    from bench import prewarm_memory
     from chdb_spark.queries import all_queries
     from chdb_spark.session import get_spark
 
+    prewarm_memory()  # untimed guest-RAM fault-in (bench.py r11 finding)
     spark = get_spark(app_name="opt_measure")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
