@@ -810,6 +810,7 @@ def decontaminate(
     n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ordered: bool = True,
 ) -> DataFrame:
     """Train/eval overlap detection — the GPT-3 decontamination rule: a
     training document is contaminated when it shares any ``n``-gram
@@ -831,13 +832,15 @@ def decontaminate(
     hits = _doc_grams(train, id_col, text_col, n).join(
         bench_hashes, "h", "left_semi"
     )
-    return (
+    out = (
         # hs arrays are distinct per doc, so count == count_distinct — the
         # cheaper partial-aggregating form
         hits.groupBy("doc_id")
         .agg(F.count("h").alias("n_shared_grams"))
-        .orderBy("doc_id")
     )
+    # ``ordered=False`` callers (pl1: the result only feeds an anti-join)
+    # skip the global sort — a range exchange plus its sampling job.
+    return out.orderBy("doc_id") if ordered else out
 
 
 @defquery(

@@ -48,23 +48,29 @@ def curate(
         (F.col("quality_score") >= quality_threshold)
         & (language_id(F.col("text")) == lang)
     )
-    kept = exact_dedup(kept)
-    # Materialize the survivors ONCE (projected to what the two consumers
-    # need): decontamination reads (doc_id, text) for the gram stream and
-    # the anti-join + stats read (doc_id, source, n_tokens) — lazily, the
-    # scan→quality→langID→dedup subtree is embedded twice in the final
-    # plan (no ReuseExchange fires; both copies run the full-corpus Python
-    # feature pass). At sf0.1/local[32] wall-clock is unchanged — the two
-    # copies sit in independent branches of one job and overlap on idle
-    # cores — but the total work is 2× the corpus feature pass, which is
-    # exactly what a saturated cluster pays at scale. One eager checkpoint
-    # = one subtree execution; survivor blocks live on executors
-    # (MEMORY_AND_DISK) and are released by ContextCleaner (the
-    # minhash-feats pattern).
-    kept = kept.select("doc_id", "text", "source", "n_tokens").localCheckpoint(
-        eager=True
+    kept = exact_dedup(kept).select("doc_id", "source", "n_tokens")
+    # Decontaminate the RAW train split, not the survivor relation: the
+    # LEFT ANTI join below only removes survivor ids, so contamination
+    # flags computed on a superset give the identical result (proven
+    # equal row-for-row at sf0.1). This keeps the expensive
+    # scan→quality→langID→dedup subtree embedded exactly ONCE in one lazy
+    # plan (sole consumer: the anti-join probe side) — the r10 version
+    # embedded it twice, and the r11 fix (eager localCheckpoint of the
+    # survivors INCLUDING text) serialized the subtree against the rest
+    # of the query and pushed corpus text through executor block storage,
+    # regressing the measured config 2.1→3.0 s (driver 9.0 s). Now no
+    # checkpoint at all: one job, AQE overlaps the independent gram and
+    # survivor stages, text never enters block storage or a shuffle
+    # (guide §8: every exchange carries ids/hashes/counts only). Cost
+    # trade at scale: the gram kernel runs over all of train instead of
+    # survivors only — bounded by 1/survivor-fraction (FineWeb-style
+    # filters keep well over half); a pipeline with a very selective
+    # filter should reinstate the survivors-only gram stream behind an
+    # eager NARROW (no text) checkpoint + semi-join re-scan, measured
+    # here as 2.47 s vs 1.88 s in this configuration.
+    contaminated = decontaminate(
+        docs.select("doc_id", "text"), benchmark, n=n, ordered=False
     )
-    contaminated = decontaminate(kept, benchmark, n=n)
     clean = kept.join(
         contaminated.select("doc_id"), "doc_id", "left_anti"
     )
