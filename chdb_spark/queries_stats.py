@@ -212,16 +212,18 @@ def st4_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chdb_spark.functions.aggregate_ext import grouped_weighted_quantile
-    from chdb_spark.queries import table_rows_upper_bound
 
     li = table(spark, sf_dir, "lineitem")
     # l_quantity is integer-valued, so bucket-offset sums are exact and
     # the oracle comparison is safe. 10% bounds sample: the input is a
     # RAW-table projection (caching it would pin a 100 TB scan), and
     # bounds only steer where the refinement looks, never the result.
-    # The parquet-footer row bound lets a small input take the plain
-    # grouped-window lane (no sketch / bucket-totals / crossing jobs);
-    # past the threshold the crossing-bucket refinement runs unchanged.
+    # No input_rows hint — the r11 footer-bound hint routed st5 through
+    # the plain grouped-window lane (3 returnflag groups → 200k rows per
+    # reducer, the single-reducer shape this operator exists to remove),
+    # a measured loss in the settled r11 artifacts (1.24→1.78 s) and at
+    # best a wash in this round's cold/warm ABAB; the refinement path is
+    # also the only shape that scales, so it runs unconditionally here.
     med = grouped_weighted_quantile(
         li.select(
             "l_returnflag",
@@ -235,7 +237,6 @@ def st5_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_order=["l_quantity"],
         sketch_fraction=0.1,
         out_col="_wm",
-        input_rows=table_rows_upper_bound(sf_dir, "lineitem"),
     )
     return med.select(
         "l_returnflag", F.round(F.col("_wm"), 2).alias("wmedian")
